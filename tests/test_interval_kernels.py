@@ -1,0 +1,213 @@
+"""Core kernel tests: level index invariants, counts, pairs, nearest.
+
+Randomized cross-checks against brute-force NumPy oracles — the same
+oracle pattern the reference uses (stock join output as ground truth,
+reference tests/integration_test.rs:67-118).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequila_tpu.ops.interval_index import build_interval_index, assign_levels
+from sequila_tpu.ops.interval_join import (
+    count_matches,
+    materialize_pairs,
+    nearest_match,
+)
+from sequila_tpu.ops.oracle import oracle_counts, oracle_nearest, oracle_pairs
+from sequila_tpu.ops.ranks import np_rank_lex, rank_lex_sort
+
+
+def random_tables(rng, n, m, num_keys=4, coord_range=10_000, max_len=300):
+    bk = rng.integers(0, num_keys, n).astype(np.int32)
+    bs = rng.integers(0, coord_range, n).astype(np.int32)
+    be = bs + rng.integers(0, max_len, n).astype(np.int32)
+    qk = rng.integers(0, num_keys + 1, m).astype(np.int32)  # +1: absent keys
+    qs = rng.integers(0, coord_range, m).astype(np.int32)
+    qe = qs + rng.integers(0, max_len, m).astype(np.int32)
+    return bk, bs, be, qk, qs, qe
+
+
+class TestRanks:
+    def test_rank_lex_sort_matches_numpy(self, rng):
+        for side in ("left", "right"):
+            b1 = rng.integers(0, 5, 200).astype(np.int32)
+            b2 = rng.integers(0, 50, 200).astype(np.int32)
+            q1 = rng.integers(0, 6, 77).astype(np.int32)
+            q2 = rng.integers(0, 55, 77).astype(np.int32)
+            got = np.asarray(
+                rank_lex_sort(
+                    (jnp.asarray(b1), jnp.asarray(b2)),
+                    (jnp.asarray(q1), jnp.asarray(q2)),
+                    side=side,
+                )
+            )
+            want = np_rank_lex((b1, b2), (q1, q2), side=side)
+            np.testing.assert_array_equal(got, want)
+
+
+class TestLevelIndex:
+    def test_level_invariant(self, rng):
+        """Within each (level, key) segment ends must be non-decreasing."""
+        bk, bs, be, *_ = random_tables(rng, 500, 0)
+        idx = build_interval_index(bk, bs, be)
+        K = np.asarray(idx.keys)
+        S = np.asarray(idx.starts)
+        E = np.asarray(idx.ends)
+        L = np.asarray(idx.levels)
+        for lv in range(idx.num_levels):
+            off, sz = idx.level_offsets[lv], idx.level_sizes[lv]
+            k, s, e = K[off : off + sz], S[off : off + sz], E[off : off + sz]
+            for key in np.unique(k):
+                seg = np.nonzero(k == key)[0]
+                assert np.all(np.diff(s[seg]) >= 0), "starts must ascend"
+                assert np.all(np.diff(e[seg]) >= 0), "ends must ascend"
+        # every real row appears exactly once
+        P = np.asarray(idx.pos)
+        real = P[P >= 0]
+        assert sorted(real.tolist()) == list(range(500))
+        assert L.shape == K.shape
+
+    def test_nested_intervals_peel_deep(self):
+        """Fully nested intervals -> one level each, still exact."""
+        n = 20
+        bk = np.zeros(n, np.int32)
+        bs = np.arange(n, dtype=np.int32)
+        be = (100 - np.arange(n)).astype(np.int32)
+        idx = build_interval_index(bk, bs, be)
+        assert idx.num_levels == n
+        counts = np.asarray(
+            count_matches(
+                idx,
+                jnp.asarray([0], jnp.int32).repeat(1),
+                jnp.asarray([50], jnp.int32),
+                jnp.asarray([50], jnp.int32),
+            )
+        )
+        assert counts[0] == n
+
+    def test_assign_levels_terminates_on_duplicates(self):
+        bk = np.zeros(100, np.int32)
+        bs = np.full(100, 7, np.int32)
+        be = np.full(100, 9, np.int32)
+        order, levels = assign_levels(bk, bs, be)
+        assert levels.max() == 0  # equal ends are non-decreasing: one level
+
+
+@pytest.mark.parametrize("method", ["sort", "bsearch"])
+class TestCounts:
+    def test_random_counts(self, rng, method):
+        bk, bs, be, qk, qs, qe = random_tables(rng, 800, 300)
+        idx = build_interval_index(bk, bs, be)
+        got = np.asarray(
+            count_matches(
+                idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), method
+            )
+        )
+        np.testing.assert_array_equal(got, oracle_counts(bk, bs, be, qk, qs, qe))
+
+    def test_point_and_degenerate_queries(self, rng, method):
+        bk, bs, be, *_ = random_tables(rng, 300, 0)
+        idx = build_interval_index(bk, bs, be)
+        qk = np.zeros(4, np.int32)
+        qs = np.array([50, 100, 0, 60], np.int32)
+        qe = np.array([50, 100, 0, 40], np.int32)  # last: qe < qs (degenerate)
+        got = np.asarray(
+            count_matches(idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), method)
+        )
+        want = oracle_counts(bk, bs, be, qk, qs, qe)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_build(self, rng, method):
+        idx = build_interval_index(
+            np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, np.int32)
+        )
+        got = np.asarray(
+            count_matches(
+                idx,
+                jnp.asarray([0, 1], jnp.int32),
+                jnp.asarray([1, 2], jnp.int32),
+                jnp.asarray([3, 4], jnp.int32),
+                method,
+            )
+        )
+        np.testing.assert_array_equal(got, [0, 0])
+
+
+@pytest.mark.parametrize("method", ["sort", "bsearch"])
+class TestPairs:
+    def test_random_pairs_exact(self, rng, method):
+        bk, bs, be, qk, qs, qe = random_tables(rng, 400, 200)
+        idx = build_interval_index(bk, bs, be)
+        b_rows, p_rows, total = materialize_pairs(
+            idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), method
+        )
+        ob, op = oracle_pairs(bk, bs, be, qk, qs, qe)
+        assert total == len(ob)
+        got = sorted(zip(p_rows.tolist(), b_rows.tolist()))
+        want = sorted(zip(op.tolist(), ob.tolist()))
+        assert got == want
+
+    def test_no_matches(self, rng, method):
+        bk = np.zeros(10, np.int32)
+        bs = np.arange(10, dtype=np.int32) * 100
+        be = bs + 5
+        idx = build_interval_index(bk, bs, be)
+        _, _, total = materialize_pairs(
+            idx,
+            jnp.asarray([0], jnp.int32),
+            jnp.asarray([50], jnp.int32),
+            jnp.asarray([60], jnp.int32),
+            method,
+        )
+        assert total == 0
+
+
+class TestNearest:
+    def test_random_nearest(self, rng):
+        bk, bs, be, qk, qs, qe = random_tables(rng, 300, 200, num_keys=3)
+        idx = build_interval_index(bk, bs, be)
+        got = np.asarray(
+            nearest_match(idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe))
+        )
+        want = oracle_nearest(bk, bs, be, qk, qs, qe)
+        for i in range(len(qk)):
+            if want[i] == -1:
+                assert got[i] == -1, f"row {i}: expected NULL"
+                continue
+            g = got[i]
+            assert g >= 0
+            assert bk[g] == qk[i]
+            w = want[i]
+            overlap_w = bs[w] <= qe[i] and be[w] >= qs[i]
+            overlap_g = bs[g] <= qe[i] and be[g] >= qs[i]
+            assert overlap_g == overlap_w, f"row {i}: overlap class mismatch"
+            if not overlap_w:
+                def dist(j):
+                    if be[j] < qs[i]:
+                        return qs[i] - be[j]
+                    return bs[j] - qe[i]
+                assert dist(g) == dist(w), f"row {i}: distance mismatch"
+
+    def test_reference_nearest_fixture(self):
+        """The reference's nearest test (integration_test.rs:352-399).
+
+        Build side a=(5,10) keyed by (contig,strand); probes from b.  Key
+        codes here stand in for the (contig,strand) pairs.
+        """
+        bk = np.array([0], np.int32)  # ('a','s')
+        bs = np.array([5], np.int32)
+        be = np.array([10], np.int32)
+        idx = build_interval_index(bk, bs, be)
+        # probes: ('a','s',11,13), ('a','s',20,21), ('a','x',0,1), ('b','s',1,2)
+        qk = np.array([0, 0, 1, 2], np.int32)
+        # strict ops (< / >) normalize to end-inclusive via -1 on ends:
+        # a.start < b.end AND a.end > b.start  ->  probe interval
+        # [start+1, end-1] relative to build [5,10]
+        qs = np.array([11 + 1, 20 + 1, 0 + 1, 1 + 1], np.int32)
+        qe = np.array([13 - 1, 21 - 1, 1 - 1, 2 - 1], np.int32)
+        got = np.asarray(nearest_match(idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe)))
+        # rows 0,1: key present, no overlap -> nearest = build row 0
+        # rows 2,3: key absent -> NULL
+        np.testing.assert_array_equal(got, [0, 0, -1, -1])
