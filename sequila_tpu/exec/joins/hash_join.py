@@ -1,0 +1,98 @@
+"""Hash equi-join (vectorized build/probe) — the engine's baseline join.
+
+Role-equivalent of DataFusion's HashJoinExec, which the reference keeps as
+the fallback when a join is not an interval join and as the ground-truth
+oracle in its test-suite.  Build = dictionary-encode + sort the left keys;
+probe = searchsorted segment expansion; residual filter applied on the
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sequila_tpu.errors import ExecutionError
+from sequila_tpu.exec.joins.utils import (
+    JOIN_TYPE_DISPLAY,
+    display_on,
+    eval_join_filter,
+    gather_join_output,
+)
+from sequila_tpu.exec.plan import ExecPlan
+from sequila_tpu.models.table import Table, encode_join_keys
+from sequila_tpu.planner.expr import JoinFilter, PhysicalExpr
+
+
+def _eval_keys(exprs: list[PhysicalExpr], table: Table) -> list[np.ndarray]:
+    cols = [table.column_np(i) for i in range(len(table.column_names))]
+    return [np.asarray(e.eval(cols, table.num_rows)) for e in exprs]
+
+
+def equi_join_pairs(
+    left: Table,
+    right: Table,
+    on: list[tuple[PhysicalExpr, PhysicalExpr]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (left_row, right_row) pairs with equal keys, right-major order."""
+    lkeys = _eval_keys([l for l, _ in on], left)
+    rkeys = _eval_keys([r for _, r in on], right)
+    lcodes, rcodes, _ = encode_join_keys(lkeys, rkeys)
+    order = np.argsort(lcodes, kind="stable").astype(np.int64)
+    sorted_codes = lcodes[order]
+    lo = np.searchsorted(sorted_codes, rcodes, side="left")
+    hi = np.searchsorted(sorted_codes, rcodes, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    right_idx = np.repeat(np.arange(len(rcodes), dtype=np.int64), cnt)
+    offsets = np.concatenate([[0], np.cumsum(cnt)])
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], cnt)
+    left_idx = order[np.repeat(lo, cnt) + within]
+    return left_idx, right_idx
+
+
+class HashJoinExec(ExecPlan):
+    def __init__(
+        self,
+        left: ExecPlan,
+        right: ExecPlan,
+        on: list[tuple[PhysicalExpr, PhysicalExpr]],
+        filter_: JoinFilter | None,
+        join_type: str = "inner",
+        mode: str = "CollectLeft",
+    ):
+        self.children = [left, right]
+        self.on = on
+        self.filter = filter_
+        self.join_type = join_type
+        self.mode = mode
+
+    def schema(self):
+        return self.children[0].schema() + self.children[1].schema()
+
+    def execute(self, ctx):
+        left = self.children[0].execute(ctx)
+        right = self.children[1].execute(ctx)
+        with ctx.timer(self.op_id(), "join_time"):
+            left_idx, right_idx = equi_join_pairs(left, right, self.on)
+            if self.filter is not None and len(left_idx):
+                mask = eval_join_filter(self.filter, left, right, left_idx, right_idx)
+                left_idx, right_idx = left_idx[mask], right_idx[mask]
+            if self.join_type != "inner":
+                raise ExecutionError(
+                    f"HashJoinExec: join type {self.join_type} not yet supported"
+                )
+            out = gather_join_output(left, right, left_idx, right_idx)
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def display_line(self):
+        jt = JOIN_TYPE_DISPLAY[self.join_type]
+        s = f"HashJoinExec: mode={self.mode}, join_type={jt}, {display_on(self.on)}"
+        if self.filter is not None:
+            s += f", filter={self.filter.display()}"
+        return s
+
+    def with_children(self, children):
+        return HashJoinExec(
+            children[0], children[1], self.on, self.filter, self.join_type, self.mode
+        )

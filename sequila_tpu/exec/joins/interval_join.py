@@ -1,0 +1,262 @@
+"""IntervalJoinExec — the engine's flagship operator.
+
+Role-equivalent of the reference's IntervalJoinExec (reference
+joins/interval_join.rs:71-594): a build/probe range-overlap join keyed on
+equi-columns.  Build side = LEFT (collected once, like CollectLeft +
+OnceAsync, interval_join.rs:472-487); probe side = RIGHT, processed in
+bounded chunks (the analog of the reference's streamed probe batches and
+SEQUILA_MAX_OUTPUT_BATCH_SIZE-capped low-memory emission,
+interval_join.rs:1236-1336).
+
+The per-row tree queries of the reference are replaced by the batched TPU
+kernels of ops/interval_join.py over the level-decomposed index of
+ops/interval_index.py; output is take(left) ++ take(right) exactly as the
+reference's emit paths.
+
+Semantics parity contract:
+- end-inclusive i32 intervals; strict </> already normalized to `end - 1`
+  expressions by the planner (planner/intervals.py);
+- i32 cast overflow is a hard error (interval_join.rs:1661-1672);
+- Nearest: one output row per probe row, NULL-padded left side when the
+  equi-key is absent from the build side;
+- probe-side row order is preserved (reference: probe side is always Right
+  and its order is maintained, interval_join.rs:210-224).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import jax.numpy as jnp
+
+from sequila_tpu.config import Algorithm
+from sequila_tpu.errors import ExecutionError
+from sequila_tpu.exec.joins.utils import (
+    JOIN_TYPE_DISPLAY,
+    display_on,
+    gather_join_output,
+)
+from sequila_tpu.exec.plan import ExecPlan
+from sequila_tpu.models.table import Table, encode_join_keys
+from sequila_tpu.ops.interval_index import PAD_KEY, PAD_VAL, build_interval_index, _bucket
+from sequila_tpu.ops.interval_join import (
+    count_matches,
+    materialize_pairs,
+    nearest_match,
+)
+from sequila_tpu.planner.expr import JoinFilter, Literal, PhysicalExpr
+from sequila_tpu.planner.intervals import ColIntervals
+
+# Probe rows per device chunk in full (non-low-memory) mode.
+_FULL_MODE_CHUNK = 4 << 20
+
+# Algorithm -> rank strategy of ops/interval_join.overlap_bounds.
+_ALG_METHOD = {
+    Algorithm.COITREES: "sort",
+    Algorithm.SUPER_INTERVALS: "sort",
+    Algorithm.LAPPER: "sort",
+    Algorithm.INTERVAL_TREE: "bsearch",
+    Algorithm.ARRAY_INTERVAL_TREE: "bsearch",
+    Algorithm.COITREES_NEAREST: "sort",
+    Algorithm.COITREES_COUNT_OVERLAPS: "sort",
+}
+
+
+def _eval_exprs(exprs: list[PhysicalExpr], table: Table) -> list[np.ndarray]:
+    cols = [table.column_np(i) for i in range(len(table.column_names))]
+    return [np.asarray(e.eval(cols, table.num_rows)) for e in exprs]
+
+
+def _eval_as_i32(expr: PhysicalExpr, table: Table) -> np.ndarray:
+    """Evaluate an interval-bound expression and cast to i32, hard-erroring
+    on overflow — the reference's evaluate_as_i32 contract."""
+    cols = [table.column_np(i) for i in range(len(table.column_names))]
+    arr = np.asarray(expr.eval(cols, table.num_rows))
+    tmp = Table.from_arrays(["x"], [pa.array(arr)])
+    return tmp.column_as_i32(0)
+
+
+class IntervalJoinExec(ExecPlan):
+    def __init__(
+        self,
+        left: ExecPlan,
+        right: ExecPlan,
+        on: list[tuple[PhysicalExpr, PhysicalExpr]],
+        filter_: JoinFilter | None,
+        intervals: ColIntervals,
+        join_type: str = "inner",
+        algorithm: Algorithm = Algorithm.COITREES,
+        low_memory: bool = False,
+        mode: str = "CollectLeft",
+    ):
+        self.children = [left, right]
+        self.on = on
+        self.filter = filter_
+        self.intervals = intervals
+        self.join_type = join_type
+        self.algorithm = algorithm
+        self.low_memory = low_memory
+        self.mode = mode
+
+    def schema(self):
+        return self.children[0].schema() + self.children[1].schema()
+
+    # -- key/bound preparation ---------------------------------------------
+    def _prepare(self, ctx, left: Table, right: Table):
+        on = self.on
+        synthetic_keys = all(
+            isinstance(l, Literal) and isinstance(r, Literal) for l, r in on
+        )
+        if synthetic_keys:
+            # Degenerate no-equi-key join (reference NLJ rewrite path,
+            # sequila_physical_planner.rs:127-148): one global key segment.
+            lcodes = np.zeros(left.num_rows, np.int32)
+            rcodes = np.zeros(right.num_rows, np.int32)
+        else:
+            lkeys = _eval_exprs([l for l, _ in on], left)
+            rkeys = _eval_exprs([r for _, r in on], right)
+            lcodes, rcodes, _ = encode_join_keys(lkeys, rkeys)
+        ls = _eval_as_i32(self.intervals.left_interval.start, left)
+        le = _eval_as_i32(self.intervals.left_interval.end, left)
+        rs = _eval_as_i32(self.intervals.right_interval.start, right)
+        re = _eval_as_i32(self.intervals.right_interval.end, right)
+        with ctx.timer(self.op_id(), "build_time"):
+            index = build_interval_index(lcodes, ls, le)
+        ctx.metrics.add(self.op_id(), "build_input_rows", left.num_rows)
+        return index, rcodes, rs, re
+
+    @staticmethod
+    def _pad_chunk(rcodes, rs, re, lo, rows):
+        # Padding probes get a degenerate interval (qe < qs) so their match
+        # count is identically zero — in particular they cannot match the
+        # index's own padding rows, which share PAD_KEY.
+        cap = _bucket(rows, minimum=1024)
+        k = np.full(cap, PAD_KEY, np.int32)
+        s = np.full(cap, PAD_VAL, np.int32)
+        e = np.full(cap, PAD_VAL - 2, np.int32)
+        k[:rows] = rcodes[lo : lo + rows]
+        s[:rows] = rs[lo : lo + rows]
+        e[:rows] = re[lo : lo + rows]
+        return jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), cap
+
+    # -- execution ----------------------------------------------------------
+    def execute(self, ctx):
+        left = self.children[0].execute(ctx)
+        right = self.children[1].execute(ctx)
+        index, rcodes, rs, re = self._prepare(ctx, left, right)
+        method = _ALG_METHOD[self.algorithm]
+        m = right.num_rows
+
+        if self.algorithm.is_nearest:
+            return self._execute_nearest(ctx, left, right, index, rcodes, rs, re, method)
+
+        chunk = (
+            max(1, ctx.config.max_output_batch_size // 100)
+            if self.low_memory
+            else _FULL_MODE_CHUNK
+        )
+        parts: list[Table] = []
+        with ctx.timer(self.op_id(), "join_time"):
+            for lo in range(0, max(m, 1), chunk):
+                rows = min(chunk, m - lo)
+                if rows <= 0:
+                    break
+                qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+                b_rows, p_rows, total = materialize_pairs(index, qk, qs, qe, method)
+                if total == 0:
+                    continue
+                out = gather_join_output(
+                    left, right, b_rows.astype(np.int64), p_rows.astype(np.int64) + lo
+                )
+                parts.append(out)
+        if parts:
+            out = Table(pa.concat_tables([p.arrow for p in parts]))
+        else:
+            out = gather_join_output(
+                left, right, np.empty(0, np.int64), np.empty(0, np.int64)
+            )
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        ctx.metrics.add(self.op_id(), "input_rows", m)
+        return out
+
+    def _execute_nearest(self, ctx, left, right, index, rcodes, rs, re, method):
+        m = right.num_rows
+        with ctx.timer(self.op_id(), "join_time"):
+            outs = []
+            chunk = _FULL_MODE_CHUNK
+            for lo in range(0, max(m, 1), chunk):
+                rows = min(chunk, m - lo)
+                if rows <= 0:
+                    break
+                qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+                res = np.asarray(nearest_match(index, qk, qs, qe, method))[:rows]
+                outs.append(res)
+            left_rows = (
+                np.concatenate(outs) if outs else np.empty(0, np.int32)
+            ).astype(np.int64)
+            null_mask = left_rows < 0
+            out = gather_join_output(
+                left,
+                right,
+                np.where(null_mask, 0, left_rows),
+                np.arange(m, dtype=np.int64),
+                left_null=null_mask,
+            )
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def count_rows(self, ctx) -> int:
+        """Exact output cardinality without materializing pairs — the
+        count(*) fast path (the BITS-style count; every databio benchmark
+        query is answerable by this alone)."""
+        left = self.children[0].execute(ctx)
+        right = self.children[1].execute(ctx)
+        index, rcodes, rs, re = self._prepare(ctx, left, right)
+        method = _ALG_METHOD[self.algorithm]
+        if self.algorithm.is_nearest:
+            return right.num_rows
+        m = right.num_rows
+        total = 0
+        with ctx.timer(self.op_id(), "join_time"):
+            for lo in range(0, max(m, 1), _FULL_MODE_CHUNK):
+                rows = min(_FULL_MODE_CHUNK, m - lo)
+                if rows <= 0:
+                    break
+                qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+                counts = count_matches(index, qk, qs, qe, method)
+                total += int(counts.sum())
+        ctx.metrics.add(self.op_id(), "output_rows", total)
+        return total
+
+    def per_probe_counts(self, ctx) -> np.ndarray:
+        """CountOverlaps semantics: overlap count per probe row."""
+        left = self.children[0].execute(ctx)
+        right = self.children[1].execute(ctx)
+        index, rcodes, rs, re = self._prepare(ctx, left, right)
+        method = _ALG_METHOD[self.algorithm]
+        m = right.num_rows
+        outs = []
+        for lo in range(0, max(m, 1), _FULL_MODE_CHUNK):
+            rows = min(_FULL_MODE_CHUNK, m - lo)
+            if rows <= 0:
+                break
+            qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+            outs.append(np.asarray(count_matches(index, qk, qs, qe, method))[:rows])
+        return np.concatenate(outs) if outs else np.empty(0, np.int32)
+
+    def display_line(self):
+        jt = JOIN_TYPE_DISPLAY[self.join_type]
+        s = f"IntervalJoinExec: mode={self.mode}, join_type={jt}, {display_on(self.on)}"
+        if self.filter is not None:
+            s += f", filter={self.filter.display()}"
+        s += f", alg={self.algorithm}"
+        if self.low_memory:
+            s += ", low_memory=true"
+        return s
+
+    def with_children(self, children):
+        return IntervalJoinExec(
+            children[0], children[1], self.on, self.filter, self.intervals,
+            self.join_type, self.algorithm, self.low_memory, self.mode,
+        )

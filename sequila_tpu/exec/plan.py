@@ -1,0 +1,326 @@
+"""Physical plan node base + simple operators (scan/filter/project/sort/...).
+
+The engine's execution model is vectorized whole-table operators (each
+``execute`` consumes child Tables and produces a Table), with chunking
+inside the operators that need bounded memory — versus the reference's
+pull-based async RecordBatch streams over tokio.  Display strings follow
+DataFusion's `OpExec: k=v` convention so plan assertions written against
+the reference port over directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sequila_tpu.errors import ExecutionError
+from sequila_tpu.exec.context import ExecContext
+from sequila_tpu.models.table import Table
+from sequila_tpu.planner.expr import PhysicalExpr
+
+
+class ExecPlan:
+    children: list["ExecPlan"] = []
+
+    def schema(self) -> list[tuple[str | None, str]]:
+        """Qualified output column names [(qualifier, name), ...]."""
+        raise NotImplementedError
+
+    def execute(self, ctx: ExecContext) -> Table:
+        raise NotImplementedError
+
+    def display_line(self) -> str:
+        raise NotImplementedError
+
+    def explain(self, indent: int = 0, metrics=None) -> str:
+        pad = "  " * indent
+        line = pad + self.display_line()
+        if metrics is not None:
+            m = metrics.format_op(self.op_id())
+            if m:
+                line += f", metrics=[{m}]"
+        lines = [line]
+        for c in self.children:
+            lines.append(c.explain(indent + 1, metrics))
+        return "\n".join(lines)
+
+    def op_id(self) -> str:
+        return f"{type(self).__name__}@{id(self):x}"
+
+    def transform_up(self, fn) -> "ExecPlan":
+        """Bottom-up plan rewrite (the reference rule uses transform_up)."""
+        new_children = [c.transform_up(fn) for c in self.children]
+        node = self.with_children(new_children)
+        return fn(node)
+
+    def with_children(self, children: list["ExecPlan"]) -> "ExecPlan":
+        if not children:
+            return self
+        raise NotImplementedError
+
+
+def _row_group_codes(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Dense row-group codes over possibly-string columns.
+
+    Returns (codes[n], first_idx[ngroups]); groups are numbered in sorted
+    order of their (lexicographic) column values, ``first_idx`` points at
+    the first occurrence of each group.
+    """
+    combined = None
+    for c in cols:
+        _, col_codes = np.unique(np.asarray(c), return_inverse=True)
+        width = int(col_codes.max()) + 1 if len(col_codes) else 1
+        combined = col_codes if combined is None else combined * width + col_codes
+    _, first_idx, codes = np.unique(combined, return_index=True, return_inverse=True)
+    return codes, first_idx
+
+
+def _eval_on_table(expr: PhysicalExpr, table: Table) -> np.ndarray:
+    cols = [table.column_np(i) for i in range(len(table.column_names))]
+    return expr.eval(cols, table.num_rows)
+
+
+class ScanExec(ExecPlan):
+    def __init__(self, name: str, table: Table, qualifier: str | None = None):
+        self.name = name
+        self.table = table
+        self.qualifier = qualifier or name
+        self.children = []
+
+    def schema(self):
+        return [(self.qualifier, n) for n in self.table.column_names]
+
+    def execute(self, ctx):
+        ctx.metrics.add(self.op_id(), "output_rows", self.table.num_rows)
+        return self.table
+
+    def display_line(self):
+        return f"ScanExec: table={self.name}, rows={self.table.num_rows}"
+
+
+class FilterExec(ExecPlan):
+    def __init__(self, child: ExecPlan, predicate: PhysicalExpr):
+        self.children = [child]
+        self.predicate = predicate
+
+    def schema(self):
+        return self.children[0].schema()
+
+    def execute(self, ctx):
+        t = self.children[0].execute(ctx)
+        mask = _eval_on_table(self.predicate, t).astype(bool)
+        out = Table(t.arrow.filter(pa.array(mask)))
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def display_line(self):
+        return f"FilterExec: {self.predicate.display()}"
+
+    def with_children(self, children):
+        return FilterExec(children[0], self.predicate)
+
+
+class ProjectExec(ExecPlan):
+    def __init__(
+        self,
+        child: ExecPlan,
+        exprs: list[PhysicalExpr],
+        names: list[str],
+        qualifiers: list[str | None] | None = None,
+    ):
+        self.children = [child]
+        self.exprs = exprs
+        self.names = names
+        self.qualifiers = qualifiers or [None] * len(names)
+
+    def schema(self):
+        return list(zip(self.qualifiers, self.names))
+
+    def execute(self, ctx):
+        t = self.children[0].execute(ctx)
+        cols = [t.column_np(i) for i in range(len(t.column_names))]
+        arrays = []
+        for e in self.exprs:
+            v = e.eval(cols, t.num_rows)
+            arrays.append(pa.array(v))
+        out = Table(pa.Table.from_arrays(arrays, names=self.names))
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def display_line(self):
+        items = ", ".join(
+            f"{e.display()} as {n}" for e, n in zip(self.exprs, self.names)
+        )
+        return f"ProjectionExec: expr=[{items}]"
+
+    def with_children(self, children):
+        return ProjectExec(children[0], self.exprs, self.names, self.qualifiers)
+
+
+class SortExec(ExecPlan):
+    def __init__(self, child: ExecPlan, sort_exprs: list[PhysicalExpr], ascending: list[bool]):
+        self.children = [child]
+        self.sort_exprs = sort_exprs
+        self.ascending = ascending
+
+    def schema(self):
+        return self.children[0].schema()
+
+    def execute(self, ctx):
+        t = self.children[0].execute(ctx)
+        if t.num_rows == 0:
+            return t
+        cols = [t.column_np(i) for i in range(len(t.column_names))]
+        keys = []
+        # np.lexsort: last key is primary -> reverse order, invert descending.
+        for e, asc in zip(reversed(self.sort_exprs), reversed(self.ascending)):
+            k = e.eval(cols, t.num_rows)
+            if not asc:
+                if np.issubdtype(np.asarray(k).dtype, np.number):
+                    k = -np.asarray(k)
+                else:
+                    # lexsort on object arrays cannot negate; rank-invert
+                    _, inv = np.unique(k, return_inverse=True)
+                    k = -inv
+            keys.append(np.asarray(k))
+        order = np.lexsort(keys)
+        out = t.take(order)
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def display_line(self):
+        items = ", ".join(
+            f"{e.display()} {'ASC' if a else 'DESC'}"
+            for e, a in zip(self.sort_exprs, self.ascending)
+        )
+        return f"SortExec: expr=[{items}]"
+
+    def with_children(self, children):
+        return SortExec(children[0], self.sort_exprs, self.ascending)
+
+
+class LimitExec(ExecPlan):
+    def __init__(self, child: ExecPlan, limit: int):
+        self.children = [child]
+        self.limit = limit
+
+    def schema(self):
+        return self.children[0].schema()
+
+    def execute(self, ctx):
+        return self.children[0].execute(ctx).slice(0, self.limit)
+
+    def display_line(self):
+        return f"LimitExec: fetch={self.limit}"
+
+    def with_children(self, children):
+        return LimitExec(children[0], self.limit)
+
+
+class AggregateExec(ExecPlan):
+    """Hash/group aggregate: group-by codes via np.unique + segmented reduce."""
+
+    def __init__(
+        self,
+        child: ExecPlan,
+        group_exprs: list[PhysicalExpr],
+        group_names: list[str],
+        agg_specs: list[tuple[str, PhysicalExpr | None, bool, str]],
+        # (func, arg_expr|None for count(*), distinct, out_name)
+    ):
+        self.children = [child]
+        self.group_exprs = group_exprs
+        self.group_names = group_names
+        self.agg_specs = agg_specs
+
+    def schema(self):
+        return [(None, n) for n in self.group_names] + [
+            (None, s[3]) for s in self.agg_specs
+        ]
+
+    def execute(self, ctx):
+        t = self.children[0].execute(ctx)
+        n = t.num_rows
+        cols = [t.column_np(i) for i in range(len(t.column_names))]
+
+        if self.group_exprs:
+            gvals = [np.asarray(e.eval(cols, n)) for e in self.group_exprs]
+            codes, first_idx = _row_group_codes(gvals)
+            ngroups = len(first_idx)
+            group_cols = [g[first_idx] for g in gvals]
+        else:
+            codes = np.zeros(n, dtype=np.int64)
+            ngroups = 1
+            group_cols = []
+
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        seg_starts = np.searchsorted(codes_s, np.arange(ngroups), side="left")
+
+        arrays = [pa.array(g) for g in group_cols]
+        names = list(self.group_names)
+        for func, arg, distinct, out_name in self.agg_specs:
+            if func == "count" and arg is None and not distinct:
+                vals = np.bincount(codes, minlength=ngroups).astype(np.int64)
+            else:
+                a = np.asarray(arg.eval(cols, n))
+                a_s = a[order]
+                if func == "count":
+                    if distinct:
+                        vals = np.array(
+                            [
+                                len(np.unique(a_s[seg_starts[g]:(seg_starts[g + 1] if g + 1 < ngroups else n)]))
+                                for g in range(ngroups)
+                            ],
+                            dtype=np.int64,
+                        )
+                    else:
+                        vals = np.bincount(codes, minlength=ngroups).astype(np.int64)
+                elif func in ("sum", "min", "max", "avg"):
+                    red = {"sum": np.add, "min": np.minimum, "max": np.maximum, "avg": np.add}[func]
+                    if n == 0:
+                        vals = np.zeros(ngroups, dtype=np.float64)
+                    else:
+                        vals = red.reduceat(a_s, seg_starts)
+                    if func == "avg":
+                        cnt = np.bincount(codes, minlength=ngroups)
+                        vals = vals / np.maximum(cnt, 1)
+                else:
+                    raise ExecutionError(f"unsupported aggregate: {func}")
+            arrays.append(pa.array(vals))
+            names.append(out_name)
+        out = Table(pa.Table.from_arrays(arrays, names=names))
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def display_line(self):
+        aggs = ", ".join(s[3] for s in self.agg_specs)
+        if self.group_exprs:
+            gb = ", ".join(e.display() for e in self.group_exprs)
+            return f"AggregateExec: groupBy=[{gb}], aggr=[{aggs}]"
+        return f"AggregateExec: groupBy=[], aggr=[{aggs}]"
+
+    def with_children(self, children):
+        return AggregateExec(children[0], self.group_exprs, self.group_names, self.agg_specs)
+
+
+class DistinctExec(ExecPlan):
+    def __init__(self, child: ExecPlan):
+        self.children = [child]
+
+    def schema(self):
+        return self.children[0].schema()
+
+    def execute(self, ctx):
+        t = self.children[0].execute(ctx)
+        cols = [t.column_np(i) for i in range(len(t.column_names))]
+        if not cols:
+            return t
+        _, idx = _row_group_codes(cols)
+        return t.take(np.sort(idx))
+
+    def display_line(self):
+        return "DistinctExec"
+
+    def with_children(self, children):
+        return DistinctExec(children[0])

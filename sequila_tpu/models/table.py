@@ -1,0 +1,208 @@
+"""Host columnar table model (the engine's RecordBatch analog).
+
+The reference flows Arrow RecordBatches through DataFusion's pull-based
+streams (reference interval_join.rs: concat_batches/compute::take).  This
+engine's unit of exchange is a whole columnar ``Table`` backed by pyarrow
+(zero-copy to NumPy for the device path); operators consume and produce
+Tables, chunking internally where memory demands it (low-memory mode).
+
+Includes a DataFusion-compatible pretty printer so expected-output tables
+from the reference test-suite can be asserted verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sequila_tpu.errors import CastOverflowError, ExecutionError
+
+I32_MIN, I32_MAX = -(2**31), 2**31 - 1
+
+
+class Table:
+    """Immutable named-column table backed by a pyarrow.Table."""
+
+    def __init__(self, arrow: pa.Table):
+        self._t = arrow.combine_chunks()
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_arrow(cls, t: pa.Table) -> "Table":
+        return cls(t)
+
+    @classmethod
+    def from_pydict(cls, d: dict) -> "Table":
+        return cls(pa.table(d))
+
+    @classmethod
+    def from_arrays(cls, names, arrays) -> "Table":
+        return cls(pa.table({n: a for n, a in zip(names, arrays)}))
+
+    # -- basics -------------------------------------------------------------
+    @property
+    def arrow(self) -> pa.Table:
+        return self._t
+
+    @property
+    def num_rows(self) -> int:
+        return self._t.num_rows
+
+    @property
+    def column_names(self) -> list[str]:
+        return list(self._t.column_names)
+
+    @property
+    def schema(self) -> pa.Schema:
+        return self._t.schema
+
+    def column(self, name_or_idx) -> pa.ChunkedArray:
+        return self._t.column(name_or_idx)
+
+    def column_np(self, name_or_idx) -> np.ndarray:
+        """Column as numpy (strings come back as object arrays)."""
+        col = self._t.column(name_or_idx)
+        try:
+            return col.to_numpy(zero_copy_only=False)
+        except pa.ArrowInvalid:
+            return np.asarray(col.to_pylist(), dtype=object)
+
+    def rename(self, names: list[str]) -> "Table":
+        return Table(self._t.rename_columns(names))
+
+    def select(self, names_or_idxs) -> "Table":
+        return Table(self._t.select(names_or_idxs))
+
+    def slice(self, offset: int, length: int | None = None) -> "Table":
+        return Table(self._t.slice(offset, length))
+
+    def take(self, indices: np.ndarray, null_mask: np.ndarray | None = None) -> "Table":
+        """Row gather; rows where null_mask is True become all-NULL.
+
+        Mirrors the reference's emit path: UInt32 index arrays with a
+        NullBuffer gathered via arrow compute::take
+        (interval_join.rs:1363-1419).
+        """
+        idx = np.asarray(indices)
+        if null_mask is not None and null_mask.any():
+            pa_idx = pa.array(
+                np.where(null_mask, 0, idx).astype(np.int64),
+                mask=np.asarray(null_mask),
+            )
+        else:
+            pa_idx = pa.array(idx.astype(np.int64))
+        return Table(self._t.take(pa_idx))
+
+    def append_columns(self, other: "Table") -> "Table":
+        t = self._t
+        for name, col in zip(other.column_names, other.arrow.columns):
+            t = t.append_column(pa.field(name, col.type), col)
+        return Table(t)
+
+    def __repr__(self) -> str:
+        return f"Table({self.num_rows} rows: {self.column_names})"
+
+    def to_pylist(self):
+        return self._t.to_pylist()
+
+    # -- interval-specific helpers -----------------------------------------
+    def column_as_i32(self, name_or_idx) -> np.ndarray:
+        """Cast a coordinate column to i32, hard-erroring on overflow.
+
+        Same contract as the reference's ``evaluate_as_i32``
+        (interval_join.rs:1661-1672, tested at :1927-1968): any value
+        outside i32 is an execution error, never a silent wrap.
+        """
+        arr = self.column_np(name_or_idx)
+        if arr.dtype == np.int32:
+            return arr
+        if not np.issubdtype(arr.dtype, np.integer) and not np.issubdtype(
+            arr.dtype, np.floating
+        ):
+            raise ExecutionError(
+                f"interval bound column has non-numeric type {arr.dtype}"
+            )
+        a64 = arr.astype(np.int64)
+        if ((a64 < I32_MIN) | (a64 > I32_MAX)).any():
+            bad = a64[(a64 < I32_MIN) | (a64 > I32_MAX)][0]
+            raise CastOverflowError(
+                f"Can't cast value {bad} to type Int32"
+            )
+        return a64.astype(np.int32)
+
+
+def encode_join_keys(
+    left: list[np.ndarray], right: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Shared dictionary encoding of (possibly multi-column) equi-join keys.
+
+    The reference hashes key columns with a fixed-seed ahash into u64 buckets
+    (interval_join.rs:136, create_hashes) and tolerates collisions via the
+    interval predicate only.  Dictionary codes are exact (collision-free) and
+    give the small dense int32 key space the TPU kernels want.
+
+    Returns (left_codes, right_codes, num_codes); codes are int32 >= 0.
+    """
+    ncols = len(left)
+    assert ncols == len(right) and ncols >= 1
+    nl = len(left[0])
+
+    def combine(cols_l, cols_r):
+        both = np.concatenate([np.asarray(cols_l), np.asarray(cols_r)])
+        _, codes = np.unique(both, return_inverse=True)
+        return codes.astype(np.int32)
+
+    if ncols == 1:
+        codes = combine(left[0], right[0])
+        num = int(codes.max()) + 1 if len(codes) else 0
+        return codes[:nl], codes[nl:], num
+
+    # Multi-column: encode each column against the union, then mix into a
+    # single code via row-wise unique over the stacked code matrix.
+    per_col = [combine(l, r) for l, r in zip(left, right)]
+    stacked = np.stack(per_col, axis=1)  # [(nl+nr), ncols]
+    _, codes = np.unique(stacked, axis=0, return_inverse=True)
+    codes = codes.astype(np.int32)
+    num = int(codes.max()) + 1 if len(codes) else 0
+    return codes[:nl], codes[nl:], num
+
+
+def pretty_format(table: Table) -> str:
+    """DataFusion-style ASCII table, so reference expected outputs match.
+
+    Format (see reference tests/integration_test.rs:44-63):
+    +----+----+ borders, left-aligned cells, NULLs rendered empty.
+    """
+    names = table.column_names
+    cols = []
+    for i in range(len(names)):
+        col = table.column(i)
+        vals = []
+        for v in col.to_pylist():
+            if v is None:
+                vals.append("")
+            elif isinstance(v, bool):
+                vals.append("true" if v else "false")
+            elif isinstance(v, float) and v == int(v):
+                vals.append(f"{v:.1f}")
+            else:
+                vals.append(str(v))
+        cols.append(vals)
+    widths = [
+        max(len(names[i]), max((len(v) for v in cols[i]), default=0))
+        for i in range(len(names))
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    lines = [sep]
+    lines.append(
+        "|" + "|".join(f" {names[i]:<{widths[i]}} " for i in range(len(names))) + "|"
+    )
+    lines.append(sep)
+    for r in range(table.num_rows):
+        lines.append(
+            "|"
+            + "|".join(f" {cols[i][r]:<{widths[i]}} " for i in range(len(names)))
+            + "|"
+        )
+    lines.append(sep)
+    return "\n".join(lines)

@@ -1,0 +1,381 @@
+"""Binder: SQL AST -> physical plan.
+
+Plays the role of DataFusion's logical planning + DefaultPhysicalPlanner as
+wrapped by the reference's SeQuiLaQueryPlanner/SeQuiLaPhysicalPlanner
+(reference sequila_query_planner.rs, sequila_physical_planner.rs:150-173 —
+which delegate planning wholesale and do all custom work in the optimizer
+rule).  Likewise here: the binder produces stock Hash/NLJ join plans and
+the interval-join rewrite happens afterwards in planner/optimizer.py.
+
+Join-condition handling mirrors DataFusion's behavior that the reference
+relies on: equality conjuncts between the two sides become the `on` pairs,
+all other conjuncts become the join filter over a compact filter schema
+(columns ordered left-side-first by source index, displayed `name@i`), and
+WHERE conjuncts over an implicit comma cross-join are pushed down the same
+way (single-side conjuncts become input filters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from sequila_tpu.errors import PlanError
+from sequila_tpu.exec.joins.hash_join import HashJoinExec
+from sequila_tpu.exec.joins.nl_join import NestedLoopJoinExec
+from sequila_tpu.exec.plan import (
+    AggregateExec,
+    DistinctExec,
+    ExecPlan,
+    FilterExec,
+    LimitExec,
+    ProjectExec,
+    ScanExec,
+    SortExec,
+)
+from sequila_tpu.planner import expr as pe
+from sequila_tpu.sql import ast
+
+_AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+
+
+@dataclasses.dataclass
+class _Bound:
+    """An expression bound against a plan's combined schema."""
+
+    expr: pe.PhysicalExpr
+    # indices of referenced combined-schema columns
+    col_indices: list[int]
+
+
+class Binder:
+    def __init__(self, catalog):
+        self.catalog = catalog
+
+    # ------------------------------------------------------------------
+    def bind_select(self, sel: ast.Select) -> ExecPlan:
+        plan, where = self._bind_from(sel)
+        schema = plan.schema()
+
+        has_aggs = any(self._contains_agg(it.expr) for it in sel.items) or bool(
+            sel.group_by
+        )
+
+        if not has_aggs:
+            if where is not None:
+                plan = FilterExec(plan, self._bind_expr(where, schema).expr)
+            # ORDER BY binds against pre-projection schema
+            if sel.order_by:
+                exprs, asc = [], []
+                for oi in sel.order_by:
+                    exprs.append(self._bind_expr(oi.expr, schema).expr)
+                    asc.append(oi.asc)
+                plan = SortExec(plan, exprs, asc)
+            plan = self._bind_projection(plan, sel)
+            if sel.distinct:
+                plan = DistinctExec(plan)
+        else:
+            if where is not None:
+                plan = FilterExec(plan, self._bind_expr(where, schema).expr)
+            plan = self._bind_aggregate(plan, sel)
+            if sel.order_by:
+                aschema = plan.schema()
+                exprs, asc = [], []
+                for oi in sel.order_by:
+                    exprs.append(self._bind_expr(oi.expr, aschema).expr)
+                    asc.append(oi.asc)
+                plan = SortExec(plan, exprs, asc)
+
+        if sel.limit is not None:
+            plan = LimitExec(plan, sel.limit)
+        return plan
+
+    # -- FROM / joins ---------------------------------------------------
+    def _scan(self, tref: ast.TableRef) -> ScanExec:
+        if tref.name not in self.catalog:
+            raise PlanError(f"table '{tref.name}' not found")
+        return ScanExec(tref.name, self.catalog[tref.name], tref.alias or tref.name)
+
+    def _bind_from(self, sel: ast.Select):
+        """Returns (plan, remaining_where): a comma cross-join consumes the
+        WHERE clause into pushed-down filters / join conditions."""
+        if not sel.from_tables:
+            raise PlanError("SELECT without FROM is not supported")
+        plan: ExecPlan = self._scan(sel.from_tables[0])
+
+        where = sel.where
+        for tref in sel.from_tables[1:]:
+            right = self._scan(tref)
+            plan = self._make_join_from_where(plan, right, where)
+            where = None  # consumed by the join extraction
+
+        for jc in sel.joins:
+            right = self._scan(jc.table)
+            if jc.join_type == "cross" or jc.on is None:
+                plan = NestedLoopJoinExec(plan, right, None, "inner")
+            else:
+                plan = self._make_join(plan, right, jc.on, jc.join_type)
+        return plan, where
+
+    def _flatten_and(self, e: ast.SqlExpr) -> list[ast.SqlExpr]:
+        if isinstance(e, ast.Binary) and e.op == "AND":
+            return self._flatten_and(e.left) + self._flatten_and(e.right)
+        return [e]
+
+    def _make_join(
+        self, left: ExecPlan, right: ExecPlan, on_expr: ast.SqlExpr, join_type: str
+    ) -> ExecPlan:
+        lschema, rschema = left.schema(), right.schema()
+        nleft = len(lschema)
+        combined = lschema + rschema
+        on_pairs: list[tuple[pe.PhysicalExpr, pe.PhysicalExpr]] = []
+        filter_conjuncts: list[_Bound] = []
+        for conj in self._flatten_and(on_expr):
+            bound = self._bind_expr(conj, combined)
+            pair = self._as_equi_pair(bound, nleft)
+            if pair is not None:
+                on_pairs.append(pair)
+            else:
+                filter_conjuncts.append(bound)
+        jf = self._make_join_filter(filter_conjuncts, nleft) if filter_conjuncts else None
+        if on_pairs:
+            return HashJoinExec(left, right, on_pairs, jf, join_type)
+        return NestedLoopJoinExec(left, right, jf, join_type)
+
+    def _make_join_from_where(
+        self, left: ExecPlan, right: ExecPlan, where: ast.SqlExpr | None
+    ) -> ExecPlan:
+        """Comma cross-join + WHERE -> pushed-down filters + join extraction
+        (what DataFusion's predicate pushdown does for the reference's
+        q2/q3-style queries)."""
+        if where is None:
+            return NestedLoopJoinExec(left, right, None, "inner")
+        lschema, rschema = left.schema(), right.schema()
+        nleft = len(lschema)
+        combined = lschema + rschema
+        on_pairs = []
+        filter_conjuncts = []
+        left_filters, right_filters = [], []
+        for conj in self._flatten_and(where):
+            bound = self._bind_expr(conj, combined)
+            sides = {("l" if i < nleft else "r") for i in bound.col_indices}
+            if sides == {"l"}:
+                left_filters.append(bound.expr)
+            elif sides == {"r"}:
+                # rebase column indices to the right schema
+                right_filters.append(self._rebase(bound.expr, -nleft))
+            else:
+                pair = self._as_equi_pair(bound, nleft)
+                if pair is not None:
+                    on_pairs.append(pair)
+                else:
+                    filter_conjuncts.append(bound)
+        for f in left_filters:
+            left = FilterExec(left, f)
+        for f in right_filters:
+            right = FilterExec(right, f)
+        jf = self._make_join_filter(filter_conjuncts, nleft) if filter_conjuncts else None
+        if on_pairs:
+            return HashJoinExec(left, right, on_pairs, jf, "inner")
+        return NestedLoopJoinExec(left, right, jf, "inner")
+
+    def _rebase(self, expr: pe.PhysicalExpr, delta: int) -> pe.PhysicalExpr:
+        def fn(node):
+            if isinstance(node, pe.Column):
+                return pe.Column(node.name, node.index + delta)
+            return node
+
+        return expr.transform(fn)
+
+    def _as_equi_pair(self, bound: _Bound, nleft: int):
+        """`col = col` spanning both sides -> (left_col, right_col)."""
+        e = bound.expr
+        if (
+            isinstance(e, pe.BinaryExpr)
+            and e.op == "="
+            and isinstance(e.left, pe.Column)
+            and isinstance(e.right, pe.Column)
+        ):
+            li, ri = e.left.index, e.right.index
+            if li < nleft <= ri:
+                return e.left, pe.Column(e.right.name, ri - nleft)
+            if ri < nleft <= li:
+                return e.right, pe.Column(e.left.name, li - nleft)
+        return None
+
+    def _make_join_filter(self, conjuncts: list[_Bound], nleft: int) -> pe.JoinFilter:
+        """Build the compact filter schema (left-side columns first, by
+        source index — DataFusion's layout, which the reference's
+        `name@i` EXPLAIN strings and ColumnIndex mapping reflect)."""
+        used: set[tuple[str, int]] = set()
+        for b in conjuncts:
+            for i in b.col_indices:
+                side = pe.LEFT if i < nleft else pe.RIGHT
+                src = i if i < nleft else i - nleft
+                used.add((side, src))
+        ordered = sorted(used, key=lambda t: (0 if t[0] == pe.LEFT else 1, t[1]))
+        col_indices = tuple(pe.ColumnIndex(src, side) for side, src in ordered)
+        remap = { (side, src): pos for pos, (side, src) in enumerate(ordered) }
+
+        def rewrite(nleft_=nleft):
+            def fn(node):
+                if isinstance(node, pe.Column):
+                    side = pe.LEFT if node.index < nleft_ else pe.RIGHT
+                    src = node.index if node.index < nleft_ else node.index - nleft_
+                    return pe.Column(node.name, remap[(side, src)])
+                return node
+
+            return fn
+
+        exprs = [b.expr.transform(rewrite()) for b in conjuncts]
+        combined = exprs[0]
+        for e in exprs[1:]:
+            combined = pe.BinaryExpr(combined, "AND", e)
+        return pe.JoinFilter(combined, col_indices)
+
+    # -- expressions ----------------------------------------------------
+    def _resolve_column(self, ref: ast.ColRef, schema) -> int:
+        cands = []
+        for i, (qual, name) in enumerate(schema):
+            if name == ref.name or name.lower() == ref.name.lower():
+                if ref.qualifier is None or (
+                    qual is not None and qual.lower() == ref.qualifier.lower()
+                ):
+                    cands.append(i)
+        if not cands:
+            raise PlanError(f"column '{ref.display()}' not found")
+        if len(cands) > 1 and ref.qualifier is None:
+            raise PlanError(f"column '{ref.name}' is ambiguous")
+        return cands[0]
+
+    def _bind_expr(self, e: ast.SqlExpr, schema) -> _Bound:
+        cols: list[int] = []
+
+        def go(node: ast.SqlExpr) -> pe.PhysicalExpr:
+            if isinstance(node, ast.Lit):
+                return pe.Literal(node.value)
+            if isinstance(node, ast.ColRef):
+                idx = self._resolve_column(node, schema)
+                cols.append(idx)
+                return pe.Column(schema[idx][1], idx)
+            if isinstance(node, ast.Binary):
+                return pe.BinaryExpr(go(node.left), node.op, go(node.right))
+            if isinstance(node, ast.Unary):
+                if node.op == "NOT":
+                    return pe.NotExpr(go(node.child))
+                return pe.NegExpr(go(node.child))
+            if isinstance(node, ast.Cast):
+                return go(node.child)  # numpy eval is dynamically typed
+            if isinstance(node, ast.Func):
+                raise PlanError(
+                    f"function {node.name} not allowed in this context"
+                )
+            raise PlanError(f"unsupported expression: {node}")
+
+        return _Bound(go(e), cols)
+
+    # -- projection / aggregation --------------------------------------
+    def _contains_agg(self, e: ast.SqlExpr) -> bool:
+        if isinstance(e, ast.Func):
+            return e.name in _AGG_FUNCS
+        if isinstance(e, ast.Binary):
+            return self._contains_agg(e.left) or self._contains_agg(e.right)
+        if isinstance(e, ast.Unary):
+            return self._contains_agg(e.child)
+        if isinstance(e, ast.Cast):
+            return self._contains_agg(e.child)
+        return False
+
+    def _expand_star(self, item: ast.SelectItem, schema):
+        star: ast.Star = item.expr
+        out = []
+        for i, (qual, name) in enumerate(schema):
+            if star.qualifier is None or (
+                qual is not None and qual.lower() == star.qualifier.lower()
+            ):
+                out.append((pe.Column(name, i), name, qual))
+        if not out:
+            raise PlanError(f"no columns match {star.qualifier}.*")
+        return out
+
+    def _display_name(self, e: ast.SqlExpr) -> str:
+        if isinstance(e, ast.ColRef):
+            return e.name
+        if isinstance(e, ast.Func):
+            if e.star:
+                return f"{e.name}(*)"
+            args = ",".join(self._display_name(a) for a in e.args)
+            inner = f"DISTINCT {args}" if e.distinct else args
+            return f"{e.name}({inner})"
+        if isinstance(e, ast.Lit):
+            return str(e.value)
+        if isinstance(e, ast.Binary):
+            return f"{self._display_name(e.left)} {e.op} {self._display_name(e.right)}"
+        return "expr"
+
+    def _bind_projection(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:
+        schema = plan.schema()
+        exprs, names, quals = [], [], []
+        all_star = True
+        for item in sel.items:
+            if isinstance(item.expr, ast.Star):
+                for col_expr, name, qual in self._expand_star(item, schema):
+                    exprs.append(col_expr)
+                    names.append(name)
+                    quals.append(qual)
+                if item.expr.qualifier is not None:
+                    all_star = False
+            else:
+                all_star = False
+                bound = self._bind_expr(item.expr, schema)
+                exprs.append(bound.expr)
+                names.append(item.alias or self._display_name(item.expr))
+                quals.append(None)
+        if all_star and len(sel.items) == 1:
+            return plan  # SELECT * passthrough
+        return ProjectExec(plan, exprs, names, quals)
+
+    def _bind_aggregate(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:
+        schema = plan.schema()
+        group_exprs, group_names = [], []
+        for g in sel.group_by:
+            b = self._bind_expr(g, schema)
+            group_exprs.append(b.expr)
+            group_names.append(self._display_name(g))
+
+        agg_specs = []
+        out_items = []  # (kind, key) kind in {'group','agg'}
+        for item in sel.items:
+            e = item.expr
+            if isinstance(e, ast.Func) and e.name in _AGG_FUNCS:
+                if e.star or (len(e.args) == 1 and isinstance(e.args[0], ast.Lit)):
+                    arg = None if (e.star or e.name == "count") else self._bind_expr(e.args[0], schema).expr
+                elif len(e.args) == 1:
+                    arg = self._bind_expr(e.args[0], schema).expr
+                else:
+                    raise PlanError(f"{e.name} takes one argument")
+                name = item.alias or self._display_name(e)
+                agg_specs.append((e.name, arg, e.distinct, name))
+                out_items.append(("agg", name))
+            else:
+                # must be a group-by expression
+                name = self._display_name(e)
+                if name not in group_names:
+                    # allow grouping by select alias position match
+                    raise PlanError(
+                        f"'{name}' must appear in GROUP BY or an aggregate"
+                    )
+                out_items.append(("group", item.alias or name))
+        agg = AggregateExec(plan, group_exprs, group_names, agg_specs)
+        # project to select-list order/aliases
+        aschema = agg.schema()
+        exprs, names = [], []
+        for kind, name in out_items:
+            src = name if kind == "agg" else name
+            idx = next(
+                i for i, (_, n) in enumerate(aschema) if n == src or n == name
+            )
+            exprs.append(pe.Column(aschema[idx][1], idx))
+            names.append(name)
+        if names == [n for _, n in aschema]:
+            return agg
+        return ProjectExec(agg, exprs, names)

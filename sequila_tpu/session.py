@@ -1,0 +1,200 @@
+"""SessionContext: the engine's embedding entry point.
+
+Role-equivalent of the reference's SeQuiLaSessionExt +
+SessionContext::new_with_sequila (reference session_context.rs:16-48): a
+catalog of registered tables, a SequilaConfig settable via SQL
+`SET sequila.* = ...`, and a `sql()` method that parses, plans, optimizes
+(interval-join rewrite + count fast path) and executes statements.
+
+Standard `datafusion.*` SET keys are accepted for compatibility with the
+reference's recommended pragmas (repartition_joins, coalesce_batches,
+target_partitions — see reference README and queries/q1-coitrees.sql) and
+mapped onto this engine's knobs where they have an analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sequila_tpu.config import Algorithm, SequilaConfig
+from sequila_tpu.errors import PlanError
+from sequila_tpu.exec.context import ExecContext
+from sequila_tpu.io.readers import read_table
+from sequila_tpu.models.table import Table, pretty_format
+from sequila_tpu.planner.binder import Binder
+from sequila_tpu.planner.optimizer import CountFastPathRule, IntervalJoinRule
+from sequila_tpu.sql import ast
+from sequila_tpu.sql.parser import parse_sql
+from sequila_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_SQL_TYPES = {
+    "VARCHAR": pa.string(),
+    "TEXT": pa.string(),
+    "STRING": pa.string(),
+    "CHAR": pa.string(),
+    "INTEGER": pa.int32(),
+    "INT": pa.int32(),
+    "SMALLINT": pa.int16(),
+    "BIGINT": pa.int64(),
+    "FLOAT": pa.float32(),
+    "REAL": pa.float32(),
+    "DOUBLE": pa.float64(),
+    "BOOLEAN": pa.bool_(),
+}
+
+
+class SessionContext:
+    def __init__(self, config: SequilaConfig | None = None):
+        self.config = config or SequilaConfig()
+        self.catalog: dict[str, Table] = {}
+        self.datafusion_options: dict[str, str] = {}
+        self.last_metrics = None
+
+    # -- embedding API ------------------------------------------------------
+    def register_table(self, name: str, table: Table | pa.Table) -> None:
+        if isinstance(table, pa.Table):
+            table = Table(table)
+        self.catalog[name.lower()] = table
+
+    def deregister_table(self, name: str) -> None:
+        self.catalog.pop(name.lower(), None)
+
+    def table(self, name: str) -> Table:
+        if name.lower() not in self.catalog:
+            raise PlanError(f"table '{name}' not found")
+        return self.catalog[name.lower()]
+
+    # -- SQL ----------------------------------------------------------------
+    def sql(self, text: str) -> Table | None:
+        """Execute one or more ;-separated statements; returns the result of
+        the last result-producing statement."""
+        result: Table | None = None
+        for stmt in parse_sql(text):
+            out = self._execute_statement(stmt)
+            if out is not None:
+                result = out
+        return result
+
+    def show(self, text: str) -> str:
+        res = self.sql(text)
+        return pretty_format(res) if res is not None else ""
+
+    def _execute_statement(self, stmt: ast.Statement) -> Table | None:
+        if isinstance(stmt, ast.SetStmt):
+            self._handle_set(stmt)
+            return None
+        if isinstance(stmt, ast.CreateExternalTable):
+            schema = (
+                pa.schema([pa.field(c.name, _SQL_TYPES.get(c.type_name, pa.string()))
+                           for c in stmt.columns])
+                if stmt.columns
+                else None
+            )
+            options = dict(stmt.options)
+            kwargs = {}
+            if stmt.fmt == "csv":
+                kwargs["has_header"] = options.get("has_header", "true").lower() == "true"
+                kwargs["delimiter"] = options.get("delimiter", ",")
+                if stmt.columns:
+                    kwargs["column_names"] = [c.name for c in stmt.columns]
+                    kwargs["schema"] = schema
+                if not kwargs["has_header"] and not stmt.columns:
+                    pass
+            t = read_table(stmt.location, stmt.fmt, **kwargs)
+            self.catalog[stmt.name.lower()] = t
+            return None
+        if isinstance(stmt, ast.CreateTableValues):
+            self.catalog[stmt.name.lower()] = self._values_table(stmt)
+            return None
+        if isinstance(stmt, ast.CreateTableAsSelect):
+            self.catalog[stmt.name.lower()] = self._run_select(stmt.select)
+            return None
+        if isinstance(stmt, ast.DropTable):
+            if stmt.name.lower() not in self.catalog and not stmt.if_exists:
+                raise PlanError(f"table '{stmt.name}' not found")
+            self.catalog.pop(stmt.name.lower(), None)
+            return None
+        if isinstance(stmt, ast.Explain):
+            return self._explain(stmt)
+        if isinstance(stmt, ast.Select):
+            return self._run_select(stmt)
+        if isinstance(stmt, ast.ShowTables):
+            names = sorted(self.catalog)
+            return Table(pa.table({"table_name": names}))
+        raise PlanError(f"unsupported statement: {stmt}")
+
+    def _handle_set(self, stmt: ast.SetStmt) -> None:
+        key = stmt.key.lower()
+        if key.startswith("sequila."):
+            self.config.set(key[len("sequila."):], stmt.value)
+        elif key.startswith("datafusion."):
+            # Accept the reference's recommended pragmas; map where analogous.
+            self.datafusion_options[key] = stmt.value
+            short = key.rsplit(".", 1)[-1]
+            if short == "target_partitions":
+                self.config.target_partitions = int(stmt.value)
+            elif short == "batch_size":
+                self.config.batch_size = int(stmt.value)
+        else:
+            raise PlanError(f"unknown SET key: {stmt.key}")
+
+    def _values_table(self, stmt: ast.CreateTableValues) -> Table:
+        ncols = len(stmt.columns) if stmt.columns else (len(stmt.rows[0]) if stmt.rows else 0)
+        names = (
+            [c.name for c in stmt.columns]
+            if stmt.columns
+            else [f"column{i+1}" for i in range(ncols)]
+        )
+        arrays = []
+        for i in range(ncols):
+            vals = [r[i] for r in stmt.rows]
+            typ = (
+                _SQL_TYPES.get(stmt.columns[i].type_name)
+                if stmt.columns
+                else None
+            )
+            arrays.append(pa.array(vals, type=typ))
+        return Table(pa.Table.from_arrays(arrays, names=names))
+
+    # -- planning + execution ----------------------------------------------
+    def create_physical_plan(self, sel: ast.Select):
+        plan = Binder(self.catalog).bind_select(sel)
+        plan = IntervalJoinRule(self.config).optimize(plan)
+        plan = CountFastPathRule().optimize(plan)
+        return plan
+
+    def plan_sql(self, text: str):
+        """Parse a single SELECT and return its optimized physical plan."""
+        stmts = parse_sql(text)
+        sel = stmts[-1]
+        if isinstance(sel, ast.Explain):
+            sel = sel.stmt
+        if not isinstance(sel, ast.Select):
+            raise PlanError("plan_sql expects a SELECT")
+        return self.create_physical_plan(sel)
+
+    def _run_select(self, sel: ast.Select) -> Table:
+        plan = self.create_physical_plan(sel)
+        ctx = ExecContext(self.config.copy())
+        out = plan.execute(ctx)
+        self.last_metrics = ctx.metrics
+        return out
+
+    def _explain(self, stmt: ast.Explain) -> Table:
+        plan = self.create_physical_plan(stmt.stmt)
+        if stmt.analyze:
+            ctx = ExecContext(self.config.copy(), collect_metrics=True)
+            plan.execute(ctx)
+            text = plan.explain(metrics=ctx.metrics)
+            return Table(
+                pa.table({"plan_type": ["Plan with Metrics"], "plan": [text]})
+            )
+        text = plan.explain()
+        return Table(pa.table({"plan_type": ["physical_plan"], "plan": [text]}))
+
+
+def connect(config: SequilaConfig | None = None) -> SessionContext:
+    return SessionContext(config)

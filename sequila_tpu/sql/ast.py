@@ -1,0 +1,158 @@
+"""SQL abstract syntax tree for the engine's dialect subset."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+
+# -- expressions ------------------------------------------------------------
+
+
+class SqlExpr:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class ColRef(SqlExpr):
+    qualifier: Optional[str]
+    name: str
+
+    def display(self):
+        return f"{self.qualifier}.{self.name}" if self.qualifier else self.name
+
+
+@dataclasses.dataclass(frozen=True)
+class Lit(SqlExpr):
+    value: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Binary(SqlExpr):
+    left: SqlExpr
+    op: str  # + - * / % = != < <= > >= AND OR
+    right: SqlExpr
+
+
+@dataclasses.dataclass(frozen=True)
+class Unary(SqlExpr):
+    op: str  # NOT | -
+    child: SqlExpr
+
+
+@dataclasses.dataclass(frozen=True)
+class Func(SqlExpr):
+    name: str  # lowercased
+    args: tuple[SqlExpr, ...]
+    distinct: bool = False
+    star: bool = False  # count(*)
+
+
+@dataclasses.dataclass(frozen=True)
+class Star(SqlExpr):
+    qualifier: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Cast(SqlExpr):
+    child: SqlExpr
+    type_name: str
+
+
+# -- select -----------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SelectItem:
+    expr: SqlExpr
+    alias: Optional[str]
+
+
+@dataclasses.dataclass(frozen=True)
+class TableRef:
+    name: str
+    alias: Optional[str]
+
+
+@dataclasses.dataclass(frozen=True)
+class JoinClause:
+    table: TableRef
+    on: Optional[SqlExpr]
+    join_type: str = "inner"  # inner | left | right | full | cross
+
+
+@dataclasses.dataclass(frozen=True)
+class OrderItem:
+    expr: SqlExpr
+    asc: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Select:
+    items: tuple[SelectItem, ...]
+    from_tables: tuple[TableRef, ...]  # comma-list (implicit cross join)
+    joins: tuple[JoinClause, ...]
+    where: Optional[SqlExpr]
+    group_by: tuple[SqlExpr, ...]
+    order_by: tuple[OrderItem, ...]
+    limit: Optional[int]
+    distinct: bool = False
+
+
+# -- statements -------------------------------------------------------------
+
+
+class Statement:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class SetStmt(Statement):
+    key: str  # e.g. "sequila.interval_join_algorithm"
+    value: str
+
+
+@dataclasses.dataclass(frozen=True)
+class ColumnDef:
+    name: str
+    type_name: str
+    not_null: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CreateExternalTable(Statement):
+    name: str
+    columns: tuple[ColumnDef, ...]  # may be empty (schema inference)
+    fmt: str  # csv | parquet | bed
+    location: str
+    options: dict[str, str]
+
+
+@dataclasses.dataclass(frozen=True)
+class CreateTableValues(Statement):
+    name: str
+    columns: tuple[ColumnDef, ...]
+    rows: tuple[tuple[Any, ...], ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class CreateTableAsSelect(Statement):
+    name: str
+    select: Select
+
+
+@dataclasses.dataclass(frozen=True)
+class DropTable(Statement):
+    name: str
+    if_exists: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class Explain(Statement):
+    stmt: Select
+    analyze: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ShowTables(Statement):
+    pass

@@ -1,0 +1,434 @@
+"""Recursive-descent SQL parser for the engine's dialect subset.
+
+Covers the reference's entire SQL surface (reference queries/*.sql,
+tests/integration_test.rs, sequila-cli): SET, CREATE (EXTERNAL) TABLE with
+STORED AS / LOCATION / OPTIONS, CREATE TABLE ... AS VALUES / AS SELECT,
+DROP TABLE, EXPLAIN [ANALYZE], and SELECT with joins (explicit JOIN ... ON
+and implicit comma-cross-join + WHERE), aggregates, GROUP BY, ORDER BY,
+LIMIT.
+"""
+
+from __future__ import annotations
+
+from sequila_tpu.errors import PlanError
+from sequila_tpu.sql import ast
+from sequila_tpu.sql.lexer import Token, tokenize
+
+_KEYWORDS_STOP = {
+    "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "BY", "ASC",
+    "DESC", "UNION", "HAVING",
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "ident" and t.upper in kws
+
+    def eat_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.eat_kw(kw):
+            raise PlanError(f"expected {kw}, got {self.peek().value!r}")
+
+    def at(self, kind: str, value: str | None = None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (value is None or t.value == value)
+
+    def eat(self, kind: str, value: str | None = None) -> bool:
+        if self.at(kind, value):
+            self.next()
+            return True
+        return False
+
+    def expect(self, kind: str, value: str | None = None) -> Token:
+        if not self.at(kind, value):
+            raise PlanError(
+                f"expected {value or kind}, got {self.peek().value!r}"
+            )
+        return self.next()
+
+    # -- entry --------------------------------------------------------------
+    def parse_statements(self) -> list[ast.Statement]:
+        stmts = []
+        while not self.at("eof"):
+            if self.eat("punct", ";"):
+                continue
+            stmts.append(self.parse_statement())
+            if not self.at("eof"):
+                self.expect("punct", ";")
+        return stmts
+
+    def parse_statement(self) -> ast.Statement:
+        if self.at_kw("SET"):
+            return self.parse_set()
+        if self.at_kw("CREATE"):
+            return self.parse_create()
+        if self.at_kw("DROP"):
+            return self.parse_drop()
+        if self.at_kw("EXPLAIN"):
+            self.next()
+            analyze = self.eat_kw("ANALYZE")
+            return ast.Explain(self.parse_select(), analyze)
+        if self.at_kw("SELECT"):
+            return self.parse_select()
+        if self.at_kw("SHOW"):
+            self.next()
+            self.expect_kw("TABLES")
+            return ast.ShowTables()
+        raise PlanError(f"unsupported statement start: {self.peek().value!r}")
+
+    # -- SET ----------------------------------------------------------------
+    def parse_set(self) -> ast.SetStmt:
+        self.expect_kw("SET")
+        parts = [self.expect("ident").value]
+        while self.eat("punct", "."):
+            parts.append(self.expect("ident").value)
+        key = ".".join(parts)
+        if not (self.eat_kw("TO") or self.eat("op", "=")):
+            raise PlanError("expected TO or = in SET")
+        # value: a literal or bare identifier(s)
+        t = self.next()
+        if t.kind in ("string", "number", "ident", "qident"):
+            return ast.SetStmt(key, t.value)
+        raise PlanError(f"bad SET value: {t.value!r}")
+
+    # -- CREATE -------------------------------------------------------------
+    def parse_create(self) -> ast.Statement:
+        self.expect_kw("CREATE")
+        external = self.eat_kw("EXTERNAL")
+        self.expect_kw("TABLE")
+        self.eat_kw("IF")  # IF NOT EXISTS
+        self.eat_kw("NOT")
+        self.eat_kw("EXISTS")
+        name = self.parse_object_name()
+        columns: list[ast.ColumnDef] = []
+        if self.at("punct", "("):
+            columns = self.parse_column_defs()
+
+        if external or self.at_kw("STORED") or self.at_kw("LOCATION"):
+            fmt = "csv"
+            if self.eat_kw("STORED"):
+                self.expect_kw("AS")
+                fmt = self.next().value.lower()
+            self.expect_kw("LOCATION")
+            location = self.expect("string").value
+            options: dict[str, str] = {}
+            if self.eat_kw("OPTIONS"):
+                self.expect("punct", "(")
+                while not self.eat("punct", ")"):
+                    k = self.next().value
+                    v = self.next().value
+                    options[k.strip("'")] = v
+                    self.eat("punct", ",")
+            return ast.CreateExternalTable(name, tuple(columns), fmt, location, options)
+
+        self.expect_kw("AS")
+        if self.eat_kw("VALUES"):
+            rows = []
+            while True:
+                self.expect("punct", "(")
+                row = []
+                while not self.eat("punct", ")"):
+                    row.append(self.parse_literal_value())
+                    self.eat("punct", ",")
+                rows.append(tuple(row))
+                if not self.eat("punct", ","):
+                    break
+            return ast.CreateTableValues(name, tuple(columns), tuple(rows))
+        if self.at_kw("SELECT"):
+            return ast.CreateTableAsSelect(name, self.parse_select())
+        raise PlanError("expected VALUES or SELECT after AS")
+
+    def parse_column_defs(self) -> list[ast.ColumnDef]:
+        self.expect("punct", "(")
+        cols = []
+        while not self.eat("punct", ")"):
+            name = self.next().value
+            type_name = self.next().value.upper()
+            not_null = False
+            if self.eat_kw("NOT"):
+                self.expect_kw("NULL")
+                not_null = True
+            cols.append(ast.ColumnDef(name, type_name, not_null))
+            self.eat("punct", ",")
+        return cols
+
+    def parse_literal_value(self):
+        t = self.next()
+        if t.kind == "string":
+            return t.value
+        if t.kind == "number":
+            return float(t.value) if "." in t.value or "e" in t.value.lower() else int(t.value)
+        if t.kind == "ident":
+            if t.upper == "NULL":
+                return None
+            if t.upper == "TRUE":
+                return True
+            if t.upper == "FALSE":
+                return False
+        if t.kind == "punct" and t.value == "-":
+            v = self.parse_literal_value()
+            return -v
+        raise PlanError(f"bad literal: {t.value!r}")
+
+    def parse_object_name(self) -> str:
+        name = self.next().value
+        while self.eat("punct", "."):
+            name = self.next().value  # keep last path component
+        return name
+
+    # -- DROP ---------------------------------------------------------------
+    def parse_drop(self) -> ast.DropTable:
+        self.expect_kw("DROP")
+        self.expect_kw("TABLE")
+        if_exists = False
+        if self.eat_kw("IF"):
+            self.expect_kw("EXISTS")
+            if_exists = True
+        return ast.DropTable(self.parse_object_name(), if_exists)
+
+    # -- SELECT -------------------------------------------------------------
+    def parse_select(self) -> ast.Select:
+        self.expect_kw("SELECT")
+        distinct = self.eat_kw("DISTINCT")
+        items = [self.parse_select_item()]
+        while self.eat("punct", ","):
+            items.append(self.parse_select_item())
+
+        from_tables: list[ast.TableRef] = []
+        joins: list[ast.JoinClause] = []
+        if self.eat_kw("FROM"):
+            from_tables.append(self.parse_table_ref())
+            while True:
+                if self.eat("punct", ","):
+                    from_tables.append(self.parse_table_ref())
+                    continue
+                jt = None
+                if self.at_kw("JOIN"):
+                    self.next()
+                    jt = "inner"
+                elif self.at_kw("INNER"):
+                    self.next()
+                    self.expect_kw("JOIN")
+                    jt = "inner"
+                elif self.at_kw("LEFT"):
+                    self.next(); self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "left"
+                elif self.at_kw("RIGHT"):
+                    self.next(); self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "right"
+                elif self.at_kw("FULL"):
+                    self.next(); self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "full"
+                elif self.at_kw("CROSS"):
+                    self.next(); self.expect_kw("JOIN"); jt = "cross"
+                if jt is None:
+                    break
+                tref = self.parse_table_ref()
+                on = None
+                if jt != "cross":
+                    self.expect_kw("ON")
+                    on = self.parse_expr()
+                joins.append(ast.JoinClause(tref, on, jt))
+
+        where = self.parse_expr() if self.eat_kw("WHERE") else None
+        group_by: list[ast.SqlExpr] = []
+        if self.eat_kw("GROUP"):
+            self.expect_kw("BY")
+            group_by.append(self.parse_expr())
+            while self.eat("punct", ","):
+                group_by.append(self.parse_expr())
+        order_by: list[ast.OrderItem] = []
+        if self.eat_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.eat_kw("DESC"):
+                    asc = False
+                else:
+                    self.eat_kw("ASC")
+                order_by.append(ast.OrderItem(e, asc))
+                if not self.eat("punct", ","):
+                    break
+        limit = None
+        if self.eat_kw("LIMIT"):
+            limit = int(self.expect("number").value)
+        return ast.Select(
+            tuple(items), tuple(from_tables), tuple(joins), where,
+            tuple(group_by), tuple(order_by), limit, distinct,
+        )
+
+    def parse_table_ref(self) -> ast.TableRef:
+        name = self.parse_object_name()
+        alias = None
+        if self.eat_kw("AS"):
+            alias = self.next().value
+        elif self.peek().kind == "ident" and self.peek().upper not in _KEYWORDS_STOP:
+            alias = self.next().value
+        return ast.TableRef(name, alias)
+
+    def parse_select_item(self) -> ast.SelectItem:
+        if self.at("punct", "*"):
+            self.next()
+            return ast.SelectItem(ast.Star(), None)
+        # qualified star: ident . *
+        if (
+            self.peek().kind in ("ident", "qident")
+            and self.peek(1).kind == "punct"
+            and self.peek(1).value == "."
+            and self.peek(2).kind == "punct"
+            and self.peek(2).value == "*"
+        ):
+            q = self.next().value
+            self.next()
+            self.next()
+            return ast.SelectItem(ast.Star(q), None)
+        expr = self.parse_expr()
+        alias = None
+        if self.eat_kw("AS"):
+            alias = self.next().value
+        elif self.peek().kind in ("ident", "qident") and self.peek().upper not in _KEYWORDS_STOP:
+            alias = self.next().value
+        return ast.SelectItem(expr, alias)
+
+    # -- expressions (precedence climbing) ----------------------------------
+    def parse_expr(self) -> ast.SqlExpr:
+        return self.parse_or()
+
+    def parse_or(self) -> ast.SqlExpr:
+        left = self.parse_and()
+        while self.eat_kw("OR"):
+            left = ast.Binary(left, "OR", self.parse_and())
+        return left
+
+    def parse_and(self) -> ast.SqlExpr:
+        left = self.parse_not()
+        while self.eat_kw("AND"):
+            left = ast.Binary(left, "AND", self.parse_not())
+        return left
+
+    def parse_not(self) -> ast.SqlExpr:
+        if self.eat_kw("NOT"):
+            return ast.Unary("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> ast.SqlExpr:
+        left = self.parse_additive()
+        t = self.peek()
+        if t.kind == "op" and t.value in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            op = "!=" if t.value == "<>" else t.value
+            return ast.Binary(left, op, self.parse_additive())
+        if self.at_kw("BETWEEN"):
+            self.next()
+            lo = self.parse_additive()
+            self.expect_kw("AND")
+            hi = self.parse_additive()
+            return ast.Binary(
+                ast.Binary(left, ">=", lo), "AND", ast.Binary(left, "<=", hi)
+            )
+        if self.at_kw("IS"):
+            self.next()
+            neg = self.eat_kw("NOT")
+            self.expect_kw("NULL")
+            node = ast.Func("isnull", (left,))
+            return ast.Unary("NOT", node) if neg else node
+        return left
+
+    def parse_additive(self) -> ast.SqlExpr:
+        left = self.parse_multiplicative()
+        while self.at("punct", "+") or self.at("punct", "-"):
+            op = self.next().value
+            left = ast.Binary(left, op, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self) -> ast.SqlExpr:
+        left = self.parse_unary()
+        while self.at("punct", "*") or self.at("punct", "/") or self.at("punct", "%"):
+            op = self.next().value
+            left = ast.Binary(left, op, self.parse_unary())
+        return left
+
+    def parse_unary(self) -> ast.SqlExpr:
+        if self.eat("punct", "-"):
+            return ast.Unary("-", self.parse_unary())
+        if self.eat("punct", "+"):
+            return self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self) -> ast.SqlExpr:
+        t = self.peek()
+        if t.kind == "number":
+            self.next()
+            v = float(t.value) if "." in t.value or "e" in t.value.lower() else int(t.value)
+            return ast.Lit(v)
+        if t.kind == "string":
+            self.next()
+            return ast.Lit(t.value)
+        if self.eat("punct", "("):
+            e = self.parse_expr()
+            self.expect("punct", ")")
+            return e
+        if t.kind in ("ident", "qident"):
+            if t.upper == "NULL":
+                self.next()
+                return ast.Lit(None)
+            if t.upper == "TRUE":
+                self.next()
+                return ast.Lit(True)
+            if t.upper == "FALSE":
+                self.next()
+                return ast.Lit(False)
+            if t.upper == "CAST":
+                self.next()
+                self.expect("punct", "(")
+                e = self.parse_expr()
+                self.expect_kw("AS")
+                type_name = self.next().value.upper()
+                self.expect("punct", ")")
+                return ast.Cast(e, type_name)
+            # function call?
+            if self.peek(1).kind == "punct" and self.peek(1).value == "(":
+                fname = self.next().value.lower()
+                self.next()  # (
+                distinct = self.eat_kw("DISTINCT")
+                if self.eat("punct", "*"):
+                    self.expect("punct", ")")
+                    return ast.Func(fname, (), star=True)
+                args = []
+                if not self.at("punct", ")"):
+                    args.append(self.parse_expr())
+                    while self.eat("punct", ","):
+                        args.append(self.parse_expr())
+                self.expect("punct", ")")
+                return ast.Func(fname, tuple(args), distinct=distinct)
+            # column ref (possibly qualified)
+            name = self.next().value
+            if self.at("punct", ".") and self.peek(1).kind in ("ident", "qident"):
+                self.next()
+                col = self.next().value
+                return ast.ColRef(name, col)
+            return ast.ColRef(None, name)
+        raise PlanError(f"unexpected token in expression: {t.value!r}")
+
+
+def parse_sql(sql: str) -> list[ast.Statement]:
+    return Parser(sql).parse_statements()

@@ -8,12 +8,19 @@ the multi-chip path via __graft_entry__.dryrun_multichip).
 import os
 
 # Must be set before the first `import jax` anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The machine's sitecustomize registers the axon TPU plugin and forces
+# jax_platforms="axon,cpu"; override it back so tests run on the virtual
+# CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

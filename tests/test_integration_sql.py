@@ -1,0 +1,346 @@
+"""SQL integration tests — a mirror of the reference's test-suite
+(reference sequila/sequila-core/tests/integration_test.rs): the same
+queries, the same fixture data, the same expected outputs, the same
+cross-algorithm-equivalence oracle (hash/NLJ baseline = ground truth), and
+the same EXPLAIN plan assertions."""
+
+import numpy as np
+import pytest
+
+from sequila_tpu import Algorithm, SequilaConfig
+from sequila_tpu.session import SessionContext
+
+READS_CSV = """contig,pos_start,pos_end
+chr1,150,250
+chr1,190,300
+chr1,300,501
+chr1,500,700
+chr1,22000,22300
+chr1,15000,15000
+chr2,150,250
+chr2,190,300
+chr2,300,500
+chr2,500,700
+chr2,22000,22300
+chr2,15000,15000
+"""
+
+TARGETS_CSV = """contig,pos_start,pos_end
+chr1,100,190
+chr1,200,290
+chr1,400,600
+chr1,10000,20000
+chr1,22100,22100
+chr2,100,190
+chr2,200,290
+chr2,400,600
+chr2,10000,20000
+chr2,22100,22100
+"""
+
+ALL_ALGORITHMS = [
+    None,
+    Algorithm.COITREES,
+    Algorithm.INTERVAL_TREE,
+    Algorithm.ARRAY_INTERVAL_TREE,
+    Algorithm.LAPPER,
+    Algorithm.SUPER_INTERVALS,
+]
+
+# expected_equi fixture (integration_test.rs:40-65)
+EXPECTED_EQUI = [
+        ("chr1", 150, 250, "chr1", 100, 190),
+        ("chr1", 150, 250, "chr1", 200, 290),
+        ("chr1", 190, 300, "chr1", 100, 190),
+        ("chr1", 190, 300, "chr1", 200, 290),
+        ("chr1", 300, 501, "chr1", 400, 600),
+        ("chr1", 500, 700, "chr1", 400, 600),
+        ("chr1", 15000, 15000, "chr1", 10000, 20000),
+        ("chr1", 22000, 22300, "chr1", 22100, 22100),
+        ("chr2", 150, 250, "chr2", 100, 190),
+        ("chr2", 150, 250, "chr2", 200, 290),
+        ("chr2", 190, 300, "chr2", 100, 190),
+        ("chr2", 190, 300, "chr2", 200, 290),
+        ("chr2", 300, 500, "chr2", 400, 600),
+        ("chr2", 500, 700, "chr2", 400, 600),
+        ("chr2", 15000, 15000, "chr2", 10000, 20000),
+        ("chr2", 22000, 22300, "chr2", 22100, 22100),
+]
+
+
+@pytest.fixture
+def ctx(tmp_path):
+    reads = tmp_path / "reads.csv"
+    targets = tmp_path / "targets.csv"
+    reads.write_text(READS_CSV)
+    targets.write_text(TARGETS_CSV)
+    c = SessionContext(SequilaConfig())
+    c.sql(
+        f"CREATE EXTERNAL TABLE reads STORED AS CSV LOCATION '{reads}' "
+        "OPTIONS ('has_header' 'true')"
+    )
+    c.sql(
+        f"CREATE EXTERNAL TABLE targets STORED AS CSV LOCATION '{targets}' "
+        "OPTIONS ('has_header' 'true')"
+    )
+    return c
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if v != v:  # NaN <- nulled int column
+            return None
+        if v == int(v):
+            return int(v)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return v
+
+
+def sorted_rows(rows):
+    return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
+
+
+def rows_of(table):
+    cols = [table.column_np(i) for i in range(len(table.column_names))]
+    return sorted_rows(
+        tuple(_norm(v) for v in row)
+        for row in zip(*[c.tolist() for c in cols])
+    )
+
+
+def set_algorithm(ctx, algorithm):
+    ctx.sql(f"SET sequila.prefer_interval_join = {str(algorithm is not None).lower()}")
+    ctx.sql(
+        f"SET sequila.interval_join_algorithm = {(algorithm or Algorithm.COITREES).value}"
+    )
+
+
+EQUI_QUERY = """SELECT *
+    FROM reads
+    JOIN targets
+    ON reads.contig = targets.contig
+       AND reads.pos_start <= targets.pos_end
+       AND reads.pos_end >= targets.pos_start
+    ORDER BY reads.contig, reads.pos_start, reads.pos_end,
+             targets.contig, targets.pos_start, targets.pos_end"""
+
+
+@pytest.mark.parametrize("algorithm", ALL_ALGORITHMS, ids=lambda a: str(a))
+def test_equi_and_range_condition(ctx, algorithm):
+    set_algorithm(ctx, algorithm)
+
+    plan_text = ctx.sql(f"EXPLAIN {EQUI_QUERY}").column_np("plan")[0]
+    if algorithm is None:
+        assert (
+            "HashJoinExec: mode=CollectLeft, join_type=Inner, "
+            "on=[(contig@0, contig@0)], "
+            "filter=pos_start@0 <= pos_end@3 AND pos_end@1 >= pos_start@2"
+            in plan_text
+        )
+    else:
+        assert (
+            "IntervalJoinExec: mode=CollectLeft, join_type=Inner, "
+            "on=[(contig@0, contig@0)], "
+            "filter=pos_start@0 <= pos_end@3 AND pos_end@1 >= pos_start@2, "
+            f"alg={algorithm}" in plan_text
+        )
+
+    result = ctx.sql(EQUI_QUERY)
+    assert rows_of(result) == sorted_rows(EXPECTED_EQUI)
+
+
+RANGE_QUERY = """SELECT *
+    FROM reads
+    JOIN targets
+    ON reads.pos_start <= targets.pos_end AND reads.pos_end >= targets.pos_start
+    ORDER BY reads.contig, reads.pos_start, reads.pos_end,
+             targets.contig, targets.pos_start, targets.pos_end"""
+
+
+@pytest.mark.parametrize("algorithm", ALL_ALGORITHMS, ids=lambda a: str(a))
+def test_range_condition(ctx, algorithm):
+    """No equi-keys: NLJ baseline vs interval join with on=[(1, 1)]
+    (integration_test.rs:163-212)."""
+    set_algorithm(ctx, algorithm)
+
+    plan_text = ctx.sql(f"EXPLAIN {RANGE_QUERY}").column_np("plan")[0]
+    if algorithm is None:
+        assert (
+            "NestedLoopJoinExec: join_type=Inner, "
+            "filter=pos_start@0 <= pos_end@3 AND pos_end@1 >= pos_start@2"
+            in plan_text
+        )
+    else:
+        assert (
+            "IntervalJoinExec: mode=CollectLeft, join_type=Inner, on=[(1, 1)], "
+            "filter=pos_start@0 <= pos_end@3 AND pos_end@1 >= pos_start@2, "
+            f"alg={algorithm}" in plan_text
+        )
+
+    result = ctx.sql(RANGE_QUERY)
+    # cross product over contigs: every reads row x matching targets rows
+    # regardless of contig (expected_range, integration_test.rs:120-161)
+    expected = []
+    for (rc, rs, re_) in [r for r in _parse_csv(READS_CSV)]:
+        for (tc, ts, te) in [t for t in _parse_csv(TARGETS_CSV)]:
+            if rs <= te and re_ >= ts:
+                expected.append((rc, rs, re_, tc, ts, te))
+    assert rows_of(result) == sorted_rows(expected)
+    assert len(expected) == 32  # the reference expected_range has 32 rows
+
+
+def _parse_csv(text):
+    rows = []
+    for line in text.strip().splitlines()[1:]:
+        c, s, e = line.split(",")
+        rows.append((c, int(s), int(e)))
+    return rows
+
+
+A_TABLE = "CREATE TABLE a (contig TEXT, start INTEGER, end INTEGER) AS VALUES ('a', 5, 10)"
+B_TABLE = """CREATE TABLE b (contig TEXT, start INTEGER, end INTEGER) AS VALUES
+    ('a', 11, 15), ('a', 10, 15), ('a', 10, 10), ('a', 9, 15),
+    ('a', 5, 15), ('a', 4, 15), ('a', 4, 10), ('a', 6, 8),
+    ('a', 4, 8), ('a', 4, 5), ('a', 5, 5), ('a', 4, 4)"""
+
+EXPECTED_GTEQ_LTEQ = [
+        ("a", 5, 10, "a", 10, 15),
+        ("a", 5, 10, "a", 10, 10),
+        ("a", 5, 10, "a", 9, 15),
+        ("a", 5, 10, "a", 5, 15),
+        ("a", 5, 10, "a", 4, 15),
+        ("a", 5, 10, "a", 4, 10),
+        ("a", 5, 10, "a", 6, 8),
+        ("a", 5, 10, "a", 4, 8),
+        ("a", 5, 10, "a", 5, 5),
+        ("a", 5, 10, "a", 4, 5),
+]
+
+
+def test_all_gteq_lteq_conditions(ctx):
+    """Containment/edge matrix, 4 query formulations
+    (integration_test.rs:216-291)."""
+    ctx.sql(A_TABLE)
+    ctx.sql(B_TABLE)
+    queries = [
+        "SELECT * FROM a JOIN b ON a.contig = b.contig AND a.start <= b.end AND a.end >= b.start",
+        "SELECT a.*, b.* FROM b JOIN a ON a.contig = b.contig AND a.start <= b.end AND a.end >= b.start",
+        "SELECT a.*, b.* FROM a, b WHERE a.contig = b.contig AND a.start <= b.end AND a.end >= b.start",
+        "SELECT a.*, b.* FROM b, a WHERE a.contig = b.contig AND b.start <= a.end AND b.end >= a.start",
+    ]
+    for q in queries:
+        assert rows_of(ctx.sql(q)) == sorted_rows(EXPECTED_GTEQ_LTEQ), q
+
+
+EXPECTED_GT_LT = [
+        ("a", 5, 10, "a", 9, 15),
+        ("a", 5, 10, "a", 5, 15),
+        ("a", 5, 10, "a", 4, 15),
+        ("a", 5, 10, "a", 4, 10),
+        ("a", 5, 10, "a", 6, 8),
+        ("a", 5, 10, "a", 4, 8),
+]
+
+
+def test_all_gt_lt_conditions(ctx):
+    """Strict </> boundary exclusion (integration_test.rs:293-350)."""
+    ctx.sql(A_TABLE)
+    ctx.sql(B_TABLE)
+    queries = [
+        "SELECT * FROM a JOIN b ON a.contig = b.contig AND a.start < b.end AND a.end > b.start",
+        "SELECT a.*, b.* FROM b JOIN a ON a.contig = b.contig AND a.end > b.start AND a.start < b.end",
+    ]
+    for q in queries:
+        assert rows_of(ctx.sql(q)) == sorted_rows(EXPECTED_GT_LT), q
+
+
+def test_nearest(ctx):
+    """CoitreesNearest semantics (integration_test.rs:352-399)."""
+    ctx.sql(
+        "CREATE TABLE a (contig TEXT, strand TEXT, start INTEGER, end INTEGER)"
+        " AS VALUES ('a', 's', 5, 10)"
+    )
+    ctx.sql(
+        "CREATE TABLE b (contig TEXT, strand TEXT, start INTEGER, end INTEGER)"
+        " AS VALUES ('a', 's', 11, 13), ('a', 's', 20, 21),"
+        " ('a', 'x', 0, 1), ('b', 's', 1, 2)"
+    )
+    ctx.sql("SET sequila.interval_join_algorithm TO CoitreesNearest")
+    result = ctx.sql(
+        "SELECT * FROM a JOIN b ON a.contig = b.contig AND a.strand = b.strand"
+        " AND a.start < b.end AND a.end > b.start"
+    )
+    expected = sorted_rows(
+        [
+            (None, None, None, None, "a", "x", 0, 1),
+            (None, None, None, None, "b", "s", 1, 2),
+            ("a", "s", 5, 10, "a", "s", 11, 13),
+            ("a", "s", 5, 10, "a", "s", 20, 21),
+        ]
+    )
+    assert rows_of(result) == expected
+
+
+def test_count_star_fast_path(ctx):
+    """count(1) over the interval join goes through IntervalCountExec."""
+    set_algorithm(ctx, Algorithm.COITREES)
+    q = (
+        "SELECT count(1) FROM reads JOIN targets ON reads.contig = targets.contig"
+        " AND reads.pos_end >= targets.pos_start AND reads.pos_start <= targets.pos_end"
+    )
+    plan_text = ctx.sql(f"EXPLAIN {q}").column_np("plan")[0]
+    assert "IntervalCountExec" in plan_text
+    result = ctx.sql(q)
+    assert result.column_np(0)[0] == 16
+    # and matches the hash-join baseline
+    set_algorithm(ctx, None)
+    assert ctx.sql(q).column_np(0)[0] == 16
+
+
+def test_cast_overflow_errors(ctx):
+    """i32 overflow in interval bounds is a hard error
+    (interval_join.rs:1927-1968)."""
+    from sequila_tpu.errors import CastOverflowError
+
+    ctx.sql(
+        "CREATE TABLE big (contig TEXT, start BIGINT, end BIGINT) AS VALUES"
+        " ('a', 1, 4294967296)"
+    )
+    ctx.sql("CREATE TABLE small (contig TEXT, start BIGINT, end BIGINT) AS VALUES ('a', 1, 2)")
+    set_algorithm(ctx, Algorithm.COITREES)
+    with pytest.raises(CastOverflowError):
+        ctx.sql(
+            "SELECT * FROM big JOIN small ON big.contig = small.contig"
+            " AND big.start <= small.end AND big.end >= small.start"
+        )
+
+
+def test_projection(ctx):
+    """Projection over the interval join (interval_join.rs:1814-1843)."""
+    set_algorithm(ctx, Algorithm.COITREES)
+    result = ctx.sql(
+        "SELECT reads.contig, targets.pos_start FROM reads JOIN targets"
+        " ON reads.contig = targets.contig"
+        " AND reads.pos_start <= targets.pos_end AND reads.pos_end >= targets.pos_start"
+    )
+    assert result.column_names == ["contig", "pos_start"]
+    assert result.num_rows == 16
+
+
+def test_explain_analyze_has_metrics(ctx):
+    set_algorithm(ctx, Algorithm.COITREES)
+    out = ctx.sql(f"EXPLAIN ANALYZE {EQUI_QUERY}")
+    text = out.column_np("plan")[0]
+    assert "metrics=[" in text and "output_rows" in text
+
+
+def test_low_memory_mode_matches(ctx):
+    """Low-memory chunked emission produces identical output
+    (SEQUILA_MAX_OUTPUT_BATCH_SIZE analog)."""
+    set_algorithm(ctx, Algorithm.COITREES)
+    ctx.sql("SET sequila.interval_join_low_memory = true")
+    ctx.sql("SET sequila.max_output_batch_size = 300")
+    assert rows_of(ctx.sql(EQUI_QUERY)) == sorted_rows(EXPECTED_EQUI)
