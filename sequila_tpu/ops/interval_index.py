@@ -128,28 +128,41 @@ def assign_levels(keys: np.ndarray, starts: np.ndarray, ends: np.ndarray):
 
 
 def build_interval_index(
-    keys: np.ndarray, starts: np.ndarray, ends: np.ndarray, to_device=jnp.asarray
+    keys: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    to_device=jnp.asarray,
+    layout: tuple[int, ...] | None = None,
 ) -> IntervalIndex:
-    """Build the index from host arrays (int32 key codes and i32 bounds)."""
+    """Build the index from host arrays (int32 key codes and i32 bounds).
+
+    ``layout`` optionally forces the padded per-level sizes (must cover the
+    data's natural level sizes) — used to give every shard of a partitioned
+    build an identical static shape so per-shard indexes stack into one
+    [n_shards, N] device array for shard_map execution.
+    """
     keys = np.ascontiguousarray(keys, dtype=np.int32)
     starts = np.ascontiguousarray(starts, dtype=np.int32)
     ends = np.ascontiguousarray(ends, dtype=np.int32)
     n = len(keys)
     if n == 0:
-        pad = _bucket(1)
-        lvl_arr = np.zeros(pad, dtype=np.int32)
-        pad_col = np.full(pad, PAD_KEY, dtype=np.int32)
+        level_pad = layout if layout is not None else (_bucket(1),)
+        total = int(sum(level_pad))
+        offs = tuple(int(x) for x in np.concatenate([[0], np.cumsum(level_pad)[:-1]]))
+        lvl_arr = np.zeros(total, dtype=np.int32)
+        for lv, (o, p) in enumerate(zip(offs, level_pad)):
+            lvl_arr[o : o + p] = lv
         return IntervalIndex(
-            level_sizes=(0,),
-            level_pad=(pad,),
-            level_offsets=(0,),
+            level_sizes=tuple(0 for _ in level_pad),
+            level_pad=tuple(level_pad),
+            level_offsets=offs,
             n_rows=0,
             levels=to_device(lvl_arr),
-            keys=to_device(pad_col),
-            starts=to_device(np.full(pad, PAD_VAL, np.int32)),
-            ends=to_device(np.full(pad, PAD_VAL, np.int32)),
-            pos=to_device(np.full(pad, -1, np.int32)),
-            max_lens=(0,),
+            keys=to_device(np.full(total, PAD_KEY, np.int32)),
+            starts=to_device(np.full(total, PAD_VAL, np.int32)),
+            ends=to_device(np.full(total, PAD_VAL, np.int32)),
+            pos=to_device(np.full(total, -1, np.int32)),
+            max_lens=tuple(0 for _ in level_pad),
         )
 
     order, levels = assign_levels(keys, starts, ends)
@@ -162,8 +175,18 @@ def build_interval_index(
 
     num_levels = int(levels[-1]) + 1
     sizes = np.bincount(levels, minlength=num_levels)
-    level_sizes = tuple(int(x) for x in sizes)
-    level_pad = tuple(_bucket(max(int(x), 1)) for x in sizes)
+    if layout is not None:
+        if len(layout) < num_levels or any(
+            layout[i] < sizes[i] for i in range(num_levels)
+        ):
+            raise ValueError("layout does not cover the data's level sizes")
+        num_levels = len(layout)
+        sizes = np.concatenate([sizes, np.zeros(num_levels - len(sizes), np.int64)])
+        level_sizes = tuple(int(x) for x in sizes)
+        level_pad = tuple(layout)
+    else:
+        level_sizes = tuple(int(x) for x in sizes)
+        level_pad = tuple(_bucket(max(int(x), 1)) for x in sizes)
     level_offsets = tuple(int(x) for x in np.concatenate([[0], np.cumsum(level_pad)[:-1]]))
 
     total = int(sum(level_pad))

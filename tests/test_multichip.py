@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has NO test coverage for its Partitioned mode (SURVEY.md §4);
+these tests exceed it: partitioned and collect-left SPMD counts must equal
+the single-chip kernel and the brute-force oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sequila_tpu.ops.oracle import oracle_counts
+from sequila_tpu.parallel.mesh import make_mesh
+from sequila_tpu.parallel.partitioned_join import (
+    collect_left_count,
+    partitioned_count,
+)
+
+
+def _tables(rng, n, m, num_keys=7):
+    lk = rng.integers(0, num_keys, n).astype(np.int32)
+    ls = rng.integers(0, 10_000, n).astype(np.int32)
+    le = ls + rng.integers(0, 500, n).astype(np.int32)
+    rk = rng.integers(0, num_keys + 2, m).astype(np.int32)
+    rs = rng.integers(0, 10_000, m).astype(np.int32)
+    re = rs + rng.integers(0, 500, m).astype(np.int32)
+    return lk, ls, le, rk, rs, re
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("part", [1, 2, 4, 8])
+def test_partitioned_count_matches_oracle(rng, part):
+    mesh = make_mesh(8, part=part)
+    lk, ls, le, rk, rs, re = _tables(rng, 500, 700)
+    want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+    got = partitioned_count(mesh, lk, ls, le, rk, rs, re)
+    assert got == want
+
+
+def test_collect_left_count_matches_oracle(rng):
+    mesh = make_mesh(8, part=2)
+    lk, ls, le, rk, rs, re = _tables(rng, 300, 900)
+    want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+    got = collect_left_count(mesh, lk, ls, le, rk, rs, re)
+    assert got == want
+
+
+def test_partitioned_empty_sides(rng):
+    mesh = make_mesh(4, part=2)
+    lk, ls, le, rk, rs, re = _tables(rng, 100, 50)
+    assert partitioned_count(
+        mesh, lk[:0], ls[:0], le[:0], rk, rs, re
+    ) == 0
+    assert partitioned_count(
+        mesh, lk, ls, le, rk[:0], rs[:0], re[:0]
+    ) == 0
+
+
+def test_skewed_keys(rng):
+    """One hot contig (the chr1-skew scenario): partitioning must stay
+    exact when one part holds most of the data."""
+    mesh = make_mesh(8, part=4)
+    n, m = 400, 600
+    lk = np.where(rng.random(n) < 0.9, 0, rng.integers(0, 8, n)).astype(np.int32)
+    ls = rng.integers(0, 5_000, n).astype(np.int32)
+    le = ls + rng.integers(0, 400, n).astype(np.int32)
+    rk = np.where(rng.random(m) < 0.9, 0, rng.integers(0, 8, m)).astype(np.int32)
+    rs = rng.integers(0, 5_000, m).astype(np.int32)
+    re = rs + rng.integers(0, 400, m).astype(np.int32)
+    want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+    assert partitioned_count(mesh, lk, ls, le, rk, rs, re) == want
+    assert collect_left_count(mesh, lk, ls, le, rk, rs, re) == want
