@@ -23,17 +23,14 @@ from sequila_tpu.models.table import Table, encode_join_keys
 from sequila_tpu.planner.expr import JoinFilter, PhysicalExpr
 
 
-def _eval_keys(exprs: list[PhysicalExpr], table: Table) -> list[np.ndarray]:
-    cols = [table.column_np(i) for i in range(len(table.column_names))]
-    return [np.asarray(e.eval(cols, table.num_rows)) for e in exprs]
-
-
 def equi_join_pairs(
     left: Table,
     right: Table,
     on: list[tuple[PhysicalExpr, PhysicalExpr]],
 ) -> tuple[np.ndarray, np.ndarray]:
     """All (left_row, right_row) pairs with equal keys, right-major order."""
+    from sequila_tpu.exec.joins.interval_join import _eval_keys
+
     lkeys = _eval_keys([l for l, _ in on], left)
     rkeys = _eval_keys([r for _, r in on], right)
     lcodes, rcodes, _ = encode_join_keys(lkeys, rkeys)

@@ -63,18 +63,47 @@ _ALG_METHOD = {
 }
 
 
-def _eval_exprs(exprs: list[PhysicalExpr], table: Table) -> list[np.ndarray]:
-    cols = [table.column_np(i) for i in range(len(table.column_names))]
-    return [np.asarray(e.eval(cols, table.num_rows)) for e in exprs]
+def _eval_keys(exprs: list[PhysicalExpr], table: Table) -> list:
+    """Key columns for dictionary encoding; plain Column exprs pass the
+    arrow column through untouched (no python-string materialization)."""
+    from sequila_tpu.planner.expr import Column
+
+    out = []
+    cols = None
+    for e in exprs:
+        if isinstance(e, Column):
+            out.append(table.column(e.index))
+        else:
+            if cols is None:
+                cols = [table.column_np(i) for i in range(len(table.column_names))]
+            out.append(np.asarray(e.eval(cols, table.num_rows)))
+    return out
 
 
 def _eval_as_i32(expr: PhysicalExpr, table: Table) -> np.ndarray:
     """Evaluate an interval-bound expression and cast to i32, hard-erroring
-    on overflow — the reference's evaluate_as_i32 contract."""
-    cols = [table.column_np(i) for i in range(len(table.column_names))]
-    arr = np.asarray(expr.eval(cols, table.num_rows))
-    tmp = Table.from_arrays(["x"], [pa.array(arr)])
-    return tmp.column_as_i32(0)
+    on overflow — the reference's evaluate_as_i32 contract
+    (interval_join.rs:1661-1672)."""
+    from sequila_tpu.errors import CastOverflowError, ExecutionError
+    from sequila_tpu.models.table import I32_MAX, I32_MIN
+    from sequila_tpu.planner.expr import Column
+
+    if isinstance(expr, Column):
+        arr = table.column_np(expr.index)
+    else:
+        cols = [table.column_np(i) for i in range(len(table.column_names))]
+        arr = np.asarray(expr.eval(cols, table.num_rows))
+    if arr.dtype == np.int32:
+        return arr
+    if not (
+        np.issubdtype(arr.dtype, np.integer) or np.issubdtype(arr.dtype, np.floating)
+    ):
+        raise ExecutionError(f"interval bound column has non-numeric type {arr.dtype}")
+    a64 = arr.astype(np.int64, copy=False)
+    if len(a64) and (a64.min() < I32_MIN or a64.max() > I32_MAX):
+        bad = a64[(a64 < I32_MIN) | (a64 > I32_MAX)][0]
+        raise CastOverflowError(f"Can't cast value {bad} to type Int32")
+    return a64.astype(np.int32)
 
 
 class IntervalJoinExec(ExecPlan):
@@ -114,8 +143,8 @@ class IntervalJoinExec(ExecPlan):
             lcodes = np.zeros(left.num_rows, np.int32)
             rcodes = np.zeros(right.num_rows, np.int32)
         else:
-            lkeys = _eval_exprs([l for l, _ in on], left)
-            rkeys = _eval_exprs([r for _, r in on], right)
+            lkeys = _eval_keys([l for l, _ in on], left)
+            rkeys = _eval_keys([r for _, r in on], right)
             lcodes, rcodes, _ = encode_join_keys(lkeys, rkeys)
         ls = _eval_as_i32(self.intervals.left_interval.start, left)
         le = _eval_as_i32(self.intervals.left_interval.end, left)
@@ -223,8 +252,15 @@ class IntervalJoinExec(ExecPlan):
                 rows = min(_FULL_MODE_CHUNK, m - lo)
                 if rows <= 0:
                     break
+                # BITS 2-rank counting whenever the chunk has no degenerate
+                # (qs > qe) rows; those need the level-based exact path.
+                chunk_method = (
+                    method
+                    if bool((rs[lo : lo + rows] > re[lo : lo + rows]).any())
+                    else "bits"
+                )
                 qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
-                counts = count_matches(index, qk, qs, qe, method)
+                counts = count_matches(index, qk, qs, qe, chunk_method)
                 total += int(counts.sum())
         ctx.metrics.add(self.op_id(), "output_rows", total)
         return total
@@ -241,8 +277,15 @@ class IntervalJoinExec(ExecPlan):
             rows = min(_FULL_MODE_CHUNK, m - lo)
             if rows <= 0:
                 break
+            chunk_method = (
+                method
+                if bool((rs[lo : lo + rows] > re[lo : lo + rows]).any())
+                else "bits"
+            )
             qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
-            outs.append(np.asarray(count_matches(index, qk, qs, qe, method))[:rows])
+            outs.append(
+                np.asarray(count_matches(index, qk, qs, qe, chunk_method))[:rows]
+            )
         return np.concatenate(outs) if outs else np.empty(0, np.int32)
 
     def display_line(self):

@@ -131,9 +131,7 @@ class Table:
         return a64.astype(np.int32)
 
 
-def encode_join_keys(
-    left: list[np.ndarray], right: list[np.ndarray]
-) -> tuple[np.ndarray, np.ndarray, int]:
+def encode_join_keys(left, right) -> tuple[np.ndarray, np.ndarray, int]:
     """Shared dictionary encoding of (possibly multi-column) equi-join keys.
 
     The reference hashes key columns with a fixed-seed ahash into u64 buckets
@@ -141,27 +139,49 @@ def encode_join_keys(
     interval predicate only.  Dictionary codes are exact (collision-free) and
     give the small dense int32 key space the TPU kernels want.
 
+    Columns may be numpy arrays or pyarrow Arrays/ChunkedArrays (the fast
+    path — arrow's native C++ dictionary encoder avoids materializing
+    python strings).
+
     Returns (left_codes, right_codes, num_codes); codes are int32 >= 0.
     """
     ncols = len(left)
     assert ncols == len(right) and ncols >= 1
-    nl = len(left[0])
+
+    def to_pa(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            return col.combine_chunks()
+        if isinstance(col, pa.Array):
+            return col
+        return pa.array(np.asarray(col))
 
     def combine(cols_l, cols_r):
-        both = np.concatenate([np.asarray(cols_l), np.asarray(cols_r)])
-        _, codes = np.unique(both, return_inverse=True)
-        return codes.astype(np.int32)
+        al, ar = to_pa(cols_l), to_pa(cols_r)
+        if al.type != ar.type:
+            target = pa.string() if pa.types.is_string(al.type) or pa.types.is_string(ar.type) else al.type
+            al, ar = al.cast(target), ar.cast(target)
+        both = pa.chunked_array([al, ar]).combine_chunks()
+        enc = both.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        return codes, len(enc.dictionary), len(al)
 
     if ncols == 1:
-        codes = combine(left[0], right[0])
-        num = int(codes.max()) + 1 if len(codes) else 0
+        codes, num, nl = combine(left[0], right[0])
         return codes[:nl], codes[nl:], num
 
-    # Multi-column: encode each column against the union, then mix into a
-    # single code via row-wise unique over the stacked code matrix.
-    per_col = [combine(l, r) for l, r in zip(left, right)]
-    stacked = np.stack(per_col, axis=1)  # [(nl+nr), ncols]
-    _, codes = np.unique(stacked, axis=0, return_inverse=True)
+    # Multi-column: encode each column against the union, then mix the
+    # (small dense) per-column codes into one row code.
+    per_col = []
+    widths = []
+    nl = None
+    for l, r in zip(left, right):
+        codes, num, nl = combine(l, r)
+        per_col.append(codes.astype(np.int64))
+        widths.append(max(num, 1))
+    mixed = per_col[0]
+    for c, w in zip(per_col[1:], widths[1:]):
+        mixed = mixed * w + c
+    _, codes = np.unique(mixed, return_inverse=True)
     codes = codes.astype(np.int32)
     num = int(codes.max()) + 1 if len(codes) else 0
     return codes[:nl], codes[nl:], num

@@ -7,9 +7,17 @@ Lapper lists, superintervals branch arrays; reference
 interval_join.rs:766-873) and answers each probe row with a per-row
 query callback.  None of those shapes map onto TPU hardware.
 
-Here the whole build side becomes four flat int32 arrays (key code, start,
-end, original row position) sorted by (level, key, start), where *level* is
-an AIList-style decomposition with the invariant:
+Two flat-array views are built (lazily, each on first use):
+
+**BITS view** (counting): starts sorted by (key, start) and ends sorted by
+(key, end) as two independent arrays.  ``count = #start<=qe − #end<qs``
+per key segment (Layer & Quinlan 2012) — two rank ops per probe batch,
+exact for all qs <= qe queries regardless of containment depth.
+
+**Level view** (enumeration / nearest / degenerate queries): four flat
+int32 arrays (key code, start, end, original row position) sorted by
+(level, key, start), where *level* is an AIList-style decomposition with
+the invariant:
 
     within one (level, key) segment sorted by start, the ends are
     NON-DECREASING.
@@ -20,9 +28,8 @@ a CONTIGUOUS run ``[lb, ub)`` in each level:
     ub = #{ start <= qe }   (starts ascending  -> prefix)
     lb = #{ end   <  qs }   (ends ascending    -> prefix of non-matches)
 
-so exact counts are ``sum_l (ub_l - lb_l)`` (a generalization of the BITS
-count, Layer & Quinlan 2012) and exact enumeration is pure arithmetic over
-contiguous runs — no masking waste, no trees, no dynamic shapes.
+so exact enumeration is pure arithmetic over contiguous runs — no masking
+waste, no trees, no dynamic shapes.
 
 Levels are peeled with a vectorized running-max pass: an interval is kept in
 the current level iff its end is >= every earlier end in its key segment;
@@ -37,63 +44,26 @@ queried by the kernels in ops/interval_join.py.
 
 from __future__ import annotations
 
-import dataclasses
+import numpy as np
 
 import jax.numpy as jnp
-import numpy as np
 
 # Reserved key code for padding rows: sorts after every real key and never
 # equals a probe key.
 PAD_KEY = np.int32(2**31 - 1)
 PAD_VAL = np.int32(2**31 - 1)
 
-# Hard cap on peeling rounds; beyond this everything left is exact but goes
-# into one final level per round (pathological fully-nested data only).
-MAX_LEVELS = 64
-
 
 def _bucket(n: int, minimum: int = 8) -> int:
-    """Round up to a power of two to bound recompilation across datasets."""
+    """Round up to a compile-friendly size bucket: powers of two up to 64k,
+    then multiples of 64k (keeps padding waste <~6% for large arrays while
+    bounding the number of distinct compiled shapes)."""
     b = minimum
-    while b < n:
+    while b < n and b < 65536:
         b *= 2
-    return b
-
-
-@dataclasses.dataclass(frozen=True)
-class IntervalIndex:
-    """Device-resident build-side index.
-
-    Static metadata (python ints/tuples — safe jit-cache keys):
-      level_sizes:   real rows per level
-      level_pad:     padded rows per level (bucketed)
-      level_offsets: start offset of each level in the padded arrays
-      n_rows:        total real build rows
-    Device arrays (length = sum(level_pad)):
-      levels, keys, starts, ends, pos — sorted by (level, key, start);
-      padding rows carry (level, PAD_KEY, PAD_VAL, PAD_VAL, -1).
-    Host copies (numpy) are kept for CPU fallbacks and oracles.
-    """
-
-    level_sizes: tuple[int, ...]
-    level_pad: tuple[int, ...]
-    level_offsets: tuple[int, ...]
-    n_rows: int
-    levels: jnp.ndarray
-    keys: jnp.ndarray
-    starts: jnp.ndarray
-    ends: jnp.ndarray
-    pos: jnp.ndarray
-    # per-level maximum interval length (for the Lapper-style window kernel)
-    max_lens: tuple[int, ...]
-
-    @property
-    def num_levels(self) -> int:
-        return len(self.level_sizes)
-
-    @property
-    def padded_size(self) -> int:
-        return int(sum(self.level_pad))
+    if n <= b:
+        return b
+    return -(-n // 65536) * 65536
 
 
 def assign_levels(keys: np.ndarray, starts: np.ndarray, ends: np.ndarray):
@@ -119,12 +89,181 @@ def assign_levels(keys: np.ndarray, starts: np.ndarray, ends: np.ndarray):
         levels[remaining[keep]] = lvl
         remaining = remaining[~keep]
         lvl += 1
-        if lvl >= MAX_LEVELS and remaining.size:
-            # Extremely nested data: peel whole remaining chunks one key
-            # segment at a time would still terminate; the loop above always
-            # keeps >=1 element per round, so this is only a safety valve.
-            pass
     return order, levels
+
+
+class IntervalIndex:
+    """Build-side index with lazily materialized device views.
+
+    Static metadata (python ints/tuples — safe jit-cache keys):
+      level_sizes:   real rows per level
+      level_pad:     padded rows per level (bucketed)
+      level_offsets: start offset of each level in the padded arrays
+      n_rows:        total real build rows
+    Device arrays:
+      levels/keys/starts/ends/pos — the level view, length sum(level_pad),
+      sorted by (level, key, start); padding rows carry
+      (level, PAD_KEY, PAD_VAL, PAD_VAL, -1).
+      bs_keys/bs_starts/be_keys/be_ends — the BITS view, length bucket(n).
+    """
+
+    def __init__(self, keys, starts, ends, to_device=jnp.asarray, layout=None):
+        self._hk = np.ascontiguousarray(keys, dtype=np.int32)
+        self._hs = np.ascontiguousarray(starts, dtype=np.int32)
+        self._he = np.ascontiguousarray(ends, dtype=np.int32)
+        self._to_device = to_device
+        self._layout = tuple(layout) if layout is not None else None
+        self.n_rows = len(self._hk)
+        self._bits = None
+        self._lvl = None
+
+    # -- BITS view ----------------------------------------------------------
+    def _build_bits(self):
+        if self._bits is not None:
+            return
+        # No host sorting: the rank kernel (ops/ranks.rank_lex_sort) co-sorts
+        # build and query tuples anyway, so unsorted padded columns suffice.
+        n = self.n_rows
+        n0 = _bucket(max(n, 1))
+        bs_k = np.full(n0, PAD_KEY, np.int32)
+        bs_s = np.full(n0, PAD_VAL, np.int32)
+        be_e = np.full(n0, PAD_VAL, np.int32)
+        if n:
+            bs_k[:n] = self._hk
+            bs_s[:n] = self._hs
+            be_e[:n] = self._he
+        d = self._to_device
+        k = d(bs_k)
+        self._bits = (k, d(bs_s), k, d(be_e))
+
+    @property
+    def bs_keys(self):
+        self._build_bits()
+        return self._bits[0]
+
+    @property
+    def bs_starts(self):
+        self._build_bits()
+        return self._bits[1]
+
+    @property
+    def be_keys(self):
+        self._build_bits()
+        return self._bits[2]
+
+    @property
+    def be_ends(self):
+        self._build_bits()
+        return self._bits[3]
+
+    # -- level view ---------------------------------------------------------
+    def _build_levels(self):
+        if self._lvl is not None:
+            return
+        n = self.n_rows
+        layout = self._layout
+        if n == 0:
+            level_pad = layout if layout is not None else (_bucket(1),)
+            total = int(sum(level_pad))
+            offs = tuple(
+                int(x) for x in np.concatenate([[0], np.cumsum(level_pad)[:-1]])
+            )
+            L = np.zeros(total, dtype=np.int32)
+            for lv, (o, p) in enumerate(zip(offs, level_pad)):
+                L[o : o + p] = lv
+            d = self._to_device
+            self._lvl = dict(
+                level_sizes=tuple(0 for _ in level_pad),
+                level_pad=tuple(level_pad),
+                level_offsets=offs,
+                max_lens=tuple(0 for _ in level_pad),
+                levels=d(L),
+                keys=d(np.full(total, PAD_KEY, np.int32)),
+                starts=d(np.full(total, PAD_VAL, np.int32)),
+                ends=d(np.full(total, PAD_VAL, np.int32)),
+                pos=d(np.full(total, -1, np.int32)),
+            )
+            return
+
+        order, levels = assign_levels(self._hk, self._hs, self._he)
+        k, s, e = self._hk[order], self._hs[order], self._he[order]
+        pos = order.astype(np.int32)
+
+        # Final layout: level-major, then (key, start) (stable sort keeps it).
+        final = np.argsort(levels, kind="stable")
+        k, s, e, pos, levels = k[final], s[final], e[final], pos[final], levels[final]
+
+        num_levels = int(levels[-1]) + 1
+        sizes = np.bincount(levels, minlength=num_levels)
+        if layout is not None:
+            if len(layout) < num_levels or any(
+                layout[i] < sizes[i] for i in range(num_levels)
+            ):
+                raise ValueError("layout does not cover the data's level sizes")
+            num_levels = len(layout)
+            sizes = np.concatenate(
+                [sizes, np.zeros(num_levels - len(sizes), np.int64)]
+            )
+            level_sizes = tuple(int(x) for x in sizes)
+            level_pad = tuple(layout)
+        else:
+            level_sizes = tuple(int(x) for x in sizes)
+            level_pad = tuple(_bucket(max(int(x), 1)) for x in sizes)
+        level_offsets = tuple(
+            int(x) for x in np.concatenate([[0], np.cumsum(level_pad)[:-1]])
+        )
+
+        total = int(sum(level_pad))
+        K = np.full(total, PAD_KEY, np.int32)
+        S = np.full(total, PAD_VAL, np.int32)
+        E = np.full(total, PAD_VAL, np.int32)
+        P = np.full(total, -1, np.int32)
+        L = np.zeros(total, np.int32)
+        max_lens = []
+        row = 0
+        for lv in range(num_levels):
+            sz = level_sizes[lv]
+            off = level_offsets[lv]
+            K[off : off + sz] = k[row : row + sz]
+            S[off : off + sz] = s[row : row + sz]
+            E[off : off + sz] = e[row : row + sz]
+            P[off : off + sz] = pos[row : row + sz]
+            L[off : off + level_pad[lv]] = lv
+            max_lens.append(
+                int(np.max(e[row : row + sz] - s[row : row + sz])) if sz else 0
+            )
+            row += sz
+
+        d = self._to_device
+        self._lvl = dict(
+            level_sizes=level_sizes,
+            level_pad=level_pad,
+            level_offsets=level_offsets,
+            max_lens=tuple(max_lens),
+            levels=d(L), keys=d(K), starts=d(S), ends=d(E), pos=d(P),
+        )
+
+    def _lvl_get(self, name):
+        self._build_levels()
+        return self._lvl[name]
+
+    level_sizes = property(lambda self: self._lvl_get("level_sizes"))
+    level_pad = property(lambda self: self._lvl_get("level_pad"))
+    level_offsets = property(lambda self: self._lvl_get("level_offsets"))
+    max_lens = property(lambda self: self._lvl_get("max_lens"))
+    levels = property(lambda self: self._lvl_get("levels"))
+    keys = property(lambda self: self._lvl_get("keys"))
+    starts = property(lambda self: self._lvl_get("starts"))
+    ends = property(lambda self: self._lvl_get("ends"))
+    pos = property(lambda self: self._lvl_get("pos"))
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.level_sizes)
+
+    @property
+    def padded_size(self) -> int:
+        return int(sum(self.level_pad))
 
 
 def build_interval_index(
@@ -134,92 +273,11 @@ def build_interval_index(
     to_device=jnp.asarray,
     layout: tuple[int, ...] | None = None,
 ) -> IntervalIndex:
-    """Build the index from host arrays (int32 key codes and i32 bounds).
+    """Build the (lazy) index from host arrays (int32 keys and i32 bounds).
 
     ``layout`` optionally forces the padded per-level sizes (must cover the
     data's natural level sizes) — used to give every shard of a partitioned
     build an identical static shape so per-shard indexes stack into one
     [n_shards, N] device array for shard_map execution.
     """
-    keys = np.ascontiguousarray(keys, dtype=np.int32)
-    starts = np.ascontiguousarray(starts, dtype=np.int32)
-    ends = np.ascontiguousarray(ends, dtype=np.int32)
-    n = len(keys)
-    if n == 0:
-        level_pad = layout if layout is not None else (_bucket(1),)
-        total = int(sum(level_pad))
-        offs = tuple(int(x) for x in np.concatenate([[0], np.cumsum(level_pad)[:-1]]))
-        lvl_arr = np.zeros(total, dtype=np.int32)
-        for lv, (o, p) in enumerate(zip(offs, level_pad)):
-            lvl_arr[o : o + p] = lv
-        return IntervalIndex(
-            level_sizes=tuple(0 for _ in level_pad),
-            level_pad=tuple(level_pad),
-            level_offsets=offs,
-            n_rows=0,
-            levels=to_device(lvl_arr),
-            keys=to_device(np.full(total, PAD_KEY, np.int32)),
-            starts=to_device(np.full(total, PAD_VAL, np.int32)),
-            ends=to_device(np.full(total, PAD_VAL, np.int32)),
-            pos=to_device(np.full(total, -1, np.int32)),
-            max_lens=tuple(0 for _ in level_pad),
-        )
-
-    order, levels = assign_levels(keys, starts, ends)
-    k, s, e = keys[order], starts[order], ends[order]
-    pos = order.astype(np.int32)
-
-    # Final layout: level-major, then (key, start) (stable — already sorted).
-    final = np.argsort(levels, kind="stable")
-    k, s, e, pos, levels = k[final], s[final], e[final], pos[final], levels[final]
-
-    num_levels = int(levels[-1]) + 1
-    sizes = np.bincount(levels, minlength=num_levels)
-    if layout is not None:
-        if len(layout) < num_levels or any(
-            layout[i] < sizes[i] for i in range(num_levels)
-        ):
-            raise ValueError("layout does not cover the data's level sizes")
-        num_levels = len(layout)
-        sizes = np.concatenate([sizes, np.zeros(num_levels - len(sizes), np.int64)])
-        level_sizes = tuple(int(x) for x in sizes)
-        level_pad = tuple(layout)
-    else:
-        level_sizes = tuple(int(x) for x in sizes)
-        level_pad = tuple(_bucket(max(int(x), 1)) for x in sizes)
-    level_offsets = tuple(int(x) for x in np.concatenate([[0], np.cumsum(level_pad)[:-1]]))
-
-    total = int(sum(level_pad))
-    K = np.full(total, PAD_KEY, np.int32)
-    S = np.full(total, PAD_VAL, np.int32)
-    E = np.full(total, PAD_VAL, np.int32)
-    P = np.full(total, -1, np.int32)
-    L = np.zeros(total, np.int32)
-    max_lens = []
-    row = 0
-    for lv in range(num_levels):
-        sz = level_sizes[lv]
-        off = level_offsets[lv]
-        K[off : off + sz] = k[row : row + sz]
-        S[off : off + sz] = s[row : row + sz]
-        E[off : off + sz] = e[row : row + sz]
-        P[off : off + sz] = pos[row : row + sz]
-        L[off : off + level_pad[lv]] = lv
-        if sz:
-            max_lens.append(int(np.max(e[row : row + sz] - s[row : row + sz])))
-        else:
-            max_lens.append(0)
-        row += sz
-
-    return IntervalIndex(
-        level_sizes=level_sizes,
-        level_pad=level_pad,
-        level_offsets=level_offsets,
-        n_rows=n,
-        levels=to_device(L),
-        keys=to_device(K),
-        starts=to_device(S),
-        ends=to_device(E),
-        pos=to_device(P),
-        max_lens=tuple(max_lens),
-    )
+    return IntervalIndex(keys, starts, ends, to_device=to_device, layout=layout)

@@ -124,7 +124,30 @@ def counts_from_bounds(lb, ub):
     return jnp.sum(jnp.maximum(ub - lb, 0), axis=0).astype(jnp.int32)
 
 
+@jax.jit
+def _counts_bits(bs_keys, bs_starts, be_keys, be_ends, qk, qs, qe):
+    """BITS count: `#start<=qe - #end<qs` per key segment (Layer & Quinlan
+    2012) over two independently sorted arrays — no level structure, two
+    rank ops total.  EXACT only for qs <= qe; degenerate rows are zeroed
+    here and must be routed to the level-based path by the caller."""
+    ub = rank_lex_sort((bs_keys, bs_starts), (qk, qe), side="right")
+    lb = rank_lex_sort((be_keys, be_ends), (qk, qs), side="left")
+    return jnp.where(qs <= qe, ub - lb, 0).astype(jnp.int32)
+
+
 def count_matches(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
+    """Exact per-probe-row match counts.
+
+    method='bits' uses the 2-rank BITS kernel; it silently zeroes
+    degenerate (qs > qe) rows, so callers must pre-check (the join
+    operator does).  Other methods go through the level decomposition and
+    are exact for every input.
+    """
+    if method == "bits":
+        return _counts_bits(
+            index.bs_keys, index.bs_starts, index.be_keys, index.be_ends,
+            qk, qs, qe,
+        )
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
     return counts_from_bounds(lb, ub)
 

@@ -211,3 +211,47 @@ class TestNearest:
         # rows 0,1: key present, no overlap -> nearest = build row 0
         # rows 2,3: key absent -> NULL
         np.testing.assert_array_equal(got, [0, 0, -1, -1])
+
+
+class TestBitsCount:
+    def test_bits_matches_oracle_nondegenerate(self, rng):
+        bk, bs, be, qk, qs, qe = random_tables(rng, 600, 400)
+        idx = build_interval_index(bk, bs, be)
+        got = np.asarray(
+            count_matches(idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), "bits")
+        )
+        np.testing.assert_array_equal(got, oracle_counts(bk, bs, be, qk, qs, qe))
+
+    def test_bits_matches_levels_on_deep_nesting(self, rng):
+        # fully nested: BITS needs no level structure, stays O(1) ranks
+        n = 50
+        bk = np.zeros(n, np.int32)
+        bs = np.arange(n, dtype=np.int32)
+        be = (200 - np.arange(n)).astype(np.int32)
+        idx = build_interval_index(bk, bs, be)
+        qk = np.zeros(5, np.int32)
+        qs = np.array([0, 60, 100, 150, 190], np.int32)
+        qe = qs + 5
+        got = np.asarray(
+            count_matches(idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), "bits")
+        )
+        np.testing.assert_array_equal(got, oracle_counts(bk, bs, be, qk, qs, qe))
+
+    def test_degenerate_stabbing_rows_need_level_path(self):
+        """qs > qe can still match (stabbing a long interval): the level
+        path is exact there; BITS intentionally zeroes such rows."""
+        bk = np.array([0], np.int32)
+        bs = np.array([0], np.int32)
+        be = np.array([100], np.int32)
+        idx = build_interval_index(bk, bs, be)
+        qk = np.array([0], np.int32)
+        qs = np.array([50], np.int32)
+        qe = np.array([10], np.int32)  # degenerate, but [0,100] matches
+        level = np.asarray(
+            count_matches(idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), "sort")
+        )
+        bits = np.asarray(
+            count_matches(idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), "bits")
+        )
+        assert level[0] == 1
+        assert bits[0] == 0
