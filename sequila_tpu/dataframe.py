@@ -1,0 +1,225 @@
+"""Table-level genomic operations (the engine's bioframe-style API).
+
+The reference exposes only the SQL join surface; its sandbox planned
+closest/complement operators that never landed (zero-byte
+sandbox/closest.md, sandbox/complement.md — SURVEY.md §2 item 23) and its
+vendored superintervals library exposes count/coverage/search through a
+Python wheel (reference superintervals/src/superintervals/intervalmap.pyx).
+This module is the engine's equivalent operator surface over columnar
+Tables, all running through the TPU kernels.
+
+All functions take/return sequila_tpu.models.table.Table; the interval
+columns default to (contig, pos_start, pos_end) and coordinates are
+end-inclusive i32, as everywhere in the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import jax.numpy as jnp
+
+from sequila_tpu.models.table import Table, encode_join_keys
+from sequila_tpu.ops import genomic
+from sequila_tpu.ops.interval_index import build_interval_index
+from sequila_tpu.ops.interval_join import count_matches, materialize_pairs, nearest_match
+
+DEFAULT_COLS = ("contig", "pos_start", "pos_end")
+
+
+def _prep(table: Table, cols):
+    key_col, start_col, end_col = cols
+    keys = table.column(key_col)
+    starts = table.column_as_i32(start_col)
+    ends = table.column_as_i32(end_col)
+    return keys, starts, ends
+
+
+def _encode_pair(a: Table, b: Table, cols_a, cols_b):
+    ka, sa, ea = _prep(a, cols_a)
+    kb, sb, eb = _prep(b, cols_b)
+    ca, cb, _ = encode_join_keys([ka], [kb])
+    return ca, sa, ea, cb, sb, eb
+
+
+def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
+    """Inner overlap join: all (a_row ++ b_row) pairs with equal contig and
+    end-inclusive range overlap.  b is the build side, a the probe side
+    (probe order preserved)."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    index = build_interval_index(cb, sb, eb)
+    b_rows, p_rows, total = materialize_pairs(
+        index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
+    )
+    at = a.take(p_rows.astype(np.int64))
+    bt = b.take(b_rows.astype(np.int64))
+    arrays = list(at.arrow.columns) + list(bt.arrow.columns)
+    names = at.column_names + [f"{n}_b" if n in at.column_names else n for n in bt.column_names]
+    return Table(pa.Table.from_arrays(arrays, names=names))
+
+
+def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
+                   out_col: str = "count") -> Table:
+    """a with an appended per-row count of overlapping b intervals — the
+    intended semantics of the reference's CoitreesCountOverlaps algorithm
+    (see SURVEY.md §2 item 9) and of superintervals `count`."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    index = build_interval_index(cb, sb, eb)
+    deg = bool((sa > ea).any())
+    counts = np.asarray(
+        count_matches(
+            index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea),
+            "sort" if deg else "bits",
+        )
+    )
+    return Table(a.arrow.append_column(out_col, pa.array(counts.astype(np.int64))))
+
+
+def nearest(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
+    """One row per a-row: first overlapping b interval, else the nearest;
+    NULL b-side when a's contig is absent from b (the reference's
+    CoitreesNearest semantics with build/probe sides swapped to 'enrich a')."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    index = build_interval_index(cb, sb, eb)
+    rows = np.asarray(
+        nearest_match(index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea))
+    ).astype(np.int64)
+    null_mask = rows < 0
+    bt = b.take(np.where(null_mask, 0, rows), null_mask)
+    arrays = list(a.arrow.columns) + list(bt.arrow.columns)
+    names = a.column_names + [
+        f"{n}_b" if n in a.column_names else n for n in bt.column_names
+    ]
+    return Table(pa.Table.from_arrays(arrays, names=names))
+
+
+def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
+            cols_b=None, dist_col: str = "distance") -> Table:
+    """k closest b intervals per a row (overlaps first, ties upstream
+    first), with a distance column; rows with no same-contig b interval
+    produce no output (bedtools `closest -k` flavor)."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    index = build_interval_index(cb, sb, eb)
+    rows, dists = genomic.closest_k(
+        index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
+    )
+    a_idx, b_idx, dist = [], [], []
+    for i in range(rows.shape[0]):
+        for j in range(k):
+            if rows[i, j] >= 0:
+                a_idx.append(i)
+                b_idx.append(rows[i, j])
+                dist.append(dists[i, j])
+    at = a.take(np.asarray(a_idx, np.int64))
+    bt = b.take(np.asarray(b_idx, np.int64))
+    arrays = (
+        list(at.arrow.columns)
+        + list(bt.arrow.columns)
+        + [pa.array(np.asarray(dist, np.int64))]
+    )
+    names = (
+        at.column_names
+        + [f"{n}_b" if n in at.column_names else n for n in bt.column_names]
+        + [dist_col]
+    )
+    return Table(pa.Table.from_arrays(arrays, names=names))
+
+
+def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
+    """a with appended (count, bases) of b-coverage per a interval —
+    superintervals `coverage` semantics (reference superintervals.rs:802:
+    bases = sum(min(end_i,qe) - max(start_i,qs)))."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    index = build_interval_index(cb, sb, eb)
+    counts, bases = genomic.coverage(index, ca, sa, ea)
+    t = a.arrow.append_column("count", pa.array(counts))
+    t = t.append_column("bases", pa.array(bases))
+    return Table(t)
+
+
+def merge(a: Table, min_dist: int = 0, cols: tuple = DEFAULT_COLS) -> Table:
+    """Union of intervals per contig (gaps <= min_dist joined)."""
+    keys, starts, ends = _prep(a, cols)
+    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    mk, ms, me = genomic.merge_intervals(codes, starts, ends, min_dist)
+    # decode contig codes back to values via first occurrence
+    decode = _code_decoder(a, cols[0], codes)
+    return Table(
+        pa.Table.from_arrays(
+            [decode(mk), pa.array(ms.astype(np.int64)), pa.array(me.astype(np.int64))],
+            names=list(cols),
+        )
+    )
+
+
+def complement(a: Table, chrom_sizes: dict, cols: tuple = DEFAULT_COLS) -> Table:
+    """Gaps not covered by any interval, per contig, within
+    ``chrom_sizes[name] = (lo, hi)`` (or ``name: hi`` meaning (0, hi))."""
+    keys, starts, ends = _prep(a, cols)
+    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    name_of = {}
+    kv = keys.to_pylist()
+    for c, name in zip(codes, kv):
+        name_of.setdefault(int(c), name)
+    code_of = {v: k for k, v in name_of.items()}
+    key_sizes = {}
+    extra = []
+    next_code = int(codes.max()) + 1 if len(codes) else 0
+    for name, span in chrom_sizes.items():
+        lo, hi = span if isinstance(span, (tuple, list)) else (0, span)
+        if name in code_of:
+            key_sizes[code_of[name]] = (lo, hi)
+        else:
+            extra.append((name, lo, hi))
+    ck, cs, ce = genomic.complement_intervals(codes, starts, ends, key_sizes)
+    names_out = [name_of[int(c)] for c in ck]
+    rows_s = cs.astype(np.int64).tolist()
+    rows_e = ce.astype(np.int64).tolist()
+    for name, lo, hi in extra:  # contigs with no intervals: full span
+        names_out.append(name)
+        rows_s.append(lo)
+        rows_e.append(hi)
+    return Table(
+        pa.Table.from_arrays(
+            [pa.array(names_out), pa.array(rows_s, pa.int64()), pa.array(rows_e, pa.int64())],
+            names=list(cols),
+        )
+    )
+
+
+def depth(a: Table, cols: tuple = DEFAULT_COLS) -> Table:
+    """Per-base depth runs (pileup): (contig, pos_start, pos_end, depth)."""
+    keys, starts, ends = _prep(a, cols)
+    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    dk, ds, de, dd = genomic.depth_events(codes, starts, ends)
+    decode = _code_decoder(a, cols[0], codes)
+    return Table(
+        pa.Table.from_arrays(
+            [
+                decode(dk),
+                pa.array(ds.astype(np.int64)),
+                pa.array(de.astype(np.int64)),
+                pa.array(dd.astype(np.int64)),
+            ],
+            names=[cols[0], cols[1], cols[2], "depth"],
+        )
+    )
+
+
+def _code_decoder(table: Table, key_col, codes: np.ndarray):
+    """Map int key codes back to their original column values."""
+    vals = table.column(key_col).to_pylist()
+    rep = {}
+    for c, v in zip(codes, vals):
+        rep.setdefault(int(c), v)
+
+    def decode(code_arr: np.ndarray) -> pa.Array:
+        return pa.array([rep[int(c)] for c in code_arr])
+
+    return decode

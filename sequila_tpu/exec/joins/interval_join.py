@@ -51,6 +51,15 @@ from sequila_tpu.planner.intervals import ColIntervals
 # Probe rows per device chunk in full (non-low-memory) mode.
 _FULL_MODE_CHUNK = 4 << 20
 
+import os as _os
+
+
+def _host_threshold() -> int:
+    """Below this many total rows the join runs on the host path (NumPy /
+    C++): XLA compile latency (especially against a remote TPU) dwarfs tiny
+    queries.  SEQUILA_HOST_THRESHOLD=0 forces the device path everywhere."""
+    return int(_os.environ.get("SEQUILA_HOST_THRESHOLD", 65536))
+
 # Algorithm -> rank strategy of ops/interval_join.overlap_bounds.
 _ALG_METHOD = {
     Algorithm.COITREES: "sort",
@@ -131,8 +140,31 @@ class IntervalJoinExec(ExecPlan):
     def schema(self):
         return self.children[0].schema() + self.children[1].schema()
 
+    # -- host execution -----------------------------------------------------
+    def _execute_host(self, ctx, left: Table, right: Table):
+        hidx, rcodes, rs, re = self._host_index(ctx, left, right)
+        m = right.num_rows
+        with ctx.timer(self.op_id(), "join_time"):
+            if self.algorithm.is_nearest:
+                rows = hidx.nearest(rcodes, rs, re)
+                null_mask = rows < 0
+                out = gather_join_output(
+                    left, right,
+                    np.where(null_mask, 0, rows),
+                    np.arange(m, dtype=np.int64),
+                    left_null=null_mask,
+                )
+            else:
+                b_rows, p_rows = hidx.pairs(rcodes, rs, re)
+                out = gather_join_output(
+                    left, right, b_rows.astype(np.int64), p_rows.astype(np.int64)
+                )
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        ctx.metrics.add(self.op_id(), "input_rows", m)
+        return out
+
     # -- key/bound preparation ---------------------------------------------
-    def _prepare(self, ctx, left: Table, right: Table):
+    def _prepare(self, ctx, left: Table, right: Table, build_index: bool = True):
         on = self.on
         synthetic_keys = all(
             isinstance(l, Literal) and isinstance(r, Literal) for l, r in on
@@ -150,9 +182,11 @@ class IntervalJoinExec(ExecPlan):
         le = _eval_as_i32(self.intervals.left_interval.end, left)
         rs = _eval_as_i32(self.intervals.right_interval.start, right)
         re = _eval_as_i32(self.intervals.right_interval.end, right)
+        ctx.metrics.add(self.op_id(), "build_input_rows", left.num_rows)
+        if not build_index:
+            return (lcodes, ls, le), rcodes, rs, re
         with ctx.timer(self.op_id(), "build_time"):
             index = build_interval_index(lcodes, ls, le)
-        ctx.metrics.add(self.op_id(), "build_input_rows", left.num_rows)
         return index, rcodes, rs, re
 
     @staticmethod
@@ -169,10 +203,25 @@ class IntervalJoinExec(ExecPlan):
         e[:rows] = re[lo : lo + rows]
         return jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), cap
 
+    def _use_host(self, left: Table, right: Table) -> bool:
+        return left.num_rows + right.num_rows <= _host_threshold()
+
+    def _host_index(self, ctx, left: Table, right: Table):
+        from sequila_tpu.ops.host_join import HostIntervalIndex
+
+        index, rcodes, rs, re = self._prepare(
+            ctx, left, right, build_index=False
+        )
+        return HostIntervalIndex(*index), rcodes, rs, re
+
     # -- execution ----------------------------------------------------------
     def execute(self, ctx):
         left = self.children[0].execute(ctx)
         right = self.children[1].execute(ctx)
+
+        if self._use_host(left, right):
+            return self._execute_host(ctx, left, right)
+
         index, rcodes, rs, re = self._prepare(ctx, left, right)
         method = _ALG_METHOD[self.algorithm]
         m = right.num_rows
@@ -241,10 +290,15 @@ class IntervalJoinExec(ExecPlan):
         query is answerable by this alone)."""
         left = self.children[0].execute(ctx)
         right = self.children[1].execute(ctx)
-        index, rcodes, rs, re = self._prepare(ctx, left, right)
-        method = _ALG_METHOD[self.algorithm]
         if self.algorithm.is_nearest:
             return right.num_rows
+        if self._use_host(left, right):
+            hidx, rcodes, rs, re = self._host_index(ctx, left, right)
+            total = int(hidx.counts(rcodes, rs, re).sum())
+            ctx.metrics.add(self.op_id(), "output_rows", total)
+            return total
+        index, rcodes, rs, re = self._prepare(ctx, left, right)
+        method = _ALG_METHOD[self.algorithm]
         m = right.num_rows
         total = 0
         with ctx.timer(self.op_id(), "join_time"):
@@ -269,6 +323,9 @@ class IntervalJoinExec(ExecPlan):
         """CountOverlaps semantics: overlap count per probe row."""
         left = self.children[0].execute(ctx)
         right = self.children[1].execute(ctx)
+        if self._use_host(left, right):
+            hidx, rcodes, rs, re = self._host_index(ctx, left, right)
+            return hidx.counts(rcodes, rs, re).astype(np.int32)
         index, rcodes, rs, re = self._prepare(ctx, left, right)
         method = _ALG_METHOD[self.algorithm]
         m = right.num_rows

@@ -1,0 +1,226 @@
+"""Genomic interval operators beyond the join: coverage, depth, merge,
+complement, closest-k.
+
+These cover the reference's vendored superintervals API surface
+(reference superintervals/src/superintervals.rs: `count`, `coverage`
+:802-822, `search_*`) and the operators its sandbox planned but never
+landed (`sandbox/closest.md`, `sandbox/complement.md` are zero-byte
+placeholders — SURVEY.md §2 item 23).
+
+Coordinate convention: end-inclusive i32 intervals, matching the join.
+`coverage` reproduces the superintervals formula exactly:
+``(count, sum(min(end_i, qe) - max(start_i, qs)))``.
+
+The per-key event-scan kernels (depth, merge, complement) are pure
+sort/scan/mask pipelines — XLA's bread and butter — and run on device
+via jnp; coverage aggregates run through the same BITS/level rank
+machinery as the join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sequila_tpu.ops.interval_index import IntervalIndex
+from sequila_tpu.ops.interval_join import overlap_bounds
+
+
+# ---------------------------------------------------------------------------
+# Depth (pileup) — event diff + scan
+# ---------------------------------------------------------------------------
+
+
+def depth_events(keys: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Per-base depth as run-length segments.
+
+    Returns (keys, pos_start, pos_end, depth) arrays of runs where the
+    depth is constant; runs cover [min start, max end] per key.  Classic
+    event-list pipeline: +1 at start, -1 at end+1, sort, prefix-sum —
+    the depth between consecutive event positions.  Cross-key carry is
+    naturally zero because each key's deltas cancel.
+    """
+    n = len(keys)
+    if n == 0:
+        z = np.empty(0, np.int32)
+        return z, z, z, z
+    ev_key = np.concatenate([keys, keys])
+    ev_pos = np.concatenate([starts, ends.astype(np.int64) + 1]).astype(np.int64)
+    ev_delta = np.concatenate(
+        [np.ones(n, np.int32), -np.ones(n, np.int32)]
+    )
+    order = np.lexsort((ev_delta, ev_pos, ev_key))
+    k, p, d = ev_key[order], ev_pos[order], ev_delta[order]
+    depth = np.cumsum(d)
+    # run boundaries: last event at each (key, pos)
+    last = np.ones(len(k), bool)
+    last[:-1] = (k[:-1] != k[1:]) | (p[:-1] != p[1:])
+    rk, rp, rd = k[last], p[last], depth[last]
+    # each run spans [pos_i, pos_{i+1}-1] within its key
+    same_key = np.zeros(len(rk), bool)
+    same_key[:-1] = rk[:-1] == rk[1:]
+    out_k = rk[same_key]
+    out_s = rp[same_key]
+    nxt = np.roll(rp, -1)
+    out_e = (nxt[same_key] - 1).astype(np.int64)
+    out_d = rd[same_key]
+    return (
+        out_k.astype(np.int32),
+        out_s.astype(np.int32),
+        out_e.astype(np.int32),
+        out_d.astype(np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / complement — cummax scan
+# ---------------------------------------------------------------------------
+
+
+def merge_intervals(keys, starts, ends, min_dist: int = 0):
+    """Union of intervals per key (intervals closer than ``min_dist`` are
+    joined).  Returns (keys, starts, ends) of the merged runs."""
+    n = len(keys)
+    if n == 0:
+        z = np.empty(0, np.int32)
+        return z, z, z
+    order = np.lexsort((starts, keys))
+    k, s, e = keys[order], starts[order], ends[order]
+    # running max end per key via int64 composite (key dominates)
+    comp = (k.astype(np.int64) << 32) | (e.astype(np.int64) + 2**31)
+    cummax = np.maximum.accumulate(comp)
+    prev_end = (np.roll(cummax, 1) & 0xFFFFFFFF).astype(np.int64) - 2**31
+    prev_key = (np.roll(cummax, 1) >> 32).astype(np.int64)
+    new_run = np.ones(n, bool)
+    new_run[1:] = (k[1:].astype(np.int64) != prev_key[1:]) | (
+        s[1:].astype(np.int64) > prev_end[1:] + min_dist
+    )
+    run_starts = np.nonzero(new_run)[0]
+    out_k = k[new_run]
+    out_s = s[new_run]
+    out_e = np.maximum.reduceat(e.astype(np.int64), run_starts)
+    return out_k.astype(np.int32), out_s.astype(np.int32), out_e.astype(np.int32)
+
+
+def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int]]):
+    """Gaps of the merged intervals per key within [lo, hi] bounds.
+
+    ``key_sizes[k] = (lo, hi)`` gives each key's domain (chromosome span,
+    end-inclusive).  Keys present in key_sizes but absent from the data
+    yield their full span."""
+    mk, ms, me = merge_intervals(keys, starts, ends)
+    out_k, out_s, out_e = [], [], []
+    for key, (lo, hi) in sorted(key_sizes.items()):
+        seg = np.nonzero(mk == key)[0]
+        cur = lo
+        for i in seg:
+            s, e = int(ms[i]), int(me[i])
+            if s > cur:
+                out_k.append(key)
+                out_s.append(cur)
+                out_e.append(min(s - 1, hi))
+            cur = max(cur, e + 1)
+            if cur > hi:
+                break
+        if cur <= hi:
+            out_k.append(key)
+            out_s.append(cur)
+            out_e.append(hi)
+    return (
+        np.asarray(out_k, np.int32),
+        np.asarray(out_s, np.int32),
+        np.asarray(out_e, np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coverage (superintervals semantics) and closest-k
+# ---------------------------------------------------------------------------
+
+
+def coverage(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
+    """Per query: (count, sum(min(end_i,qe) - max(start_i,qs))) over all
+    overlapping build intervals — superintervals.rs:802-822 exactly.
+
+    Four level-local ranks bound each level's contiguous run [lb, ub) and
+    its two splits (ends <= qe at t; starts < qs at r); with per-level
+    prefix sums of starts/ends (host int64, exact) every run contributes
+    in O(1):
+
+        sum(min(end_i, qe))   = sum(ends[lb:t])  + qe * (ub - t)
+        sum(max(start_i, qs)) = qs * (r - lb)    + sum(starts[r:ub])
+    """
+    import jax.numpy as jnp
+
+    from sequila_tpu.ops.interval_join import level_ranks
+
+    qk_d, qs_d, qe_d = jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe)
+    kw = dict(
+        num_levels=index.num_levels,
+        level_offsets=index.level_offsets,
+    )
+    lv, ky, st, en = index.levels, index.keys, index.starts, index.ends
+    lb = np.asarray(level_ranks(lv, ky, en, qk_d, qs_d, side="left", **kw))
+    ub = np.asarray(level_ranks(lv, ky, st, qk_d, qe_d, side="right", **kw))
+    t = np.asarray(level_ranks(lv, ky, en, qk_d, qe_d, side="right", **kw))
+    r = np.asarray(level_ranks(lv, ky, st, qk_d, qs_d, side="left", **kw))
+
+    S = np.asarray(index.starts).astype(np.int64)
+    E = np.asarray(index.ends).astype(np.int64)
+    if not hasattr(index, "_cov_prefix"):
+        index._cov_prefix = (
+            np.concatenate([[0], np.cumsum(S)]),
+            np.concatenate([[0], np.cumsum(E)]),
+        )
+    ps, pe = index._cov_prefix
+
+    qs_h = np.asarray(qs).astype(np.int64)
+    qe_h = np.asarray(qe).astype(np.int64)
+    m = lb.shape[1]
+    counts = np.zeros(m, np.int64)
+    total = np.zeros(m, np.int64)
+    offs = np.asarray(index.level_offsets)[:, None]
+    gl = offs + lb
+    gu = offs + np.maximum(ub, lb)
+    gt = np.clip(offs + t, gl, gu)
+    gr = np.clip(offs + r, gl, gu)
+    counts = (gu - gl).sum(0)
+    for lvl in range(index.num_levels):
+        l, u, tt, rr = gl[lvl], gu[lvl], gt[lvl], gr[lvl]
+        sum_min_end = (pe[tt] - pe[l]) + qe_h * (u - tt)
+        sum_max_start = qs_h * (rr - l) + (ps[u] - ps[rr])
+        total += sum_min_end - sum_max_start
+    return counts.astype(np.int64), total
+
+
+def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"):
+    """k nearest build rows per probe row (overlaps first, then by genomic
+    distance; ties upstream-first).  Returns (rows [m,k], dists [m,k]);
+    -1 rows pad when fewer than k exist.  Host implementation over the
+    level view (closest is an API operator, not the benchmark hot path)."""
+    K = np.asarray(index.keys)
+    S = np.asarray(index.starts)
+    E = np.asarray(index.ends)
+    P = np.asarray(index.pos)
+    qk = np.asarray(qk)
+    qs = np.asarray(qs)
+    qe = np.asarray(qe)
+    m = len(qk)
+    rows = np.full((m, k), -1, np.int64)
+    dists = np.full((m, k), -1, np.int64)
+    real = P >= 0
+    for i in range(m):
+        seg = np.nonzero(real & (K == qk[i]))[0]
+        if not len(seg):
+            continue
+        s, e, p = S[seg].astype(np.int64), E[seg].astype(np.int64), P[seg]
+        d = np.where(
+            e < qs[i], qs[i] - e, np.where(s > qe[i], s - qe[i], 0)
+        )
+        # sort by (distance, upstream-first, position)
+        upstream = (e < qs[i]).astype(np.int64)
+        order = np.lexsort((p, -upstream, d))[:k]
+        rows[i, : len(order)] = p[order]
+        dists[i, : len(order)] = d[order]
+    return rows, dists

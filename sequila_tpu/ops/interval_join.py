@@ -43,20 +43,40 @@ INT32_MAX = np.int32(2**31 - 1)
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("num_levels", "level_offsets", "side"))
+def level_ranks(
+    levels, keys, vals, qk, qv, *, num_levels: int, level_offsets, side: str
+):
+    """Per-level, level-local rank of (key, value) tuples.
+
+    Returns [num_levels, m] int32: for each probe and level, the number of
+    level entries with (key, val) lexicographically < (side='left') or <=
+    (side='right') the query — the primitive behind bounds, coverage
+    splits, and nearest candidates."""
+    L = num_levels
+    m = qk.shape[0]
+    lev_q = jnp.repeat(jnp.arange(L, dtype=jnp.int32), m)
+    r = rank_lex_sort(
+        (levels, keys, vals), (lev_q, jnp.tile(qk, (L,)), jnp.tile(qv, (L,))),
+        side=side,
+    )
+    offs = jnp.asarray(level_offsets, dtype=jnp.int32)[:, None]
+    return r.reshape(L, m) - offs
+
+
 @functools.partial(jax.jit, static_argnames=("num_levels", "level_offsets"))
 def _bounds_sort(
     levels, keys, starts, ends, qk, qs, qe, *, num_levels: int, level_offsets
 ):
     """Rank-by-co-sort strategy (Coitrees/SuperIntervals algorithms)."""
-    L = num_levels
-    m = qk.shape[0]
-    lev_q = jnp.repeat(jnp.arange(L, dtype=jnp.int32), m)
-    qk_t = jnp.tile(qk, (L,))
-    ub_g = rank_lex_sort((levels, keys, starts), (lev_q, qk_t, jnp.tile(qe, (L,))), side="right")
-    lb_g = rank_lex_sort((levels, keys, ends), (lev_q, qk_t, jnp.tile(qs, (L,))), side="left")
-    offs = jnp.asarray(level_offsets, dtype=jnp.int32)[:, None]
-    ub = ub_g.reshape(L, m) - offs
-    lb = lb_g.reshape(L, m) - offs
+    ub = level_ranks(
+        levels, keys, starts, qk, qe,
+        num_levels=num_levels, level_offsets=level_offsets, side="right",
+    )
+    lb = level_ranks(
+        levels, keys, ends, qk, qs,
+        num_levels=num_levels, level_offsets=level_offsets, side="left",
+    )
     return lb, ub
 
 

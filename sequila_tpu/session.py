@@ -14,8 +14,31 @@ mapped onto this engine's knobs where they have an analog.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+
+
+def _setup_jax_compilation_cache():
+    """Persistent XLA compile cache: against a remote TPU a cold compile
+    costs tens of seconds, so cache across processes (CLI runs, notebooks)."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SEQUILA_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "sequila_tpu", "jax"),
+        )
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is best-effort
+        pass
+
+
+_setup_jax_compilation_cache()
 
 from sequila_tpu.config import Algorithm, SequilaConfig
 from sequila_tpu.errors import PlanError

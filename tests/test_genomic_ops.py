@@ -1,0 +1,199 @@
+"""Genomic operator tests: coverage, merge, complement, depth, closest,
+count-overlaps — checked against brute-force oracles (superintervals
+semantics for coverage, reference superintervals.rs:802-822)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import jax.numpy as jnp
+
+from sequila_tpu import dataframe as gdf
+from sequila_tpu.models.table import Table
+from sequila_tpu.ops import genomic
+from sequila_tpu.ops.interval_index import build_interval_index
+
+
+def table_of(contigs, starts, ends):
+    return Table(
+        pa.table(
+            {
+                "contig": contigs,
+                "pos_start": np.asarray(starts, np.int64),
+                "pos_end": np.asarray(ends, np.int64),
+            }
+        )
+    )
+
+
+def random_table(rng, n, num_keys=3, span=5000, max_len=300):
+    contigs = [f"chr{int(k)}" for k in rng.integers(1, num_keys + 1, n)]
+    starts = rng.integers(0, span, n)
+    ends = starts + rng.integers(0, max_len, n)
+    return table_of(contigs, starts, ends)
+
+
+class TestCoverage:
+    def test_against_oracle(self, rng):
+        n, m = 300, 150
+        bk = rng.integers(0, 3, n).astype(np.int32)
+        bs = rng.integers(0, 3000, n).astype(np.int32)
+        be = bs + rng.integers(0, 200, n).astype(np.int32)
+        qk = rng.integers(0, 4, m).astype(np.int32)
+        qs = rng.integers(0, 3000, m).astype(np.int32)
+        qe = qs + rng.integers(0, 200, m).astype(np.int32)
+        idx = build_interval_index(bk, bs, be)
+        counts, bases = genomic.coverage(idx, qk, qs, qe)
+        for i in range(m):
+            mask = (bk == qk[i]) & (bs <= qe[i]) & (be >= qs[i])
+            assert counts[i] == mask.sum()
+            want = np.sum(
+                np.minimum(be[mask], qe[i]).astype(np.int64)
+                - np.maximum(bs[mask], qs[i])
+            )
+            assert bases[i] == want, f"row {i}"
+
+    def test_dataframe_coverage(self, rng):
+        a = random_table(rng, 50)
+        b = random_table(rng, 80)
+        out = gdf.coverage(a, b)
+        assert out.column_names[-2:] == ["count", "bases"]
+        assert out.num_rows == 50
+
+
+class TestMerge:
+    def test_simple(self):
+        k = np.array([0, 0, 0, 1], np.int32)
+        s = np.array([1, 5, 20, 3], np.int32)
+        e = np.array([6, 10, 30, 4], np.int32)
+        mk, ms, me = genomic.merge_intervals(k, s, e)
+        assert list(zip(mk, ms, me)) == [(0, 1, 10), (0, 20, 30), (1, 3, 4)]
+
+    def test_min_dist(self):
+        k = np.zeros(2, np.int32)
+        s = np.array([1, 10], np.int32)
+        e = np.array([5, 12], np.int32)
+        mk, ms, me = genomic.merge_intervals(k, s, e, min_dist=0)
+        assert len(mk) == 2
+        mk, ms, me = genomic.merge_intervals(k, s, e, min_dist=5)
+        assert list(zip(mk, ms, me)) == [(0, 1, 12)]
+
+    def test_contained(self):
+        k = np.zeros(3, np.int32)
+        s = np.array([1, 2, 3], np.int32)
+        e = np.array([100, 5, 4], np.int32)
+        mk, ms, me = genomic.merge_intervals(k, s, e)
+        assert list(zip(mk, ms, me)) == [(0, 1, 100)]
+
+    def test_oracle_random(self, rng):
+        k = rng.integers(0, 3, 200).astype(np.int32)
+        s = rng.integers(0, 1000, 200).astype(np.int32)
+        e = s + rng.integers(0, 80, 200).astype(np.int32)
+        mk, ms, me = genomic.merge_intervals(k, s, e)
+        # oracle: membership via covered-base sets
+        for key in np.unique(k):
+            covered = set()
+            for i in np.nonzero(k == key)[0]:
+                covered.update(range(s[i], e[i] + 1))
+            got = set()
+            for i in np.nonzero(mk == key)[0]:
+                run = set(range(ms[i], me[i] + 1))
+                assert not (run & got), "merged runs must be disjoint"
+                got |= run
+            assert got == covered
+
+
+class TestComplement:
+    def test_simple(self):
+        k = np.zeros(2, np.int32)
+        s = np.array([10, 50], np.int32)
+        e = np.array([20, 60], np.int32)
+        ck, cs, ce = genomic.complement_intervals(k, s, e, {0: (0, 100)})
+        assert list(zip(ck, cs, ce)) == [(0, 0, 9), (0, 21, 49), (0, 61, 100)]
+
+    def test_full_cover(self):
+        k = np.zeros(1, np.int32)
+        ck, cs, ce = genomic.complement_intervals(
+            k, np.array([0], np.int32), np.array([100], np.int32), {0: (0, 100)}
+        )
+        assert len(ck) == 0
+
+    def test_dataframe_complement_extra_contig(self):
+        a = table_of(["chr1"], [10], [20])
+        out = gdf.complement(a, {"chr1": (0, 30), "chr2": (0, 5)})
+        rows = sorted(zip(*[out.column_np(i).tolist() for i in range(3)]))
+        assert rows == [("chr1", 0, 9), ("chr1", 21, 30), ("chr2", 0, 5)]
+
+
+class TestDepth:
+    def test_simple_pileup(self):
+        a = table_of(["chr1", "chr1", "chr1"], [1, 3, 10], [5, 7, 12])
+        out = gdf.depth(a)
+        rows = list(zip(*[out.column_np(i).tolist() for i in range(4)]))
+        assert ("chr1", 3, 5, 2) in rows  # overlap region depth 2
+        assert ("chr1", 1, 2, 1) in rows
+        assert ("chr1", 10, 12, 1) in rows
+        # depth-0 gap between 8 and 9
+        assert ("chr1", 8, 9, 0) in rows
+
+    def test_depth_conservation(self, rng):
+        """sum(depth * run_length) == sum(interval lengths)."""
+        a = random_table(rng, 120, num_keys=2)
+        out = gdf.depth(a)
+        d = out.column_np("depth")
+        ln = out.column_np("pos_end") - out.column_np("pos_start") + 1
+        total = int((d * ln).sum())
+        want = int(
+            (a.column_np("pos_end") - a.column_np("pos_start") + 1).sum()
+        )
+        assert total == want
+
+
+class TestClosest:
+    def test_k2(self):
+        a = table_of(["chr1"], [10], [20])
+        b = table_of(
+            ["chr1", "chr1", "chr1", "chr2"],
+            [0, 30, 100, 0],
+            [5, 40, 110, 1000],
+        )
+        out = gdf.closest(a, b, k=2)
+        rows = list(zip(out.column_np("pos_start_b").tolist(), out.column_np("distance").tolist()))
+        # nearest: [0,5] at distance 5 (upstream), [30,40] at distance 10
+        assert rows == [(0, 5), (30, 10)]
+
+    def test_overlap_wins(self):
+        a = table_of(["chr1"], [10], [20])
+        b = table_of(["chr1", "chr1"], [19, 22], [25, 23])
+        out = gdf.closest(a, b, k=1)
+        assert out.column_np("pos_start_b").tolist() == [19]
+        assert out.column_np("distance").tolist() == [0]
+
+    def test_no_same_contig(self):
+        a = table_of(["chr9"], [10], [20])
+        b = table_of(["chr1"], [0], [5])
+        out = gdf.closest(a, b, k=1)
+        assert out.num_rows == 0
+
+
+class TestCountOverlapsAPI:
+    def test_counts(self, rng):
+        a = random_table(rng, 60)
+        b = random_table(rng, 90)
+        out = gdf.count_overlaps(a, b)
+        ak = a.column_np("contig")
+        as_, ae = a.column_np("pos_start"), a.column_np("pos_end")
+        bk = b.column_np("contig")
+        bs, be = b.column_np("pos_start"), b.column_np("pos_end")
+        for i in range(a.num_rows):
+            want = int(
+                ((bk == ak[i]) & (bs <= ae[i]) & (be >= as_[i])).sum()
+            )
+            assert out.column_np("count")[i] == want
+
+    def test_overlap_join_api(self, rng):
+        a = random_table(rng, 40)
+        b = random_table(rng, 50)
+        out = gdf.overlap(a, b)
+        counts = gdf.count_overlaps(a, b)
+        assert out.num_rows == int(counts.column_np("count").sum())

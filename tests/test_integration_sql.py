@@ -344,3 +344,39 @@ def test_low_memory_mode_matches(ctx):
     ctx.sql("SET sequila.interval_join_low_memory = true")
     ctx.sql("SET sequila.max_output_batch_size = 300")
     assert rows_of(ctx.sql(EQUI_QUERY)) == sorted_rows(EXPECTED_EQUI)
+
+
+@pytest.mark.parametrize("threshold", ["0", "65536"])
+def test_device_and_host_paths_agree(ctx, monkeypatch, threshold):
+    """The same SQL must produce identical results through the device
+    (TPU-kernel) path and the small-query host path."""
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", threshold)
+    set_algorithm(ctx, Algorithm.COITREES)
+    assert rows_of(ctx.sql(EQUI_QUERY)) == sorted_rows(EXPECTED_EQUI)
+    q = (
+        "SELECT count(1) FROM reads JOIN targets ON reads.contig = targets.contig"
+        " AND reads.pos_end >= targets.pos_start AND reads.pos_start <= targets.pos_end"
+    )
+    assert ctx.sql(q).column_np(0)[0] == 16
+
+
+@pytest.mark.parametrize("threshold", ["0", "65536"])
+def test_nearest_paths_agree(ctx, monkeypatch, threshold):
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", threshold)
+    ctx.sql(
+        "CREATE TABLE an (contig TEXT, strand TEXT, start INTEGER, end INTEGER)"
+        " AS VALUES ('a', 's', 5, 10)"
+    )
+    ctx.sql(
+        "CREATE TABLE bn (contig TEXT, strand TEXT, start INTEGER, end INTEGER)"
+        " AS VALUES ('a', 's', 11, 13), ('a', 's', 20, 21),"
+        " ('a', 'x', 0, 1), ('b', 's', 1, 2)"
+    )
+    ctx.sql("SET sequila.interval_join_algorithm TO CoitreesNearest")
+    result = ctx.sql(
+        "SELECT * FROM an JOIN bn ON an.contig = bn.contig AND an.strand = bn.strand"
+        " AND an.start < bn.end AND an.end > bn.start"
+    )
+    assert result.num_rows == 4
+    # two NULL-left rows for absent keys
+    assert sum(1 for v in result.column_np(0).tolist() if v is None) == 2
