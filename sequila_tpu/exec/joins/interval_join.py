@@ -207,12 +207,14 @@ class IntervalJoinExec(ExecPlan):
         return left.num_rows + right.num_rows <= _host_threshold()
 
     def _host_index(self, ctx, left: Table, right: Table):
-        from sequila_tpu.ops.host_join import HostIntervalIndex
+        from sequila_tpu.ops.host_join import make_host_index
 
         index, rcodes, rs, re = self._prepare(
             ctx, left, right, build_index=False
         )
-        return HostIntervalIndex(*index), rcodes, rs, re
+        with ctx.timer(self.op_id(), "build_time"):
+            hidx = make_host_index(*index)
+        return hidx, rcodes, rs, re
 
     # -- execution ----------------------------------------------------------
     def execute(self, ctx):

@@ -1,0 +1,157 @@
+"""Build + load the native C++ host index (ctypes binding).
+
+The shared library is compiled on first use with the system toolchain and
+cached under ~/.cache/sequila_tpu/native keyed by a source hash — the
+moral equivalent of the reference shipping its superintervals index as a
+compiled extension (reference superintervals/setup.py builds the Cython/
+C++ wheel).  `SEQUILA_NATIVE=0` disables the native path (pure NumPy
+fallback in ops/host_join.py)."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "sequila_native.cc")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _cache_dir() -> str:
+    d = os.environ.get(
+        "SEQUILA_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "sequila_tpu", "native"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> str | None:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so_path = os.path.join(_cache_dir(), f"sequila_native_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", so_path + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so_path + ".tmp", so_path)
+        return so_path
+    except Exception:
+        return None
+
+
+def load():
+    """The loaded CDLL, or None if native is disabled/unbuildable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("SEQUILA_NATIVE", "1") == "0":
+            return None
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.si_build.restype = ctypes.c_void_p
+        lib.si_build.argtypes = [i32p, i32p, i32p, ctypes.c_int64]
+        lib.si_free.argtypes = [ctypes.c_void_p]
+        lib.si_count.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p,
+        ]
+        lib.si_pairs.restype = ctypes.c_int64
+        lib.si_pairs.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.si_nearest.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p,
+        ]
+        lib.si_coverage.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p, i64p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+class NativeIntervalIndex:
+    """Thin RAII wrapper over the C index."""
+
+    def __init__(self, keys: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._k = np.ascontiguousarray(keys, np.int32)
+        self._s = np.ascontiguousarray(starts, np.int32)
+        self._e = np.ascontiguousarray(ends, np.int32)
+        self._h = ctypes.c_void_p(
+            lib.si_build(self._k, self._s, self._e, len(self._k))
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.si_free(h)
+            self._h = None
+
+    @staticmethod
+    def _q(qk, qs, qe):
+        return (
+            np.ascontiguousarray(qk, np.int32),
+            np.ascontiguousarray(qs, np.int32),
+            np.ascontiguousarray(qe, np.int32),
+        )
+
+    def counts(self, qk, qs, qe) -> np.ndarray:
+        qk, qs, qe = self._q(qk, qs, qe)
+        out = np.empty(len(qk), np.int64)
+        self._lib.si_count(self._h, qk, qs, qe, len(qk), out)
+        return out
+
+    def pairs(self, qk, qs, qe):
+        qk, qs, qe = self._q(qk, qs, qe)
+        total = self._lib.si_pairs(self._h, qk, qs, qe, len(qk), None, None, 0)
+        out_b = np.empty(total, np.int32)
+        out_p = np.empty(total, np.int32)
+        if total:
+            n = self._lib.si_pairs(
+                self._h, qk, qs, qe, len(qk),
+                out_b.ctypes.data_as(ctypes.c_void_p),
+                out_p.ctypes.data_as(ctypes.c_void_p),
+                total,
+            )
+            assert n == total
+        return out_b.astype(np.int64), out_p.astype(np.int64)
+
+    def nearest(self, qk, qs, qe) -> np.ndarray:
+        qk, qs, qe = self._q(qk, qs, qe)
+        out = np.empty(len(qk), np.int64)
+        self._lib.si_nearest(self._h, qk, qs, qe, len(qk), out)
+        return out
+
+    def coverage(self, qk, qs, qe):
+        qk, qs, qe = self._q(qk, qs, qe)
+        c = np.empty(len(qk), np.int64)
+        b = np.empty(len(qk), np.int64)
+        self._lib.si_coverage(self._h, qk, qs, qe, len(qk), c, b)
+        return c, b
+
+
+def available() -> bool:
+    return load() is not None

@@ -24,6 +24,18 @@ def _comp(keys, vals):
     return (keys.astype(np.int64) << 32) | (vals.astype(np.int64) + _B)
 
 
+def make_host_index(keys, starts, ends):
+    """Native C++ index when available (sequila_tpu/native), else NumPy."""
+    try:
+        from sequila_tpu.native.loader import NativeIntervalIndex, available
+
+        if available():
+            return NativeIntervalIndex(keys, starts, ends)
+    except Exception:
+        pass
+    return HostIntervalIndex(keys, starts, ends)
+
+
 class HostIntervalIndex:
     """BITS arrays + (key,start)-sorted view with per-segment end cummax."""
 
