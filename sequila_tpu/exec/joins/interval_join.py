@@ -163,6 +163,84 @@ class IntervalJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "input_rows", m)
         return out
 
+    # -- device-resident fast path -----------------------------------------
+    @staticmethod
+    def _device_bound(expr, table: Table):
+        """Interval-bound expression over device-resident columns, or None.
+
+        Covers plain columns and the planner's strict-op normalizations
+        (`col - 1` / `col + 1`); anything else falls back to host eval."""
+        from sequila_tpu.planner.expr import BinaryExpr, Column, Literal
+
+        if isinstance(expr, Column):
+            return table.device_i32(expr.index)
+        if (
+            isinstance(expr, BinaryExpr)
+            and isinstance(expr.left, Column)
+            and isinstance(expr.right, Literal)
+            and expr.op in ("+", "-")
+            and isinstance(expr.right.value, int)
+        ):
+            base = table.device_i32(expr.left.index)
+            return base - expr.right.value if expr.op == "-" else base + expr.right.value
+        return None
+
+    def _device_resident_count(self, ctx, left: Table, right: Table):
+        """One-device-program count over cached resident columns, or None
+        if the plan shape doesn't qualify (multi-key, complex exprs,
+        nullable keys) or degenerate probe rows require the exact path."""
+        from sequila_tpu.ops.interval_join import counts_bits_fused
+        from sequila_tpu.planner.expr import Column, Literal
+
+        if len(self.on) != 1:
+            return None
+        l_on, r_on = self.on[0]
+        synthetic = isinstance(l_on, Literal) and isinstance(r_on, Literal)
+        if not synthetic and not (
+            isinstance(l_on, Column) and isinstance(r_on, Column)
+        ):
+            return None
+        ls = self._device_bound(self.intervals.left_interval.start, left)
+        le = self._device_bound(self.intervals.left_interval.end, left)
+        rs = self._device_bound(self.intervals.right_interval.start, right)
+        re = self._device_bound(self.intervals.right_interval.end, right)
+        if any(x is None for x in (ls, le, rs, re)):
+            return None
+
+        if synthetic:
+            lk = jnp.zeros((left.num_rows,), jnp.int32)
+            rk = jnp.zeros((right.num_rows,), jnp.int32)
+            remap_l = jnp.zeros((1,), jnp.int32)
+            remap_r = jnp.zeros((1,), jnp.int32)
+        else:
+            lcol = left.column(l_on.index)
+            rcol = right.column(r_on.index)
+            if lcol.null_count or rcol.null_count:
+                return None
+            lcodes_np, lvals, lk = left.dict_codes(l_on.index)
+            rcodes_np, rvals, rk = right.dict_codes(r_on.index)
+            both = np.concatenate(
+                [np.asarray(lvals, dtype=object), np.asarray(rvals, dtype=object)]
+            )
+            _, inv = np.unique(both, return_inverse=True)
+            remap_l = jnp.asarray(inv[: len(lvals)].astype(np.int32))
+            remap_r = jnp.asarray(inv[len(lvals):].astype(np.int32))
+
+        n_pad = _bucket(max(left.num_rows, 1), minimum=1024)
+        m_pad = _bucket(max(right.num_rows, 1), minimum=1024)
+        with ctx.timer(self.op_id(), "join_time"):
+            packed = np.asarray(
+                counts_bits_fused(
+                    lk, ls, le, rk, rs, re, remap_l, remap_r,
+                    n_pad=n_pad, m_pad=m_pad,
+                )
+            )
+            total, n_deg = int(packed[0]), int(packed[1])
+            if n_deg > 0:
+                return None  # exact level path required
+        ctx.metrics.add(self.op_id(), "output_rows", total)
+        return total
+
     # -- key/bound preparation ---------------------------------------------
     def _prepare(self, ctx, left: Table, right: Table, build_index: bool = True):
         on = self.on
@@ -298,6 +376,9 @@ class IntervalJoinExec(ExecPlan):
             hidx, rcodes, rs, re = self._host_index(ctx, left, right)
             total = int(hidx.counts(rcodes, rs, re).sum())
             ctx.metrics.add(self.op_id(), "output_rows", total)
+            return total
+        total = self._device_resident_count(ctx, left, right)
+        if total is not None:
             return total
         index, rcodes, rs, re = self._prepare(ctx, left, right)
         method = _ALG_METHOD[self.algorithm]

@@ -21,10 +21,41 @@ I32_MIN, I32_MAX = -(2**31), 2**31 - 1
 
 
 class Table:
-    """Immutable named-column table backed by a pyarrow.Table."""
+    """Immutable named-column table backed by a pyarrow.Table.
+
+    Interval/key columns used by the TPU join are cached device-resident
+    (HBM) after first use — the engine's analog of replacing the
+    reference's per-query Arrow RecordBatch streams with device-resident
+    columnar batches.  Caches are per-Table-instance and the table is
+    immutable, so they never go stale.
+    """
 
     def __init__(self, arrow: pa.Table):
         self._t = arrow.combine_chunks()
+        self._dev_i32: dict = {}
+        self._codes: dict = {}
+
+    def device_i32(self, name_or_idx):
+        """Column as a device-resident int32 array (overflow-checked once)."""
+        key = name_or_idx
+        if key not in self._dev_i32:
+            import jax.numpy as jnp
+
+            self._dev_i32[key] = jnp.asarray(self.column_as_i32(name_or_idx))
+        return self._dev_i32[key]
+
+    def dict_codes(self, name_or_idx):
+        """(codes int32 np, dictionary values np) for a key column, cached."""
+        key = name_or_idx
+        if key not in self._codes:
+            col = self._t.column(name_or_idx).combine_chunks()
+            enc = col.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+            values = enc.dictionary.to_numpy(zero_copy_only=False)
+            import jax.numpy as jnp
+
+            self._codes[key] = (codes, values, jnp.asarray(codes))
+        return self._codes[key]
 
     # -- constructors -------------------------------------------------------
     @classmethod

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sequila_tpu.ops.interval_index import IntervalIndex, _bucket
+from sequila_tpu.ops.interval_index import PAD_KEY, PAD_VAL, IntervalIndex, _bucket
 from sequila_tpu.ops.ranks import rank_lex_sort
 
 INT32_MAX = np.int32(2**31 - 1)
@@ -142,6 +142,39 @@ def overlap_bounds(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
 def counts_from_bounds(lb, ub):
     """Exact per-probe-row match counts; degenerate (qe < qs-1) rows clip to 0."""
     return jnp.sum(jnp.maximum(ub - lb, 0), axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "m_pad"))
+def counts_bits_fused(
+    lk, ls, le, rk, rs, re, remap_l, remap_r, *, n_pad: int, m_pad: int
+):
+    """Whole count(*) interval join in ONE device program over resident
+    columns: remap per-table dictionary codes into the shared key space
+    (tiny gathers), pad, two lexicographic ranks, reduce.
+
+    Returns (total_count, num_degenerate): degenerate (qs > qe) probe rows
+    are zeroed by BITS but can still match (stabbing) — a non-zero second
+    output tells the caller to re-run via the exact level path.
+    """
+
+    def pad(a, fill, size):
+        return jnp.concatenate(
+            [a, jnp.full((size - a.shape[0],), fill, jnp.int32)]
+        )
+
+    bk = pad(remap_l[lk], PAD_KEY, n_pad)
+    bs = pad(ls, PAD_VAL, n_pad)
+    be = pad(le, PAD_VAL, n_pad)
+    qk = pad(remap_r[rk], PAD_KEY, m_pad)
+    qs = pad(rs, PAD_VAL, m_pad)
+    qe = pad(re, PAD_VAL - 2, m_pad)
+    ub = rank_lex_sort((bk, bs), (qk, qe), side="right")
+    lb = rank_lex_sort((bk, be), (qk, qs), side="left")
+    counts = jnp.where(qs <= qe, ub - lb, 0)
+    n_deg = jnp.sum((qs > qe) & (qk < PAD_KEY))
+    # one packed output -> one device->host fetch (the tunnel round trip
+    # costs far more than the kernel)
+    return jnp.stack([counts.sum(), n_deg])
 
 
 @jax.jit
