@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from sequila_tpu.errors import ExecutionError
 from sequila_tpu.exec.joins.utils import (
     JOIN_TYPE_DISPLAY,
     display_on,
     eval_join_filter,
-    gather_join_output,
+    finish_join,
+    join_schema,
 )
 from sequila_tpu.exec.plan import ExecPlan
 from sequila_tpu.models.table import Table, encode_join_keys
@@ -64,7 +64,9 @@ class HashJoinExec(ExecPlan):
         self.mode = mode
 
     def schema(self):
-        return self.children[0].schema() + self.children[1].schema()
+        return join_schema(
+            self.join_type, self.children[0].schema(), self.children[1].schema()
+        )
 
     def execute(self, ctx):
         left = self.children[0].execute(ctx)
@@ -74,11 +76,7 @@ class HashJoinExec(ExecPlan):
             if self.filter is not None and len(left_idx):
                 mask = eval_join_filter(self.filter, left, right, left_idx, right_idx)
                 left_idx, right_idx = left_idx[mask], right_idx[mask]
-            if self.join_type != "inner":
-                raise ExecutionError(
-                    f"HashJoinExec: join type {self.join_type} not yet supported"
-                )
-            out = gather_join_output(left, right, left_idx, right_idx)
+            out = finish_join(self.join_type, left, right, left_idx, right_idx)
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 

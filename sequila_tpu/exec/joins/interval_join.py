@@ -35,7 +35,9 @@ from sequila_tpu.errors import ExecutionError
 from sequila_tpu.exec.joins.utils import (
     JOIN_TYPE_DISPLAY,
     display_on,
+    finish_join,
     gather_join_output,
+    join_schema,
 )
 from sequila_tpu.exec.plan import ExecPlan
 from sequila_tpu.models.table import Table, encode_join_keys
@@ -64,7 +66,7 @@ def _host_threshold() -> int:
 _ALG_METHOD = {
     Algorithm.COITREES: "sort",
     Algorithm.SUPER_INTERVALS: "sort",
-    Algorithm.LAPPER: "sort",
+    Algorithm.LAPPER: "window",
     Algorithm.INTERVAL_TREE: "bsearch",
     Algorithm.ARRAY_INTERVAL_TREE: "bsearch",
     Algorithm.COITREES_NEAREST: "sort",
@@ -138,7 +140,9 @@ class IntervalJoinExec(ExecPlan):
         self.mode = mode
 
     def schema(self):
-        return self.children[0].schema() + self.children[1].schema()
+        return join_schema(
+            self.join_type, self.children[0].schema(), self.children[1].schema()
+        )
 
     # -- host execution -----------------------------------------------------
     def _execute_host(self, ctx, left: Table, right: Table):
@@ -156,8 +160,9 @@ class IntervalJoinExec(ExecPlan):
                 )
             else:
                 b_rows, p_rows = hidx.pairs(rcodes, rs, re)
-                out = gather_join_output(
-                    left, right, b_rows.astype(np.int64), p_rows.astype(np.int64)
+                out = finish_join(
+                    self.join_type, left, right,
+                    b_rows.astype(np.int64), p_rows.astype(np.int64),
                 )
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         ctx.metrics.add(self.op_id(), "input_rows", m)
@@ -314,7 +319,9 @@ class IntervalJoinExec(ExecPlan):
             if self.low_memory
             else _FULL_MODE_CHUNK
         )
+        inner = self.join_type == "inner"
         parts: list[Table] = []
+        all_b, all_p = [], []
         with ctx.timer(self.op_id(), "join_time"):
             for lo in range(0, max(m, 1), chunk):
                 rows = min(chunk, m - lo)
@@ -324,16 +331,29 @@ class IntervalJoinExec(ExecPlan):
                 b_rows, p_rows, total = materialize_pairs(index, qk, qs, qe, method)
                 if total == 0:
                     continue
-                out = gather_join_output(
-                    left, right, b_rows.astype(np.int64), p_rows.astype(np.int64) + lo
-                )
-                parts.append(out)
-        if parts:
-            out = Table(pa.concat_tables([p.arrow for p in parts]))
-        else:
-            out = gather_join_output(
-                left, right, np.empty(0, np.int64), np.empty(0, np.int64)
-            )
+                if inner:
+                    # stream one output batch per probe chunk (the
+                    # reference's batch-at-a-time emission)
+                    parts.append(
+                        gather_join_output(
+                            left, right,
+                            b_rows.astype(np.int64), p_rows.astype(np.int64) + lo,
+                        )
+                    )
+                else:
+                    all_b.append(b_rows.astype(np.int64))
+                    all_p.append(p_rows.astype(np.int64) + lo)
+            if inner:
+                if parts:
+                    out = Table(pa.concat_tables([p.arrow for p in parts]))
+                else:
+                    out = gather_join_output(
+                        left, right, np.empty(0, np.int64), np.empty(0, np.int64)
+                    )
+            else:
+                b = np.concatenate(all_b) if all_b else np.empty(0, np.int64)
+                p = np.concatenate(all_p) if all_p else np.empty(0, np.int64)
+                out = finish_join(self.join_type, left, right, b, p)
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         ctx.metrics.add(self.op_id(), "input_rows", m)
         return out

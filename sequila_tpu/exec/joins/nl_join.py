@@ -5,11 +5,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from sequila_tpu.errors import ExecutionError
 from sequila_tpu.exec.joins.utils import (
     JOIN_TYPE_DISPLAY,
     eval_join_filter,
-    gather_join_output,
+    finish_join,
+    join_schema,
 )
 from sequila_tpu.exec.plan import ExecPlan
 from sequila_tpu.planner.expr import JoinFilter
@@ -24,13 +24,11 @@ class NestedLoopJoinExec(ExecPlan):
         self.join_type = join_type
 
     def schema(self):
-        return self.children[0].schema() + self.children[1].schema()
+        return join_schema(
+            self.join_type, self.children[0].schema(), self.children[1].schema()
+        )
 
     def execute(self, ctx):
-        if self.join_type != "inner":
-            raise ExecutionError(
-                f"NestedLoopJoinExec: join type {self.join_type} not yet supported"
-            )
         left = self.children[0].execute(ctx)
         right = self.children[1].execute(ctx)
         n, m = left.num_rows, right.num_rows
@@ -48,7 +46,7 @@ class NestedLoopJoinExec(ExecPlan):
                 ri_parts.append(ri)
             left_idx = np.concatenate(li_parts) if li_parts else np.empty(0, np.int64)
             right_idx = np.concatenate(ri_parts) if ri_parts else np.empty(0, np.int64)
-            out = gather_join_output(left, right, left_idx, right_idx)
+            out = finish_join(self.join_type, left, right, left_idx, right_idx)
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 

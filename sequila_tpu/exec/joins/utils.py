@@ -18,9 +18,64 @@ JOIN_TYPE_DISPLAY = {
     "left": "Left",
     "right": "Right",
     "full": "Full",
+    "leftsemi": "LeftSemi",
+    "leftanti": "LeftAnti",
     "rightsemi": "RightSemi",
     "rightanti": "RightAnti",
 }
+
+
+def apply_join_type(
+    join_type: str,
+    n_left: int,
+    n_right: int,
+    left_idx: np.ndarray,
+    right_idx: np.ndarray,
+):
+    """Expand inner-match pairs into the requested join type's row set.
+
+    Returns (left_idx, right_idx, left_null, right_null) ready for
+    gather_join_output, or ('semi'/'anti', side_rows) for semi/anti joins
+    which project a single side.  Mirrors DataFusion's join-type semantics
+    that the reference inherits (IntervalJoinExec passes join_type through,
+    reference interval_join.rs:210-224)."""
+    if join_type == "inner":
+        return left_idx, right_idx, None, None
+    matched_left = np.zeros(n_left, bool)
+    matched_left[left_idx] = True
+    matched_right = np.zeros(n_right, bool)
+    matched_right[right_idx] = True
+    if join_type == "leftsemi":
+        return ("rows", "left", np.nonzero(matched_left)[0])
+    if join_type == "leftanti":
+        return ("rows", "left", np.nonzero(~matched_left)[0])
+    if join_type == "rightsemi":
+        return ("rows", "right", np.nonzero(matched_right)[0])
+    if join_type == "rightanti":
+        return ("rows", "right", np.nonzero(~matched_right)[0])
+
+    li = [left_idx]
+    ri = [right_idx]
+    lnull = [np.zeros(len(left_idx), bool)]
+    rnull = [np.zeros(len(right_idx), bool)]
+    if join_type in ("left", "full"):
+        extra = np.nonzero(~matched_left)[0]
+        li.append(extra)
+        ri.append(np.zeros(len(extra), np.int64))
+        lnull.append(np.zeros(len(extra), bool))
+        rnull.append(np.ones(len(extra), bool))
+    if join_type in ("right", "full"):
+        extra = np.nonzero(~matched_right)[0]
+        li.append(np.zeros(len(extra), np.int64))
+        ri.append(extra)
+        lnull.append(np.ones(len(extra), bool))
+        rnull.append(np.zeros(len(extra), bool))
+    return (
+        np.concatenate(li),
+        np.concatenate(ri),
+        np.concatenate(lnull),
+        np.concatenate(rnull),
+    )
 
 
 def gather_join_output(
@@ -55,6 +110,26 @@ def eval_join_filter(
     return np.asarray(
         filter_.expression.eval(cols, len(left_idx)), dtype=bool
     )
+
+
+def finish_join(join_type, left_t, right_t, left_idx, right_idx):
+    """apply_join_type + gather into the output Table."""
+    res = apply_join_type(
+        join_type, left_t.num_rows, right_t.num_rows, left_idx, right_idx
+    )
+    if len(res) == 3 and res[0] == "rows":
+        _, side, rows = res
+        return (left_t if side == "left" else right_t).take(rows)
+    li, ri, lnull, rnull = res
+    return gather_join_output(left_t, right_t, li, ri, lnull, rnull)
+
+
+def join_schema(join_type, lschema, rschema):
+    if join_type in ("leftsemi", "leftanti"):
+        return lschema
+    if join_type in ("rightsemi", "rightanti"):
+        return rschema
+    return lschema + rschema
 
 
 def display_on(on_pairs) -> str:

@@ -116,6 +116,7 @@ class IntervalIndex:
         self.n_rows = len(self._hk)
         self._bits = None
         self._lvl = None
+        self._win = None
 
     # -- BITS view ----------------------------------------------------------
     def _build_bits(self):
@@ -264,6 +265,33 @@ class IntervalIndex:
     @property
     def padded_size(self) -> int:
         return int(sum(self.level_pad))
+
+    # -- window view (Lapper-style max-extension kernel) --------------------
+    def _build_window(self):
+        if getattr(self, "_win", None) is not None:
+            return
+        n = self.n_rows
+        n0 = _bucket(max(n, 1))
+        k = np.full(n0, PAD_KEY, np.int32)
+        s = np.full(n0, PAD_VAL, np.int32)
+        e = np.full(n0, PAD_VAL, np.int32)
+        p = np.full(n0, -1, np.int32)
+        max_len = 0
+        if n:
+            order = np.lexsort((self._hs, self._hk))
+            k[:n] = self._hk[order]
+            s[:n] = self._hs[order]
+            e[:n] = self._he[order]
+            p[:n] = order.astype(np.int32)
+            max_len = int(np.max(self._he.astype(np.int64) - self._hs))
+        d = self._to_device
+        self._win = (d(k), d(s), d(e), d(p), max_len)
+
+    @property
+    def window_view(self):
+        """((key,start)-sorted keys/starts/ends/pos device arrays, max_len)."""
+        self._build_window()
+        return self._win
 
 
 def build_interval_index(

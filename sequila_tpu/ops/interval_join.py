@@ -254,6 +254,56 @@ def emit_pairs(
     return jnp.where(valid, build_row, -1), jnp.where(valid, probe_row, -1), valid
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _emit_window(keys, starts, ends, pos, max_len, qk, qs, qe, *, capacity: int):
+    """Lapper-style max-extension window emission: candidates are the
+    contiguous run of starts in [qs - max_len, qe] within the key segment
+    (rust-lapper's layered scan idea); an end mask filters the true
+    matches — exact for every query shape, including degenerate stabbing.
+    Returns (build_rows, probe_rows, valid) of static ``capacity``."""
+    lo_q = jnp.maximum(qs.astype(jnp.int64) - max_len, -(2**31)).astype(jnp.int32)
+    lb = rank_lex_sort((keys, starts), (qk, lo_q), side="left")
+    ub = rank_lex_sort((keys, starts), (qk, qe), side="right")
+    widths = jnp.maximum(ub - lb, 0)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(widths, dtype=jnp.int32)]
+    )
+    total = offsets[-1]
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    cell = (
+        jnp.searchsorted(offsets, slots, side="right", method="sort").astype(jnp.int32)
+        - 1
+    )
+    cell = jnp.clip(cell, 0, qk.shape[0] - 1)
+    r = slots - offsets[cell]
+    g = jnp.clip(lb[cell] + r, 0, pos.shape[0] - 1)
+    in_range = slots < total
+    match = in_range & (ends[g] >= qs[cell])
+    return jnp.where(match, pos[g], -1), jnp.where(match, cell, -1), match
+
+
+def materialize_pairs_window(index: IntervalIndex, qk, qs, qe):
+    """Exact pair materialization via the candidate-window strategy."""
+    keys, starts, ends, pos, max_len = index.window_view
+    # candidate total for capacity sizing
+    lo_q = np.maximum(
+        np.asarray(qs).astype(np.int64) - max_len, -(2**31)
+    ).astype(np.int32)
+    lb = rank_lex_sort((keys, starts), (qk, jnp.asarray(lo_q)), side="left")
+    ub = rank_lex_sort((keys, starts), (qk, qe), side="right")
+    total_cand = int(jnp.maximum(ub - lb, 0).sum())
+    if total_cand == 0:
+        return np.empty(0, np.int32), np.empty(0, np.int32), 0
+    capacity = _bucket(total_cand, minimum=1024)
+    b_rows, p_rows, valid = _emit_window(
+        keys, starts, ends, pos, max_len, qk, qs, qe, capacity=capacity
+    )
+    valid = np.asarray(valid)
+    b = np.asarray(b_rows)[valid]
+    p = np.asarray(p_rows)[valid]
+    return b, p, len(b)
+
+
 def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     """Full exact join: returns host-visible (build_rows, probe_rows) arrays.
 
@@ -261,6 +311,8 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     with a bucketed static capacity (power of two) so repeated queries of
     similar size reuse the compiled kernel.
     """
+    if method == "window":
+        return materialize_pairs_window(index, qk, qs, qe)
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
     offsets, lb_pm = pair_offsets(lb, ub)
     total = int(offsets[-1])

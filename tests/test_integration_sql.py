@@ -380,3 +380,45 @@ def test_nearest_paths_agree(ctx, monkeypatch, threshold):
     assert result.num_rows == 4
     # two NULL-left rows for absent keys
     assert sum(1 for v in result.column_np(0).tolist() if v is None) == 2
+
+
+JOIN_TYPE_QUERIES = {
+    "left": "SELECT * FROM reads LEFT JOIN targets ON reads.contig = targets.contig AND reads.pos_start <= targets.pos_end AND reads.pos_end >= targets.pos_start",
+    "right": "SELECT * FROM reads RIGHT JOIN targets ON reads.contig = targets.contig AND reads.pos_start <= targets.pos_end AND reads.pos_end >= targets.pos_start",
+    "full": "SELECT * FROM reads FULL JOIN targets ON reads.contig = targets.contig AND reads.pos_start <= targets.pos_end AND reads.pos_end >= targets.pos_start",
+}
+
+
+@pytest.mark.parametrize("jt", ["left", "right", "full"])
+@pytest.mark.parametrize("use_interval", [True, False], ids=["interval", "hash"])
+def test_outer_join_types(ctx, monkeypatch, jt, use_interval):
+    """Outer joins: interval path must equal the hash-join baseline; both
+    must contain the 16 inner rows + the correct NULL-padded extras."""
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0" if use_interval else "65536")
+    set_algorithm(ctx, Algorithm.COITREES if use_interval else None)
+    got = rows_of(ctx.sql(JOIN_TYPE_QUERIES[jt]))
+    # oracle: build from inner matches
+    reads = _parse_csv(READS_CSV)
+    targets = _parse_csv(TARGETS_CSV)
+    inner = [
+        (rc, rs, re_, tc, ts, te)
+        for (rc, rs, re_) in reads
+        for (tc, ts, te) in targets
+        if rc == tc and rs <= te and re_ >= ts
+    ]
+    matched_l = {(rc, rs, re_) for (rc, rs, re_, *_r) in inner}
+    matched_r = {tuple(r[3:]) for r in inner}
+    expected = list(inner)
+    if jt in ("left", "full"):
+        expected += [
+            (rc, rs, re_, None, None, None)
+            for (rc, rs, re_) in reads
+            if (rc, rs, re_) not in matched_l
+        ]
+    if jt in ("right", "full"):
+        expected += [
+            (None, None, None, tc, ts, te)
+            for (tc, ts, te) in targets
+            if (tc, ts, te) not in matched_r
+        ]
+    assert got == sorted_rows(expected), jt

@@ -135,7 +135,7 @@ class TestCounts:
         np.testing.assert_array_equal(got, [0, 0])
 
 
-@pytest.mark.parametrize("method", ["sort", "bsearch"])
+@pytest.mark.parametrize("method", ["sort", "bsearch", "window"])
 class TestPairs:
     def test_random_pairs_exact(self, rng, method):
         bk, bs, be, qk, qs, qe = random_tables(rng, 400, 200)
