@@ -26,6 +26,7 @@ Output: ONE JSON line
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -85,18 +86,149 @@ def run(algorithm="coitrees", iters=5, verbose=False):
     return total, t
 
 
+def gen_genome_table(n, seed, num_contigs=24, median_len=5_000, sigma=1.2):
+    """Whole-genome-like table: contig sizes follow a realistic skew
+    (chr1 largest), lognormal interval lengths."""
+    rng = np.random.default_rng(seed)
+    sizes = np.array([248 - 8 * i for i in range(num_contigs)], np.float64)
+    probs = sizes / sizes.sum()
+    contig_ids = rng.choice(num_contigs, n, p=probs)
+    spans = (sizes * 1e6).astype(np.int64)
+    starts = (rng.random(n) * spans[contig_ids]).astype(np.int64)
+    lens = np.exp(rng.normal(np.log(median_len), sigma, n)).astype(np.int64)
+    ends = np.minimum(starts + np.maximum(lens, 1), 2**31 - 2)
+    return {
+        "contig": np.array([f"chr{i+1}" for i in contig_ids]),
+        "pos_start": starts,
+        "pos_end": ends,
+    }
+
+
+def run_pair(name, t1, t2, iters, query=QUERY, setup_sql=()):
+    import pyarrow as pa
+
+    from sequila_tpu.session import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_table("s1", pa.table(t1))
+    ctx.register_table("s2", pa.table(t2))
+    ctx.sql("SET sequila.prefer_interval_join = true")
+    for s in setup_sql:
+        ctx.sql(s)
+    first = ctx.sql(query)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = ctx.sql(query)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    total = int(out.column_np(0)[0]) if out.num_rows == 1 and len(out.column_names) == 1 else out.num_rows
+    print(
+        f"{name}: {total:,} rows, {t*1000:.1f} ms -> {total/max(t,1e-9)/1e6:.0f}M rows/s",
+        file=sys.stderr,
+    )
+    return total, t
+
+
+def run_full(iters):
+    """databio-style suite: multiple pairings (reference
+    benches/databio_benchmark.rs runs 9 tables x 5 pairings), algorithm
+    sweep, whole-genome skewed join, and a materialization bench."""
+    print("== algorithm sweep (chr1 pair) ==", file=sys.stderr)
+    for alg in (
+        "coitrees", "intervaltree", "arrayintervaltree", "lapper",
+        "superintervals",
+    ):
+        run(alg, iters=iters, verbose=True)
+
+    print("== pairings ==", file=sys.stderr)
+    pairs = [
+        ("Small-Small  (20k x 20k)", gen_chain_table(20_000, 11), gen_chain_table(20_000, 12)),
+        ("Small-Medium (20k x 300k)", gen_chain_table(20_000, 13), gen_chain_table(N_RIGHT, 14)),
+        ("Medium-Medium(207k x 302k)", gen_chain_table(N_LEFT, 1), gen_chain_table(N_RIGHT, 2)),
+        ("Genome-Genome(2.3M x 7.7M)", gen_genome_table(2_350_965, 21), gen_genome_table(7_684_066, 22)),
+    ]
+    for name, t1, t2 in pairs:
+        run_pair(name, t1, t2, iters)
+
+    print("== chromosome-subset + filter pushdown (q1-lapper config) ==", file=sys.stderr)
+    run_pair(
+        "genome chr1-filtered lapper",
+        gen_genome_table(500_000, 31),
+        gen_genome_table(500_000, 32),
+        iters,
+        query=(
+            "SELECT count(1) FROM s1 a JOIN s2 b ON a.contig = b.contig "
+            "AND a.pos_end >= b.pos_start AND a.pos_start <= b.pos_end "
+            "WHERE a.contig = 'chr1'"
+        ),
+        setup_sql=["SET sequila.interval_join_algorithm = lapper"],
+    )
+
+    print("== materialization (SELECT *, 20k x 20k) ==", file=sys.stderr)
+    run_pair(
+        "materialize",
+        gen_chain_table(20_000, 41, median_len=20_000),
+        gen_chain_table(20_000, 42, median_len=20_000),
+        iters,
+        query=(
+            "SELECT a.pos_start, b.pos_end FROM s1 a JOIN s2 b "
+            "ON a.contig = b.contig AND a.pos_end >= b.pos_start "
+            "AND a.pos_start <= b.pos_end"
+        ),
+    )
+
+
+def run_scaling():
+    """Partitioned-join scaling efficiency on a virtual 8-device CPU mesh
+    (multi-chip hardware is not attached; this validates the SPMD path's
+    scaling shape, not absolute ICI throughput)."""
+    import subprocess
+
+    code = r"""
+import os, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS","") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from bench import gen_genome_table
+from sequila_tpu.parallel.mesh import make_mesh
+from sequila_tpu.parallel.partitioned_join import partitioned_count
+t1 = gen_genome_table(400_000, 51)
+t2 = gen_genome_table(400_000, 52)
+enc = {f"chr{i+1}": i for i in range(24)}
+lk = np.array([enc[c] for c in t1["contig"]], np.int32)
+rk = np.array([enc[c] for c in t2["contig"]], np.int32)
+ls, le = t1["pos_start"].astype(np.int32), t1["pos_end"].astype(np.int32)
+rs, re = t2["pos_start"].astype(np.int32), t2["pos_end"].astype(np.int32)
+base = None
+for n in (1, 2, 4, 8):
+    mesh = make_mesh(n)
+    partitioned_count(mesh, lk, ls, le, rk, rs, re)  # compile
+    t0 = time.perf_counter()
+    total = partitioned_count(mesh, lk, ls, le, rk, rs, re)
+    dt = time.perf_counter() - t0
+    if base is None:
+        base = dt
+    eff = base / (dt * n) * 100
+    print(f"devices={n}: {dt*1000:.1f} ms, total={total}, efficiency={eff:.0f}%")
+"""
+    subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(os.path.abspath(__file__)))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true", help="run all algorithms")
+    ap.add_argument("--full", action="store_true", help="run the full databio-style suite")
+    ap.add_argument("--scaling", action="store_true", help="virtual-mesh scaling check")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
+    if args.scaling:
+        run_scaling()
+        return
     if args.full:
-        for alg in (
-            "coitrees", "intervaltree", "arrayintervaltree", "lapper",
-            "superintervals",
-        ):
-            run(alg, iters=args.iters, verbose=True)
+        run_full(args.iters)
 
     total, t = run("coitrees", iters=args.iters, verbose=args.full)
     value = total / t

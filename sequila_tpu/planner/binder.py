@@ -241,6 +241,16 @@ class Binder:
                     qual is not None and qual.lower() == ref.qualifier.lower()
                 ):
                     cands.append(i)
+        if not cands and ref.qualifier is not None:
+            # aggregate outputs drop qualifiers; fall back to bare-name
+            # resolution when unambiguous (ORDER BY t.col after GROUP BY)
+            bare = [
+                i
+                for i, (qual, name) in enumerate(schema)
+                if qual is None and name.lower() == ref.name.lower()
+            ]
+            if len(bare) == 1:
+                return bare[0]
         if not cands:
             raise PlanError(f"column '{ref.display()}' not found")
         if len(cands) > 1 and ref.qualifier is None:

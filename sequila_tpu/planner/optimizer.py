@@ -34,6 +34,64 @@ from sequila_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+class PredicatePushdownRule:
+    """Push single-side filter conjuncts below joins.
+
+    The reference gets this from DataFusion's logical optimizer; queries
+    like `... JOIN ... WHERE a.contig = 'chr1'` then scan a pre-filtered
+    build side.  Conjuncts referencing both sides stay above the join."""
+
+    def optimize(self, plan: ExecPlan) -> ExecPlan:
+        return plan.transform_up(self._rewrite)
+
+    def _rewrite(self, node: ExecPlan) -> ExecPlan:
+        from sequila_tpu.exec.plan import FilterExec
+        from sequila_tpu.planner import expr as pe
+
+        if not isinstance(node, FilterExec):
+            return node
+        join = node.children[0]
+        if not isinstance(
+            join, (HashJoinExec, NestedLoopJoinExec, IntervalJoinExec)
+        ) or join.join_type != "inner":
+            return node
+        nleft = len(join.children[0].schema())
+
+        def conjuncts(e):
+            if isinstance(e, pe.BinaryExpr) and e.op == "AND":
+                return conjuncts(e.left) + conjuncts(e.right)
+            return [e]
+
+        left_f, right_f, keep = [], [], []
+        for c in conjuncts(node.predicate):
+            idxs = [col.index for col in c.columns()]
+            if idxs and all(i < nleft for i in idxs):
+                left_f.append(c)
+            elif idxs and all(i >= nleft for i in idxs):
+                def rebase(n_):
+                    if isinstance(n_, pe.Column):
+                        return pe.Column(n_.name, n_.index - nleft)
+                    return n_
+
+                right_f.append(c.transform(rebase))
+            else:
+                keep.append(c)
+        if not left_f and not right_f:
+            return node
+        new_children = list(join.children)
+        for f in left_f:
+            new_children[0] = FilterExec(new_children[0], f)
+        for f in right_f:
+            new_children[1] = FilterExec(new_children[1], f)
+        new_join = join.with_children(new_children)
+        if not keep:
+            return new_join
+        pred = keep[0]
+        for c in keep[1:]:
+            pred = pe.BinaryExpr(pred, "AND", c)
+        return FilterExec(new_join, pred)
+
+
 class IntervalJoinRule:
     def __init__(self, config: SequilaConfig):
         self.config = config
@@ -95,22 +153,90 @@ class IntervalCountExec(ExecPlan):
         return IntervalCountExec(children[0], self.out_name)
 
 
+class GroupedIntervalCountExec(ExecPlan):
+    """count(*) GROUP BY <probe columns> over an interval join: per-probe-
+    row counts (BITS) weighted-bincounted by group — never materializes
+    the pairs.  The 'overlaps per chromosome' query shape."""
+
+    def __init__(self, join: IntervalJoinExec, group_cols, group_names, out_name: str):
+        self.children = [join]
+        self.group_cols = group_cols  # probe-side Column exprs
+        self.group_names = group_names
+        self.out_name = out_name
+
+    def schema(self):
+        return [(None, n) for n in self.group_names] + [(None, self.out_name)]
+
+    def execute(self, ctx):
+        join = self.children[0]
+        counts = join.per_probe_counts(ctx)  # int per probe row
+        right = join.children[1].execute(ctx)
+        cols = [right.column_np(c.index) for c in self.group_cols]
+        from sequila_tpu.exec.plan import _row_group_codes
+
+        codes, first_idx = _row_group_codes(cols)
+        sums = np.bincount(codes, weights=counts, minlength=len(first_idx)).astype(
+            np.int64
+        )
+        keep = sums > 0  # groups with no join rows don't exist in inner join
+        arrays = [pa.array(np.asarray(c)[first_idx][keep]) for c in cols]
+        arrays.append(pa.array(sums[keep]))
+        return Table(
+            pa.Table.from_arrays(arrays, names=list(self.group_names) + [self.out_name])
+        )
+
+    def display_line(self):
+        gb = ", ".join(self.group_names)
+        return f"GroupedIntervalCountExec: groupBy=[{gb}], aggr=[{self.out_name}]"
+
+    def with_children(self, children):
+        return GroupedIntervalCountExec(
+            children[0], self.group_cols, self.group_names, self.out_name
+        )
+
+
 class CountFastPathRule:
     def optimize(self, plan: ExecPlan) -> ExecPlan:
         return plan.transform_up(self._rewrite)
 
     def _rewrite(self, node: ExecPlan) -> ExecPlan:
-        if (
+        if not (
             isinstance(node, AggregateExec)
-            and not node.group_exprs
             and len(node.agg_specs) == 1
             and isinstance(node.children[0], IntervalJoinExec)
             and node.children[0].join_type == "inner"
             and not node.children[0].algorithm.is_nearest
         ):
-            func, arg, distinct, out_name = node.agg_specs[0]
-            if func == "count" and not distinct and (
-                arg is None or isinstance(arg, Literal)
-            ):
-                return IntervalCountExec(node.children[0], out_name)
-        return node
+            return node
+        func, arg, distinct, out_name = node.agg_specs[0]
+        if not (
+            func == "count" and not distinct and (arg is None or isinstance(arg, Literal))
+        ):
+            return node
+        join = node.children[0]
+        if not node.group_exprs:
+            return IntervalCountExec(join, out_name)
+        # grouped: every group expr must resolve to a probe-side column
+        # (build-side join-key columns are substituted by their probe twin)
+        from sequila_tpu.planner.expr import Column
+
+        nleft = len(join.children[0].schema())
+        probe_cols = []
+        for g in node.group_exprs:
+            if not isinstance(g, Column):
+                return node
+            if g.index >= nleft:
+                probe_cols.append(Column(g.name, g.index - nleft))
+                continue
+            # build-side: allowed only if it is an equi-key column
+            twin = None
+            for l_on, r_on in join.on:
+                if isinstance(l_on, Column) and l_on.index == g.index:
+                    twin = r_on
+                    break
+            if twin is None or not isinstance(twin, Column):
+                return node
+            probe_cols.append(twin)
+        return GroupedIntervalCountExec(
+            join, probe_cols, node.group_names, out_name
+        )

@@ -46,7 +46,11 @@ from sequila_tpu.exec.context import ExecContext
 from sequila_tpu.io.readers import read_table
 from sequila_tpu.models.table import Table, pretty_format
 from sequila_tpu.planner.binder import Binder
-from sequila_tpu.planner.optimizer import CountFastPathRule, IntervalJoinRule
+from sequila_tpu.planner.optimizer import (
+    CountFastPathRule,
+    IntervalJoinRule,
+    PredicatePushdownRule,
+)
 from sequila_tpu.sql import ast
 from sequila_tpu.sql.parser import parse_sql
 from sequila_tpu.utils.logging import get_logger
@@ -185,6 +189,7 @@ class SessionContext:
     # -- planning + execution ----------------------------------------------
     def create_physical_plan(self, sel: ast.Select):
         plan = Binder(self.catalog).bind_select(sel)
+        plan = PredicatePushdownRule().optimize(plan)
         plan = IntervalJoinRule(self.config).optimize(plan)
         plan = CountFastPathRule().optimize(plan)
         return plan
@@ -202,7 +207,16 @@ class SessionContext:
     def _run_select(self, sel: ast.Select) -> Table:
         plan = self.create_physical_plan(sel)
         ctx = ExecContext(self.config.copy())
-        out = plan.execute(ctx)
+        profile_dir = os.environ.get("SEQUILA_PROFILE")
+        if profile_dir:
+            # device-level tracing (the reference's flamegraph/RUST_LOG
+            # analog): view with TensorBoard or xprof
+            import jax
+
+            with jax.profiler.trace(profile_dir):
+                out = plan.execute(ctx)
+        else:
+            out = plan.execute(ctx)
         self.last_metrics = ctx.metrics
         return out
 

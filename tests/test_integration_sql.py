@@ -422,3 +422,21 @@ def test_outer_join_types(ctx, monkeypatch, jt, use_interval):
             if (tc, ts, te) not in matched_r
         ]
     assert got == sorted_rows(expected), jt
+
+
+@pytest.mark.parametrize("use_fast", [True, False], ids=["fastpath", "baseline"])
+def test_group_by_contig_count(ctx, use_fast):
+    """count(*) GROUP BY contig over the interval join — grouped fast path
+    must match the hash-join aggregate baseline."""
+    set_algorithm(ctx, Algorithm.COITREES if use_fast else None)
+    q = (
+        "SELECT reads.contig, count(1) AS n FROM reads JOIN targets"
+        " ON reads.contig = targets.contig"
+        " AND reads.pos_end >= targets.pos_start AND reads.pos_start <= targets.pos_end"
+        " GROUP BY reads.contig ORDER BY reads.contig"
+    )
+    if use_fast:
+        plan = ctx.sql(f"EXPLAIN {q}").column_np("plan")[0]
+        assert "GroupedIntervalCountExec" in plan, plan
+    out = ctx.sql(q)
+    assert rows_of(out) == [("chr1", 8), ("chr2", 8)]

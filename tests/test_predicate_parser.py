@@ -179,3 +179,26 @@ def test_prefer_interval_join_off(ctx):
     )
     text = out.column_np("plan")[0]
     assert "HashJoinExec" in text and "IntervalJoinExec" not in text
+
+
+def test_predicate_pushdown_below_join(ctx):
+    """Single-side WHERE conjuncts are pushed below the join (DataFusion
+    behavior the reference relies on for chromosome-subset queries)."""
+    ctx.sql("SET sequila.prefer_interval_join = true")
+    q = (
+        "SELECT * FROM t1 JOIN t2 ON t1.contig = t2.contig"
+        " AND t1.start <= t2.end AND t1.end >= t2.start"
+        " WHERE t1.contig = 'a' AND t2.end >= 2"
+    )
+    text = ctx.sql(f"EXPLAIN {q}").column_np("plan")[0]
+    lines = text.splitlines()
+    join_depth = next(i for i, l in enumerate(lines) if "IntervalJoinExec" in l)
+    # both FilterExecs must appear BELOW the join
+    below = "\n".join(lines[join_depth + 1:])
+    assert "FilterExec: contig@0 = a" in below
+    assert "FilterExec: end@2 >= 2" in below
+    # and results are correct
+    assert ctx.sql(q).num_rows == ctx.sql(
+        "SELECT * FROM t1 JOIN t2 ON t1.contig = t2.contig"
+        " AND t1.start <= t2.end AND t1.end >= t2.start"
+    ).num_rows  # fixture rows all satisfy the pushed filters
