@@ -39,7 +39,12 @@ from sequila_tpu.ops.interval_index import (
     _bucket,
     build_interval_index,
 )
-from sequila_tpu.ops.interval_join import _bounds_sort, counts_from_bounds
+from sequila_tpu.ops.interval_join import (
+    _bounds_sort,
+    counts_from_bounds,
+    emit_pairs,
+    pair_offsets,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -179,6 +184,100 @@ def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
         return jax.lax.psum(local, ("part", "probe"))
 
     return jax.jit(step)
+
+
+def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+    """Per-shard match totals [npart, nprobe] (for emit capacity sizing)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("part", None), P("part", None), P("part", None), P("part", None),
+            P("part", "probe", None), P("part", "probe", None), P("part", "probe", None),
+        ),
+        out_specs=P("part", "probe"),
+    )
+    def step(levels, keys, starts, ends, qk, qs, qe):
+        lb, ub = _bounds_sort(
+            levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
+            num_levels=num_levels, level_offsets=level_offsets,
+        )
+        return counts_from_bounds(lb, ub).sum()[None, None]
+
+    return jax.jit(step)
+
+
+def partitioned_emit_fn(
+    mesh: Mesh, num_levels: int, level_offsets: tuple, capacity: int
+):
+    """SPMD exact pair emission: every (part, probe) chip materializes its
+    shard's (build_row, probe_row) pairs into a static-capacity buffer —
+    the distributed materializing interval join."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("part", None), P("part", None), P("part", None), P("part", None),
+            P("part", None),
+            P("part", "probe", None), P("part", "probe", None), P("part", "probe", None),
+        ),
+        out_specs=(P("part", "probe", None), P("part", "probe", None)),
+    )
+    def step(levels, keys, starts, ends, pos, qk, qs, qe):
+        lb, ub = _bounds_sort(
+            levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
+            num_levels=num_levels, level_offsets=level_offsets,
+        )
+        offsets, lb_pm = pair_offsets(lb, ub)
+        b, p, _valid = emit_pairs(
+            offsets, lb_pm, pos[0],
+            capacity=capacity, num_levels=num_levels, level_offsets=level_offsets,
+        )
+        return b[None, None, :], p[None, None, :]
+
+    return jax.jit(step)
+
+
+def partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re):
+    """Distributed exact materializing join over the ('part','probe') mesh.
+
+    Two phases (both SPMD): per-shard totals size the static emit
+    capacity, then every chip emits its pairs; the host maps shard-local
+    probe slots back to global rows.  Returns (build_rows, probe_rows)."""
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    arrays, meta = build_partitioned_index(lk, ls, le, npart)
+    K, S, E, IDX = partition_probe(rk, rs, re, npart, nprobe)
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    didx = [
+        dev(arrays[n], P("part", None))
+        for n in ("levels", "keys", "starts", "ends")
+    ]
+    dpos = dev(arrays["pos"], P("part", None))
+    dK = dev(K, P("part", "probe", None))
+    dS = dev(S, P("part", "probe", None))
+    dE = dev(E, P("part", "probe", None))
+
+    totals = np.asarray(
+        shard_totals_fn(mesh, meta["num_levels"], meta["level_offsets"])(
+            *didx, dK, dS, dE
+        )
+    )
+    cap = _bucket(max(int(totals.max()), 1), minimum=1024)
+    b, p = partitioned_emit_fn(
+        mesh, meta["num_levels"], meta["level_offsets"], cap
+    )(*didx, dpos, dK, dS, dE)
+    b = np.asarray(b)  # [npart, nprobe, cap] global build rows (-1 invalid)
+    p = np.asarray(p)  # [npart, nprobe, cap] shard-local probe slots
+    out_b, out_p = [], []
+    for part in range(npart):
+        for chip in range(nprobe):
+            valid = b[part, chip] >= 0
+            out_b.append(b[part, chip][valid])
+            out_p.append(IDX[part, chip][p[part, chip][valid]])
+    return np.concatenate(out_b), np.concatenate(out_p)
 
 
 # ---------------------------------------------------------------------------

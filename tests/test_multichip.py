@@ -74,3 +74,18 @@ def test_skewed_keys(rng):
     want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
     assert partitioned_count(mesh, lk, ls, le, rk, rs, re) == want
     assert collect_left_count(mesh, lk, ls, le, rk, rs, re) == want
+
+
+@pytest.mark.parametrize("part", [2, 4])
+def test_partitioned_pairs_match_oracle(rng, part):
+    """Distributed materializing join == brute-force oracle pairs."""
+    from sequila_tpu.ops.oracle import oracle_pairs
+    from sequila_tpu.parallel.partitioned_join import partitioned_pairs
+
+    mesh = make_mesh(8, part=part)
+    lk, ls, le, rk, rs, re = _tables(rng, 300, 400)
+    b, p = partitioned_pairs(mesh, lk, ls, le, rk, rs, re)
+    ob, op = oracle_pairs(lk, ls, le, rk, rs, re)
+    assert sorted(zip(p.tolist(), b.tolist())) == sorted(
+        zip(op.tolist(), ob.tolist())
+    )
