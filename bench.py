@@ -179,6 +179,53 @@ def run_full(iters):
     )
 
 
+def run_pipeline(iters=16):
+    """Sustained async throughput: dispatch many distinct count queries
+    without intermediate syncs (single-query wall time here is dominated
+    by the ~25-33 ms host<->device round trip of the tunnelled TPU; a
+    production deployment pipelines dispatches exactly like this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequila_tpu.ops.interval_index import _bucket
+    from sequila_tpu.ops.interval_join import counts_bits_fused
+
+    t1 = gen_chain_table(N_LEFT, 1)
+    lk = jnp.zeros(N_LEFT, jnp.int32)
+    ls = jnp.asarray(t1["pos_start"].astype(np.int32))
+    le = jnp.asarray(t1["pos_end"].astype(np.int32))
+    rm = jnp.zeros(1, jnp.int32)
+    npad = _bucket(N_LEFT, minimum=1024)
+    mpad = _bucket(N_RIGHT, minimum=1024)
+    probes = []
+    for s in range(4):
+        t2 = gen_chain_table(N_RIGHT, 100 + s)
+        p = (
+            jnp.zeros(N_RIGHT, jnp.int32),
+            jnp.asarray(t2["pos_start"].astype(np.int32)),
+            jnp.asarray(t2["pos_end"].astype(np.int32)),
+        )
+        jax.block_until_ready(p)
+        probes.append(p)
+
+    def f(p):
+        return counts_bits_fused(
+            lk, ls, le, p[0], p[1], p[2], rm, rm, n_pad=npad, m_pad=mpad
+        )
+
+    jax.block_until_ready(f(probes[0]))
+    t0 = time.perf_counter()
+    outs = [f(probes[i % 4]) for i in range(iters)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / iters
+    mean_rows = float(np.mean([np.asarray(o)[0] for o in outs]))
+    print(
+        f"pipelined: {dt*1000:.2f} ms/query sustained "
+        f"({mean_rows/max(dt,1e-9)/1e9:.0f}B output rows/s device throughput)",
+        file=sys.stderr,
+    )
+
+
 def run_scaling():
     """Partitioned-join scaling efficiency on a virtual 8-device CPU mesh
     (multi-chip hardware is not attached; this validates the SPMD path's
@@ -221,11 +268,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="run the full databio-style suite")
     ap.add_argument("--scaling", action="store_true", help="virtual-mesh scaling check")
+    ap.add_argument("--pipeline", action="store_true", help="sustained async throughput")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling()
+        return
+    if args.pipeline:
+        run_pipeline()
         return
     if args.full:
         run_full(args.iters)
