@@ -70,3 +70,33 @@ def read_table(path: str, fmt: str, **options) -> Table:
     if fmt == "bed":
         return read_bed(path)
     raise PlanError(f"unsupported storage format: {fmt}")
+
+
+def write_table(table: Table, path: str) -> None:
+    """Write a table; format chosen by extension (.parquet/.csv/.bed/.tsv).
+
+    Duplicate column names (SELECT * over a join) get :1 suffixes —
+    parquet requires unique field names."""
+    arrow = table.arrow
+    names = arrow.column_names
+    if len(set(names)) != len(names):
+        seen: dict[str, int] = {}
+        uniq = []
+        for n in names:
+            k = seen.get(n, 0)
+            uniq.append(n if k == 0 else f"{n}:{k}")
+            seen[n] = k + 1
+        arrow = arrow.rename_columns(uniq)
+        table = Table(arrow)
+    lower = path.lower()
+    if lower.endswith(".parquet"):
+        pq.write_table(table.arrow, path)
+    elif lower.endswith((".bed", ".tsv")):
+        pacsv.write_csv(
+            table.arrow, path,
+            write_options=pacsv.WriteOptions(include_header=False, delimiter="\t"),
+        )
+    elif lower.endswith(".csv"):
+        pacsv.write_csv(table.arrow, path)
+    else:
+        raise PlanError(f"can't infer output format from path: {path}")

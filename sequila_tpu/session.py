@@ -148,6 +148,16 @@ class SessionContext:
             return self._explain(stmt)
         if isinstance(stmt, ast.Select):
             return self._run_select(stmt)
+        if isinstance(stmt, ast.CopyTo):
+            from sequila_tpu.io.readers import write_table
+
+            src = (
+                self.table(stmt.source)
+                if isinstance(stmt.source, str)
+                else self._run_select(stmt.source)
+            )
+            write_table(src, stmt.path)
+            return Table(pa.table({"count": [src.num_rows]}))
         if isinstance(stmt, ast.ShowTables):
             names = sorted(self.catalog)
             return Table(pa.table({"table_name": names}))

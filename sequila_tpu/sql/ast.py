@@ -156,3 +156,11 @@ class Explain(Statement):
 @dataclasses.dataclass(frozen=True)
 class ShowTables(Statement):
     pass
+
+
+@dataclasses.dataclass(frozen=True)
+class CopyTo(Statement):
+    """COPY <table | (select)> TO 'path' — format from the extension."""
+
+    source: object  # str table name or Select
+    path: str

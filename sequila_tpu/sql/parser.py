@@ -95,6 +95,16 @@ class Parser:
             self.next()
             self.expect_kw("TABLES")
             return ast.ShowTables()
+        if self.at_kw("COPY"):
+            self.next()
+            if self.eat("punct", "("):
+                src = self.parse_select()
+                self.expect("punct", ")")
+            else:
+                src = self.parse_object_name()
+            self.expect_kw("TO")
+            path = self.expect("string").value
+            return ast.CopyTo(src, path)
         raise PlanError(f"unsupported statement start: {self.peek().value!r}")
 
     # -- SET ----------------------------------------------------------------

@@ -440,3 +440,21 @@ def test_group_by_contig_count(ctx, use_fast):
         assert "GroupedIntervalCountExec" in plan, plan
     out = ctx.sql(q)
     assert rows_of(out) == [("chr1", 8), ("chr2", 8)]
+
+
+def test_copy_to(ctx, tmp_path):
+    set_algorithm(ctx, Algorithm.COITREES)
+    out_pq = tmp_path / "out.parquet"
+    out_csv = tmp_path / "out.csv"
+    q = (
+        "COPY (SELECT * FROM reads JOIN targets ON reads.contig = targets.contig"
+        " AND reads.pos_start <= targets.pos_end AND reads.pos_end >= targets.pos_start)"
+        f" TO '{out_pq}'"
+    )
+    res = ctx.sql(q)
+    assert res.column_np("count")[0] == 16
+    ctx.sql(f"COPY reads TO '{out_csv}'")
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out_pq).num_rows == 16
+    assert out_csv.read_text().startswith('"contig"') or out_csv.read_text().startswith("contig")
