@@ -63,11 +63,25 @@ class Binder:
         if not has_aggs:
             if where is not None:
                 plan = FilterExec(plan, self._bind_expr(where, schema).expr)
-            # ORDER BY binds against pre-projection schema
+            # ORDER BY binds against the pre-projection schema; a bare
+            # column that only exists as a SELECT alias resolves to the
+            # aliased expression (standard SQL).
             if sel.order_by:
+                alias_exprs = {
+                    item.alias: item.expr
+                    for item in sel.items
+                    if item.alias is not None
+                }
                 exprs, asc = [], []
                 for oi in sel.order_by:
-                    exprs.append(self._bind_expr(oi.expr, schema).expr)
+                    target = oi.expr
+                    if (
+                        isinstance(target, ast.ColRef)
+                        and target.qualifier is None
+                        and target.name in alias_exprs
+                    ):
+                        target = alias_exprs[target.name]
+                    exprs.append(self._bind_expr(target, schema).expr)
                     asc.append(oi.asc)
                 plan = SortExec(plan, exprs, asc)
             plan = self._bind_projection(plan, sel)

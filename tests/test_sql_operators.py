@@ -1,0 +1,120 @@
+"""General SQL operator tests: aggregates, grouping, sort, distinct,
+limit, expressions — the engine surface beyond joins."""
+
+import numpy as np
+import pytest
+
+from sequila_tpu.session import SessionContext
+
+
+@pytest.fixture
+def ctx():
+    c = SessionContext()
+    c.sql(
+        "CREATE TABLE t (contig TEXT, strand TEXT, start INTEGER, len INTEGER)"
+        " AS VALUES"
+        " ('chr1', '+', 10, 5), ('chr1', '-', 20, 15), ('chr1', '+', 30, 25),"
+        " ('chr2', '+', 40, 35), ('chr2', '-', 50, 45), ('chr3', '+', 60, 55)"
+    )
+    return c
+
+
+def rows(t):
+    cols = [t.column_np(i).tolist() for i in range(len(t.column_names))]
+    return list(zip(*cols))
+
+
+def test_aggregates_no_group(ctx):
+    out = ctx.sql("SELECT count(*), sum(len), min(start), max(start), avg(len) FROM t")
+    r = rows(out)[0]
+    assert r[0] == 6
+    assert r[1] == 5 + 15 + 25 + 35 + 45 + 55
+    assert r[2] == 10 and r[3] == 60
+    assert abs(r[4] - 30.0) < 1e-9
+
+
+def test_group_by_single(ctx):
+    out = ctx.sql(
+        "SELECT contig, count(*) AS n, sum(len) AS s FROM t GROUP BY contig ORDER BY contig"
+    )
+    assert rows(out) == [("chr1", 3, 45), ("chr2", 2, 80), ("chr3", 1, 55)]
+
+
+def test_group_by_multi_column(ctx):
+    out = ctx.sql(
+        "SELECT contig, strand, count(*) AS n FROM t GROUP BY contig, strand"
+        " ORDER BY contig, strand"
+    )
+    assert rows(out) == [
+        ("chr1", "+", 2), ("chr1", "-", 1), ("chr2", "+", 1),
+        ("chr2", "-", 1), ("chr3", "+", 1),
+    ]
+
+
+def test_count_distinct(ctx):
+    out = ctx.sql("SELECT count(DISTINCT contig) FROM t")
+    assert rows(out)[0][0] == 3
+
+
+def test_where_and_arithmetic(ctx):
+    out = ctx.sql(
+        "SELECT start + len AS e FROM t WHERE start >= 20 AND start + len < 80 ORDER BY e"
+    )
+    assert [r[0] for r in rows(out)] == [35, 55, 75]
+
+
+def test_order_desc_and_limit(ctx):
+    out = ctx.sql("SELECT start FROM t ORDER BY start DESC LIMIT 2")
+    assert [r[0] for r in rows(out)] == [60, 50]
+
+
+def test_order_by_string_desc(ctx):
+    out = ctx.sql("SELECT DISTINCT contig FROM t ORDER BY contig DESC")
+    assert [r[0] for r in rows(out)] == ["chr3", "chr2", "chr1"]
+
+
+def test_distinct(ctx):
+    out = ctx.sql("SELECT DISTINCT strand FROM t")
+    assert sorted(r[0] for r in rows(out)) == ["+", "-"]
+
+
+def test_between_and_or(ctx):
+    out = ctx.sql(
+        "SELECT start FROM t WHERE start BETWEEN 20 AND 40 OR contig = 'chr3' ORDER BY start"
+    )
+    assert [r[0] for r in rows(out)] == [20, 30, 40, 60]
+
+
+def test_aliases_and_projection(ctx):
+    out = ctx.sql("SELECT contig AS c, start * 2 AS dbl FROM t LIMIT 1")
+    assert out.column_names == ["c", "dbl"]
+    assert rows(out) == [("chr1", 20)]
+
+
+def test_create_table_as_select(ctx):
+    ctx.sql("CREATE TABLE t2 AS SELECT contig, start FROM t WHERE start > 30")
+    out = ctx.sql("SELECT count(*) FROM t2")
+    assert rows(out)[0][0] == 3
+
+
+def test_show_tables_and_drop(ctx):
+    ctx.sql("CREATE TABLE tmp AS VALUES (1)")
+    names = [r[0] for r in rows(ctx.sql("SHOW TABLES"))]
+    assert "tmp" in names and "t" in names
+    ctx.sql("DROP TABLE tmp")
+    assert "tmp" not in [r[0] for r in rows(ctx.sql("SHOW TABLES"))]
+    ctx.sql("DROP TABLE IF EXISTS nosuch")  # no error
+
+
+def test_having_unsupported_is_clear(ctx):
+    from sequila_tpu.errors import PlanError
+
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT contig FROM t GROUP BY contig HAVING count(*) > 1")
+
+
+def test_group_by_expression_must_match(ctx):
+    from sequila_tpu.errors import PlanError
+
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT strand, count(*) FROM t GROUP BY contig")
