@@ -249,17 +249,38 @@ lk = np.array([enc[c] for c in t1["contig"]], np.int32)
 rk = np.array([enc[c] for c in t2["contig"]], np.int32)
 ls, le = t1["pos_start"].astype(np.int32), t1["pos_end"].astype(np.int32)
 rs, re = t2["pos_start"].astype(np.int32), t2["pos_end"].astype(np.int32)
+# Time ONLY the SPMD device step (data pre-partitioned and placed):
+# on a real pod the host-side shuffle is itself distributed; here it is
+# one serial python process and would swamp the measurement.
+from jax.sharding import NamedSharding, PartitionSpec as P
+from sequila_tpu.parallel.partitioned_join import (
+    build_partitioned_index, partition_probe, partitioned_count_fn,
+)
 base = None
 for n in (1, 2, 4, 8):
     mesh = make_mesh(n)
-    partitioned_count(mesh, lk, ls, le, rk, rs, re)  # compile
+    npart, nprobe = mesh.shape["part"], mesh.shape["probe"]
+    arrays, meta = build_partitioned_index(lk, ls, le, npart)
+    K, S, E, _ = partition_probe(rk, rs, re, npart, nprobe)
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    args = (
+        dev(arrays["levels"], P("part", None)), dev(arrays["keys"], P("part", None)),
+        dev(arrays["starts"], P("part", None)), dev(arrays["ends"], P("part", None)),
+        dev(K, P("part", "probe", None)), dev(S, P("part", "probe", None)),
+        dev(E, P("part", "probe", None)),
+    )
+    fn = partitioned_count_fn(mesh, meta["num_levels"], meta["level_offsets"])
+    fn(*args).block_until_ready()  # compile
+    reps = 3
     t0 = time.perf_counter()
-    total = partitioned_count(mesh, lk, ls, le, rk, rs, re)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        total = fn(*args)
+    total.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
     if base is None:
         base = dt
     eff = base / (dt * n) * 100
-    print(f"devices={n}: {dt*1000:.1f} ms, total={total}, efficiency={eff:.0f}%")
+    print(f"devices={n}: SPMD step {dt*1000:.1f} ms, total={int(total)}, scaling efficiency={eff:.0f}%")
 """
     subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(os.path.abspath(__file__)))
 
