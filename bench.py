@@ -281,6 +281,13 @@ for n in (1, 2, 4, 8):
         base = dt
     eff = base / (dt * n) * 100
     print(f"devices={n}: SPMD step {dt*1000:.1f} ms, total={int(total)}, scaling efficiency={eff:.0f}%")
+
+# skew-aware comparison (range-split hot contigs) at 8 devices
+from sequila_tpu.parallel.skew import skew_partitioned_count_mesh
+mesh = make_mesh(8)
+t0 = time.perf_counter()
+total = skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re)
+print(f"skew-aware 8 devices (incl. host planning + compile): {time.perf_counter()-t0:.2f} s, total={total}")
 """
     subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(os.path.abspath(__file__)))
 

@@ -1,0 +1,278 @@
+"""Skew-aware partition planning: range-splitting of hot contigs.
+
+Hash partitioning by contig collapses when one chromosome dominates (chr1
+is ~8% of the genome; a whole-genome join then bottlenecks on one chip —
+SURVEY.md §7 lists this as the main threat to the scaling target).  The
+fix is the classic range sub-split, done exactly:
+
+- a hot key's coordinate space is cut at probe-start quantiles into
+  sub-ranges, each its own shard;
+- build intervals are REPLICATED into every sub-range they overlap;
+  probe intervals likewise;
+- each (build, probe) pair is counted only in the sub-range containing
+  ``max(build.start, probe.start)`` — the leftmost point of their
+  intersection — so replicas never double-count.
+
+Inside a sub-range [lo, hi) that rule reduces to rank arithmetic
+(derivation in count_subrange):
+
+    native probes (qs in [lo,hi)):   #(bs <= qe') - #(be < qs)
+    visitor probes (qs < lo):        #(bs <= qe') - #(bs < lo)
+
+with qe' = min(qe, hi-1).  One extra rank column versus plain BITS.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sequila_tpu.ops.ranks import rank_lex_sort
+
+
+@dataclasses.dataclass
+class PartitionPlan:
+    """Assignment of (key, sub-range) shards to parts.
+
+    shard_of_key: key -> shard id for unsplit keys
+    splits: key -> (boundaries array [k+1], shard ids [k]) for hot keys
+    num_shards: total shards (>= npart; shards are then LPT-packed onto
+    parts by weight)
+    shard_part: shard id -> part id
+    """
+
+    shard_of_key: dict
+    splits: dict
+    num_shards: int
+    shard_part: np.ndarray
+
+
+def plan_partitions(
+    lk, rk, rs, npart: int, split_threshold: float = 1.5
+) -> PartitionPlan:
+    """Greedy LPT packing of per-key weights; keys heavier than
+    ``split_threshold * (total/npart)`` are range-split into roughly
+    equal-probe sub-ranges."""
+    num_keys = int(max(lk.max() if len(lk) else 0, rk.max() if len(rk) else 0)) + 1
+    wb = np.bincount(lk, minlength=num_keys).astype(np.int64)
+    wp = np.bincount(rk, minlength=num_keys).astype(np.int64)
+    weights = wb + wp
+    total = int(weights.sum())
+    cap = max(1.0, split_threshold * total / max(npart, 1))
+
+    shard_of_key: dict = {}
+    splits: dict = {}
+    shard_weights: list = []
+    for key in np.argsort(weights)[::-1]:
+        w = int(weights[key])
+        if w == 0:
+            continue
+        if w > cap and wp[key] > npart:
+            # range-split at probe-start quantiles
+            nsub = min(npart, max(2, int(np.ceil(w / cap))))
+            starts = np.sort(rs[rk == key])
+            qs_bounds = starts[
+                np.linspace(0, len(starts) - 1, nsub + 1).astype(np.int64)
+            ].astype(np.int64)
+            bounds = np.empty(nsub + 1, np.int64)
+            bounds[0] = -(2**31)
+            bounds[-1] = 2**31
+            bounds[1:-1] = np.unique(qs_bounds[1:-1])[: nsub - 1]
+            # dedup may shrink; rebuild size
+            bounds = np.unique(bounds)
+            nsub = len(bounds) - 1
+            ids = []
+            for _ in range(nsub):
+                ids.append(len(shard_weights))
+                shard_weights.append(w / nsub)
+            splits[int(key)] = (bounds, np.asarray(ids))
+        else:
+            shard_of_key[int(key)] = len(shard_weights)
+            shard_weights.append(w)
+
+    num_shards = len(shard_weights)
+    # LPT: heaviest shard to lightest part
+    part_load = np.zeros(npart, np.float64)
+    shard_part = np.zeros(num_shards, np.int64)
+    for sid in np.argsort(np.asarray(shard_weights))[::-1]:
+        p = int(np.argmin(part_load))
+        shard_part[sid] = p
+        part_load[p] += shard_weights[sid]
+    return PartitionPlan(shard_of_key, splits, num_shards, shard_part)
+
+
+def assign_build(plan: PartitionPlan, lk, ls, le):
+    """Replicate build rows into their shards.  Returns (shard_ids, rows)."""
+    out_shard, out_row = [], []
+    for key, sid in plan.shard_of_key.items():
+        rows = np.nonzero(lk == key)[0]
+        out_shard.append(np.full(len(rows), sid))
+        out_row.append(rows)
+    for key, (bounds, ids) in plan.splits.items():
+        rows = np.nonzero(lk == key)[0]
+        s = ls[rows].astype(np.int64)
+        e = le[rows].astype(np.int64)
+        for i, sid in enumerate(ids):
+            lo, hi = bounds[i], bounds[i + 1]
+            mask = (s < hi) & (e >= lo)
+            out_shard.append(np.full(int(mask.sum()), sid))
+            out_row.append(rows[mask])
+    if not out_shard:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_shard), np.concatenate(out_row)
+
+
+def assign_probe(plan: PartitionPlan, rk, rs, re):
+    """Replicate probe rows into their shards.
+
+    Returns (shard_ids, rows, lo, hi): per replica the sub-range window
+    ([-2^31, 2^31) for unsplit keys, so every probe is 'native')."""
+    out = {k: [] for k in ("sid", "row", "lo", "hi")}
+    for key, sid in plan.shard_of_key.items():
+        rows = np.nonzero(rk == key)[0]
+        out["sid"].append(np.full(len(rows), sid))
+        out["row"].append(rows)
+        out["lo"].append(np.full(len(rows), -(2**31), np.int64))
+        out["hi"].append(np.full(len(rows), 2**31, np.int64))
+    for key, (bounds, ids) in plan.splits.items():
+        rows = np.nonzero(rk == key)[0]
+        s = rs[rows].astype(np.int64)
+        e = re[rows].astype(np.int64)
+        for i, sid in enumerate(ids):
+            lo, hi = bounds[i], bounds[i + 1]
+            mask = (s < hi) & (e >= lo)
+            sel = rows[mask]
+            out["sid"].append(np.full(len(sel), sid))
+            out["row"].append(sel)
+            out["lo"].append(np.full(len(sel), lo, np.int64))
+            out["hi"].append(np.full(len(sel), hi, np.int64))
+    if not out["sid"]:
+        z = np.empty(0, np.int64)
+        return z, z, z, z
+    return (
+        np.concatenate(out["sid"]),
+        np.concatenate(out["row"]),
+        np.concatenate(out["lo"]),
+        np.concatenate(out["hi"]),
+    )
+
+
+@jax.jit
+def counts_skew(bk, bs, be, qk, qs, qe, q_lo, q_hi):
+    """Exact per-replica counts under the max(bs,qs)-ownership rule.
+
+    bk here is the SHARD id (key identity is folded into the shard), and
+    likewise qk; q_lo/q_hi are each replica's sub-range window.
+    """
+    qe_c = jnp.minimum(qe.astype(jnp.int64), q_hi - 1).astype(jnp.int32)
+    native = qs.astype(jnp.int64) >= q_lo
+    ub = rank_lex_sort((bk, bs), (qk, qe_c), side="right")
+    lb_nat = rank_lex_sort((bk, be), (qk, qs), side="left")
+    lo32 = jnp.clip(q_lo, -(2**31), 2**31 - 1).astype(jnp.int32)
+    lb_vis = rank_lex_sort((bk, bs), (qk, lo32), side="left")
+    counts = ub - jnp.where(native, lb_nat, lb_vis)
+    return jnp.where(qs <= qe, jnp.maximum(counts, 0), 0)
+
+
+def skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) -> int:
+    """SPMD skew-aware count over a ('part','probe') mesh: shards packed
+    onto parts by LPT weight, probe replicas row-split over 'probe',
+    per-chip 3-rank counting, psum'd global total."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from sequila_tpu.ops.interval_index import _bucket
+
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    plan = plan_partitions(lk, rk, rs, npart)
+    b_sid, b_row = assign_build(plan, lk, ls, le)
+    q_sid, q_row, q_lo, q_hi = assign_probe(plan, rk, rs, re)
+    if len(q_sid) == 0 or len(b_sid) == 0:
+        return 0
+    b_part = plan.shard_part[b_sid]
+    q_part = plan.shard_part[q_sid]
+
+    # per-part padded build arrays (PAD shard id sorts after real shards)
+    PAD_SID = np.int32(2**31 - 1)
+    bn = max(int(np.bincount(b_part, minlength=npart).max()), 1)
+    bn = _bucket(bn, minimum=8)
+    BK = np.full((npart, bn), PAD_SID, np.int32)
+    BS = np.full((npart, bn), 2**31 - 1, np.int32)
+    BE = np.full((npart, bn), 2**31 - 1, np.int32)
+    for p in range(npart):
+        sel = np.nonzero(b_part == p)[0]
+        BK[p, : len(sel)] = b_sid[sel]
+        BS[p, : len(sel)] = ls[b_row[sel]]
+        BE[p, : len(sel)] = le[b_row[sel]]
+
+    # per-(part, probe-chip) padded probe arrays; padding is degenerate
+    per = max(int(np.bincount(q_part, minlength=npart).max()), 1)
+    per_chip = _bucket(max(1, -(-per // nprobe)), minimum=8)
+    QK = np.full((npart, nprobe, per_chip), PAD_SID, np.int32)
+    QS = np.full((npart, nprobe, per_chip), 2**31 - 1, np.int32)
+    QE = np.full((npart, nprobe, per_chip), 2**31 - 3, np.int32)
+    QLO = np.full((npart, nprobe, per_chip), -(2**31), np.int64)
+    QHI = np.full((npart, nprobe, per_chip), 2**31, np.int64)
+    for p in range(npart):
+        sel = np.nonzero(q_part == p)[0]
+        for c in range(nprobe):
+            sl = sel[c * per_chip : (c + 1) * per_chip]
+            QK[p, c, : len(sl)] = q_sid[sl]
+            QS[p, c, : len(sl)] = rs[q_row[sl]]
+            QE[p, c, : len(sl)] = re[q_row[sl]]
+            QLO[p, c, : len(sl)] = q_lo[sl]
+            QHI[p, c, : len(sl)] = q_hi[sl]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("part", None), P("part", None), P("part", None),
+            P("part", "probe", None), P("part", "probe", None),
+            P("part", "probe", None), P("part", "probe", None),
+            P("part", "probe", None),
+        ),
+        out_specs=P(),
+    )
+    def step(bk, bs, be, qk, qs, qe, qlo, qhi):
+        local = counts_skew(
+            bk[0], bs[0], be[0], qk[0, 0], qs[0, 0], qe[0, 0], qlo[0, 0], qhi[0, 0]
+        ).sum().astype(jnp.int32)
+        return jax.lax.psum(local, ("part", "probe"))
+
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    total = jax.jit(step)(
+        dev(BK, P("part", None)), dev(BS, P("part", None)), dev(BE, P("part", None)),
+        dev(QK, P("part", "probe", None)), dev(QS, P("part", "probe", None)),
+        dev(QE, P("part", "probe", None)), dev(QLO, P("part", "probe", None)),
+        dev(QHI, P("part", "probe", None)),
+    )
+    return int(total)
+
+
+def skew_partitioned_count(lk, ls, le, rk, rs, re, npart: int) -> int:
+    """End-to-end exact count with skew-aware range splitting (host-driven
+    single-device version; the SPMD variant shards the same arrays)."""
+    plan = plan_partitions(lk, rk, rs, npart)
+    b_sid, b_row = assign_build(plan, lk, ls, le)
+    q_sid, q_row, q_lo, q_hi = assign_probe(plan, rk, rs, re)
+    if len(q_sid) == 0 or len(b_sid) == 0:
+        return 0
+    counts = counts_skew(
+        jnp.asarray(b_sid.astype(np.int32)),
+        jnp.asarray(ls[b_row]),
+        jnp.asarray(le[b_row]),
+        jnp.asarray(q_sid.astype(np.int32)),
+        jnp.asarray(rs[q_row]),
+        jnp.asarray(re[q_row]),
+        jnp.asarray(q_lo),
+        jnp.asarray(q_hi),
+    )
+    return int(np.asarray(counts).sum())

@@ -89,3 +89,82 @@ def test_partitioned_pairs_match_oracle(rng, part):
     assert sorted(zip(p.tolist(), b.tolist())) == sorted(
         zip(op.tolist(), ob.tolist())
     )
+
+
+class TestSkewAware:
+    def test_skew_split_count_exact(self, rng):
+        """90% of rows on one contig: range-split counts must stay exact."""
+        from sequila_tpu.parallel.skew import plan_partitions, skew_partitioned_count
+
+        n, m = 800, 1000
+        lk = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 6, n)).astype(np.int32)
+        ls = rng.integers(0, 50_000, n).astype(np.int32)
+        le = ls + rng.integers(0, 2_000, n).astype(np.int32)
+        rk = np.where(rng.random(m) < 0.9, 0, rng.integers(1, 6, m)).astype(np.int32)
+        rs = rng.integers(0, 50_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 2_000, m).astype(np.int32)
+        plan = plan_partitions(lk, rk, rs, npart=8)
+        assert 0 in plan.splits, "hot contig must be range-split"
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        got = skew_partitioned_count(lk, ls, le, rk, rs, re, npart=8)
+        assert got == want
+
+    def test_single_key_everything(self, rng):
+        """All rows one contig (the reference's chr1-only benchmark shape)."""
+        from sequila_tpu.parallel.skew import skew_partitioned_count
+
+        n, m = 500, 600
+        lk = np.zeros(n, np.int32)
+        ls = rng.integers(0, 100_000, n).astype(np.int32)
+        le = ls + rng.integers(0, 5_000, n).astype(np.int32)
+        rk = np.zeros(m, np.int32)
+        rs = rng.integers(0, 100_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 5_000, m).astype(np.int32)
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert skew_partitioned_count(lk, ls, le, rk, rs, re, npart=8) == want
+
+    def test_long_straddling_intervals(self, rng):
+        """Intervals spanning many sub-ranges (replicated everywhere) must
+        be counted exactly once per matching pair."""
+        from sequila_tpu.parallel.skew import skew_partitioned_count
+
+        n = 50
+        lk = np.zeros(n, np.int32)
+        ls = np.zeros(n, np.int32)  # all start at 0
+        le = np.full(n, 99_999, np.int32)  # all span everything
+        m = 300
+        rk = np.zeros(m, np.int32)
+        rs = rng.integers(0, 100_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 100, m).astype(np.int32)
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert want == n * m  # sanity: every pair overlaps
+        assert skew_partitioned_count(lk, ls, le, rk, rs, re, npart=4) == want
+
+    def test_balanced_load(self, rng):
+        """The plan must spread a hot contig across parts."""
+        from sequila_tpu.parallel.skew import assign_probe, plan_partitions
+
+        m = 2000
+        rk = np.zeros(m, np.int32)
+        rs = rng.integers(0, 1_000_000, m).astype(np.int32)
+        lk = np.zeros(500, np.int32)
+        plan = plan_partitions(lk, rk, rs, npart=8)
+        sid, row, lo, hi = assign_probe(plan, rk, rs, rs + 100)
+        parts = plan.shard_part[sid]
+        loads = np.bincount(parts, minlength=8)
+        assert loads.max() <= 2.5 * max(loads[loads > 0].min(), 1)
+
+    def test_skew_mesh_count(self, rng):
+        """SPMD skew-aware count on the virtual mesh == oracle."""
+        from sequila_tpu.parallel.skew import skew_partitioned_count_mesh
+
+        mesh = make_mesh(8, part=4)
+        n, m = 600, 800
+        lk = np.where(rng.random(n) < 0.85, 0, rng.integers(1, 5, n)).astype(np.int32)
+        ls = rng.integers(0, 40_000, n).astype(np.int32)
+        le = ls + rng.integers(0, 3_000, n).astype(np.int32)
+        rk = np.where(rng.random(m) < 0.85, 0, rng.integers(1, 5, m)).astype(np.int32)
+        rs = rng.integers(0, 40_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 3_000, m).astype(np.int32)
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) == want
