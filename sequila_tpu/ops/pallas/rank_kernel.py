@@ -91,18 +91,18 @@ def _make_kernel(n_build: int, strict: bool):
         c_hi = chunk_rank(last_k, last_v, lt_strict=False)
         lo_al = c_lo * CHUNK
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 1)
-
         def chunk_body(c, acc):
             start = pl.multiple_of((c_lo + c) * CHUNK, 128)
             ak = a_keys_ref[0, pl.ds(start, CHUNK)]
             av = a_vals_ref[0, pl.ds(start, CHUNK)]
+            # n_build is CHUNK-padded and the sweep never passes the last
+            # chunk, so no bounds mask is needed; PAD entries sort last
+            # and are excluded by the window/compare themselves.
             less = _less_eq(
                 ak[None, :], av[None, :], bk[0][:, None], bv[0][:, None],
                 strict=strict,
             )
-            valid = (start + col) < n_build
-            return acc + jnp.sum(less & valid, axis=1).astype(jnp.int32)
+            return acc + jnp.sum(less, axis=1).astype(jnp.int32)
 
         counts = jax.lax.fori_loop(
             0, c_hi - c_lo, chunk_body, jnp.zeros((BLOCK,), jnp.int32)
@@ -144,12 +144,19 @@ def rank_lex_pallas(build_keys, query_keys, side: str = "left"):
     Sorts the build side and the queries on-device (XLA sort), runs the
     merge-window kernel, and scatters ranks back to query order.
     """
+    from sequila_tpu.ops.ranks import rank_lex_sort
+
     bk, bv = build_keys
     qk, qv = query_keys
     n = bk.shape[0]
     if n == 0:
         return jnp.zeros(qk.shape, jnp.int32)
     m = qk.shape[0]
+    if m == 0:
+        return jnp.zeros((0,), jnp.int32)
+    if n > MAX_VMEM_BUILD:
+        # build side exceeds the VMEM residency budget: co-sort instead
+        return rank_lex_sort(build_keys, query_keys, side=side)
     # pad sizes to multiples of BLOCK/CHUNK
     n_pad = int(-(-n // CHUNK) * CHUNK)
     m_pad = int(-(-m // BLOCK) * BLOCK)

@@ -302,3 +302,24 @@ class TestPallasRankKernel:
         )
         np.testing.assert_array_equal(left, [0, 0, 0, n, 0])
         np.testing.assert_array_equal(right, [0, n, n, n, n])
+
+    def test_empty_queries_and_vmem_fallback(self, rng):
+        from sequila_tpu.ops.pallas import rank_kernel as rkmod
+        from sequila_tpu.ops.pallas.rank_kernel import rank_lex_pallas
+
+        e = jnp.asarray(np.empty(0, np.int32))
+        out = rank_lex_pallas((e, e), (e, e))
+        assert out.shape == (0,)
+        bk = jnp.asarray(rng.integers(0, 3, 100).astype(np.int32))
+        out = rank_lex_pallas((bk, bk), (e, e))
+        assert out.shape == (0,)
+        # oversized build falls back to the co-sort rank
+        old = rkmod.MAX_VMEM_BUILD
+        try:
+            rkmod.MAX_VMEM_BUILD = 10
+            qk = jnp.asarray(rng.integers(0, 4, 50).astype(np.int32))
+            got = np.asarray(rank_lex_pallas((bk, bk), (qk, qk), "right"))
+            want = np.asarray(rank_lex_sort((bk, bk), (qk, qk), "right"))
+            np.testing.assert_array_equal(got, want)
+        finally:
+            rkmod.MAX_VMEM_BUILD = old
