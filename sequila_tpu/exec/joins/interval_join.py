@@ -46,6 +46,7 @@ from sequila_tpu.ops.interval_join import (
     count_matches,
     materialize_pairs,
     nearest_match,
+    total_count_i64,
 )
 from sequila_tpu.planner.expr import JoinFilter, Literal, PhysicalExpr
 from sequila_tpu.planner.intervals import ColIntervals
@@ -239,10 +240,14 @@ class IntervalJoinExec(ExecPlan):
                     lk, ls, le, rk, rs, re, remap_l, remap_r,
                     n_pad=n_pad, m_pad=m_pad,
                 )
-            )
-            total, n_deg = int(packed[0]), int(packed[1])
+            ).astype(np.int64)
+            total, n_deg = int(packed[:-1].sum()), int(packed[-1])
             if n_deg > 0:
                 return None  # exact level path required
+            if left.num_rows >= (1 << 24):
+                # 64-row bucket partials could overflow int32 for very
+                # large build sides; use the exact chunked path instead
+                return None
         ctx.metrics.add(self.op_id(), "output_rows", total)
         return total
 
@@ -418,7 +423,7 @@ class IntervalJoinExec(ExecPlan):
                 )
                 qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 counts = count_matches(index, qk, qs, qe, chunk_method)
-                total += int(counts.sum())
+                total += total_count_i64(counts, index.n_rows)
         ctx.metrics.add(self.op_id(), "output_rows", total)
         return total
 

@@ -193,7 +193,17 @@ def encode_join_keys(left, right) -> tuple[np.ndarray, np.ndarray, int]:
             al, ar = al.cast(target), ar.cast(target)
         both = pa.chunked_array([al, ar]).combine_chunks()
         enc = both.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        idx = enc.indices
+        if idx.null_count:
+            # SQL: NULL never equals NULL.  Null keys get side-specific
+            # sentinel codes (-1 left, -2 right) that match nothing.
+            codes = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int32)
+            null_mask = idx.is_null().to_numpy(zero_copy_only=False)
+            nl_ = len(al)
+            codes[:nl_][null_mask[:nl_]] = -1
+            codes[nl_:][null_mask[nl_:]] = -2
+        else:
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int32)
         return codes, len(enc.dictionary), len(al)
 
     if ncols == 1:
@@ -201,14 +211,16 @@ def encode_join_keys(left, right) -> tuple[np.ndarray, np.ndarray, int]:
         return codes[:nl], codes[nl:], num
 
     # Multi-column: encode each column against the union, then mix the
-    # (small dense) per-column codes into one row code.
+    # (small dense) per-column codes into one row code.  Null sentinels
+    # (-1 left / -2 right) shift to 1 / 0 so they stay side-distinct and
+    # disjoint from real codes (>= 2) in the mix.
     per_col = []
     widths = []
     nl = None
     for l, r in zip(left, right):
         codes, num, nl = combine(l, r)
-        per_col.append(codes.astype(np.int64))
-        widths.append(max(num, 1))
+        per_col.append(codes.astype(np.int64) + 2)
+        widths.append(max(num, 1) + 2)
     mixed = per_col[0]
     for c, w in zip(per_col[1:], widths[1:]):
         mixed = mixed * w + c

@@ -166,9 +166,9 @@ def coverage(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     t = np.asarray(level_ranks(lv, ky, en, qk_d, qe_d, side="right", **kw))
     r = np.asarray(level_ranks(lv, ky, st, qk_d, qs_d, side="left", **kw))
 
-    S = np.asarray(index.starts).astype(np.int64)
-    E = np.asarray(index.ends).astype(np.int64)
     if not hasattr(index, "_cov_prefix"):
+        S = np.asarray(index.starts).astype(np.int64)
+        E = np.asarray(index.ends).astype(np.int64)
         index._cov_prefix = (
             np.concatenate([[0], np.cumsum(S)]),
             np.concatenate([[0], np.cumsum(E)]),

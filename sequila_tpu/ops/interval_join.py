@@ -172,9 +172,27 @@ def counts_bits_fused(
     lb = rank_lex_sort((bk, be), (qk, qs), side="left")
     counts = jnp.where(qs <= qe, ub - lb, 0)
     n_deg = jnp.sum((qs > qe) & (qk < PAD_KEY))
-    # one packed output -> one device->host fetch (the tunnel round trip
-    # costs far more than the kernel)
-    return jnp.stack([counts.sum(), n_deg])
+    # Partial sums over 64-row buckets instead of one int32 total: x64 is
+    # disabled, and a whole-genome join can exceed 2^31 pairs; the host
+    # finishes the reduction in int64.  One packed output -> one
+    # device->host fetch (the tunnel round trip costs more than the
+    # kernel).  Bucket totals stay exact while n < 2^25 (33M build rows);
+    # beyond that callers fetch the full counts vector.
+    partials = counts.reshape(-1, 64).sum(axis=1)
+    return jnp.concatenate([partials, n_deg[None]])
+
+
+def total_count_i64(counts, n_build_rows: int) -> int:
+    """Host-side exact int64 total of a device counts vector."""
+    if n_build_rows < (1 << 24) and counts.shape[0] % 64 == 0:
+        partials = _bucket_sums_64(counts)
+        return int(np.asarray(partials).astype(np.int64).sum())
+    return int(np.asarray(counts).astype(np.int64).sum())
+
+
+@jax.jit
+def _bucket_sums_64(counts):
+    return counts.reshape(-1, 64).sum(axis=1)
 
 
 @jax.jit

@@ -31,10 +31,10 @@ def initialize(
 
     With no arguments, JAX auto-detects TPU pod topology from the
     environment (the standard TPU VM metadata); arguments override for
-    manual clusters.  Call before any other JAX API on every host.
+    manual clusters.  MUST be the first JAX call in the process — even
+    jax.process_count() would initialize the XLA backend and make
+    distributed initialization impossible.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -44,8 +44,13 @@ def initialize(
         kwargs["process_id"] = process_id
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        # Not in a pod environment (single host): proceed single-process.
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already initialized" in msg or "already been called" in msg:
+            return
+        raise
+    except ValueError:
+        # Auto-detection found no cluster environment: single host.
         if coordinator_address is not None:
             raise
 

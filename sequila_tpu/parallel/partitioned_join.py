@@ -157,7 +157,9 @@ def partitioned_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
             lv, ky, st, en, k, s, e,
             num_levels=num_levels, level_offsets=level_offsets,
         )
-        local = counts_from_bounds(lb, ub).sum().astype(jnp.int32)
+        # 8-row bucket partials psum'd as a vector: int32-safe well past
+        # 2^31 total pairs (host finishes the reduction in int64)
+        local = counts_from_bounds(lb, ub).reshape(-1, 8).sum(axis=1)
         return jax.lax.psum(local, ("part", "probe"))
 
     return jax.jit(step)
@@ -180,7 +182,7 @@ def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
             levels, keys, starts, ends, qk, qs, qe,
             num_levels=num_levels, level_offsets=level_offsets,
         )
-        local = counts_from_bounds(lb, ub).sum().astype(jnp.int32)
+        local = counts_from_bounds(lb, ub).reshape(-1, 8).sum(axis=1)
         return jax.lax.psum(local, ("part", "probe"))
 
     return jax.jit(step)
@@ -292,7 +294,7 @@ def partitioned_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
     K, S, E, _ = partition_probe(rk, rs, re, npart, nprobe)
     fn = partitioned_count_fn(mesh, meta["num_levels"], meta["level_offsets"])
     dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    total = fn(
+    partials = fn(
         dev(arrays["levels"], P("part", None)),
         dev(arrays["keys"], P("part", None)),
         dev(arrays["starts"], P("part", None)),
@@ -301,7 +303,7 @@ def partitioned_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
         dev(S, P("part", "probe", None)),
         dev(E, P("part", "probe", None)),
     )
-    return int(total)
+    return int(np.asarray(partials).astype(np.int64).sum())
 
 
 def collect_left_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
@@ -311,7 +313,7 @@ def collect_left_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
     K, S, E = _pad_probe(rk, rs, re, cap)
     fn = collect_left_count_fn(mesh, index.num_levels, index.level_offsets)
     dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    total = fn(
+    partials = fn(
         dev(np.asarray(index.levels), P()),
         dev(np.asarray(index.keys), P()),
         dev(np.asarray(index.starts), P()),
@@ -320,4 +322,4 @@ def collect_left_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
         dev(S, P(("part", "probe"))),
         dev(E, P(("part", "probe"))),
     )
-    return int(total)
+    return int(np.asarray(partials).astype(np.int64).sum())

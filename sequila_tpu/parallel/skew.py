@@ -78,13 +78,17 @@ def plan_partitions(
             qs_bounds = starts[
                 np.linspace(0, len(starts) - 1, nsub + 1).astype(np.int64)
             ].astype(np.int64)
-            bounds = np.empty(nsub + 1, np.int64)
-            bounds[0] = -(2**31)
-            bounds[-1] = 2**31
-            bounds[1:-1] = np.unique(qs_bounds[1:-1])[: nsub - 1]
-            # dedup may shrink; rebuild size
-            bounds = np.unique(bounds)
+            # duplicate quantiles (many reads sharing a start) collapse
+            inner = np.unique(qs_bounds[1:-1])
+            inner = inner[(inner > -(2**31)) & (inner < 2**31)]
+            bounds = np.concatenate([[-(2**31)], inner, [2**31]])
             nsub = len(bounds) - 1
+            if nsub < 2:
+                # cannot split (e.g. all probes share one start): keep
+                # the key whole on a single shard
+                shard_of_key[int(key)] = len(shard_weights)
+                shard_weights.append(w)
+                continue
             ids = []
             for _ in range(nsub):
                 ids.append(len(shard_weights))
@@ -244,17 +248,17 @@ def skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) -> int:
     def step(bk, bs, be, qk, qs, qe, qlo, qhi):
         local = counts_skew(
             bk[0], bs[0], be[0], qk[0, 0], qs[0, 0], qe[0, 0], qlo[0, 0], qhi[0, 0]
-        ).sum().astype(jnp.int32)
+        ).reshape(-1, 8).sum(axis=1)
         return jax.lax.psum(local, ("part", "probe"))
 
     dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    total = jax.jit(step)(
+    partials = jax.jit(step)(
         dev(BK, P("part", None)), dev(BS, P("part", None)), dev(BE, P("part", None)),
         dev(QK, P("part", "probe", None)), dev(QS, P("part", "probe", None)),
         dev(QE, P("part", "probe", None)), dev(QLO, P("part", "probe", None)),
         dev(QHI, P("part", "probe", None)),
     )
-    return int(total)
+    return int(np.asarray(partials).astype(np.int64).sum())
 
 
 def skew_partitioned_count(lk, ls, le, rk, rs, re, npart: int) -> int:
@@ -275,4 +279,4 @@ def skew_partitioned_count(lk, ls, le, rk, rs, re, npart: int) -> int:
         jnp.asarray(q_lo),
         jnp.asarray(q_hi),
     )
-    return int(np.asarray(counts).sum())
+    return int(np.asarray(counts).astype(np.int64).sum())

@@ -93,9 +93,16 @@ class Binder:
             plan = self._bind_aggregate(plan, sel)
             if sel.order_by:
                 aschema = plan.schema()
+                names = [n for _, n in aschema]
                 exprs, asc = [], []
                 for oi in sel.order_by:
-                    exprs.append(self._bind_expr(oi.expr, aschema).expr)
+                    # ORDER BY count(*) / other aggregate expressions
+                    # resolve by display name in the aggregate output
+                    disp = self._display_name(oi.expr)
+                    if self._contains_agg(oi.expr) and disp in names:
+                        exprs.append(pe.Column(disp, names.index(disp)))
+                    else:
+                        exprs.append(self._bind_expr(oi.expr, aschema).expr)
                     asc.append(oi.asc)
                 plan = SortExec(plan, exprs, asc)
 
@@ -384,22 +391,23 @@ class Binder:
                 # must be a group-by expression
                 name = self._display_name(e)
                 if name not in group_names:
-                    # allow grouping by select alias position match
                     raise PlanError(
                         f"'{name}' must appear in GROUP BY or an aggregate"
                     )
-                out_items.append(("group", item.alias or name))
+                # (source name in the aggregate schema, output name)
+                out_items.append(("group", name, item.alias or name))
         agg = AggregateExec(plan, group_exprs, group_names, agg_specs)
         # project to select-list order/aliases
         aschema = agg.schema()
         exprs, names = [], []
-        for kind, name in out_items:
-            src = name if kind == "agg" else name
+        for kind, src, out_name in (
+            it if len(it) == 3 else (it[0], it[1], it[1]) for it in out_items
+        ):
             idx = next(
-                i for i, (_, n) in enumerate(aschema) if n == src or n == name
+                i for i, (_, n) in enumerate(aschema) if n == src
             )
             exprs.append(pe.Column(aschema[idx][1], idx))
-            names.append(name)
+            names.append(out_name)
         if names == [n for _, n in aschema]:
             return agg
         return ProjectExec(agg, exprs, names)

@@ -168,3 +168,33 @@ class TestSkewAware:
         re = rs + rng.integers(0, 3_000, m).astype(np.int32)
         want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
         assert skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) == want
+
+    def test_duplicate_probe_starts_dont_crash_split(self):
+        """Hot contig whose probes share few distinct starts (duplicate
+        quantiles) must still plan and count exactly."""
+        from sequila_tpu.ops.oracle import oracle_counts
+        from sequila_tpu.parallel.skew import skew_partitioned_count
+
+        m = 2000
+        rk = np.zeros(m, np.int32)
+        rs = np.where(np.arange(m) % 2 == 0, 100, 200).astype(np.int32)
+        re = rs + 50
+        lk = np.zeros(300, np.int32)
+        ls = np.linspace(0, 400, 300).astype(np.int32)
+        le = ls + 30
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert skew_partitioned_count(lk, ls, le, rk, rs, re, npart=8) == want
+
+    def test_single_distinct_start_keeps_key_whole(self):
+        from sequila_tpu.ops.oracle import oracle_counts
+        from sequila_tpu.parallel.skew import skew_partitioned_count
+
+        m = 500
+        rk = np.zeros(m, np.int32)
+        rs = np.full(m, 42, np.int32)
+        re = rs + 10
+        lk = np.zeros(100, np.int32)
+        ls = np.arange(100, dtype=np.int32)
+        le = ls + 5
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert skew_partitioned_count(lk, ls, le, rk, rs, re, npart=8) == want

@@ -118,3 +118,36 @@ def test_group_by_expression_must_match(ctx):
 
     with pytest.raises(PlanError):
         ctx.sql("SELECT strand, count(*) FROM t GROUP BY contig")
+
+
+def test_null_keys_never_match(ctx):
+    """SQL: NULL = NULL is not true — null join keys must not match."""
+    ctx.sql(
+        "CREATE TABLE na (k TEXT, s INTEGER, e INTEGER) AS VALUES"
+        " ('x', 1, 5), (NULL, 1, 5)"
+    )
+    ctx.sql(
+        "CREATE TABLE nb (k TEXT, s INTEGER, e INTEGER) AS VALUES"
+        " ('x', 2, 6), (NULL, 2, 6)"
+    )
+    for pref in ("true", "false"):
+        ctx.sql(f"SET sequila.prefer_interval_join = {pref}")
+        out = ctx.sql(
+            "SELECT * FROM na JOIN nb ON na.k = nb.k"
+            " AND na.s <= nb.e AND na.e >= nb.s"
+        )
+        assert out.num_rows == 1, pref
+        assert out.column_np(0)[0] == "x"
+
+
+def test_group_alias_projection(ctx):
+    out = ctx.sql("SELECT contig AS c, count(*) AS n FROM t GROUP BY contig ORDER BY c")
+    assert out.column_names == ["c", "n"]
+    assert [r for r in out.column_np("c").tolist()] == ["chr1", "chr2", "chr3"]
+
+
+def test_order_by_aggregate(ctx):
+    out = ctx.sql(
+        "SELECT contig, count(*) FROM t GROUP BY contig ORDER BY count(*) DESC, contig"
+    )
+    assert out.column_np(0).tolist() == ["chr1", "chr2", "chr3"]
