@@ -28,6 +28,12 @@ from sequila_tpu.ops.interval_join import count_matches, materialize_pairs, near
 DEFAULT_COLS = ("contig", "pos_start", "pos_end")
 
 
+def _use_host(*tables) -> bool:
+    from sequila_tpu.exec.joins.interval_join import _host_threshold
+
+    return sum(t.num_rows for t in tables) <= _host_threshold()
+
+
 def _prep(table: Table, cols):
     key_col, start_col, end_col = cols
     keys = table.column(key_col)
@@ -49,10 +55,15 @@ def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Tabl
     (probe order preserved)."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    index = build_interval_index(cb, sb, eb)
-    b_rows, p_rows, total = materialize_pairs(
-        index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
-    )
+    if _use_host(a, b):
+        from sequila_tpu.ops.host_join import make_host_index
+
+        b_rows, p_rows = make_host_index(cb, sb, eb).pairs(ca, sa, ea)
+    else:
+        index = build_interval_index(cb, sb, eb)
+        b_rows, p_rows, _total = materialize_pairs(
+            index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
+        )
     at = a.take(p_rows.astype(np.int64))
     bt = b.take(b_rows.astype(np.int64))
     arrays = list(at.arrow.columns) + list(bt.arrow.columns)
@@ -67,14 +78,19 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     (see SURVEY.md §2 item 9) and of superintervals `count`."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    index = build_interval_index(cb, sb, eb)
-    deg = bool((sa > ea).any())
-    counts = np.asarray(
-        count_matches(
-            index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea),
-            "sort" if deg else "bits",
+    if _use_host(a, b):
+        from sequila_tpu.ops.host_join import make_host_index
+
+        counts = np.asarray(make_host_index(cb, sb, eb).counts(ca, sa, ea))
+    else:
+        index = build_interval_index(cb, sb, eb)
+        deg = bool((sa > ea).any())
+        counts = np.asarray(
+            count_matches(
+                index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea),
+                "sort" if deg else "bits",
+            )
         )
-    )
     return Table(a.arrow.append_column(out_col, pa.array(counts.astype(np.int64))))
 
 
@@ -84,10 +100,15 @@ def nearest(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Tabl
     CoitreesNearest semantics with build/probe sides swapped to 'enrich a')."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    index = build_interval_index(cb, sb, eb)
-    rows = np.asarray(
-        nearest_match(index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea))
-    ).astype(np.int64)
+    if _use_host(a, b):
+        from sequila_tpu.ops.host_join import make_host_index
+
+        rows = make_host_index(cb, sb, eb).nearest(ca, sa, ea).astype(np.int64)
+    else:
+        index = build_interval_index(cb, sb, eb)
+        rows = np.asarray(
+            nearest_match(index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea))
+        ).astype(np.int64)
     null_mask = rows < 0
     bt = b.take(np.where(null_mask, 0, rows), null_mask)
     arrays = list(a.arrow.columns) + list(bt.arrow.columns)
@@ -136,8 +157,17 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Tab
     bases = sum(min(end_i,qe) - max(start_i,qs)))."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    index = build_interval_index(cb, sb, eb)
-    counts, bases = genomic.coverage(index, ca, sa, ea)
+    if _use_host(a, b):
+        from sequila_tpu.ops.host_join import make_host_index
+
+        hidx = make_host_index(cb, sb, eb)
+        if hasattr(hidx, "coverage"):
+            counts, bases = hidx.coverage(ca, sa, ea)
+        else:  # NumPy fallback host index has no coverage; use kernels
+            counts, bases = genomic.coverage(build_interval_index(cb, sb, eb), ca, sa, ea)
+    else:
+        index = build_interval_index(cb, sb, eb)
+        counts, bases = genomic.coverage(index, ca, sa, ea)
     t = a.arrow.append_column("count", pa.array(counts))
     t = t.append_column("bases", pa.array(bases))
     return Table(t)
