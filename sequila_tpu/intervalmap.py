@@ -1,0 +1,140 @@
+"""IntervalMap — the standalone single-key interval index API.
+
+API-parity surface for the reference's `superintervals` Python package
+(reference superintervals/src/superintervals/intervalmap.pyx; usage
+`imap = IntervalMap(); imap.add(10, 20, 'A'); imap.build();
+imap.search_values(8, 20)`).  Same method names and end-inclusive
+semantics; backed by this engine's native C++ index (or the NumPy host
+index) instead of the reference's branch-array search.
+
+Not the engine's hot path — joins go through the columnar kernels — but
+the drop-in library surface a superintervals user expects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sequila_tpu.ops.host_join import make_host_index
+
+
+class IntervalMap:
+    def __init__(self):
+        self._starts: list[int] = []
+        self._ends: list[int] = []
+        self._data: list = []
+        self._index = None
+
+    # -- construction -------------------------------------------------------
+    def add(self, start: int, end: int, value=None) -> None:
+        self._starts.append(int(start))
+        self._ends.append(int(end))
+        self._data.append(value)
+        self._index = None
+
+    @classmethod
+    def from_arrays(cls, starts, ends, values=None) -> "IntervalMap":
+        m = cls()
+        m._starts = [int(x) for x in starts]
+        m._ends = [int(x) for x in ends]
+        m._data = list(values) if values is not None else [None] * len(m._starts)
+        return m
+
+    def build(self) -> None:
+        keys = np.zeros(len(self._starts), np.int32)
+        self._index = make_host_index(
+            keys,
+            np.asarray(self._starts, np.int32),
+            np.asarray(self._ends, np.int32),
+        )
+
+    def clear(self) -> None:
+        self._starts, self._ends, self._data = [], [], []
+        self._index = None
+
+    def reserve(self, n: int) -> None:  # API compatibility; lists auto-grow
+        pass
+
+    # -- introspection ------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self._starts)
+
+    def size(self) -> int:
+        return len(self._starts)
+
+    def __getitem__(self, index: int):
+        return self.at(index)
+
+    def at(self, index: int):
+        return (self._starts[index], self._ends[index], self._data[index])
+
+    def starts_at(self, index: int) -> int:
+        return self._starts[index]
+
+    def ends_at(self, index: int) -> int:
+        return self._ends[index]
+
+    def data_at(self, index: int):
+        return self._data[index]
+
+    # -- queries (end-inclusive, like the reference) ------------------------
+    def _require_built(self):
+        if self._index is None:
+            self.build()
+        return self._index
+
+    def _idxs(self, start: int, end: int) -> np.ndarray:
+        idx = self._require_built()
+        b_rows, _ = idx.pairs(
+            np.zeros(1, np.int32),
+            np.asarray([start], np.int32),
+            np.asarray([end], np.int32),
+        )
+        return np.asarray(b_rows)
+
+    def has_overlaps(self, start: int, end: int) -> bool:
+        return bool(self.count(start, end) > 0)
+
+    def count(self, start: int, end: int) -> int:
+        idx = self._require_built()
+        return int(
+            idx.counts(
+                np.zeros(1, np.int32),
+                np.asarray([start], np.int32),
+                np.asarray([end], np.int32),
+            )[0]
+        )
+
+    def search_idxs(self, start: int, end: int) -> list[int]:
+        return [int(i) for i in self._idxs(start, end)]
+
+    def search_values(self, start: int, end: int) -> list:
+        return [self._data[i] for i in self._idxs(start, end)]
+
+    def search_keys(self, start: int, end: int) -> list[tuple[int, int]]:
+        return [(self._starts[i], self._ends[i]) for i in self._idxs(start, end)]
+
+    def search_items(self, start: int, end: int) -> list[tuple[int, int, object]]:
+        return [self.at(i) for i in self._idxs(start, end)]
+
+    def coverage(self, start: int, end: int) -> tuple[int, int]:
+        """(count, total overlapped bases) — superintervals.rs:802-822."""
+        idx = self._require_built()
+        if hasattr(idx, "coverage"):
+            c, b = idx.coverage(
+                np.zeros(1, np.int32),
+                np.asarray([start], np.int32),
+                np.asarray([end], np.int32),
+            )
+            return int(c[0]), int(b[0])
+        rows = self._idxs(start, end)
+        total = 0
+        for i in rows:
+            total += min(self._ends[i], end) - max(self._starts[i], start)
+        return len(rows), total
+
+    def count_batch(self, starts, ends) -> np.ndarray:
+        idx = self._require_built()
+        s = np.asarray(starts, np.int32)
+        e = np.asarray(ends, np.int32)
+        return idx.counts(np.zeros(len(s), np.int32), s, e)

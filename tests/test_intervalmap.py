@@ -1,0 +1,66 @@
+"""IntervalMap API-parity tests (reference superintervals README usage +
+intervalmap.pyx surface)."""
+
+import numpy as np
+import pytest
+
+from sequila_tpu.intervalmap import IntervalMap
+
+
+def test_readme_usage():
+    imap = IntervalMap()
+    imap.add(10, 20, "A")
+    imap.build()
+    assert imap.search_values(8, 20) == ["A"]
+
+
+def test_full_surface(rng):
+    imap = IntervalMap()
+    ivs = [(5, 10, "a"), (8, 20, "b"), (30, 40, "c"), (1, 100, "d")]
+    for s, e, v in ivs:
+        imap.add(s, e, v)
+    imap.build()
+    assert len(imap) == 4 and imap.size() == 4
+    assert imap.at(2) == (30, 40, "c")
+    assert imap[0] == (5, 10, "a")
+    assert imap.starts_at(1) == 8 and imap.ends_at(1) == 20
+    assert imap.data_at(3) == "d"
+
+    assert imap.count(9, 9) == 3  # a, b, d
+    assert imap.has_overlaps(25, 28)  # d spans it
+    assert not imap.has_overlaps(101, 200)
+    assert sorted(imap.search_values(9, 9)) == ["a", "b", "d"]
+    assert sorted(imap.search_idxs(35, 35)) == [2, 3]
+    assert sorted(imap.search_keys(35, 35)) == [(1, 100), (30, 40)]
+    assert sorted(imap.search_items(35, 35)) == [(1, 100, "d"), (30, 40, "c")]
+
+    c, bases = imap.coverage(0, 50)
+    assert c == 4
+    assert bases == (10 - 5) + (20 - 8) + (40 - 30) + (50 - 1)
+
+    batch = imap.count_batch([9, 35, 200], [9, 35, 300])
+    assert batch.tolist() == [3, 2, 0]
+
+
+def test_from_arrays_and_rebuild():
+    imap = IntervalMap.from_arrays([1, 5], [3, 9], ["x", "y"])
+    assert imap.count(2, 2) == 1
+    imap.add(2, 8, "z")  # invalidates; auto-rebuilds on next query
+    assert sorted(imap.search_values(2, 2)) == ["x", "z"]
+    imap.clear()
+    assert len(imap) == 0
+    assert imap.count(0, 100) == 0
+
+
+def test_random_against_numpy(rng):
+    s = rng.integers(0, 1000, 200).astype(int)
+    e = s + rng.integers(0, 50, 200)
+    imap = IntervalMap.from_arrays(s, e, list(range(200)))
+    for _ in range(30):
+        qs = int(rng.integers(0, 1000))
+        qe = qs + int(rng.integers(0, 60))
+        want = int(((s <= qe) & (e >= qs)).sum())
+        assert imap.count(qs, qe) == want
+        assert sorted(imap.search_idxs(qs, qe)) == sorted(
+            np.nonzero((s <= qe) & (e >= qs))[0].tolist()
+        )
