@@ -144,6 +144,36 @@ def counts_from_bounds(lb, ub):
     return jnp.sum(jnp.maximum(ub - lb, 0), axis=0).astype(jnp.int32)
 
 
+def _sum_rank_partials(bk, bv, qk, qv, side: str):
+    """64-bucket partial sums of rank_lex(bq tuple) over ALL queries.
+
+    For count(*) no per-query attribution is needed, so the co-sort can
+    drop the query-id operand and the scatter: after sorting
+    (key, val, flag) the running count of build entries at each query
+    slot IS that query's rank; summing those is permutation-invariant.
+    3 sort operands instead of 5.  Partial-sum buckets stay int32-exact
+    while n < 2^25 (the operator guards)."""
+    n = bk.shape[0]
+    m = qk.shape[0]
+    bflag = 0 if side == "right" else 1
+    ops = (
+        jnp.concatenate([bk, qk]),
+        jnp.concatenate([bv, qv]),
+        jnp.concatenate(
+            [
+                jnp.full((n,), bflag, jnp.int32),
+                jnp.full((m,), 1 - bflag, jnp.int32),
+            ]
+        ),
+    )
+    k_s, v_s, f_s = jax.lax.sort(ops, num_keys=3)
+    is_build = (f_s == bflag).astype(jnp.int32)
+    bcount = jnp.cumsum(is_build) - is_build  # build entries strictly before
+    contrib = jnp.where(is_build == 0, bcount, 0)
+    # (n+m) is a multiple of 64 by the callers' padding buckets
+    return contrib.reshape(-1, 64).sum(axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "m_pad"))
 def counts_bits_fused(
     lk, ls, le, rk, rs, re, remap_l, remap_r, *, n_pad: int, m_pad: int
@@ -168,18 +198,15 @@ def counts_bits_fused(
     qk = pad(remap_r[rk], PAD_KEY, m_pad)
     qs = pad(rs, PAD_VAL, m_pad)
     qe = pad(re, PAD_VAL - 2, m_pad)
-    ub = rank_lex_sort((bk, bs), (qk, qe), side="right")
-    lb = rank_lex_sort((bk, be), (qk, qs), side="left")
-    counts = jnp.where(qs <= qe, ub - lb, 0)
+    # total = sum(ub) - sum(lb); padding probes contribute n to both sums
+    # and cancel.  Exact whenever n_deg == 0 (the caller re-routes
+    # otherwise).  Partial 64-buckets instead of one int32 total: x64 is
+    # disabled and whole-genome joins exceed 2^31 pairs — the host
+    # finishes in int64.  One packed output -> one device->host fetch.
+    pu = _sum_rank_partials(bk, bs, qk, qe, side="right")
+    pl_ = _sum_rank_partials(bk, be, qk, qs, side="left")
     n_deg = jnp.sum((qs > qe) & (qk < PAD_KEY))
-    # Partial sums over 64-row buckets instead of one int32 total: x64 is
-    # disabled, and a whole-genome join can exceed 2^31 pairs; the host
-    # finishes the reduction in int64.  One packed output -> one
-    # device->host fetch (the tunnel round trip costs more than the
-    # kernel).  Bucket totals stay exact while n < 2^25 (33M build rows);
-    # beyond that callers fetch the full counts vector.
-    partials = counts.reshape(-1, 64).sum(axis=1)
-    return jnp.concatenate([partials, n_deg[None]])
+    return jnp.concatenate([pu, -pl_, n_deg[None]])
 
 
 def total_count_i64(counts, n_build_rows: int) -> int:
