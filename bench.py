@@ -179,49 +179,61 @@ def run_full(iters):
     )
 
 
-def run_pipeline(iters=16):
-    """Sustained async throughput: dispatch many distinct count queries
-    without intermediate syncs (single-query wall time here is dominated
-    by the ~25-33 ms host<->device round trip of the tunnelled TPU; a
-    production deployment pipelines dispatches exactly like this)."""
+def run_pipeline(k=8):
+    """Amortized multi-query throughput: K distinct count queries batched
+    into ONE device program with one result fetch.
+
+    Single-query wall time on this environment's tunnelled TPU is
+    dominated by the ~25-33 ms host<->device round trip (and even
+    pipelined dispatches serialize on result fetches), so the honest
+    device-throughput measurement batches queries: the per-query
+    amortized time approximates the pure device compute."""
     import jax
     import jax.numpy as jnp
 
-    from sequila_tpu.ops.interval_index import _bucket
-    from sequila_tpu.ops.interval_join import counts_bits_fused
+    from sequila_tpu.ops.interval_index import PAD_KEY, PAD_VAL, _bucket
+    from sequila_tpu.ops.interval_join import _sum_rank_partials
 
     t1 = gen_chain_table(N_LEFT, 1)
-    lk = jnp.zeros(N_LEFT, jnp.int32)
-    ls = jnp.asarray(t1["pos_start"].astype(np.int32))
-    le = jnp.asarray(t1["pos_end"].astype(np.int32))
-    rm = jnp.zeros(1, jnp.int32)
     npad = _bucket(N_LEFT, minimum=1024)
     mpad = _bucket(N_RIGHT, minimum=1024)
-    probes = []
-    for s in range(4):
-        t2 = gen_chain_table(N_RIGHT, 100 + s)
-        p = (
-            jnp.zeros(N_RIGHT, jnp.int32),
-            jnp.asarray(t2["pos_start"].astype(np.int32)),
-            jnp.asarray(t2["pos_end"].astype(np.int32)),
-        )
-        jax.block_until_ready(p)
-        probes.append(p)
 
-    def f(p):
-        return counts_bits_fused(
-            lk, ls, le, p[0], p[1], p[2], rm, rm, n_pad=npad, m_pad=mpad
-        )
+    def padded(a, fill, size):
+        out = np.full(size, fill, np.int32)
+        out[: len(a)] = a
+        return out
 
-    jax.block_until_ready(f(probes[0]))
+    bk = jnp.asarray(padded(np.zeros(N_LEFT, np.int32), PAD_KEY, npad))
+    bs = jnp.asarray(padded(t1["pos_start"].astype(np.int32), PAD_VAL, npad))
+    be = jnp.asarray(padded(t1["pos_end"].astype(np.int32), PAD_VAL, npad))
+    QK, QS, QE = [], [], []
+    for sd in range(k):
+        t2 = gen_chain_table(N_RIGHT, 100 + sd)
+        QK.append(padded(np.zeros(N_RIGHT, np.int32), PAD_KEY, mpad))
+        QS.append(padded(t2["pos_start"].astype(np.int32), PAD_VAL, mpad))
+        QE.append(padded(t2["pos_end"].astype(np.int32), PAD_VAL - 2, mpad))
+    QKd = jnp.asarray(np.stack(QK))
+    QSd = jnp.asarray(np.stack(QS))
+    QEd = jnp.asarray(np.stack(QE))
+
+    @jax.jit
+    def batched_counts(bk, bs, be, QK, QS, QE):
+        def one(qk, qs, qe):
+            pu = _sum_rank_partials(bk, bs, qk, qe, side="right")
+            pl_ = _sum_rank_partials(bk, be, qk, qs, side="left")
+            return jnp.concatenate([pu, -pl_])
+
+        return jax.vmap(one)(QK, QS, QE)
+
+    np.asarray(batched_counts(bk, bs, be, QKd, QSd, QEd))  # warm
     t0 = time.perf_counter()
-    outs = [f(probes[i % 4]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
-    mean_rows = float(np.mean([np.asarray(o)[0] for o in outs]))
+    out = np.asarray(batched_counts(bk, bs, be, QKd, QSd, QEd)).astype(np.int64)
+    dt = time.perf_counter() - t0
+    totals = out.sum(axis=1)
     print(
-        f"pipelined: {dt*1000:.2f} ms/query sustained "
-        f"({mean_rows/max(dt,1e-9)/1e9:.0f}B output rows/s device throughput)",
+        f"batched {k} distinct count queries in one program: {dt*1000:.1f} ms"
+        f" -> {dt/k*1000:.1f} ms/query amortized"
+        f" ({float(totals.mean())/ (dt/k) / 1e9:.1f}B output rows/s device throughput)",
         file=sys.stderr,
     )
 
