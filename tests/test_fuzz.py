@@ -1,0 +1,101 @@
+"""Differential fuzzing: random tables and query shapes, interval join vs
+the hash/NLJ baseline — the reference's oracle pattern pushed to
+adversarial inputs (nulls, negative coordinates, zero-length and inverted
+intervals, strict/non-strict mixes, all algorithms, all join types)."""
+
+import numpy as np
+import pytest
+
+from sequila_tpu import Algorithm
+from sequila_tpu.session import SessionContext
+
+ORDERINGS = [
+    "a.s <= b.e AND a.e >= b.s",
+    "b.e >= a.s AND a.e >= b.s",
+    "a.s < b.e AND a.e > b.s",
+    "a.e > b.s AND a.s <= b.e",
+    "b.s <= a.e AND b.e >= a.s",
+]
+
+ALGOS = [
+    Algorithm.COITREES,
+    Algorithm.INTERVAL_TREE,
+    Algorithm.LAPPER,
+    Algorithm.SUPER_INTERVALS,
+]
+
+
+def random_table_sql(rng, name, n, with_nulls, coord_lo, coord_hi, max_len):
+    rows = []
+    contigs = ["chr1", "chr2", "chr3", "chrX"]
+    for _ in range(n):
+        if with_nulls and rng.random() < 0.05:
+            c = "NULL"
+        else:
+            c = f"'{contigs[rng.integers(0, len(contigs))]}'"
+        s = int(rng.integers(coord_lo, coord_hi))
+        ln = int(rng.integers(-2, max_len))  # occasional inverted intervals
+        rows.append(f"({c}, {s}, {s + ln})")
+    return (
+        f"CREATE TABLE {name} (contig TEXT, s INTEGER, e INTEGER) AS VALUES "
+        + ", ".join(rows)
+    )
+
+
+def rows_of(t):
+    cols = [t.column_np(i).tolist() for i in range(len(t.column_names))]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if isinstance(v, float) and v == int(v):
+            return int(v)
+        return v
+
+    return sorted(
+        (tuple(norm(v) for v in r) for r in zip(*cols)),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_differential_interval_vs_hash(trial, monkeypatch):
+    rng = np.random.default_rng(1000 + trial)
+    ctx = SessionContext()
+    coord_lo = -500 if trial % 3 == 0 else 0
+    ctx.sql(
+        random_table_sql(
+            rng, "a", int(rng.integers(5, 60)), trial % 2 == 0, coord_lo, 1000, 80
+        )
+    )
+    ctx.sql(
+        random_table_sql(
+            rng, "b", int(rng.integers(5, 60)), trial % 2 == 0, coord_lo, 1000, 80
+        )
+    )
+    cond = ORDERINGS[trial % len(ORDERINGS)]
+    equi = "a.contig = b.contig AND " if trial % 4 != 3 else ""
+    jt = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"][trial % 4]
+    q = f"SELECT * FROM a {jt} b ON {equi}{cond}"
+
+    # host-path + device-path for each algorithm must equal the baseline
+    ctx.sql("SET sequila.prefer_interval_join = false")
+    baseline = rows_of(ctx.sql(q))
+
+    alg = ALGOS[trial % len(ALGOS)]
+    ctx.sql("SET sequila.prefer_interval_join = true")
+    ctx.sql(f"SET sequila.interval_join_algorithm = {alg.value}")
+    for threshold in ("65536", "0"):
+        monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", threshold)
+        got = rows_of(ctx.sql(q))
+        assert got == baseline, (
+            f"trial={trial} alg={alg} jt={jt} threshold={threshold} cond={cond}"
+        )
+
+    # count(*) fast path agrees too (inner joins only)
+    if jt == "JOIN":
+        qc = f"SELECT count(1) FROM a JOIN b ON {equi}{cond}"
+        monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")
+        assert int(ctx.sql(qc).column_np(0)[0]) == len(baseline)
+        monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "65536")
+        assert int(ctx.sql(qc).column_np(0)[0]) == len(baseline)

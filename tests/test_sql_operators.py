@@ -151,3 +151,35 @@ def test_order_by_aggregate(ctx):
         "SELECT contig, count(*) FROM t GROUP BY contig ORDER BY count(*) DESC, contig"
     )
     assert out.column_np(0).tolist() == ["chr1", "chr2", "chr3"]
+
+
+def test_self_join_with_aliases(ctx):
+    out = ctx.sql(
+        "SELECT x.contig, y.start FROM t x JOIN t y ON x.contig = y.contig"
+        " AND x.start <= y.len AND x.len >= y.start"
+    )
+    # oracle by brute force
+    import numpy as np
+
+    c = ctx.table("t").column_np("contig")
+    s = ctx.table("t").column_np("start")
+    ln = ctx.table("t").column_np("len")
+    want = sum(
+        1
+        for i in range(len(c))
+        for j in range(len(c))
+        if c[i] == c[j] and s[i] <= ln[j] and ln[i] >= s[j]
+    )
+    assert out.num_rows == want
+
+
+def test_three_table_join(ctx):
+    ctx.sql("CREATE TABLE u (contig TEXT, tag INTEGER) AS VALUES ('chr1', 7), ('chr2', 9)")
+    out = ctx.sql(
+        "SELECT t.contig, u.tag FROM t JOIN t t2 ON t.contig = t2.contig"
+        " AND t.start <= t2.len AND t.len >= t2.start"
+        " JOIN u ON t.contig = u.contig"
+    )
+    assert out.column_names == ["contig", "tag"]
+    assert out.num_rows > 0
+    assert set(out.column_np("tag").tolist()) <= {7, 9}
