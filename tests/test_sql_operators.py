@@ -174,12 +174,39 @@ def test_self_join_with_aliases(ctx):
 
 
 def test_three_table_join(ctx):
+    ctx.sql(
+        "CREATE TABLE iv (contig TEXT, s INTEGER, e INTEGER) AS VALUES"
+        " ('chr1', 10, 20), ('chr1', 15, 30), ('chr1', 100, 110),"
+        " ('chr2', 5, 9), ('chr2', 7, 8)"
+    )
     ctx.sql("CREATE TABLE u (contig TEXT, tag INTEGER) AS VALUES ('chr1', 7), ('chr2', 9)")
     out = ctx.sql(
-        "SELECT t.contig, u.tag FROM t JOIN t t2 ON t.contig = t2.contig"
-        " AND t.start <= t2.len AND t.len >= t2.start"
-        " JOIN u ON t.contig = u.contig"
+        "SELECT x.contig, u.tag FROM iv x JOIN iv y ON x.contig = y.contig"
+        " AND x.s <= y.e AND x.e >= y.s"
+        " JOIN u ON x.contig = u.contig"
     )
     assert out.column_names == ["contig", "tag"]
-    assert out.num_rows > 0
-    assert set(out.column_np("tag").tolist()) <= {7, 9}
+    c = ctx.table("iv").column_np("contig")
+    s = ctx.table("iv").column_np("s")
+    e = ctx.table("iv").column_np("e")
+    want = sum(
+        1
+        for i in range(len(c))
+        for j in range(len(c))
+        if c[i] == c[j] and s[i] <= e[j] and e[i] >= s[j]
+    )
+    assert out.num_rows == want  # every iv contig appears in u exactly once
+    assert set(out.column_np("tag").tolist()) == {7, 9}
+
+
+def test_two_column_operand_panics_like_reference(ctx):
+    """`t.start <= t2.start + t2.len` has two columns in one operand: the
+    reference's predicate parser panics ('complex sub queries are not
+    supported', intervals.rs) during the rewrite; we raise PlanError."""
+    from sequila_tpu.errors import PlanError
+
+    with pytest.raises(PlanError, match="complex sub queries"):
+        ctx.sql(
+            "SELECT * FROM t JOIN t t2 ON t.contig = t2.contig"
+            " AND t.start <= t2.start + t2.len AND t.start + t.len >= t2.start"
+        )
