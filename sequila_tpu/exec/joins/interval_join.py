@@ -271,6 +271,12 @@ class IntervalJoinExec(ExecPlan):
         rs = _eval_as_i32(self.intervals.right_interval.start, right)
         re = _eval_as_i32(self.intervals.right_interval.end, right)
         ctx.metrics.add(self.op_id(), "build_input_rows", left.num_rows)
+        # Reserve the index estimate against the memory pool before
+        # materializing (the reference's try_grow + size estimate,
+        # interval_join.rs:624-660): ~9 int32 arrays over padded rows.
+        build_bytes = max(left.num_rows, 1) * 4 * 9
+        ctx.memory.try_grow(self.op_id(), build_bytes)
+        ctx.metrics.add(self.op_id(), "build_mem_used", build_bytes)
         if not build_index:
             return (lcodes, ls, le), rcodes, rs, re
         with ctx.timer(self.op_id(), "build_time"):

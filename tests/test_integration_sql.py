@@ -458,3 +458,22 @@ def test_copy_to(ctx, tmp_path):
 
     assert pq.read_table(out_pq).num_rows == 16
     assert out_csv.read_text().startswith('"contig"') or out_csv.read_text().startswith("contig")
+
+
+def test_memory_limit_enforced(ctx, monkeypatch):
+    """SEQUILA_MEMORY_LIMIT analog of the reference's memory-pool
+    try_grow: a build too big for the pool fails with a clear error."""
+    from sequila_tpu.errors import ExecutionError
+
+    monkeypatch.setenv("SEQUILA_MEMORY_LIMIT", "100")
+    set_algorithm(ctx, Algorithm.COITREES)
+    with pytest.raises(ExecutionError, match="Resources exhausted"):
+        ctx.sql(EQUI_QUERY)
+    monkeypatch.setenv("SEQUILA_MEMORY_LIMIT", "0")
+    assert rows_of(ctx.sql(EQUI_QUERY)) == sorted_rows(EXPECTED_EQUI)
+
+
+def test_build_mem_metric_reported(ctx):
+    set_algorithm(ctx, Algorithm.COITREES)
+    out = ctx.sql(f"EXPLAIN ANALYZE {EQUI_QUERY}")
+    assert "build_mem_used" in out.column_np("plan")[0]
