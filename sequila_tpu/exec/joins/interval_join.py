@@ -169,6 +169,34 @@ class IntervalJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "input_rows", m)
         return out
 
+    def _cached_key_codes(self, left: Table, right: Table):
+        """Joint key codes from each table's cached dictionary encoding.
+
+        Single plain-Column keys only; the per-table encodings are cached
+        on the Tables, so repeated queries pay one tiny dictionary merge
+        plus an O(n) remap instead of re-encoding the columns."""
+        from sequila_tpu.planner.expr import Column
+
+        if len(self.on) != 1:
+            return None
+        l_on, r_on = self.on[0]
+        if not (isinstance(l_on, Column) and isinstance(r_on, Column)):
+            return None
+        if (
+            left.column(l_on.index).null_count
+            or right.column(r_on.index).null_count
+        ):
+            return None  # null keys need the sentinel-code path
+        lcodes, lvals, _ = left.dict_codes(l_on.index)
+        rcodes, rvals, _ = right.dict_codes(r_on.index)
+        both = np.concatenate(
+            [np.asarray(lvals, dtype=object), np.asarray(rvals, dtype=object)]
+        )
+        _, inv = np.unique(both, return_inverse=True)
+        remap_l = inv[: len(lvals)].astype(np.int32)
+        remap_r = inv[len(lvals):].astype(np.int32)
+        return remap_l[lcodes], remap_r[rcodes]
+
     # -- device-resident fast path -----------------------------------------
     @staticmethod
     def _device_bound(expr, table: Table):
@@ -263,9 +291,13 @@ class IntervalJoinExec(ExecPlan):
             lcodes = np.zeros(left.num_rows, np.int32)
             rcodes = np.zeros(right.num_rows, np.int32)
         else:
-            lkeys = _eval_keys([l for l, _ in on], left)
-            rkeys = _eval_keys([r for _, r in on], right)
-            lcodes, rcodes, _ = encode_join_keys(lkeys, rkeys)
+            codes = self._cached_key_codes(left, right)
+            if codes is not None:
+                lcodes, rcodes = codes
+            else:
+                lkeys = _eval_keys([l for l, _ in on], left)
+                rkeys = _eval_keys([r for _, r in on], right)
+                lcodes, rcodes, _ = encode_join_keys(lkeys, rkeys)
         ls = _eval_as_i32(self.intervals.left_interval.start, left)
         le = _eval_as_i32(self.intervals.left_interval.end, left)
         rs = _eval_as_i32(self.intervals.right_interval.start, right)
