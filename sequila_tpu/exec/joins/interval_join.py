@@ -130,6 +130,8 @@ class IntervalJoinExec(ExecPlan):
         algorithm: Algorithm = Algorithm.COITREES,
         low_memory: bool = False,
         mode: str = "CollectLeft",
+        projection: list[int] | None = None,
+        projection_names: list[str] | None = None,
     ):
         self.children = [left, right]
         self.on = on
@@ -139,11 +141,51 @@ class IntervalJoinExec(ExecPlan):
         self.algorithm = algorithm
         self.low_memory = low_memory
         self.mode = mode
+        # combined-schema column indices to emit (the reference's
+        # projection pushdown, interval_join.rs try_new `projection`):
+        # gathers only the needed columns instead of both full tables.
+        self.projection = projection
+        self.projection_names = projection_names
 
     def schema(self):
-        return join_schema(
+        full = join_schema(
             self.join_type, self.children[0].schema(), self.children[1].schema()
         )
+        if self.projection is None:
+            return full
+        names = self.projection_names or [full[i][1] for i in self.projection]
+        return [(full[i][0], name) for i, name in zip(self.projection, names)]
+
+    def _gather_views(self, left: Table, right: Table):
+        """Column-pruned (zero-copy) views for output assembly, plus the
+        post-gather column order.  Pruning happens BEFORE the row gather,
+        so unprojected columns are never materialized."""
+        if self.projection is None:
+            return left, right, None
+        nleft = len(left.column_names)
+        lids = [i for i in self.projection if i < nleft]
+        rids = [i - nleft for i in self.projection if i >= nleft]
+        order = []
+        li = ri = 0
+        for i in self.projection:
+            if i < nleft:
+                order.append(li)
+                li += 1
+            else:
+                order.append(len(lids) + ri)
+                ri += 1
+        return left.select(lids), right.select(rids), order
+
+    def _assemble(self, left, right, b_rows, p_rows, left_null=None):
+        """Gather one output batch through the pruned views."""
+        lv, rv, order = self._gather_views(left, right)
+        out = gather_join_output(lv, rv, b_rows, p_rows, left_null)
+        if order is not None:
+            t = out.arrow.select(order)
+            if self.projection_names:
+                t = t.rename_columns(self.projection_names)
+            out = Table(t)
+        return out
 
     # -- host execution -----------------------------------------------------
     def _execute_host(self, ctx, left: Table, right: Table):
@@ -153,12 +195,15 @@ class IntervalJoinExec(ExecPlan):
             if self.algorithm.is_nearest:
                 rows = hidx.nearest(rcodes, rs, re)
                 null_mask = rows < 0
-                out = gather_join_output(
+                out = self._assemble(
                     left, right,
                     np.where(null_mask, 0, rows),
                     np.arange(m, dtype=np.int64),
                     left_null=null_mask,
                 )
+            elif self.join_type == "inner":
+                b_rows, p_rows = hidx.pairs(rcodes, rs, re)
+                out = self._assemble(left, right, b_rows, p_rows)
             else:
                 b_rows, p_rows = hidx.pairs(rcodes, rs, re)
                 out = finish_join(
@@ -376,13 +421,9 @@ class IntervalJoinExec(ExecPlan):
                     continue
                 if inner:
                     # stream one output batch per probe chunk (the
-                    # reference's batch-at-a-time emission)
-                    parts.append(
-                        gather_join_output(
-                            left, right,
-                            b_rows.astype(np.int64), p_rows.astype(np.int64) + lo,
-                        )
-                    )
+                    # reference's batch-at-a-time emission); int32 row
+                    # indices pass straight to arrow take
+                    parts.append(self._assemble(left, right, b_rows, p_rows + lo))
                 else:
                     all_b.append(b_rows.astype(np.int64))
                     all_p.append(p_rows.astype(np.int64) + lo)
@@ -390,7 +431,7 @@ class IntervalJoinExec(ExecPlan):
                 if parts:
                     out = Table(pa.concat_tables([p.arrow for p in parts]))
                 else:
-                    out = gather_join_output(
+                    out = self._assemble(
                         left, right, np.empty(0, np.int64), np.empty(0, np.int64)
                     )
             else:
@@ -417,9 +458,8 @@ class IntervalJoinExec(ExecPlan):
                 np.concatenate(outs) if outs else np.empty(0, np.int32)
             ).astype(np.int64)
             null_mask = left_rows < 0
-            out = gather_join_output(
-                left,
-                right,
+            out = self._assemble(
+                left, right,
                 np.where(null_mask, 0, left_rows),
                 np.arange(m, dtype=np.int64),
                 left_null=null_mask,
@@ -497,6 +537,8 @@ class IntervalJoinExec(ExecPlan):
         if self.filter is not None:
             s += f", filter={self.filter.display()}"
         s += f", alg={self.algorithm}"
+        if self.projection is not None:
+            s += f", projection={self.projection}"
         if self.low_memory:
             s += ", low_memory=true"
         return s
@@ -505,4 +547,5 @@ class IntervalJoinExec(ExecPlan):
         return IntervalJoinExec(
             children[0], children[1], self.on, self.filter, self.intervals,
             self.join_type, self.algorithm, self.low_memory, self.mode,
+            self.projection, self.projection_names,
         )

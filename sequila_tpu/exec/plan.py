@@ -75,9 +75,23 @@ def _row_group_codes(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     return codes, first_idx
 
 
+class _LazyCols:
+    """Column accessor that materializes only the referenced columns —
+    expressions index `cols[i]`, so most operators never pay for
+    converting unrelated (often string) columns to numpy."""
+
+    def __init__(self, table: Table):
+        self._t = table
+        self._cache: dict = {}
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if i not in self._cache:
+            self._cache[i] = self._t.column_np(i)
+        return self._cache[i]
+
+
 def _eval_on_table(expr: PhysicalExpr, table: Table) -> np.ndarray:
-    cols = [table.column_np(i) for i in range(len(table.column_names))]
-    return expr.eval(cols, table.num_rows)
+    return expr.eval(_LazyCols(table), table.num_rows)
 
 
 class ScanExec(ExecPlan):
@@ -137,12 +151,17 @@ class ProjectExec(ExecPlan):
         return list(zip(self.qualifiers, self.names))
 
     def execute(self, ctx):
+        from sequila_tpu.planner.expr import Column
+
         t = self.children[0].execute(ctx)
-        cols = [t.column_np(i) for i in range(len(t.column_names))]
+        cols = _LazyCols(t)
         arrays = []
         for e in self.exprs:
-            v = e.eval(cols, t.num_rows)
-            arrays.append(pa.array(v))
+            if isinstance(e, Column):
+                # zero-copy passthrough: no numpy round trip
+                arrays.append(t.arrow.column(e.index))
+            else:
+                arrays.append(pa.array(e.eval(cols, t.num_rows)))
         out = Table(pa.Table.from_arrays(arrays, names=self.names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
@@ -170,7 +189,7 @@ class SortExec(ExecPlan):
         t = self.children[0].execute(ctx)
         if t.num_rows == 0:
             return t
-        cols = [t.column_np(i) for i in range(len(t.column_names))]
+        cols = _LazyCols(t)
         keys = []
         # np.lexsort: last key is primary -> reverse order, invert descending.
         for e, asc in zip(reversed(self.sort_exprs), reversed(self.ascending)):
@@ -241,7 +260,7 @@ class AggregateExec(ExecPlan):
     def execute(self, ctx):
         t = self.children[0].execute(ctx)
         n = t.num_rows
-        cols = [t.column_np(i) for i in range(len(t.column_names))]
+        cols = _LazyCols(t)
 
         if self.group_exprs:
             gvals = [np.asarray(e.eval(cols, n)) for e in self.group_exprs]

@@ -115,13 +115,12 @@ class Table:
         (interval_join.rs:1363-1419).
         """
         idx = np.asarray(indices)
+        if not np.issubdtype(idx.dtype, np.integer):
+            idx = idx.astype(np.int64)
         if null_mask is not None and null_mask.any():
-            pa_idx = pa.array(
-                np.where(null_mask, 0, idx).astype(np.int64),
-                mask=np.asarray(null_mask),
-            )
+            pa_idx = pa.array(np.where(null_mask, 0, idx), mask=np.asarray(null_mask))
         else:
-            pa_idx = pa.array(idx.astype(np.int64))
+            pa_idx = pa.array(idx)
         return Table(self._t.take(pa_idx))
 
     def append_columns(self, other: "Table") -> "Table":

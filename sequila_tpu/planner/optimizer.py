@@ -128,6 +128,42 @@ class IntervalJoinRule:
         return node
 
 
+class ProjectionPushdownRule:
+    """Fold a pure-column projection into the interval join.
+
+    The reference's IntervalJoinExec carries a `projection` member
+    (interval_join.rs try_new) so only the projected columns are gathered
+    in the emit path; same here — the pruning happens before the row
+    gather, which is the dominant host cost of wide materializations."""
+
+    def optimize(self, plan: ExecPlan) -> ExecPlan:
+        return plan.transform_up(self._rewrite)
+
+    def _rewrite(self, node: ExecPlan) -> ExecPlan:
+        from sequila_tpu.exec.plan import ProjectExec
+        from sequila_tpu.planner.expr import Column
+
+        if not isinstance(node, ProjectExec):
+            return node
+        join = node.children[0]
+        if (
+            not isinstance(join, IntervalJoinExec)
+            or join.join_type != "inner"
+            or join.projection is not None
+            or join.algorithm.is_nearest
+        ):
+            return node
+        if not all(isinstance(e, Column) for e in node.exprs):
+            return node
+        return IntervalJoinExec(
+            join.children[0], join.children[1], join.on, join.filter,
+            join.intervals, join.join_type, join.algorithm, join.low_memory,
+            join.mode,
+            projection=[e.index for e in node.exprs],
+            projection_names=list(node.names),
+        )
+
+
 class IntervalCountExec(ExecPlan):
     """count(*) over an interval join via the count-only kernel."""
 

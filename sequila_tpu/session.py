@@ -50,6 +50,7 @@ from sequila_tpu.planner.optimizer import (
     CountFastPathRule,
     IntervalJoinRule,
     PredicatePushdownRule,
+    ProjectionPushdownRule,
 )
 from sequila_tpu.sql import ast
 from sequila_tpu.sql.parser import parse_sql
@@ -201,6 +202,7 @@ class SessionContext:
         plan = Binder(self.catalog).bind_select(sel)
         plan = PredicatePushdownRule().optimize(plan)
         plan = IntervalJoinRule(self.config).optimize(plan)
+        plan = ProjectionPushdownRule().optimize(plan)
         plan = CountFastPathRule().optimize(plan)
         return plan
 

@@ -477,3 +477,26 @@ def test_build_mem_metric_reported(ctx):
     set_algorithm(ctx, Algorithm.COITREES)
     out = ctx.sql(f"EXPLAIN ANALYZE {EQUI_QUERY}")
     assert "build_mem_used" in out.column_np("plan")[0]
+
+
+def test_projection_pushdown_into_join(ctx):
+    """Pure-column projections fold into IntervalJoinExec (the reference
+    operator's `projection` member) and gather only those columns."""
+    set_algorithm(ctx, Algorithm.COITREES)
+    q = (
+        "SELECT reads.pos_start, targets.pos_end FROM reads JOIN targets"
+        " ON reads.contig = targets.contig"
+        " AND reads.pos_start <= targets.pos_end AND reads.pos_end >= targets.pos_start"
+    )
+    plan = ctx.sql(f"EXPLAIN {q}").column_np("plan")[0]
+    assert "projection=[1, 5]" in plan, plan
+    assert "ProjectionExec" not in plan
+    out = ctx.sql(q)
+    assert out.column_names == ["pos_start", "pos_end"]
+    assert out.num_rows == 16
+    # results equal the unfused projection over the hash baseline
+    set_algorithm(ctx, None)
+    assert rows_of(ctx.sql(q)) == rows_of(ctx.sql(q))
+    base = ctx.sql(q)
+    set_algorithm(ctx, Algorithm.COITREES)
+    assert rows_of(ctx.sql(q)) == rows_of(base)
