@@ -253,3 +253,53 @@ def _code_decoder(table: Table, key_col, codes: np.ndarray):
         return pa.array([rep[int(c)] for c in code_arr])
 
     return decode
+
+
+def subtract(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
+    """Sub-ranges of a not covered by any b interval (bedtools subtract)."""
+    cols_b = cols_b or cols
+    ka, sa, ea = _prep(a, cols)
+    kb, sb, eb = _prep(b, cols_b)
+    ca, cb, _ = encode_join_keys([ka], [kb])
+    ok, os_, oe = genomic.subtract_intervals(ca, sa, ea, cb, sb, eb)
+    decode = _code_decoder(a, cols[0], ca)
+    return Table(
+        pa.Table.from_arrays(
+            [decode(ok), pa.array(os_.astype(np.int64)), pa.array(oe.astype(np.int64))],
+            names=list(cols),
+        )
+    )
+
+
+def jaccard(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> dict:
+    """Jaccard similarity of two interval sets (bedtools jaccard)."""
+    cols_b = cols_b or cols
+    ka, sa, ea = _prep(a, cols)
+    kb, sb, eb = _prep(b, cols_b)
+    ca, cb, _ = encode_join_keys([ka], [kb])
+    return genomic.jaccard(ca, sa, ea, cb, sb, eb)
+
+
+def slop(a: Table, left: int, right: int, chrom_sizes: dict | None = None,
+         cols: tuple = DEFAULT_COLS) -> Table:
+    """Extend intervals by left/right bases, clamped to contig spans."""
+    keys, starts, ends = _prep(a, cols)
+    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    key_sizes = None
+    if chrom_sizes:
+        name_to_code = {}
+        for c, name in zip(codes, keys.to_pylist()):
+            name_to_code.setdefault(name, int(c))
+        key_sizes = {
+            name_to_code[n]: (sp if isinstance(sp, (tuple, list)) else (0, sp))
+            for n, sp in chrom_sizes.items()
+            if n in name_to_code
+        }
+    _, os_, oe = genomic.slop(codes, starts, ends, left, right, key_sizes)
+    t = a.arrow.set_column(
+        a.column_names.index(cols[1]), cols[1], pa.array(os_.astype(np.int64))
+    )
+    t = t.set_column(
+        a.column_names.index(cols[2]), cols[2], pa.array(oe.astype(np.int64))
+    )
+    return Table(t)

@@ -23,7 +23,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from sequila_tpu.ops.interval_index import IntervalIndex
+from sequila_tpu.ops.interval_index import IntervalIndex, build_interval_index
 from sequila_tpu.ops.interval_join import overlap_bounds
 
 
@@ -137,6 +137,78 @@ def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int
 # ---------------------------------------------------------------------------
 # Coverage (superintervals semantics) and closest-k
 # ---------------------------------------------------------------------------
+
+
+def subtract_intervals(ak, as_, ae, bk, bs, be):
+    """Per a-interval: the sub-ranges not covered by any b interval
+    (bedtools subtract).  Merge b, then cut each a against the merged
+    runs overlapping it."""
+    mk, ms, me = merge_intervals(bk, bs, be)
+    out_k, out_s, out_e = [], [], []
+    order = np.lexsort((ms, mk))
+    mk, ms, me = mk[order], ms[order], me[order]
+    for i in range(len(ak)):
+        seg = np.nonzero((mk == ak[i]) & (ms <= ae[i]) & (me >= as_[i]))[0]
+        cur = int(as_[i])
+        for j in seg:
+            if ms[j] > cur:
+                out_k.append(ak[i])
+                out_s.append(cur)
+                out_e.append(int(ms[j]) - 1)
+            cur = max(cur, int(me[j]) + 1)
+            if cur > ae[i]:
+                break
+        if cur <= ae[i]:
+            out_k.append(ak[i])
+            out_s.append(cur)
+            out_e.append(int(ae[i]))
+    return (
+        np.asarray(out_k, np.int32),
+        np.asarray(out_s, np.int32),
+        np.asarray(out_e, np.int32),
+    )
+
+
+def jaccard(ak, as_, ae, bk, bs, be) -> dict:
+    """Jaccard statistic of two interval sets (bedtools jaccard):
+    |intersection bases| / |union bases| over the merged sets."""
+    amk, ams, ame = merge_intervals(ak, as_, ae)
+    bmk, bms, bme = merge_intervals(bk, bs, be)
+    idx = build_interval_index(bmk, bms, bme)
+    counts, inter = coverage(idx, amk, ams, ame)
+    # coverage() returns sum(min(end,qe) - max(start,qs)) (superintervals
+    # convention, no +1); add one base per overlapping merged pair to get
+    # end-inclusive widths.
+    intersection = int(inter.sum()) + int(counts.sum())
+    a_bases = int((ame.astype(np.int64) - ams + 1).sum())
+    b_bases = int((bme.astype(np.int64) - bms + 1).sum())
+    union = a_bases + b_bases - intersection
+    return {
+        "intersection": intersection,
+        "union": union,
+        "jaccard": intersection / union if union else 0.0,
+        "n_intersections": int(counts.sum()),
+    }
+
+
+def slop(keys, starts, ends, left: int, right: int, key_sizes=None):
+    """Extend intervals by `left`/`right` bases, clamped to the contig
+    span when given (bedtools slop)."""
+    s = starts.astype(np.int64) - left
+    e = ends.astype(np.int64) + right
+    if key_sizes:
+        lo = np.full(len(keys), -(2**31), np.int64)
+        hi = np.full(len(keys), 2**31 - 1, np.int64)
+        for k, (klo, khi) in key_sizes.items():
+            mask = keys == k
+            lo[mask] = klo
+            hi[mask] = khi
+        s = np.maximum(s, lo)
+        e = np.minimum(e, hi)
+    else:
+        s = np.maximum(s, -(2**31))
+        e = np.minimum(e, 2**31 - 1)
+    return keys, s.astype(np.int32), np.maximum(e, s).astype(np.int32)
 
 
 def coverage(index: IntervalIndex, qk, qs, qe, method: str = "sort"):

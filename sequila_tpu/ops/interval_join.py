@@ -376,11 +376,16 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         num_levels=index.num_levels,
         level_offsets=index.level_offsets,
     )
-    return (
-        np.asarray(build_rows[:total]),
-        np.asarray(probe_rows[:total]),
-        total,
+    # Fetch build rows + per-probe counts and RECONSTRUCT probe rows on
+    # the host (np.repeat over counts) — pairs are probe-major, so this
+    # halves the device->host transfer (the reference's emit likewise
+    # RLE-expands the probe side, interval_join.rs:1593-1617).
+    b = np.asarray(build_rows[:total])
+    counts = np.asarray(counts_from_bounds(lb, ub))
+    p = np.repeat(
+        np.arange(len(counts), dtype=np.int32), counts.astype(np.int64)
     )
+    return b, p, total
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,52 @@ class TestCountOverlapsAPI:
         out = gdf.overlap(a, b)
         counts = gdf.count_overlaps(a, b)
         assert out.num_rows == int(counts.column_np("count").sum())
+
+
+class TestSubtractJaccardSlop:
+    def test_subtract_simple(self):
+        a = table_of(["chr1"], [10], [30])
+        b = table_of(["chr1", "chr1"], [15, 25], [18, 40])
+        out = gdf.subtract(a, b)
+        rows = sorted(zip(*[out.column_np(i).tolist() for i in range(3)]))
+        assert rows == [("chr1", 10, 14), ("chr1", 19, 24)]
+
+    def test_subtract_no_overlap_keeps_whole(self):
+        a = table_of(["chr1"], [10], [30])
+        b = table_of(["chr2"], [0], [100])
+        out = gdf.subtract(a, b)
+        rows = sorted(zip(*[out.column_np(i).tolist() for i in range(3)]))
+        assert rows == [("chr1", 10, 30)]
+
+    def test_subtract_fully_covered_vanishes(self):
+        a = table_of(["chr1"], [10], [30])
+        b = table_of(["chr1"], [0], [100])
+        assert gdf.subtract(a, b).num_rows == 0
+
+    def test_jaccard_identical_sets(self):
+        a = table_of(["chr1", "chr2"], [10, 5], [20, 9])
+        stats = gdf.jaccard(a, a)
+        assert stats["jaccard"] == 1.0
+        assert stats["intersection"] == stats["union"] == (20 - 10 + 1) + (9 - 5 + 1)
+
+    def test_jaccard_disjoint(self):
+        a = table_of(["chr1"], [0], [10])
+        b = table_of(["chr1"], [20], [30])
+        stats = gdf.jaccard(a, b)
+        assert stats["intersection"] == 0
+        assert stats["jaccard"] == 0.0
+        assert stats["union"] == 11 + 11
+
+    def test_jaccard_half(self):
+        a = table_of(["chr1"], [0], [9])     # 10 bases
+        b = table_of(["chr1"], [5], [14])    # 10 bases, 5 shared
+        stats = gdf.jaccard(a, b)
+        assert stats["intersection"] == 5
+        assert stats["union"] == 15
+        assert abs(stats["jaccard"] - 5 / 15) < 1e-12
+
+    def test_slop_with_clamp(self):
+        a = table_of(["chr1", "chr1"], [5, 90], [10, 95])
+        out = gdf.slop(a, 10, 10, {"chr1": (0, 99)})
+        rows = sorted(zip(*[out.column_np(i).tolist() for i in range(3)]))
+        assert rows == [("chr1", 0, 20), ("chr1", 80, 99)]
