@@ -365,6 +365,39 @@ class Binder:
             return plan  # SELECT * passthrough
         return ProjectExec(plan, exprs, names, quals)
 
+    def _bind_agg_value_expr(self, e: ast.SqlExpr, aschema) -> pe.PhysicalExpr:
+        """Bind an expression over an aggregate's OUTPUT schema: aggregate
+        calls resolve by display name, plain columns by name (HAVING)."""
+        names = [n for _, n in aschema]
+        if isinstance(e, ast.Func) and e.name in _AGG_FUNCS:
+            disp = self._display_name(e)
+            if disp in names:
+                return pe.Column(disp, names.index(disp))
+            raise PlanError(f"aggregate '{disp}' not available after grouping")
+        if isinstance(e, ast.Lit):
+            return pe.Literal(e.value)
+        if isinstance(e, ast.Binary):
+            return pe.BinaryExpr(
+                self._bind_agg_value_expr(e.left, aschema),
+                e.op,
+                self._bind_agg_value_expr(e.right, aschema),
+            )
+        if isinstance(e, ast.Unary):
+            child = self._bind_agg_value_expr(e.child, aschema)
+            return pe.NotExpr(child) if e.op == "NOT" else pe.NegExpr(child)
+        if isinstance(e, ast.ColRef):
+            return self._bind_expr(e, aschema).expr
+        raise PlanError(f"unsupported HAVING expression: {e}")
+
+    def _collect_agg_funcs(self, e: ast.SqlExpr) -> list:
+        if isinstance(e, ast.Func) and e.name in _AGG_FUNCS:
+            return [e]
+        if isinstance(e, ast.Binary):
+            return self._collect_agg_funcs(e.left) + self._collect_agg_funcs(e.right)
+        if isinstance(e, ast.Unary):
+            return self._collect_agg_funcs(e.child)
+        return []
+
     def _bind_aggregate(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:
         schema = plan.schema()
         group_exprs, group_names = [], []
@@ -396,7 +429,28 @@ class Binder:
                     )
                 # (source name in the aggregate schema, output name)
                 out_items.append(("group", name, item.alias or name))
+        # HAVING may reference aggregates not in the SELECT list: compute
+        # them as hidden specs, filter, then project them away.
+        if sel.having is not None:
+            existing = {name for *_x, name in agg_specs}
+            for f in self._collect_agg_funcs(sel.having):
+                disp = self._display_name(f)
+                if disp not in existing:
+                    if f.star or (f.name == "count" and len(f.args) == 1 and isinstance(f.args[0], ast.Lit)):
+                        arg = None
+                    elif len(f.args) == 1:
+                        arg = self._bind_expr(f.args[0], schema).expr
+                    else:
+                        raise PlanError(f"{f.name} takes one argument")
+                    agg_specs.append((f.name, arg, f.distinct, disp))
+                    existing.add(disp)
+
         agg = AggregateExec(plan, group_exprs, group_names, agg_specs)
+        plan_after = agg
+        if sel.having is not None:
+            plan_after = FilterExec(
+                agg, self._bind_agg_value_expr(sel.having, agg.schema())
+            )
         # project to select-list order/aliases
         aschema = agg.schema()
         exprs, names = [], []
@@ -408,6 +462,6 @@ class Binder:
             )
             exprs.append(pe.Column(aschema[idx][1], idx))
             names.append(out_name)
-        if names == [n for _, n in aschema]:
+        if names == [n for _, n in aschema] and plan_after is agg:
             return agg
-        return ProjectExec(agg, exprs, names)
+        return ProjectExec(plan_after, exprs, names)

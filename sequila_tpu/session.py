@@ -149,6 +149,8 @@ class SessionContext:
             return self._explain(stmt)
         if isinstance(stmt, ast.Select):
             return self._run_select(stmt)
+        if isinstance(stmt, ast.Union):
+            return self._run_union(stmt)
         if isinstance(stmt, ast.CopyTo):
             from sequila_tpu.io.readers import write_table
 
@@ -230,6 +232,23 @@ class SessionContext:
         else:
             out = plan.execute(ctx)
         self.last_metrics = ctx.metrics
+        return out
+
+    def _run_union(self, u: ast.Union) -> Table:
+        parts = [self._run_select(s) for s in u.selects]
+        arity = len(parts[0].column_names)
+        for p in parts[1:]:
+            if len(p.column_names) != arity:
+                raise PlanError("UNION inputs must have the same column count")
+        names = parts[0].column_names
+        tables = [p.arrow.rename_columns(names) for p in parts]
+        out = Table(pa.concat_tables(tables, promote_options="permissive"))
+        if not u.all:
+            from sequila_tpu.exec.plan import _row_group_codes
+
+            cols = [out.column_np(i) for i in range(arity)]
+            _, first_idx = _row_group_codes(cols)
+            out = out.take(np.sort(first_idx))
         return out
 
     def _explain(self, stmt: ast.Explain) -> Table:

@@ -97,6 +97,15 @@ class Select:
     order_by: tuple[OrderItem, ...]
     limit: Optional[int]
     distinct: bool = False
+    having: Optional[SqlExpr] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Union:
+    """UNION [ALL] chain of selects (set semantics when all=False)."""
+
+    selects: tuple  # tuple[Select, ...]
+    all: bool
 
 
 # -- statements -------------------------------------------------------------

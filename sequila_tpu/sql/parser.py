@@ -90,7 +90,7 @@ class Parser:
             analyze = self.eat_kw("ANALYZE")
             return ast.Explain(self.parse_select(), analyze)
         if self.at_kw("SELECT"):
-            return self.parse_select()
+            return self.parse_select_or_union()
         if self.at_kw("SHOW"):
             self.next()
             self.expect_kw("TABLES")
@@ -265,6 +265,7 @@ class Parser:
             group_by.append(self.parse_expr())
             while self.eat("punct", ","):
                 group_by.append(self.parse_expr())
+        having = self.parse_expr() if self.eat_kw("HAVING") else None
         order_by: list[ast.OrderItem] = []
         if self.eat_kw("ORDER"):
             self.expect_kw("BY")
@@ -283,8 +284,20 @@ class Parser:
             limit = int(self.expect("number").value)
         return ast.Select(
             tuple(items), tuple(from_tables), tuple(joins), where,
-            tuple(group_by), tuple(order_by), limit, distinct,
+            tuple(group_by), tuple(order_by), limit, distinct, having,
         )
+
+    def parse_select_or_union(self) -> "ast.Statement":
+        first = self.parse_select()
+        if not self.at_kw("UNION"):
+            return first
+        selects = [first]
+        is_all = True
+        while self.eat_kw("UNION"):
+            this_all = self.eat_kw("ALL")
+            is_all = is_all and this_all
+            selects.append(self.parse_select())
+        return ast.Union(tuple(selects), is_all)
 
     def parse_table_ref(self) -> ast.TableRef:
         name = self.parse_object_name()

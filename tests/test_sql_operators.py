@@ -106,13 +106,6 @@ def test_show_tables_and_drop(ctx):
     ctx.sql("DROP TABLE IF EXISTS nosuch")  # no error
 
 
-def test_having_unsupported_is_clear(ctx):
-    from sequila_tpu.errors import PlanError
-
-    with pytest.raises(PlanError):
-        ctx.sql("SELECT contig FROM t GROUP BY contig HAVING count(*) > 1")
-
-
 def test_group_by_expression_must_match(ctx):
     from sequila_tpu.errors import PlanError
 
@@ -210,3 +203,32 @@ def test_two_column_operand_panics_like_reference(ctx):
             "SELECT * FROM t JOIN t t2 ON t.contig = t2.contig"
             " AND t.start <= t2.start + t2.len AND t.start + t.len >= t2.start"
         )
+
+
+def test_having(ctx):
+    out = ctx.sql(
+        "SELECT contig, count(*) AS n FROM t GROUP BY contig HAVING count(*) > 1 ORDER BY contig"
+    )
+    assert rows(out) == [("chr1", 3), ("chr2", 2)]
+
+
+def test_having_hidden_aggregate(ctx):
+    # HAVING references sum(len) which is not in the SELECT list
+    out = ctx.sql(
+        "SELECT contig FROM t GROUP BY contig HAVING sum(len) >= 55 ORDER BY contig"
+    )
+    assert [r[0] for r in rows(out)] == ["chr2", "chr3"]
+    assert out.column_names == ["contig"]
+
+
+def test_union_all(ctx):
+    out = ctx.sql(
+        "SELECT contig FROM t WHERE contig = 'chr1'"
+        " UNION ALL SELECT contig FROM t WHERE contig = 'chr3'"
+    )
+    assert sorted(r[0] for r in rows(out)) == ["chr1", "chr1", "chr1", "chr3"]
+
+
+def test_union_distinct(ctx):
+    out = ctx.sql("SELECT contig FROM t UNION SELECT contig FROM t")
+    assert sorted(r[0] for r in rows(out)) == ["chr1", "chr2", "chr3"]
