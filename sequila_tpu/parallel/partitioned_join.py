@@ -62,10 +62,18 @@ def _pad_probe(rk, rs, re, cap):
     return k, s, e
 
 
-def build_partitioned_index(lk, ls, le, npart: int):
-    """Hash-partition the build side and build per-part indexes with one
-    shared static layout.  Returns (stacked arrays dict, static meta)."""
-    part_of = lk % npart
+def build_partitioned_index(lk, ls, le, npart: int, part_of=None, keys=None):
+    """Partition the build side and build per-part indexes with one shared
+    static layout.  Returns (stacked arrays dict, static meta).
+
+    Default partitioning is key-hash (`lk % npart`); skew-aware callers
+    pass explicit per-row `part_of` assignments and alternative `keys`
+    (e.g. shard ids) — rows may then appear in several parts via repeated
+    indices in the caller's replica expansion."""
+    if part_of is None:
+        part_of = lk % npart
+    if keys is None:
+        keys = lk
     parts = [np.nonzero(part_of == p)[0] for p in range(npart)]
 
     # First pass: each part's natural level sizes -> shared covering layout.
@@ -76,7 +84,7 @@ def build_partitioned_index(lk, ls, le, npart: int):
         if len(rows) == 0:
             nat_sizes.append([0])
             continue
-        _, levels = assign_levels(lk[rows], ls[rows], le[rows])
+        _, levels = assign_levels(keys[rows], ls[rows], le[rows])
         nat_sizes.append(np.bincount(levels).tolist())
     num_levels = max(len(s) for s in nat_sizes)
     layout = tuple(
@@ -87,7 +95,7 @@ def build_partitioned_index(lk, ls, le, npart: int):
     stacked = {"levels": [], "keys": [], "starts": [], "ends": [], "pos": []}
     for rows in parts:
         idx = build_interval_index(
-            lk[rows], ls[rows], le[rows], to_device=np.asarray, layout=layout
+            keys[rows], ls[rows], le[rows], to_device=np.asarray, layout=layout
         )
         # positions are local to the part; remap to global build rows
         pos = np.asarray(idx.pos)
@@ -105,12 +113,16 @@ def build_partitioned_index(lk, ls, le, npart: int):
     return arrays, meta
 
 
-def partition_probe(rk, rs, re, npart: int, nprobe: int):
+def partition_probe(rk, rs, re, npart: int, nprobe: int, part_of=None, keys=None):
     """Hash-partition probe rows by key over 'part', row-split over 'probe'.
 
-    Returns arrays of shape [npart, nprobe, M] plus the global row index of
-    each slot ([-1] = padding) for result scattering."""
-    part_of = rk % npart
+    Returns arrays of shape [npart, nprobe, M] plus the caller-row index of
+    each slot ([-1] = padding) for result scattering.  Skew-aware callers
+    pass explicit `part_of` and `keys` (shard ids) over replica rows."""
+    if part_of is None:
+        part_of = rk % npart
+    if keys is None:
+        keys = rk
     groups = [np.nonzero(part_of == p)[0] for p in range(npart)]
     max_rows = max((len(g) for g in groups), default=1)
     per_chip = _bucket(max(1, -(-max_rows // nprobe)), minimum=8)
@@ -121,7 +133,7 @@ def partition_probe(rk, rs, re, npart: int, nprobe: int):
     for p, rows in enumerate(groups):
         for q in range(nprobe):
             sl = rows[q * per_chip : (q + 1) * per_chip]
-            K[p, q, : len(sl)] = rk[sl]
+            K[p, q, : len(sl)] = keys[sl]
             S[p, q, : len(sl)] = rs[sl]
             E[p, q, : len(sl)] = re[sl]
             IDX[p, q, : len(sl)] = sl

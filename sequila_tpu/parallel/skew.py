@@ -261,6 +261,79 @@ def skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) -> int:
     return int(np.asarray(partials).astype(np.int64).sum())
 
 
+def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re):
+    """SPMD skew-aware exact MATERIALIZING join.
+
+    Shards (range-split hot contigs) become the equi-keys of per-part
+    stacked level indexes; every chip emits its replica pairs, and the
+    host keeps exactly the pairs owned by each replica's sub-range
+    (``max(bs, qs) ∈ [lo, hi)``) — so replicated build/probe rows never
+    produce duplicates.  Returns global (build_rows, probe_rows)."""
+    from sequila_tpu.parallel.partitioned_join import (
+        build_partitioned_index,
+        partition_probe,
+        partitioned_emit_fn,
+        shard_totals_fn,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sequila_tpu.ops.interval_index import _bucket
+
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    plan = plan_partitions(lk, rk, rs, npart)
+    b_sid, b_row = assign_build(plan, lk, ls, le)
+    q_sid, q_row, q_lo, q_hi = assign_probe(plan, rk, rs, re)
+    if len(b_sid) == 0 or len(q_sid) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    b_sid32 = b_sid.astype(np.int32)
+    q_sid32 = q_sid.astype(np.int32)
+    arrays, meta = build_partitioned_index(
+        b_sid32, ls[b_row], le[b_row], npart,
+        part_of=plan.shard_part[b_sid], keys=b_sid32,
+    )
+    # NOTE: arrays["pos"] maps to REPLICA indices (rows into b_sid/b_row)
+    K, S, E, IDX = partition_probe(
+        q_sid32, rs[q_row], re[q_row], npart, nprobe,
+        part_of=plan.shard_part[q_sid], keys=q_sid32,
+    )
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    didx = [
+        dev(arrays[n], P("part", None))
+        for n in ("levels", "keys", "starts", "ends")
+    ]
+    dpos = dev(arrays["pos"], P("part", None))
+    dK = dev(K, P("part", "probe", None))
+    dS = dev(S, P("part", "probe", None))
+    dE = dev(E, P("part", "probe", None))
+    totals = np.asarray(
+        shard_totals_fn(mesh, meta["num_levels"], meta["level_offsets"])(
+            *didx, dK, dS, dE
+        )
+    )
+    cap = _bucket(max(int(totals.max()), 1), minimum=1024)
+    b, p = partitioned_emit_fn(
+        mesh, meta["num_levels"], meta["level_offsets"], cap
+    )(*didx, dpos, dK, dS, dE)
+    b = np.asarray(b)  # replica indices into b_row (-1 invalid)
+    p = np.asarray(p)  # shard-local probe slots
+    out_b, out_p = [], []
+    for part in range(mesh.shape["part"]):
+        for chip in range(nprobe):
+            valid = b[part, chip] >= 0
+            b_rep = b[part, chip][valid]
+            q_rep = IDX[part, chip][p[part, chip][valid]]
+            # ownership: the pair belongs to the sub-range containing
+            # max(build.start, probe.start)
+            bs_g = ls[b_row[b_rep]].astype(np.int64)
+            qs_g = rs[q_row[q_rep]].astype(np.int64)
+            own_point = np.maximum(bs_g, qs_g)
+            own = (own_point >= q_lo[q_rep]) & (own_point < q_hi[q_rep])
+            out_b.append(b_row[b_rep[own]])
+            out_p.append(q_row[q_rep[own]])
+    return np.concatenate(out_b), np.concatenate(out_p)
+
+
 def skew_partitioned_count(lk, ls, le, rk, rs, re, npart: int) -> int:
     """End-to-end exact count with skew-aware range splitting (host-driven
     single-device version; the SPMD variant shards the same arrays)."""

@@ -198,3 +198,43 @@ class TestSkewAware:
         le = ls + 5
         want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
         assert skew_partitioned_count(lk, ls, le, rk, rs, re, npart=8) == want
+
+    def test_skew_pairs_match_oracle(self, rng):
+        """Skew-aware SPMD MATERIALIZATION: replicated rows must not
+        produce duplicate pairs; result == brute-force oracle."""
+        from sequila_tpu.ops.oracle import oracle_pairs
+        from sequila_tpu.parallel.skew import skew_partitioned_pairs
+
+        mesh = make_mesh(8, part=4)
+        n, m = 300, 500
+        lk = np.where(rng.random(n) < 0.85, 0, rng.integers(1, 5, n)).astype(np.int32)
+        ls = rng.integers(0, 20_000, n).astype(np.int32)
+        le = ls + rng.integers(0, 3_000, n).astype(np.int32)
+        rk = np.where(rng.random(m) < 0.85, 0, rng.integers(1, 5, m)).astype(np.int32)
+        rs = rng.integers(0, 20_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 3_000, m).astype(np.int32)
+        b, p = skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re)
+        ob, op = oracle_pairs(lk, ls, le, rk, rs, re)
+        assert sorted(zip(p.tolist(), b.tolist())) == sorted(
+            zip(op.tolist(), ob.tolist())
+        )
+
+    def test_skew_pairs_long_straddlers(self, rng):
+        from sequila_tpu.ops.oracle import oracle_pairs
+        from sequila_tpu.parallel.skew import skew_partitioned_pairs
+
+        mesh = make_mesh(4, part=2)
+        n = 40
+        lk = np.zeros(n, np.int32)
+        ls = np.zeros(n, np.int32)
+        le = np.full(n, 99_999, np.int32)
+        m = 200
+        rk = np.zeros(m, np.int32)
+        rs = rng.integers(0, 100_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 100, m).astype(np.int32)
+        b, p = skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re)
+        assert len(b) == n * m
+        ob, op = oracle_pairs(lk, ls, le, rk, rs, re)
+        assert sorted(zip(p.tolist(), b.tolist())) == sorted(
+            zip(op.tolist(), ob.tolist())
+        )
