@@ -238,3 +238,41 @@ class TestSkewAware:
         assert sorted(zip(p.tolist(), b.tolist())) == sorted(
             zip(op.tolist(), ob.tolist())
         )
+
+
+class TestDeviceShuffle:
+    def test_all_to_all_count_matches_oracle(self, rng):
+        """REAL device-side all_to_all shuffle + shard-local count."""
+        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_count
+
+        mesh = make_mesh(8, part=8)
+        lk, ls, le, rk, rs, re = _tables(rng, 500, 700)
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        got = all_to_all_partitioned_count(mesh, lk, ls, le, rk, rs, re)
+        assert got == want
+
+    def test_all_to_all_skewed(self, rng):
+        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_count
+
+        mesh = make_mesh(4, part=4)
+        n, m = 300, 400
+        lk = np.where(rng.random(n) < 0.8, 3, rng.integers(0, 8, n)).astype(np.int32)
+        ls = rng.integers(0, 9_000, n).astype(np.int32)
+        le = ls + rng.integers(0, 700, n).astype(np.int32)
+        rk = np.where(rng.random(m) < 0.8, 3, rng.integers(0, 8, m)).astype(np.int32)
+        rs = rng.integers(0, 9_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 700, m).astype(np.int32)
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert all_to_all_partitioned_count(mesh, lk, ls, le, rk, rs, re) == want
+
+    def test_all_to_all_empty_and_tiny(self, rng):
+        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_count
+
+        mesh = make_mesh(4, part=4)
+        lk = np.array([0], np.int32)
+        ls = np.array([5], np.int32)
+        le = np.array([10], np.int32)
+        rk = np.array([0, 1], np.int32)
+        rs = np.array([7, 7], np.int32)
+        re = np.array([8, 8], np.int32)
+        assert all_to_all_partitioned_count(mesh, lk, ls, le, rk, rs, re) == 1
