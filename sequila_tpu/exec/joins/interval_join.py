@@ -232,14 +232,11 @@ class IntervalJoinExec(ExecPlan):
             or right.column(r_on.index).null_count
         ):
             return None  # null keys need the sentinel-code path
+        from sequila_tpu.models.table import merge_dictionaries
+
         lcodes, lvals, _ = left.dict_codes(l_on.index)
         rcodes, rvals, _ = right.dict_codes(r_on.index)
-        both = np.concatenate(
-            [np.asarray(lvals, dtype=object), np.asarray(rvals, dtype=object)]
-        )
-        _, inv = np.unique(both, return_inverse=True)
-        remap_l = inv[: len(lvals)].astype(np.int32)
-        remap_r = inv[len(lvals):].astype(np.int32)
+        remap_l, remap_r = merge_dictionaries(lvals, rvals)
         return remap_l[lcodes], remap_r[rcodes]
 
     # -- device-resident fast path -----------------------------------------
@@ -296,14 +293,13 @@ class IntervalJoinExec(ExecPlan):
             rcol = right.column(r_on.index)
             if lcol.null_count or rcol.null_count:
                 return None
+            from sequila_tpu.models.table import merge_dictionaries
+
             lcodes_np, lvals, lk = left.dict_codes(l_on.index)
             rcodes_np, rvals, rk = right.dict_codes(r_on.index)
-            both = np.concatenate(
-                [np.asarray(lvals, dtype=object), np.asarray(rvals, dtype=object)]
-            )
-            _, inv = np.unique(both, return_inverse=True)
-            remap_l = jnp.asarray(inv[: len(lvals)].astype(np.int32))
-            remap_r = jnp.asarray(inv[len(lvals):].astype(np.int32))
+            rl, rr = merge_dictionaries(lvals, rvals)
+            remap_l = jnp.asarray(rl)
+            remap_r = jnp.asarray(rr)
 
         n_pad = _bucket(max(left.num_rows, 1), minimum=1024)
         m_pad = _bucket(max(right.num_rows, 1), minimum=1024)

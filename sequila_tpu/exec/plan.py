@@ -68,8 +68,22 @@ def _row_group_codes(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     """
     combined = None
     for c in cols:
-        _, col_codes = np.unique(np.asarray(c), return_inverse=True)
-        width = int(col_codes.max()) + 1 if len(col_codes) else 1
+        arr = np.asarray(c)
+        if arr.dtype == object:
+            null = np.array([v is None or v != v for v in arr], dtype=bool) if len(arr) else np.zeros(0, bool)
+        elif np.issubdtype(arr.dtype, np.floating):
+            null = np.isnan(arr)
+        else:
+            null = np.zeros(len(arr), bool)
+        col_codes = np.zeros(len(arr), np.int64)
+        nn = ~null
+        if nn.any():
+            _, nn_codes = np.unique(arr[nn], return_inverse=True)
+            col_codes[nn] = nn_codes
+            width = int(nn_codes.max()) + 2
+        else:
+            width = 2
+        col_codes[null] = width - 1  # NULLs form their own group
         combined = col_codes if combined is None else combined * width + col_codes
     _, first_idx, codes = np.unique(combined, return_index=True, return_inverse=True)
     return codes, first_idx

@@ -229,6 +229,24 @@ def encode_join_keys(left, right) -> tuple[np.ndarray, np.ndarray, int]:
     return codes[:nl], codes[nl:], num
 
 
+def merge_dictionaries(lvals: np.ndarray, rvals: np.ndarray):
+    """Joint code space for two dictionary value arrays.
+
+    Returns (remap_l, remap_r) int32 arrays mapping each side's local
+    codes into the shared space.  Mismatched dtypes compare as strings
+    (same coercion encode_join_keys applies at the column level)."""
+    lv = np.asarray(lvals, dtype=object)
+    rv = np.asarray(rvals, dtype=object)
+    if len(lv) and len(rv):
+        lt, rt = type(lv[0]), type(rv[0])
+        if lt is not rt:
+            lv = np.array([str(x) for x in lv], dtype=object)
+            rv = np.array([str(x) for x in rv], dtype=object)
+    both = np.concatenate([lv, rv])
+    _, inv = np.unique(both, return_inverse=True)
+    return inv[: len(lv)].astype(np.int32), inv[len(lv):].astype(np.int32)
+
+
 def pretty_format(table: Table) -> str:
     """DataFusion-style ASCII table, so reference expected outputs match.
 

@@ -147,8 +147,17 @@ def subtract_intervals(ak, as_, ae, bk, bs, be):
     out_k, out_s, out_e = [], [], []
     order = np.lexsort((ms, mk))
     mk, ms, me = mk[order], ms[order], me[order]
+    # merged runs are disjoint and sorted, so per key both starts AND ends
+    # ascend: the runs overlapping [as, ae] are one contiguous window,
+    # found with two vectorized composite searches (O(log) per a-row).
+    B = np.int64(2**31)
+    comp_ms = (mk.astype(np.int64) << 32) | (ms.astype(np.int64) + B)
+    comp_me = (mk.astype(np.int64) << 32) | (me.astype(np.int64) + B)
+    ak64 = ak.astype(np.int64)
+    lo_all = np.searchsorted(comp_me, (ak64 << 32) | (as_.astype(np.int64) + B), side="left")
+    hi_all = np.searchsorted(comp_ms, (ak64 << 32) | (ae.astype(np.int64) + B), side="right")
     for i in range(len(ak)):
-        seg = np.nonzero((mk == ak[i]) & (ms <= ae[i]) & (me >= as_[i]))[0]
+        seg = range(int(lo_all[i]), int(hi_all[i]))
         cur = int(as_[i])
         for j in seg:
             if ms[j] > cur:

@@ -68,7 +68,7 @@ def _bucket_counts_fn(mesh: Mesh):
     return jax.jit(step)
 
 
-def _shuffle_count_fn(mesh: Mesh, cap: int, m_pad: int):
+def _shuffle_count_fn(mesh: Mesh, cap: int):
     """Phase B: bucket + all_to_all both sides' columns, then count."""
     nparts = mesh.shape["part"]
 
@@ -157,9 +157,7 @@ def all_to_all_partitioned_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
     cap_b = int(_bucket_counts_fn(mesh)(dBK, dBV))
     cap_q = int(_bucket_counts_fn(mesh)(dQK, dQV))
     cap = _bucket(max(cap_b, cap_q, 1), minimum=8)
-    # the scatter/count kernel needs (nparts*cap) multiple of 64 totals;
-    # handled by in-kernel probe padding
-    fn = _shuffle_count_fn(mesh, cap, 0)
+    fn = _shuffle_count_fn(mesh, cap)
     partials = fn(
         dBK, dev(BS), dev(BE), dBV, dQK, dev(QS), dev(QE), dQV
     )

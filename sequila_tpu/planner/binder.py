@@ -56,8 +56,10 @@ class Binder:
         plan, where = self._bind_from(sel)
         schema = plan.schema()
 
-        has_aggs = any(self._contains_agg(it.expr) for it in sel.items) or bool(
-            sel.group_by
+        has_aggs = (
+            any(self._contains_agg(it.expr) for it in sel.items)
+            or bool(sel.group_by)
+            or sel.having is not None
         )
 
         if not has_aggs:

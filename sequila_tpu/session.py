@@ -235,20 +235,45 @@ class SessionContext:
         return out
 
     def _run_union(self, u: ast.Union) -> Table:
+        from sequila_tpu.exec.plan import _row_group_codes
+
+        def dedupe(t: Table) -> Table:
+            cols = [t.column_np(i) for i in range(len(t.column_names))]
+            if not cols:
+                return t
+            _, first_idx = _row_group_codes(cols)
+            return t.take(np.sort(first_idx))
+
         parts = [self._run_select(s) for s in u.selects]
         arity = len(parts[0].column_names)
-        for p in parts[1:]:
-            if len(p.column_names) != arity:
-                raise PlanError("UNION inputs must have the same column count")
         names = parts[0].column_names
-        tables = [p.arrow.rename_columns(names) for p in parts]
-        out = Table(pa.concat_tables(tables, promote_options="permissive"))
-        if not u.all:
-            from sequila_tpu.exec.plan import _row_group_codes
+        out = parts[0]
+        # left-associative: (A UNION B) UNION ALL C keeps C's duplicates
+        for nxt, is_all in zip(parts[1:], u.alls):
+            if len(nxt.column_names) != arity:
+                raise PlanError("UNION inputs must have the same column count")
+            out = Table(
+                pa.concat_tables(
+                    [out.arrow.rename_columns(names), nxt.arrow.rename_columns(names)],
+                    promote_options="permissive",
+                )
+            )
+            if not is_all:
+                out = dedupe(out)
+        if u.order_by:
+            from sequila_tpu.exec.plan import ScanExec, SortExec
+            from sequila_tpu.planner.binder import Binder
 
-            cols = [out.column_np(i) for i in range(arity)]
-            _, first_idx = _row_group_codes(cols)
-            out = out.take(np.sort(first_idx))
+            scan = ScanExec("__union__", out, None)
+            b = Binder(self.catalog)
+            schema = scan.schema()
+            exprs, asc = [], []
+            for oi in u.order_by:
+                exprs.append(b._bind_expr(oi.expr, schema).expr)
+                asc.append(oi.asc)
+            out = SortExec(scan, exprs, asc).execute(ExecContext(self.config.copy()))
+        if u.limit is not None:
+            out = out.slice(0, u.limit)
         return out
 
     def _explain(self, stmt: ast.Explain) -> Table:

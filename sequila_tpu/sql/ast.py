@@ -102,10 +102,14 @@ class Select:
 
 @dataclasses.dataclass(frozen=True)
 class Union:
-    """UNION [ALL] chain of selects (set semantics when all=False)."""
+    """UNION chain; ``alls[i]`` is the ALL flag of the link joining
+    selects[i] and selects[i+1] (left-associative, standard SQL).
+    Trailing ORDER BY / LIMIT of the chain apply to the whole result."""
 
     selects: tuple  # tuple[Select, ...]
-    all: bool
+    alls: tuple  # tuple[bool, ...], len == len(selects) - 1
+    order_by: tuple = ()
+    limit: Optional[int] = None
 
 
 # -- statements -------------------------------------------------------------

@@ -288,16 +288,22 @@ class Parser:
         )
 
     def parse_select_or_union(self) -> "ast.Statement":
+        import dataclasses as _dc
+
         first = self.parse_select()
         if not self.at_kw("UNION"):
             return first
         selects = [first]
-        is_all = True
+        alls = []
         while self.eat_kw("UNION"):
-            this_all = self.eat_kw("ALL")
-            is_all = is_all and this_all
+            alls.append(self.eat_kw("ALL"))
             selects.append(self.parse_select())
-        return ast.Union(tuple(selects), is_all)
+        # trailing ORDER BY / LIMIT were consumed into the LAST branch by
+        # parse_select; standard SQL applies them to the whole union
+        last = selects[-1]
+        order_by, limit = last.order_by, last.limit
+        selects[-1] = _dc.replace(last, order_by=(), limit=None)
+        return ast.Union(tuple(selects), tuple(alls), order_by, limit)
 
     def parse_table_ref(self) -> ast.TableRef:
         name = self.parse_object_name()

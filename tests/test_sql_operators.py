@@ -232,3 +232,56 @@ def test_union_all(ctx):
 def test_union_distinct(ctx):
     out = ctx.sql("SELECT contig FROM t UNION SELECT contig FROM t")
     assert sorted(r[0] for r in rows(out)) == ["chr1", "chr2", "chr3"]
+
+
+def test_having_without_group_by_errors_on_bare_column(ctx):
+    from sequila_tpu.errors import PlanError
+
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT contig FROM t HAVING count(*) > 10")
+
+
+def test_having_without_group_by_on_aggregate(ctx):
+    out = ctx.sql("SELECT count(*) FROM t HAVING count(*) > 10")
+    assert out.num_rows == 0
+    out = ctx.sql("SELECT count(*) FROM t HAVING count(*) > 1")
+    assert rows(out) == [(6,)]
+
+
+def test_union_trailing_order_and_limit(ctx):
+    out = ctx.sql(
+        "SELECT contig FROM t WHERE contig = 'chr1'"
+        " UNION ALL SELECT contig FROM t ORDER BY contig LIMIT 2"
+    )
+    assert rows(out) == [("chr1",), ("chr1",)]
+    assert out.num_rows == 2
+
+
+def test_mixed_union_chain(ctx):
+    # (A UNION B) UNION ALL C: C's duplicates survive
+    out = ctx.sql(
+        "SELECT contig FROM t WHERE contig = 'chr3'"
+        " UNION SELECT contig FROM t WHERE contig = 'chr3'"
+        " UNION ALL SELECT contig FROM t WHERE contig = 'chr3'"
+    )
+    assert [r[0] for r in rows(out)] == ["chr3", "chr3"]
+
+
+def test_union_distinct_with_nulls(ctx):
+    ctx.sql("CREATE TABLE un (c TEXT) AS VALUES ('chr1'), (NULL)")
+    out = ctx.sql("SELECT c FROM un UNION SELECT c FROM un")
+    vals = sorted((v is None, str(v)) for v in out.column_np(0).tolist())
+    assert len(vals) == 2  # chr1 + one NULL
+
+
+def test_mixed_dtype_join_keys(ctx):
+    """int64 vs string key columns compare as strings (arrow cast), in
+    both the fresh-encode and cached-key-codes paths."""
+    ctx.sql("CREATE TABLE ia (k BIGINT, s INTEGER, e INTEGER) AS VALUES (1, 0, 10)")
+    ctx.sql("CREATE TABLE sb (k TEXT, s INTEGER, e INTEGER) AS VALUES ('1', 5, 6), ('2', 5, 6)")
+    for pref in ("true", "false"):
+        ctx.sql(f"SET sequila.prefer_interval_join = {pref}")
+        out = ctx.sql(
+            "SELECT * FROM ia JOIN sb ON ia.k = sb.k AND ia.s <= sb.e AND ia.e >= sb.s"
+        )
+        assert out.num_rows == 1, pref
