@@ -323,3 +323,36 @@ class TestPallasRankKernel:
             np.testing.assert_array_equal(got, want)
         finally:
             rkmod.MAX_VMEM_BUILD = old
+
+
+class TestStreamRankKernel:
+    def test_streaming_rank_parity(self, rng):
+        """HBM-streaming double-buffered DMA rank == co-sort rank."""
+        from sequila_tpu.ops.pallas.stream_rank import rank_lex_stream
+
+        bk = rng.integers(0, 4, 5000).astype(np.int32)
+        bv = rng.integers(0, 9000, 5000).astype(np.int32)
+        qk = rng.integers(0, 5, 1300).astype(np.int32)
+        qv = rng.integers(0, 9500, 1300).astype(np.int32)
+        for side in ("left", "right"):
+            got = np.asarray(
+                rank_lex_stream(
+                    (jnp.asarray(bk), jnp.asarray(bv)),
+                    (jnp.asarray(qk), jnp.asarray(qv)), side,
+                )
+            )
+            want = np.asarray(
+                rank_lex_sort(
+                    (jnp.asarray(bk), jnp.asarray(bv)),
+                    (jnp.asarray(qk), jnp.asarray(qv)), side,
+                )
+            )
+            np.testing.assert_array_equal(got, want)
+
+    def test_streaming_empty_sides(self):
+        from sequila_tpu.ops.pallas.stream_rank import rank_lex_stream
+
+        e = jnp.asarray(np.empty(0, np.int32))
+        b = jnp.asarray(np.arange(10, dtype=np.int32))
+        assert rank_lex_stream((e, e), (b, b)).shape == (10,)
+        assert rank_lex_stream((b, b), (e, e)).shape == (0,)
