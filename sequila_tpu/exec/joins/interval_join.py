@@ -261,6 +261,102 @@ class IntervalJoinExec(ExecPlan):
             return base - expr.right.value if expr.op == "-" else base + expr.right.value
         return None
 
+    @staticmethod
+    def _bound_col_delta(expr, table: Table):
+        """(column index, ±int delta) for a bound expr, or None."""
+        from sequila_tpu.planner.expr import BinaryExpr, Column, Literal
+
+        if isinstance(expr, Column):
+            return expr.index, 0
+        if (
+            isinstance(expr, BinaryExpr)
+            and isinstance(expr.left, Column)
+            and isinstance(expr.right, Literal)
+            and expr.op in ("+", "-")
+            and isinstance(expr.right.value, int)
+        ):
+            d = expr.right.value
+            return expr.left.index, (-d if expr.op == "-" else d)
+        return None
+
+    def _stream_sorted_count(self, ctx, left: Table, right: Table):
+        """Sort-free count over cached sorted views + the streaming DMA
+        kernel; None when the plan shape doesn't qualify."""
+        from sequila_tpu.models.table import merge_dictionaries
+        from sequila_tpu.ops.pallas.stream_rank import (
+            host_windows,
+            stream_count_partials,
+        )
+        from sequila_tpu.planner.expr import Column
+
+        if len(self.on) != 1:
+            return None
+        l_on, r_on = self.on[0]
+        if not (isinstance(l_on, Column) and isinstance(r_on, Column)):
+            return None
+        if left.column(l_on.index).null_count or right.column(r_on.index).null_count:
+            return None
+        bs_cd = self._bound_col_delta(self.intervals.left_interval.start, left)
+        be_cd = self._bound_col_delta(self.intervals.left_interval.end, left)
+        qs_cd = self._bound_col_delta(self.intervals.right_interval.start, right)
+        qe_cd = self._bound_col_delta(self.intervals.right_interval.end, right)
+        if None in (bs_cd, be_cd, qs_cd, qe_cd):
+            return None
+        # degenerate probes (qs_adj > qe_adj) break BITS: host min-gap check
+        qs_col = right.column_as_i32(qs_cd[0]).astype(np.int64)
+        qe_col = right.column_as_i32(qe_cd[0]).astype(np.int64)
+        if len(qs_col) and int((qe_col + qe_cd[1] - (qs_col + qs_cd[1])).min()) < 0:
+            return None
+
+        lcodes, lvals, _ = left.dict_codes(l_on.index)
+        rcodes, rvals, _ = right.dict_codes(r_on.index)
+        try:
+            remap_b, remap_q = merge_dictionaries(lvals, rvals)
+        except TypeError:
+            return None
+        # cached sorted views: build by start / by end; probe by end / start
+        bu_k, bu_v, bu_kh, bu_vh, _ = left.sorted_interval_view(l_on.index, bs_cd[0])
+        bl_k, bl_v, bl_kh, bl_vh, _ = left.sorted_interval_view(l_on.index, be_cd[0])
+        qu_k, qu_v, qu_kh, qu_vh, _ = right.sorted_interval_view(r_on.index, qe_cd[0])
+        ql_k, ql_v, ql_kh, ql_vh, _ = right.sorted_interval_view(r_on.index, qs_cd[0])
+        if qu_k.shape[0] != ql_k.shape[0]:
+            return None
+
+        PADH = np.int32(2**31 - 1)
+
+        def tx_build(kh, vh, d):
+            k = np.where(kh == PADH, PADH, remap_b[np.clip(kh, 0, len(remap_b) - 1)])
+            v = np.where(kh == PADH, PADH, vh.astype(np.int64) + d).astype(np.int64)
+            return k, v
+
+        def tx_probe(kh, vh, d):
+            k = np.where(kh == PADH, PADH, remap_q[np.clip(kh, 0, len(remap_q) - 1)])
+            v = np.where(kh == PADH, np.int64(PADH) - 1, vh.astype(np.int64) + d)
+            return k, v
+
+        buk_h, buv_h = tx_build(bu_kh, bu_vh, bs_cd[1])
+        blk_h, blv_h = tx_build(bl_kh, bl_vh, be_cd[1])
+        quk_h, quv_h = tx_probe(qu_kh, qu_vh, qe_cd[1])
+        qlk_h, qlv_h = tx_probe(ql_kh, ql_vh, qs_cd[1])
+        c_lo_u, n_chunks_u = host_windows(buk_h, buv_h, quk_h, quv_h, "right")
+        c_lo_l, n_chunks_l = host_windows(blk_h, blv_h, qlk_h, qlv_h, "left")
+        n_chunks_max = bu_k.shape[0] // 2048
+
+        with ctx.timer(self.op_id(), "join_time"):
+            partials = np.asarray(
+                stream_count_partials(
+                    bu_k, bu_v, bl_k, bl_v, qu_k, qu_v, ql_k, ql_v,
+                    jnp.asarray(remap_b), jnp.asarray(remap_q),
+                    jnp.asarray(c_lo_u), jnp.asarray(n_chunks_u),
+                    jnp.asarray(c_lo_l), jnp.asarray(n_chunks_l),
+                    d_bs=bs_cd[1], d_be=be_cd[1], d_qs=qs_cd[1], d_qe=qe_cd[1],
+                    n_chunks_max=n_chunks_max,
+                )
+            ).astype(np.int64)
+        total = int(partials.sum())
+        ctx.metrics.add(self.op_id(), "output_rows", total)
+        return total
+
     def _device_resident_count(self, ctx, left: Table, right: Table):
         """One-device-program count over cached resident columns, or None
         if the plan shape doesn't qualify (multi-key, complex exprs,
@@ -476,6 +572,14 @@ class IntervalJoinExec(ExecPlan):
             total = int(hidx.counts(rcodes, rs, re).sum())
             ctx.metrics.add(self.op_id(), "output_rows", total)
             return total
+        if _os.environ.get("SEQUILA_COUNT_BACKEND") == "stream":
+            # experimental sort-free backend (ops/pallas/stream_rank.py);
+            # measured SLOWER than the co-sort at every scale tried (host
+            # window prep + per-block overheads dominate), kept selectable
+            # for future hardware where the tradeoff may flip.
+            total = self._stream_sorted_count(ctx, left, right)
+            if total is not None:
+                return total
         total = self._device_resident_count(ctx, left, right)
         if total is not None:
             return total

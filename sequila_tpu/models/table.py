@@ -45,17 +45,52 @@ class Table:
         return self._dev_i32[key]
 
     def dict_codes(self, name_or_idx):
-        """(codes int32 np, dictionary values np) for a key column, cached."""
+        """(codes int32 np, dictionary values np, device codes), cached.
+
+        Codes are ORDER-PRESERVING (dictionary sorted, codes = value
+        ranks): merging two sorted dictionaries then yields monotone
+        remaps, so cached (code, value)-sorted views stay sorted in the
+        joint key space — the basis of the sort-free count path."""
         key = name_or_idx
         if key not in self._codes:
             col = self._t.column(name_or_idx).combine_chunks()
             enc = col.dictionary_encode()
             codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
             values = enc.dictionary.to_numpy(zero_copy_only=False)
+            order = np.argsort(values, kind="stable")
+            rank = np.empty_like(order)
+            rank[order] = np.arange(len(order))
+            codes = rank.astype(np.int32)[codes]
+            values = values[order]
             import jax.numpy as jnp
 
             self._codes[key] = (codes, values, jnp.asarray(codes))
         return self._codes[key]
+
+    def sorted_interval_view(self, key_col, val_col):
+        """Device + host arrays of (key codes, i32 values) sorted by
+        (code, value); padded to a CHUNK multiple with PAD sentinels.
+        Cached — the engine's sorted columnar view for merge kernels."""
+        cache_key = ("siv", key_col, val_col)
+        if cache_key not in self._dev_i32:
+            import jax.numpy as jnp
+
+            codes, _, _ = self.dict_codes(key_col)
+            vals = self.column_as_i32(val_col)
+            order = np.lexsort((vals, codes))
+            k_s = codes[order]
+            v_s = vals[order]
+            n = len(k_s)
+            pad = -(-max(n, 1) // 2048) * 2048
+            PADV = np.int32(2**31 - 1)
+            K = np.full(pad, PADV, np.int32)
+            V = np.full(pad, PADV, np.int32)
+            K[:n] = k_s
+            V[:n] = v_s
+            self._dev_i32[cache_key] = (
+                jnp.asarray(K), jnp.asarray(V), K, V, n
+            )
+        return self._dev_i32[cache_key]
 
     # -- constructors -------------------------------------------------------
     @classmethod

@@ -110,6 +110,73 @@ def _stream_rank_sorted(a2, c_lo, n_chunks, q_keys, q_vals, *, strict, n_chunks_
     )(c_lo, n_chunks, a2, q_keys[None, :], q_vals[None, :])[0]
 
 
+@functools.partial(jax.jit, static_argnames=("d_bs", "d_be", "d_qs", "d_qe", "n_chunks_max"))
+def stream_count_partials(
+    bk, bs_v, be_k, be_v, qk_s, qe_v, qk_e, qs_v,
+    remap_b, remap_q,
+    c_lo_u, n_chunks_u, c_lo_l, n_chunks_l,
+    *, d_bs: int, d_be: int, d_qs: int, d_qe: int, n_chunks_max: int,
+):
+    """Sort-free count(*) over cached sorted views (see Table.sorted_
+    interval_view): remap order-preserving dictionary codes into the joint
+    space, adjust bounds by the planner's ±lit deltas, and stream both
+    rank passes with the DMA kernel — NO device sort anywhere.  Windows
+    (c_lo/n_chunks per query block) come precomputed from the host.
+
+    Returns packed 64-bucket partials [ub-partials, -lb-partials]; the
+    host sums in int64.  Degenerate (qs>qe) rows must be pre-excluded."""
+    PAD = jnp.int32(2**31 - 1)
+
+    def remap_keys(k, remap):
+        safe = jnp.clip(k, 0, remap.shape[0] - 1)
+        return jnp.where(k == PAD, PAD, remap[safe])
+
+    def adjust_build(k, v, d):
+        # build padding compares as (PAD, PAD): above every probe value
+        return jnp.where(k == PAD, PAD, v + d)
+
+    def adjust_probe(k, v, d):
+        # probe padding compares as (PAD, PAD-1): counts all real build in
+        # BOTH rank passes (and no build padding), so it cancels in ub-lb
+        return jnp.where(k == PAD, PAD - 1, v + d)
+
+    bku = remap_keys(bk, remap_b)
+    bkl = remap_keys(be_k, remap_b)
+    qku = remap_keys(qk_s, remap_q)
+    qkl = remap_keys(qk_e, remap_q)
+    a_u = jnp.stack([bku, adjust_build(bk, bs_v, d_bs)])
+    a_l = jnp.stack([bkl, adjust_build(be_k, be_v, d_be)])
+    qe_a = adjust_probe(qk_s, qe_v, d_qe)
+    qs_a = adjust_probe(qk_e, qs_v, d_qs)
+    ub = _stream_rank_sorted(
+        a_u, c_lo_u, n_chunks_u, qku, qe_a,
+        strict=False, n_chunks_max=n_chunks_max,
+    )
+    lb = _stream_rank_sorted(
+        a_l, c_lo_l, n_chunks_l, qkl, qs_a,
+        strict=True, n_chunks_max=n_chunks_max,
+    )
+    pu = ub.reshape(-1, 64).sum(axis=1)
+    pl_ = lb.reshape(-1, 64).sum(axis=1)
+    return jnp.concatenate([pu, -pl_])
+
+
+def host_windows(bk_h, bv_h, qk_h, qv_h, side: str):
+    """Per-block chunk windows computed on the host (int64 composites +
+    np.searchsorted over the cached host copies) — no device sort."""
+    B = np.int64(2**31)
+    comp_b = (bk_h.astype(np.int64) << 32) | (bv_h.astype(np.int64) + B)
+    firsts = slice(0, None, BLOCK)
+    lasts = slice(BLOCK - 1, None, BLOCK)
+    comp_qf = (qk_h[firsts].astype(np.int64) << 32) | (qv_h[firsts].astype(np.int64) + B)
+    comp_ql = (qk_h[lasts].astype(np.int64) << 32) | (qv_h[lasts].astype(np.int64) + B)
+    lo_rank = np.searchsorted(comp_b, comp_qf, side="left")
+    hi_rank = np.searchsorted(comp_b, comp_ql, side="right")
+    c_lo = (lo_rank // CHUNK).astype(np.int32)
+    c_hi = (-((-hi_rank) // CHUNK)).astype(np.int32)
+    return c_lo, np.maximum(c_hi - c_lo, 0).astype(np.int32)
+
+
 def rank_lex_stream(build_keys, query_keys, side: str = "left"):
     """HBM-streaming drop-in for rank_lex_sort on 2-tuple keys.
 

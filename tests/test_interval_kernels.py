@@ -356,3 +356,66 @@ class TestStreamRankKernel:
         b = jnp.asarray(np.arange(10, dtype=np.int32))
         assert rank_lex_stream((e, e), (b, b)).shape == (10,)
         assert rank_lex_stream((b, b), (e, e)).shape == (0,)
+
+
+class TestStreamSortedCount:
+    @pytest.mark.parametrize("deltas", [(0, 0, 0, 0), (0, -1, 0, -1), (1, 0, 0, -1)])
+    def test_stream_count_matches_oracle(self, rng, deltas):
+        """The sort-free cached-view count path == brute force, incl. the
+        planner's ±1 strict-op deltas."""
+        import pyarrow as pa
+
+        from sequila_tpu.config import Algorithm
+        from sequila_tpu.exec.context import ExecContext
+        from sequila_tpu.config import SequilaConfig
+        from sequila_tpu.exec.joins.interval_join import IntervalJoinExec
+        from sequila_tpu.exec.plan import ScanExec
+        from sequila_tpu.models.table import Table
+        from sequila_tpu.planner.expr import BinaryExpr, Column, Literal
+        from sequila_tpu.planner.intervals import ColInterval, ColIntervals
+
+        d_bs, d_be, d_qs, d_qe = deltas
+        n, m = 400, 600
+        lts = rng.integers(0, 5000, n).astype(np.int64)
+        rts = rng.integers(0, 8000, m).astype(np.int64)
+        lt = Table(pa.table({
+            "contig": [f"c{int(k)}" for k in rng.integers(0, 5, n)],
+            "s": lts,
+            "e": lts + rng.integers(2, 3000, n),
+        }))
+        rt = Table(pa.table({
+            "contig": [f"c{int(k)}" for k in rng.integers(0, 6, m)],
+            "s": rts,
+            "e": rts + rng.integers(2, 3000, m),
+        }))
+
+        def bound(idx, d):
+            col = Column("x", idx)
+            if d == 0:
+                return col
+            return BinaryExpr(col, "+" if d > 0 else "-", Literal(abs(d)))
+
+        join = IntervalJoinExec(
+            ScanExec("l", lt), ScanExec("r", rt),
+            on=[(Column("contig", 0), Column("contig", 0))],
+            filter_=None,
+            intervals=ColIntervals(
+                ColInterval(bound(1, d_bs), bound(2, d_be)),
+                ColInterval(bound(1, d_qs), bound(2, d_qe)),
+            ),
+            algorithm=Algorithm.COITREES,
+        )
+        ctx = ExecContext(SequilaConfig())
+        got = join._stream_sorted_count(ctx, lt, rt)
+        assert got is not None, "stream backend must engage for this shape"
+        lk = lt.column_np("contig")
+        ls = lt.column_np("s") + d_bs
+        le = lt.column_np("e") + d_be
+        rk = rt.column_np("contig")
+        rs = rt.column_np("s") + d_qs
+        re = rt.column_np("e") + d_qe
+        want = sum(
+            int(((lk == rk[i]) & (ls <= re[i]) & (le >= rs[i])).sum())
+            for i in range(m)
+        )
+        assert got == want
