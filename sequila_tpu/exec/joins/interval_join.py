@@ -291,6 +291,10 @@ class IntervalJoinExec(ExecPlan):
 
         if len(self.on) != 1:
             return None
+        if left.num_rows == 0 or right.num_rows == 0:
+            return None
+        if left.num_rows >= (1 << 24):
+            return None  # 64-bucket partials would overflow int32
         l_on, r_on = self.on[0]
         if not (isinstance(l_on, Column) and isinstance(r_on, Column)):
             return None
@@ -310,10 +314,11 @@ class IntervalJoinExec(ExecPlan):
 
         lcodes, lvals, _ = left.dict_codes(l_on.index)
         rcodes, rvals, _ = right.dict_codes(r_on.index)
-        try:
-            remap_b, remap_q = merge_dictionaries(lvals, rvals)
-        except TypeError:
+        if len(lvals) and len(rvals) and type(lvals[0]) is not type(rvals[0]):
+            # merge_dictionaries would str-coerce, breaking the monotone
+            # remap the cached sorted views depend on -> co-sort path
             return None
+        remap_b, remap_q = merge_dictionaries(lvals, rvals)
         # cached sorted views: build by start / by end; probe by end / start
         bu_k, bu_v, bu_kh, bu_vh, _ = left.sorted_interval_view(l_on.index, bs_cd[0])
         bl_k, bl_v, bl_kh, bl_vh, _ = left.sorted_interval_view(l_on.index, be_cd[0])
@@ -338,9 +343,8 @@ class IntervalJoinExec(ExecPlan):
         blk_h, blv_h = tx_build(bl_kh, bl_vh, be_cd[1])
         quk_h, quv_h = tx_probe(qu_kh, qu_vh, qe_cd[1])
         qlk_h, qlv_h = tx_probe(ql_kh, ql_vh, qs_cd[1])
-        c_lo_u, n_chunks_u = host_windows(buk_h, buv_h, quk_h, quv_h, "right")
-        c_lo_l, n_chunks_l = host_windows(blk_h, blv_h, qlk_h, qlv_h, "left")
-        n_chunks_max = bu_k.shape[0] // 2048
+        c_lo_u, n_chunks_u = host_windows(buk_h, buv_h, quk_h, quv_h)
+        c_lo_l, n_chunks_l = host_windows(blk_h, blv_h, qlk_h, qlv_h)
 
         with ctx.timer(self.op_id(), "join_time"):
             partials = np.asarray(
@@ -350,7 +354,6 @@ class IntervalJoinExec(ExecPlan):
                     jnp.asarray(c_lo_u), jnp.asarray(n_chunks_u),
                     jnp.asarray(c_lo_l), jnp.asarray(n_chunks_l),
                     d_bs=bs_cd[1], d_be=be_cd[1], d_qs=qs_cd[1], d_qe=qe_cd[1],
-                    n_chunks_max=n_chunks_max,
                 )
             ).astype(np.int64)
         total = int(partials.sum())

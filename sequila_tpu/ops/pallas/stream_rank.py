@@ -39,7 +39,7 @@ def _less(ak, av, bk, bv, strict: bool):
     return (ak < bk) | ((ak == bk) & (av <= bv))
 
 
-def _make_kernel(strict: bool, n_chunks_max: int):
+def _make_kernel(strict: bool):
     def kernel(c_lo_ref, n_chunks_ref, a_ref, bk_ref, bv_ref, out_ref,
                scratch, sems):
         g = pl.program_id(0)
@@ -82,8 +82,8 @@ def _make_kernel(strict: bool, n_chunks_max: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("strict", "n_chunks_max"))
-def _stream_rank_sorted(a2, c_lo, n_chunks, q_keys, q_vals, *, strict, n_chunks_max):
+@functools.partial(jax.jit, static_argnames=("strict",))
+def _stream_rank_sorted(a2, c_lo, n_chunks, q_keys, q_vals, *, strict):
     m = q_keys.shape[0]
     grid = m // BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -103,19 +103,19 @@ def _stream_rank_sorted(a2, c_lo, n_chunks, q_keys, q_vals, *, strict, n_chunks_
         ],
     )
     return pl.pallas_call(
-        _make_kernel(strict, n_chunks_max),
+        _make_kernel(strict),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, m), jnp.int32),
         interpret=jax.default_backend() != "tpu",
     )(c_lo, n_chunks, a2, q_keys[None, :], q_vals[None, :])[0]
 
 
-@functools.partial(jax.jit, static_argnames=("d_bs", "d_be", "d_qs", "d_qe", "n_chunks_max"))
+@functools.partial(jax.jit, static_argnames=("d_bs", "d_be", "d_qs", "d_qe"))
 def stream_count_partials(
     bk, bs_v, be_k, be_v, qk_s, qe_v, qk_e, qs_v,
     remap_b, remap_q,
     c_lo_u, n_chunks_u, c_lo_l, n_chunks_l,
-    *, d_bs: int, d_be: int, d_qs: int, d_qe: int, n_chunks_max: int,
+    *, d_bs: int, d_be: int, d_qs: int, d_qe: int,
 ):
     """Sort-free count(*) over cached sorted views (see Table.sorted_
     interval_view): remap order-preserving dictionary codes into the joint
@@ -148,20 +148,14 @@ def stream_count_partials(
     a_l = jnp.stack([bkl, adjust_build(be_k, be_v, d_be)])
     qe_a = adjust_probe(qk_s, qe_v, d_qe)
     qs_a = adjust_probe(qk_e, qs_v, d_qs)
-    ub = _stream_rank_sorted(
-        a_u, c_lo_u, n_chunks_u, qku, qe_a,
-        strict=False, n_chunks_max=n_chunks_max,
-    )
-    lb = _stream_rank_sorted(
-        a_l, c_lo_l, n_chunks_l, qkl, qs_a,
-        strict=True, n_chunks_max=n_chunks_max,
-    )
+    ub = _stream_rank_sorted(a_u, c_lo_u, n_chunks_u, qku, qe_a, strict=False)
+    lb = _stream_rank_sorted(a_l, c_lo_l, n_chunks_l, qkl, qs_a, strict=True)
     pu = ub.reshape(-1, 64).sum(axis=1)
     pl_ = lb.reshape(-1, 64).sum(axis=1)
     return jnp.concatenate([pu, -pl_])
 
 
-def host_windows(bk_h, bv_h, qk_h, qv_h, side: str):
+def host_windows(bk_h, bv_h, qk_h, qv_h):
     """Per-block chunk windows computed on the host (int64 composites +
     np.searchsorted over the cached host copies) — no device sort."""
     B = np.int64(2**31)
@@ -209,11 +203,9 @@ def rank_lex_stream(build_keys, query_keys, side: str = "left"):
     c_lo = lo_rank // CHUNK
     c_hi = -((-hi_rank) // CHUNK)
     n_chunks = jnp.maximum(c_hi - c_lo, 0)
-    n_chunks_max = n_pad // CHUNK
 
     ranks_sorted = _stream_rank_sorted(
-        a2, c_lo, n_chunks, sk, sv,
-        strict=(side == "left"), n_chunks_max=n_chunks_max,
+        a2, c_lo, n_chunks, sk, sv, strict=(side == "left")
     )
     ranks = jnp.zeros((m_pad,), jnp.int32).at[sidx].set(ranks_sorted)
     return ranks[:m]
