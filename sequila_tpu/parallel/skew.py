@@ -166,18 +166,18 @@ def assign_probe(plan: PartitionPlan, rk, rs, re):
 
 
 @jax.jit
-def counts_skew(bk, bs, be, qk, qs, qe, q_lo, q_hi):
+def counts_skew(bk, bs, be, qk, qs, qe, q_lo, q_hi_incl):
     """Exact per-replica counts under the max(bs,qs)-ownership rule.
 
     bk here is the SHARD id (key identity is folded into the shard), and
-    likewise qk; q_lo/q_hi are each replica's sub-range window.
-    """
-    qe_c = jnp.minimum(qe.astype(jnp.int64), q_hi - 1).astype(jnp.int32)
-    native = qs.astype(jnp.int64) >= q_lo
+    likewise qk.  q_lo / q_hi_incl are each replica's sub-range window as
+    int32 with an INCLUSIVE upper bound (so the full i32 range is
+    representable without 64-bit arithmetic — x64 stays off)."""
+    qe_c = jnp.minimum(qe, q_hi_incl)
+    native = qs >= q_lo
     ub = rank_lex_sort((bk, bs), (qk, qe_c), side="right")
     lb_nat = rank_lex_sort((bk, be), (qk, qs), side="left")
-    lo32 = jnp.clip(q_lo, -(2**31), 2**31 - 1).astype(jnp.int32)
-    lb_vis = rank_lex_sort((bk, bs), (qk, lo32), side="left")
+    lb_vis = rank_lex_sort((bk, bs), (qk, q_lo), side="left")
     counts = ub - jnp.where(native, lb_nat, lb_vis)
     return jnp.where(qs <= qe, jnp.maximum(counts, 0), 0)
 
@@ -222,8 +222,8 @@ def skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) -> int:
     QK = np.full((npart, nprobe, per_chip), PAD_SID, np.int32)
     QS = np.full((npart, nprobe, per_chip), 2**31 - 1, np.int32)
     QE = np.full((npart, nprobe, per_chip), 2**31 - 3, np.int32)
-    QLO = np.full((npart, nprobe, per_chip), -(2**31), np.int64)
-    QHI = np.full((npart, nprobe, per_chip), 2**31, np.int64)
+    QLO = np.full((npart, nprobe, per_chip), -(2**31), np.int32)
+    QHI = np.full((npart, nprobe, per_chip), 2**31 - 1, np.int32)  # inclusive
     for p in range(npart):
         sel = np.nonzero(q_part == p)[0]
         for c in range(nprobe):
@@ -231,8 +231,8 @@ def skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) -> int:
             QK[p, c, : len(sl)] = q_sid[sl]
             QS[p, c, : len(sl)] = rs[q_row[sl]]
             QE[p, c, : len(sl)] = re[q_row[sl]]
-            QLO[p, c, : len(sl)] = q_lo[sl]
-            QHI[p, c, : len(sl)] = q_hi[sl]
+            QLO[p, c, : len(sl)] = np.clip(q_lo[sl], -(2**31), 2**31 - 1)
+            QHI[p, c, : len(sl)] = np.clip(q_hi[sl] - 1, -(2**31), 2**31 - 1)
 
     @functools.partial(
         shard_map,
@@ -349,7 +349,7 @@ def skew_partitioned_count(lk, ls, le, rk, rs, re, npart: int) -> int:
         jnp.asarray(q_sid.astype(np.int32)),
         jnp.asarray(rs[q_row]),
         jnp.asarray(re[q_row]),
-        jnp.asarray(q_lo),
-        jnp.asarray(q_hi),
+        jnp.asarray(np.clip(q_lo, -(2**31), 2**31 - 1).astype(np.int32)),
+        jnp.asarray(np.clip(q_hi - 1, -(2**31), 2**31 - 1).astype(np.int32)),
     )
     return int(np.asarray(counts).astype(np.int64).sum())
