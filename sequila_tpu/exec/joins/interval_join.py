@@ -101,16 +101,21 @@ def _eval_as_i32(expr: PhysicalExpr, table: Table) -> np.ndarray:
     from sequila_tpu.planner.expr import Column
 
     if isinstance(expr, Column):
-        arr = table.column_np(expr.index)
-    else:
-        cols = [table.column_np(i) for i in range(len(table.column_names))]
-        arr = np.asarray(expr.eval(cols, table.num_rows))
+        # routes through the NULL check + overflow contract in one place
+        return table.column_as_i32(expr.index)
+    cols = [table.column_np(i) for i in range(len(table.column_names))]
+    arr = np.asarray(expr.eval(cols, table.num_rows))
     if arr.dtype == np.int32:
         return arr
     if not (
         np.issubdtype(arr.dtype, np.integer) or np.issubdtype(arr.dtype, np.floating)
     ):
         raise ExecutionError(f"interval bound column has non-numeric type {arr.dtype}")
+    if np.issubdtype(arr.dtype, np.floating) and np.isnan(arr).any():
+        raise ExecutionError(
+            "interval bound expression produced NULLs (bounds must be "
+            "non-null; filter them out first)"
+        )
     a64 = arr.astype(np.int64, copy=False)
     if len(a64) and (a64.min() < I32_MIN or a64.max() > I32_MAX):
         bad = a64[(a64 < I32_MIN) | (a64 > I32_MAX)][0]
@@ -502,26 +507,45 @@ class IntervalJoinExec(ExecPlan):
             if self.low_memory
             else _FULL_MODE_CHUNK
         )
+        # In low-memory mode the EMIT buffer itself must stay bounded: if a
+        # probe chunk would produce more than ~4x the output cap (dense
+        # overlap regions can emit >>100 rows per probe row), halve the
+        # chunk before materializing — the reference's capped-emission +
+        # batch-slice continuation (interval_join.rs:1433-1579).
+        out_cap = 4 * ctx.config.max_output_batch_size if self.low_memory else None
         inner = self.join_type == "inner"
         parts: list[Table] = []
         all_b, all_p = [], []
         with ctx.timer(self.op_id(), "join_time"):
-            for lo in range(0, max(m, 1), chunk):
+            lo = 0
+            while lo < m:
                 rows = min(chunk, m - lo)
-                if rows <= 0:
-                    break
+                if out_cap is not None:
+                    while rows > 1:
+                        qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+                        est = total_count_i64(
+                            count_matches(index, qk, qs, qe, "bits"
+                                          if not bool((rs[lo:lo+rows] > re[lo:lo+rows]).any())
+                                          else method),
+                            index.n_rows,
+                        )
+                        if est <= out_cap:
+                            break
+                        rows = max(1, rows // 2)
                 qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 b_rows, p_rows, total = materialize_pairs(index, qk, qs, qe, method)
-                if total == 0:
-                    continue
-                if inner:
-                    # stream one output batch per probe chunk (the
-                    # reference's batch-at-a-time emission); int32 row
-                    # indices pass straight to arrow take
-                    parts.append(self._assemble(left, right, b_rows, p_rows + lo))
-                else:
-                    all_b.append(b_rows.astype(np.int64))
-                    all_p.append(p_rows.astype(np.int64) + lo)
+                if total > 0:
+                    if inner:
+                        # stream one output batch per probe chunk (the
+                        # reference's batch-at-a-time emission); int32 row
+                        # indices pass straight to arrow take
+                        parts.append(
+                            self._assemble(left, right, b_rows, p_rows + lo)
+                        )
+                    else:
+                        all_b.append(b_rows.astype(np.int64))
+                        all_p.append(p_rows.astype(np.int64) + lo)
+                lo += rows
             if inner:
                 if parts:
                     out = Table(pa.concat_tables([p.arrow for p in parts]))

@@ -178,6 +178,12 @@ class Table:
         (interval_join.rs:1661-1672, tested at :1927-1968): any value
         outside i32 is an execution error, never a silent wrap.
         """
+        col = self._t.column(name_or_idx)
+        if col.null_count:
+            raise ExecutionError(
+                "interval bound column contains NULLs (bounds must be "
+                "non-null; filter them out first)"
+            )
         arr = self.column_np(name_or_idx)
         if arr.dtype == np.int32:
             return arr

@@ -500,3 +500,42 @@ def test_projection_pushdown_into_join(ctx):
     base = ctx.sql(q)
     set_algorithm(ctx, Algorithm.COITREES)
     assert rows_of(ctx.sql(q)) == rows_of(base)
+
+
+def test_low_memory_dense_output_cap(ctx, monkeypatch):
+    """A dense region emitting >>100 rows per probe must still respect
+    the low-memory emit cap via probe-chunk halving."""
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")  # device path
+    ctx.sql(
+        "CREATE TABLE dl (contig TEXT, s INTEGER, e INTEGER) AS VALUES "
+        + ", ".join(f"('c', {i}, {i + 500})" for i in range(0, 400, 2))
+    )
+    ctx.sql(
+        "CREATE TABLE dr (contig TEXT, s INTEGER, e INTEGER) AS VALUES "
+        + ", ".join(f"('c', {i}, {i + 500})" for i in range(0, 400, 2))
+    )
+    set_algorithm(ctx, Algorithm.COITREES)
+    ctx.sql("SET sequila.interval_join_low_memory = true")
+    ctx.sql("SET sequila.max_output_batch_size = 500")
+    q = ("SELECT count(1) FROM dl JOIN dr ON dl.contig = dr.contig"
+         " AND dl.s <= dr.e AND dl.e >= dr.s")
+    dense_count = int(ctx.sql(q).column_np(0)[0])
+    out = ctx.sql(
+        "SELECT * FROM dl JOIN dr ON dl.contig = dr.contig"
+        " AND dl.s <= dr.e AND dl.e >= dr.s"
+    )
+    assert out.num_rows == dense_count
+    assert dense_count == 200 * 200  # all pairs overlap
+
+
+def test_null_interval_bounds_error(ctx):
+    from sequila_tpu.errors import ExecutionError
+
+    ctx.sql("CREATE TABLE nb1 (k TEXT, s INTEGER, e INTEGER) AS VALUES ('a', 1, NULL)")
+    ctx.sql("CREATE TABLE nb2 (k TEXT, s INTEGER, e INTEGER) AS VALUES ('a', 1, 5)")
+    set_algorithm(ctx, Algorithm.COITREES)
+    with pytest.raises(ExecutionError, match="NULL"):
+        ctx.sql(
+            "SELECT * FROM nb1 JOIN nb2 ON nb1.k = nb2.k"
+            " AND nb1.s <= nb2.e AND nb1.e >= nb2.s"
+        )
