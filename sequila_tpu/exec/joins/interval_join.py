@@ -474,6 +474,14 @@ class IntervalJoinExec(ExecPlan):
         e[:rows] = re[lo : lo + rows]
         return jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), cap
 
+    @staticmethod
+    def _chunk_count_method(rs, re, lo, rows, fallback_method):
+        """BITS for clean chunks; degenerate (qs > qe) rows must go through
+        the exact level/window path (CLAUDE.md invariant)."""
+        if bool((rs[lo : lo + rows] > re[lo : lo + rows]).any()):
+            return fallback_method
+        return "bits"
+
     def _use_host(self, left: Table, right: Table) -> bool:
         return left.num_rows + right.num_rows <= _host_threshold()
 
@@ -511,8 +519,13 @@ class IntervalJoinExec(ExecPlan):
         # probe chunk would produce more than ~4x the output cap (dense
         # overlap regions can emit >>100 rows per probe row), halve the
         # chunk before materializing — the reference's capped-emission +
-        # batch-slice continuation (interval_join.rs:1433-1579).
+        # batch-slice continuation (interval_join.rs:1433-1579).  The
+        # Lapper window emission sizes its buffer by CANDIDATES (a superset
+        # of matches), so low-memory mode routes through the level
+        # emission, whose buffer is exactly the match count.
         out_cap = 4 * ctx.config.max_output_batch_size if self.low_memory else None
+        if self.low_memory and method == "window":
+            method = "sort"
         inner = self.join_type == "inner"
         parts: list[Table] = []
         all_b, all_p = [], []
@@ -520,19 +533,20 @@ class IntervalJoinExec(ExecPlan):
             lo = 0
             while lo < m:
                 rows = min(chunk, m - lo)
+                qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 if out_cap is not None:
                     while rows > 1:
-                        qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                         est = total_count_i64(
-                            count_matches(index, qk, qs, qe, "bits"
-                                          if not bool((rs[lo:lo+rows] > re[lo:lo+rows]).any())
-                                          else method),
+                            count_matches(
+                                index, qk, qs, qe,
+                                self._chunk_count_method(rs, re, lo, rows, method),
+                            ),
                             index.n_rows,
                         )
                         if est <= out_cap:
                             break
                         rows = max(1, rows // 2)
-                qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+                        qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 b_rows, p_rows, total = materialize_pairs(index, qk, qs, qe, method)
                 if total > 0:
                     if inner:
@@ -619,13 +633,7 @@ class IntervalJoinExec(ExecPlan):
                 rows = min(_FULL_MODE_CHUNK, m - lo)
                 if rows <= 0:
                     break
-                # BITS 2-rank counting whenever the chunk has no degenerate
-                # (qs > qe) rows; those need the level-based exact path.
-                chunk_method = (
-                    method
-                    if bool((rs[lo : lo + rows] > re[lo : lo + rows]).any())
-                    else "bits"
-                )
+                chunk_method = self._chunk_count_method(rs, re, lo, rows, method)
                 qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 counts = count_matches(index, qk, qs, qe, chunk_method)
                 total += total_count_i64(counts, index.n_rows)
@@ -647,11 +655,7 @@ class IntervalJoinExec(ExecPlan):
             rows = min(_FULL_MODE_CHUNK, m - lo)
             if rows <= 0:
                 break
-            chunk_method = (
-                method
-                if bool((rs[lo : lo + rows] > re[lo : lo + rows]).any())
-                else "bits"
-            )
+            chunk_method = self._chunk_count_method(rs, re, lo, rows, method)
             qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
             outs.append(
                 np.asarray(count_matches(index, qk, qs, qe, chunk_method))[:rows]

@@ -506,13 +506,15 @@ def test_low_memory_dense_output_cap(ctx, monkeypatch):
     """A dense region emitting >>100 rows per probe must still respect
     the low-memory emit cap via probe-chunk halving."""
     monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")  # device path
+    n = 500  # 500 matches/probe row: 5-row chunks estimate 2500 > 4*500,
+    # so the halving branch (chunk 5 -> 2) actually executes
     ctx.sql(
         "CREATE TABLE dl (contig TEXT, s INTEGER, e INTEGER) AS VALUES "
-        + ", ".join(f"('c', {i}, {i + 500})" for i in range(0, 400, 2))
+        + ", ".join(f"('c', {i}, {i + 100000})" for i in range(n))
     )
     ctx.sql(
         "CREATE TABLE dr (contig TEXT, s INTEGER, e INTEGER) AS VALUES "
-        + ", ".join(f"('c', {i}, {i + 500})" for i in range(0, 400, 2))
+        + ", ".join(f"('c', {i}, {i + 100000})" for i in range(n))
     )
     set_algorithm(ctx, Algorithm.COITREES)
     ctx.sql("SET sequila.interval_join_low_memory = true")
@@ -525,7 +527,10 @@ def test_low_memory_dense_output_cap(ctx, monkeypatch):
         " AND dl.s <= dr.e AND dl.e >= dr.s"
     )
     assert out.num_rows == dense_count
-    assert dense_count == 200 * 200  # all pairs overlap
+    assert dense_count == n * n  # all pairs overlap
+    # lapper in low-memory routes through level emission (bounded buffer)
+    set_algorithm(ctx, Algorithm.LAPPER)
+    assert ctx.sql(q).column_np(0)[0] == dense_count
 
 
 def test_null_interval_bounds_error(ctx):
