@@ -165,6 +165,26 @@ def run_full(iters):
         setup_sql=["SET sequila.interval_join_algorithm = lapper"],
     )
 
+    print("== genomic operators (BASELINE configs 3-4) ==", file=sys.stderr)
+    import pyarrow as pa
+    from sequila_tpu import dataframe as gdf
+    from sequila_tpu.models.table import Table
+    A = Table(pa.table(gen_genome_table(500_000, 61)))
+    B = Table(pa.table(gen_genome_table(500_000, 62)))
+    for name, fn in [
+        ("coverage (500k x 500k)", lambda: gdf.coverage(A, B)),
+        ("count_overlaps (500k x 500k)", lambda: gdf.count_overlaps(A, B)),
+        ("closest k=1 (500k x 500k)", lambda: gdf.closest(A, B, k=1)),
+        ("merge (500k)", lambda: gdf.merge(A)),
+        ("complement (500k)", lambda: gdf.complement(A, {f"chr{i+1}": (0, 248_000_000) for i in range(24)})),
+        ("depth/pileup (500k)", lambda: gdf.depth(A)),
+    ]:
+        fn()  # warm
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        print(f"{name}: {out.num_rows:,} rows in {dt*1000:.0f} ms", file=sys.stderr)
+
     print("== materialization (SELECT *, 20k x 20k) ==", file=sys.stderr)
     run_pair(
         "materialize",

@@ -126,16 +126,39 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
     index = build_interval_index(cb, sb, eb)
-    rows, dists = genomic.closest_k(
-        index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
-    )
-    a_idx, b_idx, dist = [], [], []
-    for i in range(rows.shape[0]):
-        for j in range(k):
-            if rows[i, j] >= 0:
-                a_idx.append(i)
-                b_idx.append(rows[i, j])
-                dist.append(dists[i, j])
+    if k == 1:
+        # vectorized: the nearest kernel (device) / host nearest — exactly
+        # one candidate per a-row, rows with no same-contig b drop out
+        if _use_host(a, b):
+            from sequila_tpu.ops.host_join import make_host_index
+
+            rows1 = make_host_index(cb, sb, eb).nearest(ca, sa, ea)
+        else:
+            rows1 = np.asarray(
+                nearest_match(index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea))
+            ).astype(np.int64)
+        keep = rows1 >= 0
+        a_idx = np.nonzero(keep)[0]
+        b_idx = rows1[keep]
+        d = np.where(
+            eb[b_idx] < sa[a_idx],
+            sa[a_idx].astype(np.int64) - eb[b_idx],
+            np.maximum(sb[b_idx].astype(np.int64) - ea[a_idx], 0),
+        )
+        dist = d.tolist()
+        a_idx = a_idx.tolist()
+        b_idx = b_idx.tolist()
+    else:
+        rows, dists = genomic.closest_k(
+            index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
+        )
+        a_idx, b_idx, dist = [], [], []
+        for i in range(rows.shape[0]):
+            for j in range(k):
+                if rows[i, j] >= 0:
+                    a_idx.append(i)
+                    b_idx.append(rows[i, j])
+                    dist.append(dists[i, j])
     at = a.take(np.asarray(a_idx, np.int64))
     bt = b.take(np.asarray(b_idx, np.int64))
     arrays = (

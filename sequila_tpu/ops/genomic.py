@@ -224,14 +224,53 @@ def coverage(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     """Per query: (count, sum(min(end_i,qe) - max(start_i,qs))) over all
     overlapping build intervals — superintervals.rs:802-822 exactly.
 
-    Four level-local ranks bound each level's contiguous run [lb, ub) and
-    its two splits (ends <= qe at t; starts < qs at r); with per-level
-    prefix sums of starts/ends (host int64, exact) every run contributes
-    in O(1):
+    Level-free decomposition (4 rank batches total, no per-level work):
+    with A = {end in [qs,qe]} and B = {start in [qs,qe]} — both subsets of
+    the match set, since start <= end —
 
-        sum(min(end_i, qe))   = sum(ends[lb:t])  + qe * (ub - t)
-        sum(max(start_i, qs)) = qs * (r - lb)    + sum(starts[r:ub])
+        sum(min(end, qe))   = sum_A end   + qe * (total - |A|)
+        sum(max(start, qs)) = sum_B start + qs * (total - |B|)
+
+    where |A|,|B| are interval ranks on the (key,end)- and (key,start)-
+    sorted arrays and the sums come from host int64 prefix sums over the
+    same orders.  Exact for qs <= qe; degenerate stabbing rows fall back
+    to the per-level path.
     """
+    qs_np = np.asarray(qs)
+    qe_np = np.asarray(qe)
+    if not bool((qs_np > qe_np).any()):
+        import jax.numpy as jnp
+
+        from sequila_tpu.ops.ranks import rank_lex_sort
+
+        (ks, ss), (ke, ee), psum, esum = index.coverage_view
+        qk_d = jnp.asarray(qk)
+        qs_d = jnp.asarray(qs)
+        qe_d = jnp.asarray(qe)
+        # total matches (BITS) and the two in-range splits
+        ub_t = rank_lex_sort((ks, ss), (qk_d, qe_d), side="right")
+        lb_t = rank_lex_sort((ke, ee), (qk_d, qs_d), side="left")
+        a_hi = rank_lex_sort((ke, ee), (qk_d, qe_d), side="right")
+        b_lo = rank_lex_sort((ks, ss), (qk_d, qs_d), side="left")
+        ub_h = np.asarray(ub_t).astype(np.int64)
+        lb_h = np.asarray(lb_t).astype(np.int64)
+        a_hi_h = np.asarray(a_hi).astype(np.int64)
+        b_lo_h = np.asarray(b_lo).astype(np.int64)
+        total = np.maximum(ub_h - lb_h, 0)
+        nA = np.maximum(a_hi_h - lb_h, 0)   # ends in [qs, qe]
+        nB = np.maximum(ub_h - b_lo_h, 0)   # starts in [qs, qe]
+        sumA_end = esum[a_hi_h] - esum[lb_h]
+        sumB_start = psum[ub_h] - psum[b_lo_h]
+        qe64 = qe_np.astype(np.int64)
+        qs64 = qs_np.astype(np.int64)
+        sum_min_end = sumA_end + qe64 * (total - nA)
+        sum_max_start = sumB_start + qs64 * (total - nB)
+        return total, sum_min_end - sum_max_start
+    return _coverage_levels(index, qk, qs, qe, method)
+
+
+def _coverage_levels(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
+    """Per-level exact coverage (handles degenerate stabbing queries)."""
     import jax.numpy as jnp
 
     from sequila_tpu.ops.interval_join import level_ranks

@@ -293,6 +293,32 @@ class IntervalIndex:
         self._build_window()
         return self._win
 
+    @property
+    def coverage_view(self):
+        """Sorted arrays + int64 prefix sums for the level-free coverage
+        decomposition: ((ks, ss dev), (ke, ee dev), prefix_start host,
+        prefix_end host) where ss is (key,start)-sorted starts and ee is
+        (key,end)-sorted ends."""
+        if getattr(self, "_cov", None) is None:
+            n = self.n_rows
+            n0 = _bucket(max(n, 1))
+            ks = np.full(n0, PAD_KEY, np.int32)
+            ss = np.full(n0, PAD_VAL, np.int32)
+            ke = np.full(n0, PAD_KEY, np.int32)
+            ee = np.full(n0, PAD_VAL, np.int32)
+            if n:
+                o1 = np.lexsort((self._hs, self._hk))
+                ks[:n] = self._hk[o1]
+                ss[:n] = self._hs[o1]
+                o2 = np.lexsort((self._he, self._hk))
+                ke[:n] = self._hk[o2]
+                ee[:n] = self._he[o2]
+            ps = np.concatenate([[0], np.cumsum(np.where(ks == PAD_KEY, 0, ss).astype(np.int64))])
+            pe = np.concatenate([[0], np.cumsum(np.where(ke == PAD_KEY, 0, ee).astype(np.int64))])
+            d = self._to_device
+            self._cov = ((d(ks), d(ss)), (d(ke), d(ee)), ps, pe)
+        return self._cov
+
 
 def build_interval_index(
     keys: np.ndarray,
