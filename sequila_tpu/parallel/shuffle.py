@@ -30,6 +30,7 @@ from jax.experimental.shard_map import shard_map
 
 from sequila_tpu.ops.interval_index import PAD_KEY, PAD_VAL, _bucket
 from sequila_tpu.ops.interval_join import _sum_rank_partials
+from sequila_tpu.ops.ranks import rank_lex_sort
 
 
 def _dest_sorted(keys, starts, ends, valid, nparts):
@@ -120,6 +121,135 @@ def _shuffle_count_fn(mesh: Mesh, cap: int):
         return jax.lax.psum(local, "part")
 
     return jax.jit(step)
+
+
+def _shuffle_pairs_fns(mesh: Mesh, cap: int, pair_cap: int):
+    """Phase B' kernels for the materializing shuffle join: exchange both
+    tables (with row ids), per-shard sort + max-extension window emission
+    entirely on device."""
+    nparts = mesh.shape["part"]
+    PAD = jnp.int32(2**31 - 1)
+
+    def exchange4(keys, starts, ends, rowid, valid):
+        dest = jnp.where(valid, keys % nparts, nparts).astype(jnp.int32)
+        d_s, k_s, s_s, e_s, i_s = jax.lax.sort(
+            (dest, keys, starts, ends, rowid), num_keys=1
+        )
+        offsets = jnp.searchsorted(
+            d_s, jnp.arange(nparts + 1, dtype=jnp.int32), side="left",
+            method="sort",
+        ).astype(jnp.int32)
+        rows = k_s.shape[0]
+        idx = jnp.arange(rows, dtype=jnp.int32)
+        slot = idx - offsets[jnp.clip(d_s, 0, nparts)]
+        in_cap = (slot < cap) & (d_s < nparts)
+        dtgt = jnp.where(in_cap, d_s, nparts)
+        stgt = jnp.where(in_cap, slot, cap)
+
+        def scatter(vals, fill):
+            buf = jnp.full((nparts, cap), fill, jnp.int32)
+            return buf.at[dtgt, stgt].set(vals, mode="drop")
+
+        outs = []
+        for vals, fill in ((k_s, PAD), (s_s, PAD), (e_s, PAD), (i_s, -1)):
+            outs.append(
+                jax.lax.all_to_all(scatter(vals, fill), "part", 0, 0, tiled=True)
+                .reshape(-1)
+            )
+        return outs
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("part", None),) * 10,
+        out_specs=(P("part", None), P("part", None), P("part")),
+    )
+    def emit(bk, bs, be, bi, bv, qk, qs, qe, qi, qv):
+        rbk, rbs, rbe, rbi = exchange4(bk[0], bs[0], be[0], bi[0], bv[0] >= 0)
+        rqk, rqs, rqe, rqi = exchange4(qk[0], qs[0], qe[0], qi[0], qv[0] >= 0)
+        # per-shard sort of the received build rows by (key, start)
+        sk, ss, se, si = jax.lax.sort((rbk, rbs, rbe, rbi), num_keys=2)
+        real = sk != PAD
+        max_len = jnp.max(jnp.where(real, se - ss, 0))
+        lo_q = jnp.maximum(
+            rqs.astype(jnp.int64) - max_len.astype(jnp.int64), -(2**31)
+        ).astype(jnp.int32)
+        lb = rank_lex_sort((sk, ss), (rqk, lo_q), side="left")
+        ub = rank_lex_sort((sk, ss), (rqk, rqe), side="right")
+        widths = jnp.maximum(ub - lb, 0)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(widths, dtype=jnp.int32)]
+        )
+        total = offsets[-1]
+        slots = jnp.arange(pair_cap, dtype=jnp.int32)
+        cell = (
+            jnp.searchsorted(offsets, slots, side="right", method="sort")
+            .astype(jnp.int32) - 1
+        )
+        cell = jnp.clip(cell, 0, rqk.shape[0] - 1)
+        g = jnp.clip(lb[cell] + (slots - offsets[cell]), 0, sk.shape[0] - 1)
+        match = (
+            (slots < total)
+            & (se[g] >= rqs[cell])
+            & (sk[g] == rqk[cell])
+            & (rqk[cell] != PAD)
+        )
+        out_b = jnp.where(match, si[g], -1)
+        out_q = jnp.where(match, rqi[cell], -1)
+        return out_b[None, :], out_q[None, :], widths.sum()[None]
+
+    return jax.jit(emit)
+
+
+def all_to_all_partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re):
+    """Exact materializing join with the device-side shuffle: both tables
+    exchanged by key hash via all_to_all (row ids ride along), each shard
+    sorts its build rows and window-emits its pairs on device; the host
+    only concatenates valid (build_row, probe_row) ids."""
+    nparts = mesh.shape["part"]
+    BK, BS, BE, BV = _deal(lk, ls, le, nparts)
+    QK, QS, QE, QV = _deal(rk, rs, re, nparts)
+    dev = lambda a: jax.device_put(a, NamedSharding(mesh, P("part", None)))
+    cap_b = int(_bucket_counts_fn(mesh)(dev(BK), dev(BV >= 0)))
+    cap_q = int(_bucket_counts_fn(mesh)(dev(QK), dev(QV >= 0)))
+    cap = _bucket(max(cap_b, cap_q, 1), minimum=8)
+    # candidate capacity: worst case every received build row matches
+    # every received probe row's window; size by a conservative product
+    # probe x build per shard is too big — two-phase: run emit with a
+    # small cap, read the exact candidate total, re-run if it overflowed.
+    pair_cap = 1024
+    fn = _shuffle_pairs_fns(mesh, cap, pair_cap)
+    args = (
+        dev(BK), dev(BS), dev(BE), dev(BV), dev(BV),
+        dev(QK), dev(QS), dev(QE), dev(QV), dev(QV),
+    )
+    b, q, totals = fn(*args)
+    need = int(np.asarray(totals).max())
+    if need > pair_cap:
+        pair_cap = _bucket(need, minimum=1024)
+        fn = _shuffle_pairs_fns(mesh, cap, pair_cap)
+        b, q, totals = fn(*args)
+    b = np.asarray(b).reshape(-1)
+    q = np.asarray(q).reshape(-1)
+    valid = (b >= 0) & (q >= 0)
+    return b[valid].astype(np.int64), q[valid].astype(np.int64)
+
+
+def _deal(k, s, e, nparts):
+    """Round-robin deal with global row ids in the validity column."""
+    n = len(k)
+    rows = _bucket(max(-(-n // nparts), 1), minimum=8)
+    K = np.full((nparts, rows), PAD_KEY, np.int32)
+    S = np.full((nparts, rows), PAD_VAL, np.int32)
+    E = np.full((nparts, rows), PAD_VAL, np.int32)
+    I = np.full((nparts, rows), -1, np.int32)
+    for p in range(nparts):
+        sl = slice(p, n, nparts)
+        cnt = len(k[sl])
+        K[p, :cnt] = k[sl]
+        S[p, :cnt] = s[sl]
+        E[p, :cnt] = e[sl]
+        I[p, :cnt] = np.arange(p, n, nparts)
+    return K, S, E, I
 
 
 def all_to_all_partitioned_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:

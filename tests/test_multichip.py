@@ -276,3 +276,36 @@ class TestDeviceShuffle:
         rs = np.array([7, 7], np.int32)
         re = np.array([8, 8], np.int32)
         assert all_to_all_partitioned_count(mesh, lk, ls, le, rk, rs, re) == 1
+
+    def test_all_to_all_pairs_match_oracle(self, rng):
+        """Device-shuffled MATERIALIZING join == oracle pairs."""
+        from sequila_tpu.ops.oracle import oracle_pairs
+        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_pairs
+
+        mesh = make_mesh(8, part=8)
+        lk, ls, le, rk, rs, re = _tables(rng, 300, 450)
+        b, q = all_to_all_partitioned_pairs(mesh, lk, ls, le, rk, rs, re)
+        ob, op = oracle_pairs(lk, ls, le, rk, rs, re)
+        assert sorted(zip(q.tolist(), b.tolist())) == sorted(
+            zip(op.tolist(), ob.tolist())
+        )
+
+    def test_all_to_all_pairs_capacity_regrow(self, rng):
+        """Dense data must trigger the capacity re-run and stay exact."""
+        from sequila_tpu.ops.oracle import oracle_pairs
+        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_pairs
+
+        mesh = make_mesh(4, part=4)
+        n = 120
+        lk = np.zeros(n, np.int32)
+        ls = np.arange(n, dtype=np.int32)
+        le = ls + 10_000
+        rk = np.zeros(n, np.int32)
+        rs = np.arange(n, dtype=np.int32)
+        re = rs + 10_000
+        b, q = all_to_all_partitioned_pairs(mesh, lk, ls, le, rk, rs, re)
+        assert len(b) == n * n
+        ob, op = oracle_pairs(lk, ls, le, rk, rs, re)
+        assert sorted(zip(q.tolist(), b.tolist())) == sorted(
+            zip(op.tolist(), ob.tolist())
+        )
