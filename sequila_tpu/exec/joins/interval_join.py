@@ -311,10 +311,15 @@ class IntervalJoinExec(ExecPlan):
         qe_cd = self._bound_col_delta(self.intervals.right_interval.end, right)
         if None in (bs_cd, be_cd, qs_cd, qe_cd):
             return None
-        # degenerate probes (qs_adj > qe_adj) break BITS: host min-gap check
+        # degenerate probes (qs_adj > qe_adj) and inverted build intervals
+        # break BITS: host min-gap checks
         qs_col = right.column_as_i32(qs_cd[0]).astype(np.int64)
         qe_col = right.column_as_i32(qe_cd[0]).astype(np.int64)
         if len(qs_col) and int((qe_col + qe_cd[1] - (qs_col + qs_cd[1])).min()) < 0:
+            return None
+        bs_col = left.column_as_i32(bs_cd[0]).astype(np.int64)
+        be_col = left.column_as_i32(be_cd[0]).astype(np.int64)
+        if len(bs_col) and int((be_col + be_cd[1] - (bs_col + bs_cd[1])).min()) < 0:
             return None
 
         lcodes, lvals, _ = left.dict_codes(l_on.index)
@@ -380,6 +385,17 @@ class IntervalJoinExec(ExecPlan):
             isinstance(l_on, Column) and isinstance(r_on, Column)
         ):
             return None
+        if left.num_rows >= (1 << 24):
+            # 64-row bucket partials could overflow int32 for very large
+            # build sides; use the exact chunked path instead
+            return None
+        bs_cd = self._bound_col_delta(self.intervals.left_interval.start, left)
+        be_cd = self._bound_col_delta(self.intervals.left_interval.end, left)
+        if bs_cd is not None and be_cd is not None:
+            ls_h = left.column_as_i32(bs_cd[0]).astype(np.int64) + bs_cd[1]
+            le_h = left.column_as_i32(be_cd[0]).astype(np.int64) + be_cd[1]
+            if len(ls_h) and int((le_h - ls_h).min()) < 0:
+                return None  # inverted build intervals break BITS
         ls = self._device_bound(self.intervals.left_interval.start, left)
         le = self._device_bound(self.intervals.left_interval.end, left)
         rs = self._device_bound(self.intervals.right_interval.start, right)
@@ -417,10 +433,6 @@ class IntervalJoinExec(ExecPlan):
             total, n_deg = int(packed[:-1].sum()), int(packed[-1])
             if n_deg > 0:
                 return None  # exact level path required
-            if left.num_rows >= (1 << 24):
-                # 64-row bucket partials could overflow int32 for very
-                # large build sides; use the exact chunked path instead
-                return None
         ctx.metrics.add(self.op_id(), "output_rows", total)
         return total
 
@@ -475,9 +487,13 @@ class IntervalJoinExec(ExecPlan):
         return jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), cap
 
     @staticmethod
-    def _chunk_count_method(rs, re, lo, rows, fallback_method):
-        """BITS for clean chunks; degenerate (qs > qe) rows must go through
-        the exact level/window path (CLAUDE.md invariant)."""
+    def _chunk_count_method(rs, re, lo, rows, fallback_method, build_inverted=False):
+        """BITS for clean chunks; degenerate (qs > qe) probe rows AND
+        inverted build intervals (end < start) break the BITS subset
+        argument and must go through the exact level/window path
+        (CLAUDE.md invariant)."""
+        if build_inverted:
+            return fallback_method
         if bool((rs[lo : lo + rows] > re[lo : lo + rows]).any()):
             return fallback_method
         return "bits"
@@ -535,11 +551,14 @@ class IntervalJoinExec(ExecPlan):
                 rows = min(chunk, m - lo)
                 qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 if out_cap is not None:
+                    b_inv = bool(
+                        (np.asarray(index._he) < np.asarray(index._hs)).any()
+                    )
                     while rows > 1:
                         est = total_count_i64(
                             count_matches(
                                 index, qk, qs, qe,
-                                self._chunk_count_method(rs, re, lo, rows, method),
+                                self._chunk_count_method(rs, re, lo, rows, method, b_inv),
                             ),
                             index.n_rows,
                         )
@@ -626,6 +645,7 @@ class IntervalJoinExec(ExecPlan):
             return total
         index, rcodes, rs, re = self._prepare(ctx, left, right)
         method = _ALG_METHOD[self.algorithm]
+        build_inverted = bool((np.asarray(index._he) < np.asarray(index._hs)).any())
         m = right.num_rows
         total = 0
         with ctx.timer(self.op_id(), "join_time"):
@@ -633,34 +653,44 @@ class IntervalJoinExec(ExecPlan):
                 rows = min(_FULL_MODE_CHUNK, m - lo)
                 if rows <= 0:
                     break
-                chunk_method = self._chunk_count_method(rs, re, lo, rows, method)
+                chunk_method = self._chunk_count_method(
+                    rs, re, lo, rows, method, build_inverted
+                )
                 qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 counts = count_matches(index, qk, qs, qe, chunk_method)
                 total += total_count_i64(counts, index.n_rows)
         ctx.metrics.add(self.op_id(), "output_rows", total)
         return total
 
-    def per_probe_counts(self, ctx) -> np.ndarray:
-        """CountOverlaps semantics: overlap count per probe row."""
+    def per_probe_counts(self, ctx, with_table: bool = False):
+        """CountOverlaps semantics: overlap count per probe row.
+
+        with_table=True also returns the executed probe-side Table so
+        callers (GroupedIntervalCountExec) don't re-execute the subplan."""
         left = self.children[0].execute(ctx)
         right = self.children[1].execute(ctx)
         if self._use_host(left, right):
             hidx, rcodes, rs, re = self._host_index(ctx, left, right)
-            return hidx.counts(rcodes, rs, re).astype(np.int32)
+            counts = hidx.counts(rcodes, rs, re).astype(np.int32)
+            return (counts, right) if with_table else counts
         index, rcodes, rs, re = self._prepare(ctx, left, right)
         method = _ALG_METHOD[self.algorithm]
+        build_inverted = bool((np.asarray(index._he) < np.asarray(index._hs)).any())
         m = right.num_rows
         outs = []
         for lo in range(0, max(m, 1), _FULL_MODE_CHUNK):
             rows = min(_FULL_MODE_CHUNK, m - lo)
             if rows <= 0:
                 break
-            chunk_method = self._chunk_count_method(rs, re, lo, rows, method)
+            chunk_method = self._chunk_count_method(
+                rs, re, lo, rows, method, build_inverted
+            )
             qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
             outs.append(
                 np.asarray(count_matches(index, qk, qs, qe, chunk_method))[:rows]
             )
-        return np.concatenate(outs) if outs else np.empty(0, np.int32)
+        counts = np.concatenate(outs) if outs else np.empty(0, np.int32)
+        return (counts, right) if with_table else counts
 
     def display_line(self):
         jt = JOIN_TYPE_DISPLAY[self.join_type]

@@ -312,15 +312,16 @@ class AggregateExec(ExecPlan):
                 elif func in ("sum", "min", "max", "avg"):
                     red = {"sum": np.add, "min": np.minimum, "max": np.maximum, "avg": np.add}[func]
                     if n == 0:
-                        vals = np.zeros(ngroups, dtype=np.float64)
+                        # SQL: sum/min/max/avg over zero rows is NULL, not 0
+                        vals = pa.array([None] * ngroups, type=pa.float64())
                     else:
                         vals = red.reduceat(a_s, seg_starts)
-                    if func == "avg":
-                        cnt = np.bincount(codes, minlength=ngroups)
-                        vals = vals / np.maximum(cnt, 1)
+                        if func == "avg":
+                            cnt = np.bincount(codes, minlength=ngroups)
+                            vals = vals / np.maximum(cnt, 1)
                 else:
                     raise ExecutionError(f"unsupported aggregate: {func}")
-            arrays.append(pa.array(vals))
+            arrays.append(vals if isinstance(vals, pa.Array) else pa.array(vals))
             names.append(out_name)
         out = Table(pa.Table.from_arrays(arrays, names=names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)

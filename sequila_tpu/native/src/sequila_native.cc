@@ -33,6 +33,7 @@ struct Index {
   std::vector<int64_t> comp_start;   // comp(key, start), ascending
   std::vector<int64_t> cummax_end;   // running max of comp(key, end)
   std::vector<int64_t> comp_end;     // comp(key, end), independently sorted
+  bool has_inverted = false;         // any end < start: BITS count invalid
 };
 
 inline int64_t lower_bound64(const std::vector<int64_t>& v, int64_t x) {
@@ -76,6 +77,7 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
     running = std::max(running, comp(k[o], e[o]));
     idx->cummax_end[i] = running;
     idx->comp_end[i] = comp(k[o], e[o]);
+    if (e[o] < s[o]) idx->has_inverted = true;
   }
   std::sort(idx->comp_end.begin(), idx->comp_end.end());
   return idx;
@@ -88,12 +90,13 @@ void si_count(void* h, const int32_t* qk, const int32_t* qs,
               const int32_t* qe, int64_t m, int64_t* out) {
   auto* idx = static_cast<Index*>(h);
   for (int64_t i = 0; i < m; ++i) {
-    if (qs[i] <= qe[i]) {
+    if (qs[i] <= qe[i] && !idx->has_inverted) {
       const int64_t ub = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
       const int64_t lb = lower_bound64(idx->comp_end, comp(qk[i], qs[i]));
       out[i] = ub - lb;
     } else {
-      // stabbing case: start <= qe < qs <= end
+      // exact scan: stabbing probes (qs > qe) or inverted build
+      // intervals (end < start), where the BITS subset argument fails
       const int64_t ub = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
       const int64_t lo =
           lower_bound64(idx->cummax_end, comp(qk[i], qs[i]));

@@ -93,8 +93,9 @@ def merge_intervals(keys, starts, ends, min_dist: int = 0):
     prev_end = (np.roll(cummax, 1) & 0xFFFFFFFF).astype(np.int64) - 2**31
     prev_key = (np.roll(cummax, 1) >> 32).astype(np.int64)
     new_run = np.ones(n, bool)
+    # end-inclusive adjacency: [1,5] and [6,10] are one contiguous run
     new_run[1:] = (k[1:].astype(np.int64) != prev_key[1:]) | (
-        s[1:].astype(np.int64) > prev_end[1:] + min_dist
+        s[1:].astype(np.int64) > prev_end[1:] + 1 + min_dist
     )
     run_starts = np.nonzero(new_run)[0]
     out_k = k[new_run]

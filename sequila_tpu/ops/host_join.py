@@ -55,12 +55,19 @@ class HostIntervalIndex:
         # segment-reset cummax of ends in (key,start) order, via composite
         ce = _comp(self.k_s, self.e_s)
         self.cummax_end = np.maximum.accumulate(ce) if n else ce
+        # inverted intervals (end < start) break the BITS count identity:
+        # an entry with end < qs AND start > qe is subtracted but never
+        # added.  counts() routes to the exact pairs scan in that case.
+        self.has_inverted = bool(n) and bool((self.e_s < self.s_s).any())
 
     def counts(self, qk, qs, qe):
         """Exact overlap counts incl. degenerate (qs > qe) stabbing rows."""
         qk = np.asarray(qk, np.int32)
         qs = np.asarray(qs, np.int32)
         qe = np.asarray(qe, np.int32)
+        if self.has_inverted:
+            _, p_rows = self.pairs(qk, qs, qe)
+            return np.bincount(p_rows, minlength=len(qk)).astype(np.int64)
         ub = np.searchsorted(self.comp_start, _comp(qk, qe), side="right")
         lb = np.searchsorted(self.comp_end_sorted, _comp(qk, qs), side="left")
         out = np.where(qs <= qe, ub - lb, 0).astype(np.int64)

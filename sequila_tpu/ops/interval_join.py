@@ -103,13 +103,20 @@ def _bounds_bsearch(
             def body(_, lohi):
                 lo, hi = lohi
                 mid = (lo + hi) // 2
-                km = keys[off + mid]
-                vm = vals[off + mid]
+                km = keys[off + jnp.minimum(mid, pad - 1)]
+                vm = vals[off + jnp.minimum(mid, pad - 1)]
                 if strict_less:  # count entries with (key, val) < (qk, q)
                     less = (km < qk) | ((km == qk) & (vm < q))
                 else:  # count entries with (key, val) <= (qk, q)
                     less = (km < qk) | ((km == qk) & (vm <= q))
-                return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+                # once lo == hi the search has converged: stop updating
+                # (the fixed-step loop would otherwise probe index == pad,
+                # reading the next level and overcounting)
+                active = lo < hi
+                return (
+                    jnp.where(active & less, mid + 1, lo),
+                    jnp.where(active & ~less, mid, hi),
+                )
 
             lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
             return lo
@@ -359,6 +366,16 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     if method == "window":
         return materialize_pairs_window(index, qk, qs, qe)
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
+    total64 = total_count_check = int(
+        np.asarray(counts_from_bounds(lb, ub)).astype(np.int64).sum()
+    )
+    if total64 >= 2**31:
+        from sequila_tpu.errors import ExecutionError
+
+        raise ExecutionError(
+            f"probe chunk would materialize {total64} pairs (>= 2^31); "
+            "enable sequila.interval_join_low_memory or reduce the batch"
+        )
     offsets, lb_pm = pair_offsets(lb, ub)
     total = int(offsets[-1])
     if total == 0:
@@ -393,8 +410,8 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("level_offsets",))
-def nearest_from_bounds(lb, ub, levels, keys, starts, ends, pos, qk, qs, qe, *, level_offsets):
+@functools.partial(jax.jit, static_argnames=("level_offsets", "level_pad"))
+def nearest_from_bounds(lb, ub, levels, keys, starts, ends, pos, qk, qs, qe, *, level_offsets, level_pad):
     """One build row per probe row: first overlap, else true nearest, else -1.
 
     Distance convention matches the reference (interval_join.rs:909-956):
@@ -419,8 +436,16 @@ def nearest_from_bounds(lb, ub, levels, keys, starts, ends, pos, qk, qs, qe, *, 
     left_pos = pos[gl]
 
     # Right candidates: first entry in each level-segment with start > qe.
+    # ub can equal the level's padded size when the level is bucket-full;
+    # clamping would then land on the level's LAST REAL entry (same key,
+    # same level) and fabricate a candidate — mask those out explicitly.
+    pads = jnp.asarray(level_pad, dtype=jnp.int32)[:, None]
     gr = jnp.clip(offs + ub, 0, n_total - 1)
-    right_ok = (keys[gr] == qk[None, :]) & (levels[gr] == lvl_ids)
+    right_ok = (
+        (ub < pads)
+        & (keys[gr] == qk[None, :])
+        & (levels[gr] == lvl_ids)
+    )
     right_dist = jnp.where(right_ok, starts[gr] - qe[None, :], INT32_MAX)
     right_pos = pos[gr]
 
@@ -443,4 +468,5 @@ def nearest_match(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         index.levels, index.keys, index.starts, index.ends, index.pos,
         qk, qs, qe,
         level_offsets=index.level_offsets,
+        level_pad=index.level_pad,
     )

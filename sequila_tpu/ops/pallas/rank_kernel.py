@@ -68,13 +68,18 @@ def _make_kernel(n_build: int, strict: bool):
 
             def body(_, lohi):
                 lo, hi = lohi
-                mid = (lo + hi) // 2
+                # converged (lo == hi): stop — probing further would read
+                # chunk boundary == n_chunks (out of bounds when there is
+                # no PAD tail)
+                mid = jnp.minimum((lo + hi) // 2, n_chunks_max - 1)
                 idx = pl.multiple_of(mid * CHUNK, 128)
                 ak = a_keys_ref[0, pl.ds(idx, 128)][0]
                 av = a_vals_ref[0, pl.ds(idx, 128)][0]
                 le = _less_eq(ak, av, qk, qv, strict=lt_strict)
+                active = lo < hi
                 return jax.lax.cond(
-                    le, lambda: (mid + 1, hi), lambda: (lo, mid)
+                    active & le, lambda: (mid + 1, hi),
+                    lambda: jax.lax.cond(active, lambda: (lo, mid), lambda: (lo, hi)),
                 )
 
             steps = max(1, int(np.ceil(np.log2(n_chunks_max + 1))))

@@ -125,11 +125,14 @@ class Binder:
             raise PlanError("SELECT without FROM is not supported")
         plan: ExecPlan = self._scan(sel.from_tables[0])
 
-        where = sel.where
+        # WHERE conjuncts are consumed incrementally: each comma join takes
+        # the conjuncts resolvable against its combined schema; conjuncts
+        # naming later tables (a,b,c with b.x = c.x) stay pending and apply
+        # at the join that first covers them, or as a post-join filter.
+        pending = self._flatten_and(sel.where) if sel.where is not None else []
         for tref in sel.from_tables[1:]:
             right = self._scan(tref)
-            plan = self._make_join_from_where(plan, right, where)
-            where = None  # consumed by the join extraction
+            plan, pending = self._make_join_from_where(plan, right, pending)
 
         for jc in sel.joins:
             right = self._scan(jc.table)
@@ -137,6 +140,9 @@ class Binder:
                 plan = NestedLoopJoinExec(plan, right, None, "inner")
             else:
                 plan = self._make_join(plan, right, jc.on, jc.join_type)
+        where = None
+        for c in pending:
+            where = c if where is None else ast.Binary(where, "AND", c)
         return plan, where
 
     def _flatten_and(self, e: ast.SqlExpr) -> list[ast.SqlExpr]:
@@ -165,21 +171,27 @@ class Binder:
         return NestedLoopJoinExec(left, right, jf, join_type)
 
     def _make_join_from_where(
-        self, left: ExecPlan, right: ExecPlan, where: ast.SqlExpr | None
-    ) -> ExecPlan:
-        """Comma cross-join + WHERE -> pushed-down filters + join extraction
-        (what DataFusion's predicate pushdown does for the reference's
-        q2/q3-style queries)."""
-        if where is None:
-            return NestedLoopJoinExec(left, right, None, "inner")
+        self, left: ExecPlan, right: ExecPlan, conjuncts: list[ast.SqlExpr]
+    ):
+        """Comma cross-join + WHERE conjuncts -> pushed-down filters + join
+        extraction (what DataFusion's predicate pushdown does for the
+        reference's q2/q3-style queries).  Conjuncts that reference tables
+        not yet in scope (3+-table comma joins) are returned unconsumed."""
+        if not conjuncts:
+            return NestedLoopJoinExec(left, right, None, "inner"), []
         lschema, rschema = left.schema(), right.schema()
         nleft = len(lschema)
         combined = lschema + rschema
         on_pairs = []
         filter_conjuncts = []
         left_filters, right_filters = [], []
-        for conj in self._flatten_and(where):
-            bound = self._bind_expr(conj, combined)
+        leftover: list[ast.SqlExpr] = []
+        for conj in conjuncts:
+            try:
+                bound = self._bind_expr(conj, combined)
+            except PlanError:
+                leftover.append(conj)  # names a table not yet joined
+                continue
             sides = {("l" if i < nleft else "r") for i in bound.col_indices}
             if sides == {"l"}:
                 left_filters.append(bound.expr)
@@ -198,8 +210,8 @@ class Binder:
             right = FilterExec(right, f)
         jf = self._make_join_filter(filter_conjuncts, nleft) if filter_conjuncts else None
         if on_pairs:
-            return HashJoinExec(left, right, on_pairs, jf, "inner")
-        return NestedLoopJoinExec(left, right, jf, "inner")
+            return HashJoinExec(left, right, on_pairs, jf, "inner"), leftover
+        return NestedLoopJoinExec(left, right, jf, "inner"), leftover
 
     def _rebase(self, expr: pe.PhysicalExpr, delta: int) -> pe.PhysicalExpr:
         def fn(node):

@@ -205,8 +205,9 @@ class GroupedIntervalCountExec(ExecPlan):
 
     def execute(self, ctx):
         join = self.children[0]
-        counts = join.per_probe_counts(ctx)  # int per probe row
-        right = join.children[1].execute(ctx)
+        # with_table avoids re-executing the probe subplan (its execute
+        # may be a non-trivial filter/scan pipeline)
+        counts, right = join.per_probe_counts(ctx, with_table=True)
         cols = [right.column_np(c.index) for c in self.group_cols]
         from sequila_tpu.exec.plan import _row_group_codes
 

@@ -1,0 +1,296 @@
+"""Regression tests for the round-1 final-review findings.
+
+Each test locks in a specific defect found by adversarial review of the
+kernels/planner (bucket-full bsearch/nearest, inverted build intervals,
+3-table comma joins, overflow guards, book-ended merges, empty-input
+aggregate NULLs).  Reference semantics cited per test.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sequila_tpu.ops.interval_index import build_interval_index
+from sequila_tpu.ops.interval_join import count_matches
+from sequila_tpu.ops.oracle import oracle_counts
+from sequila_tpu.session import SessionContext
+
+
+def _ctx_tables(ctx, lk, ls, le, rk, rs, re):
+    ctx.register_table(
+        "a",
+        pa.table({"contig": [f"c{int(k)}" for k in lk], "s": ls, "e": le}),
+    )
+    ctx.register_table(
+        "b",
+        pa.table({"contig": [f"c{int(k)}" for k in rk], "s": rs, "e": re}),
+    )
+
+
+Q = (
+    "SELECT count(*) FROM a JOIN b ON a.contig = b.contig "
+    "AND a.s <= b.e AND a.e >= b.s"
+)
+
+
+class TestBucketFullPaths:
+    """Findings 1+2: level buckets exactly full (no PAD tail) must not
+    read one-past-the-end in the bsearch/nearest kernels."""
+
+    def _full_bucket_data(self):
+        # 64 rows in one key → bucket(64) == 64: zero padding in level 0
+        n = 64
+        lk = np.zeros(n, np.int32)
+        ls = np.arange(0, 10 * n, 10, dtype=np.int32)
+        le = ls + 5
+        return lk, ls, le
+
+    def test_bsearch_full_bucket_exact(self):
+        lk, ls, le = self._full_bucket_data()
+        index = build_interval_index(jnp.asarray(lk), jnp.asarray(ls), jnp.asarray(le))
+        # probe past the last interval: must count 0, not clamp-miscount
+        qk = jnp.zeros(8, jnp.int32)
+        qs = jnp.asarray([10**6, 0, 635, 1, 300, 636, 2**31 - 10, 50], jnp.int32)
+        qe = qs + 3
+        want = oracle_counts(lk, ls, le, np.zeros(8, np.int32), np.asarray(qs), np.asarray(qe))
+        for method in ("bsearch", "sort", "bits"):
+            got = np.asarray(count_matches(index, qk, qs, qe, method))
+            np.testing.assert_array_equal(got, want, err_msg=method)
+
+    def test_nearest_full_bucket(self):
+        from sequila_tpu.ops.interval_join import nearest_match
+
+        lk, ls, le = self._full_bucket_data()
+        index = build_interval_index(jnp.asarray(lk), jnp.asarray(ls), jnp.asarray(le))
+        # query strictly downstream of every interval: nearest must be the
+        # LAST interval (row 63), not garbage from the clamped pad read
+        qk = jnp.zeros(2, jnp.int32)
+        qs = jnp.asarray([10_000, 633], jnp.int32)
+        qe = jnp.asarray([10_005, 634], jnp.int32)
+        got = np.asarray(nearest_match(index, qk, qs, qe))
+        assert got[0] == 63
+        assert got[1] == 63  # end of row 63 is 635 >= ... closest upstream
+
+
+class TestInvertedBuildIntervals:
+    """Finding 3: build intervals with end < start break the BITS subset
+    identity (an entry with end < qs AND start > qe subtracts without
+    adding).  All count paths must route to an exact method."""
+
+    def _data(self):
+        lk = np.array([0, 0, 0], np.int32)
+        ls = np.array([100, 500, 900], np.int32)
+        le = np.array([50, 510, 890], np.int32)  # rows 0 and 2 inverted
+        rk = np.array([0, 0, 0, 0], np.int32)
+        rs = np.array([0, 505, 60, 1000], np.int32)
+        re = np.array([10, 506, 95, 1100], np.int32)
+        return lk, ls, le, rk, rs, re
+
+    def test_kernel_bits_guarded_by_operator(self):
+        lk, ls, le, rk, rs, re = self._data()
+        want = oracle_counts(lk, ls, le, rk, rs, re)
+        # level path is exact even for inverted builds
+        index = build_interval_index(jnp.asarray(lk), jnp.asarray(ls), jnp.asarray(le))
+        got = np.asarray(
+            count_matches(index, jnp.asarray(rk), jnp.asarray(rs), jnp.asarray(re), "sort")
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_host_index_counts(self):
+        from sequila_tpu.ops.host_join import HostIntervalIndex
+
+        lk, ls, le, rk, rs, re = self._data()
+        idx = HostIntervalIndex(lk, ls, le)
+        assert idx.has_inverted
+        np.testing.assert_array_equal(
+            idx.counts(rk, rs, re), oracle_counts(lk, ls, le, rk, rs, re)
+        )
+
+    def test_native_counts(self):
+        from sequila_tpu.native.loader import NativeIntervalIndex, available
+
+        if not available():
+            pytest.skip("native library unavailable")
+        lk, ls, le, rk, rs, re = self._data()
+        idx = NativeIntervalIndex(lk, ls, le)
+        np.testing.assert_array_equal(
+            idx.counts(rk, rs, re), oracle_counts(lk, ls, le, rk, rs, re)
+        )
+
+    @pytest.mark.parametrize("host", ["0", "1000000"])
+    def test_sql_count_inverted_build(self, host, monkeypatch):
+        monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", host)
+        ctx = SessionContext()
+        lk, ls, le, rk, rs, re = self._data()
+        _ctx_tables(ctx, lk, ls, le, rk, rs, re)
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert ctx.sql(Q).column_np(0)[0] == want
+
+    def test_device_count_rows_inverted(self, monkeypatch):
+        # chunked count_rows path with the TPU kernels (host threshold 0)
+        monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")
+        ctx = SessionContext()
+        rng = np.random.default_rng(7)
+        n, m = 300, 400
+        lk = rng.integers(0, 3, n).astype(np.int32)
+        ls = rng.integers(0, 5000, n).astype(np.int32)
+        le = ls + rng.integers(-200, 200, n).astype(np.int32)  # some inverted
+        assert (le < ls).any()
+        rk = rng.integers(0, 3, m).astype(np.int32)
+        rs = rng.integers(0, 5000, m).astype(np.int32)
+        re = rs + rng.integers(0, 150, m).astype(np.int32)
+        _ctx_tables(ctx, lk, ls, le, rk, rs, re)
+        want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+        assert ctx.sql(Q).column_np(0)[0] == want
+
+
+class TestThreeTableCommaJoin:
+    """Finding 4: WHERE conjuncts naming the third comma table must wait
+    for the join that brings it into scope, not raise PlanError."""
+
+    def _ctx(self):
+        ctx = SessionContext()
+        ctx.register_table("a", pa.table({"x": [1, 2, 3], "v": [10, 20, 30]}))
+        ctx.register_table("b", pa.table({"x": [1, 2, 4], "w": [100, 200, 400]}))
+        ctx.register_table("c", pa.table({"x": [1, 3, 4], "u": [7, 8, 9]}))
+        return ctx
+
+    def test_three_table_equi_chain(self):
+        ctx = self._ctx()
+        got = ctx.sql(
+            "SELECT count(*) FROM a, b, c WHERE a.x = b.x AND b.x = c.x"
+        )
+        # x=1 matches in all three; x=2 not in c; others don't chain
+        assert got.column_np(0)[0] == 1
+
+    def test_three_table_values(self):
+        ctx = self._ctx()
+        got = ctx.sql(
+            "SELECT a.v, b.w, c.u FROM a, b, c "
+            "WHERE a.x = b.x AND b.x = c.x ORDER BY a.v"
+        )
+        assert got.to_pylist() == [{"v": 10, "w": 100, "u": 7}]
+
+    def test_unknown_column_still_raises(self):
+        from sequila_tpu.errors import PlanError
+
+        ctx = self._ctx()
+        with pytest.raises(PlanError):
+            ctx.sql("SELECT count(*) FROM a, b WHERE a.x = nosuch.y")
+
+
+class TestMaterializeOverflowGuard:
+    """Finding 5: emit totals >= 2^31 must raise a clear error instead of
+    wrapping int32 offsets (can't allocate that for real — checked via the
+    internal total computation, not an actual 2-billion-row emit)."""
+
+    def test_total64_is_int64(self):
+        from sequila_tpu.ops.interval_join import counts_from_bounds
+
+        lb = jnp.zeros((1, 4), jnp.int32)
+        ub = jnp.full((1, 4), 2**30, jnp.int32)
+        total = int(np.asarray(counts_from_bounds(lb, ub)).astype(np.int64).sum())
+        assert total == 4 * 2**30  # would wrap to 0 in int32
+
+
+class TestMergeBookEnded:
+    """Finding 7: end-inclusive intervals [0,10] and [11,20] are adjacent
+    (book-ended) and must merge — reference merge semantics."""
+
+    def test_book_ended_merge(self):
+        from sequila_tpu.ops.genomic import merge_intervals
+
+        k = np.asarray([0, 0, 0], np.int32)
+        s = np.asarray([0, 11, 25], np.int32)
+        e = np.asarray([10, 20, 30], np.int32)
+        mk, ms, me = merge_intervals(k, s, e)
+        assert np.asarray(ms).tolist() == [0, 25]
+        assert np.asarray(me).tolist() == [20, 30]
+
+    def test_gap_of_one_does_not_merge(self):
+        from sequila_tpu.ops.genomic import merge_intervals
+
+        k = np.asarray([0, 0], np.int32)
+        s = np.asarray([0, 12], np.int32)
+        e = np.asarray([10, 20], np.int32)
+        mk, ms, me = merge_intervals(k, s, e)
+        assert np.asarray(ms).tolist() == [0, 12]
+
+
+class TestEmptyAggregatesNull:
+    """Finding 10: sum/min/max/avg over zero rows is SQL NULL, count is 0."""
+
+    def test_empty_input_aggregates(self):
+        ctx = SessionContext()
+        ctx.register_table("t", pa.table({"x": pa.array([], type=pa.int64())}))
+        got = ctx.sql(
+            "SELECT count(*), sum(x), min(x), max(x), avg(x) FROM t"
+        ).to_pylist()[0]
+        vals = list(got.values())
+        assert vals[0] == 0
+        assert vals[1] is None
+        assert vals[2] is None
+        assert vals[3] is None
+        assert vals[4] is None
+
+    def test_filtered_to_empty(self):
+        ctx = SessionContext()
+        ctx.register_table("t", pa.table({"x": [1, 2, 3]}))
+        got = ctx.sql("SELECT sum(x), count(x) FROM t WHERE x > 100").to_pylist()[0]
+        vals = list(got.values())
+        assert vals[0] is None
+        assert vals[1] == 0
+
+
+class TestGroupedCountReuse:
+    """Finding 9: grouped interval count must not re-execute the probe
+    subplan (correctness: same table object; perf: no double scan)."""
+
+    def test_grouped_count_correct(self):
+        ctx = SessionContext()
+        rng = np.random.default_rng(3)
+        n, m = 60, 80
+        lk = rng.integers(0, 3, n).astype(np.int32)
+        ls = rng.integers(0, 2000, n).astype(np.int32)
+        le = ls + rng.integers(0, 100, n).astype(np.int32)
+        rk = rng.integers(0, 3, m).astype(np.int32)
+        rs = rng.integers(0, 2000, m).astype(np.int32)
+        re = rs + rng.integers(0, 100, m).astype(np.int32)
+        _ctx_tables(ctx, lk, ls, le, rk, rs, re)
+        res = ctx.sql(
+            "SELECT b.contig, count(*) FROM a JOIN b ON a.contig = b.contig "
+            "AND a.s <= b.e AND a.e >= b.s GROUP BY b.contig ORDER BY b.contig"
+        )
+        counts = oracle_counts(lk, ls, le, rk, rs, re)
+        want = {}
+        for key, c in zip(rk, counts):
+            want[f"c{int(key)}"] = want.get(f"c{int(key)}", 0) + int(c)
+        want = {k: v for k, v in sorted(want.items()) if v > 0}
+        assert list(res.column_np(0)) == list(want.keys())
+        assert list(res.column_np(1)) == list(want.values())
+
+
+class TestChunkRankNoPadTail:
+    """Finding 6: Pallas chunk_rank with build exactly CHUNK-aligned (no
+    PAD tail) must not probe boundary == n_chunks."""
+
+    def test_chunk_aligned_build(self):
+        from sequila_tpu.ops.pallas.rank_kernel import CHUNK, rank_lex_pallas
+        from sequila_tpu.ops.ranks import np_rank_lex
+
+        rng = np.random.default_rng(11)
+        n = 2 * CHUNK  # exactly chunk-aligned: padding adds zero entries
+        bk = np.sort(rng.integers(0, 5, n)).astype(np.int32)
+        bv = rng.integers(0, 10**6, n).astype(np.int32)
+        m = 512
+        qk = rng.integers(0, 6, m).astype(np.int32)
+        # include queries larger than every build tuple (forces the
+        # binary search to the top end where the OOB read lived); stay
+        # below 2^20 (np_rank_lex packs 21-bit fields)
+        qv = rng.integers(10**6 - 5, 2**20 - 2, m).astype(np.int32)
+        got = np.asarray(rank_lex_pallas((jnp.asarray(bk), jnp.asarray(bv)),
+                                         (jnp.asarray(qk), jnp.asarray(qv)),
+                                         side="left"))
+        want = np_rank_lex((bk, bv), (qk, qv), side="left")
+        np.testing.assert_array_equal(got, want)
