@@ -170,6 +170,10 @@ class Table:
     def to_pylist(self):
         return self._t.to_pylist()
 
+    def to_pylist_column(self, name_or_idx):
+        """Single column as a Python list (None for NULLs)."""
+        return self._t.column(name_or_idx).to_pylist()
+
     # -- interval-specific helpers -----------------------------------------
     def column_as_i32(self, name_or_idx) -> np.ndarray:
         """Cast a coordinate column to i32, hard-erroring on overflow.

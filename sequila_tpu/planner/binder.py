@@ -48,8 +48,25 @@ class _Bound:
 
 
 class Binder:
-    def __init__(self, catalog):
+    def __init__(self, catalog, runner=None):
         self.catalog = catalog
+        # runner: Callable[[ast.Select], Table] — executes an uncorrelated
+        # subquery (IN/EXISTS/scalar) at bind time.  DataFusion decorrelates
+        # these into joins; the reference exercises none of them, so eager
+        # uncorrelated evaluation matches its observable SQL surface.
+        self.runner = runner
+
+    def _run_subquery(self, sel, what: str):
+        if self.runner is None:
+            raise PlanError(f"{what} subqueries are not supported in this context")
+        try:
+            return self.runner(sel)
+        except PlanError as e:
+            if "not found" in str(e):
+                raise PlanError(
+                    f"correlated {what} subqueries are not supported: {e}"
+                ) from e
+            raise
 
     # ------------------------------------------------------------------
     def bind_select(self, sel: ast.Select) -> ExecPlan:
@@ -309,7 +326,60 @@ class Binder:
                     return pe.NotExpr(go(node.child))
                 return pe.NegExpr(go(node.child))
             if isinstance(node, ast.Cast):
-                return go(node.child)  # numpy eval is dynamically typed
+                return pe.CastExpr(go(node.child), node.type_name)
+            if isinstance(node, ast.DistinctFrom):
+                return pe.DistinctFromExpr(
+                    go(node.left), go(node.right), node.negated
+                )
+            if isinstance(node, ast.InList):
+                child = go(node.child)
+                vals, exprs = [], []
+                for it in node.items:
+                    b = go(it)
+                    exprs.append(b)
+                    vals.append(b.value if isinstance(b, pe.Literal) else None)
+                if all(isinstance(x, pe.Literal) for x in exprs):
+                    return pe.InListExpr(
+                        child,
+                        tuple(vals),
+                        node.negated,
+                        has_null=any(v is None for v in vals),
+                    )
+                # non-literal items: desugar to an OR chain of equalities
+                cond = None
+                for b in exprs:
+                    eq = pe.BinaryExpr(child, "=", b)
+                    cond = eq if cond is None else pe.BinaryExpr(cond, "OR", eq)
+                return pe.NotExpr(cond) if node.negated else cond
+            if isinstance(node, ast.InSubquery):
+                sub = self._run_subquery(node.select, "IN")
+                if len(sub.column_names) != 1:
+                    raise PlanError(
+                        "IN subquery must return exactly one column, got "
+                        f"{len(sub.column_names)}"
+                    )
+                values = tuple(sub.to_pylist_column(0))
+                return pe.InListExpr(
+                    go(node.child),
+                    values,
+                    node.negated,
+                    has_null=any(v is None for v in values),
+                )
+            if isinstance(node, ast.Exists):
+                sub = self._run_subquery(node.select, "EXISTS")
+                return pe.Literal((sub.num_rows > 0) != node.negated)
+            if isinstance(node, ast.ScalarSubquery):
+                sub = self._run_subquery(node.select, "scalar")
+                if len(sub.column_names) != 1:
+                    raise PlanError(
+                        "scalar subquery must return exactly one column"
+                    )
+                if sub.num_rows > 1:
+                    raise PlanError(
+                        "more than one row returned by a subquery used as an expression"
+                    )
+                vals = sub.to_pylist_column(0)
+                return pe.Literal(vals[0] if vals else None)
             if isinstance(node, ast.Func):
                 raise PlanError(
                     f"function {node.name} not allowed in this context"
@@ -355,6 +425,9 @@ class Binder:
             return str(e.value)
         if isinstance(e, ast.Binary):
             return f"{self._display_name(e.left)} {e.op} {self._display_name(e.right)}"
+        if isinstance(e, ast.Cast):
+            # DataFusion names a cast column after the inner expression
+            return self._display_name(e.child)
         return "expr"
 
     def _bind_projection(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:

@@ -104,6 +104,25 @@ class BinaryExpr(PhysicalExpr):
         fn = _OP_FUNCS.get(op)
         if fn is None:
             raise ExecutionError(f"unsupported operator {op}")
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            l_arr, r_arr = np.asarray(l), np.asarray(r)
+            if l_arr.dtype == object or r_arr.dtype == object:
+                l_arr, r_arr = np.broadcast_arrays(l_arr, r_arr)
+                nn = _null_mask(l_arr) | _null_mask(r_arr)
+                out = np.array(
+                    [False if m else bool(fn(x, y))
+                     for x, y, m in zip(l_arr, r_arr, nn)],
+                    dtype=bool,
+                )
+                return out
+            # SQL 3VL in filter context: NULL-compared rows are UNKNOWN ->
+            # false.  numpy gets this right for NaN everywhere except !=
+            with np.errstate(invalid="ignore"):
+                out = fn(l_arr, r_arr)
+            nn = _null_mask(l_arr) | _null_mask(r_arr)
+            if nn.any():
+                out = out & ~nn
+            return out
         return fn(l, r)
 
     def columns(self):
@@ -150,6 +169,169 @@ class NegExpr(PhysicalExpr):
 
     def transform(self, fn):
         return fn(NegExpr(self.child.transform(fn)))
+
+
+def _null_mask(a: np.ndarray) -> np.ndarray:
+    """Elementwise NULL mask (NaN for floats, None for object arrays)."""
+    a = np.asarray(a)
+    if a.dtype == object:
+        return np.array([v is None for v in a], dtype=bool)
+    if np.issubdtype(a.dtype, np.floating):
+        return np.isnan(a)
+    return np.zeros(a.shape, dtype=bool)
+
+
+_CAST_NUMPY = {
+    "INT": np.int64, "INTEGER": np.int64, "BIGINT": np.int64,
+    "SMALLINT": np.int64, "TINYINT": np.int64,
+    "FLOAT": np.float64, "DOUBLE": np.float64, "REAL": np.float64,
+    "DECIMAL": np.float64, "NUMERIC": np.float64,
+    "BOOLEAN": np.bool_, "BOOL": np.bool_,
+    "VARCHAR": object, "TEXT": object, "STRING": object, "CHAR": object,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class CastExpr(PhysicalExpr):
+    """SQL CAST with real coercion (reference inherits DataFusion's
+    CastExpr; its i32 interval casts are handled separately with the
+    overflow hard-error in evaluate_as_i32 — interval_join.rs:1661-1672)."""
+
+    child: PhysicalExpr
+    type_name: str
+
+    def eval(self, cols, num_rows):
+        a = np.asarray(self.child.eval(cols, num_rows))
+        target = _CAST_NUMPY.get(self.type_name)
+        if target is None:
+            raise ExecutionError(f"unsupported CAST type: {self.type_name}")
+        nulls = _null_mask(a)
+        if target is object:
+            out = np.array(
+                [None if nn else _sql_str(v) for v, nn in zip(a, nulls)],
+                dtype=object,
+            )
+            return out
+        if a.dtype == object or nulls.any():
+            # NULL-preserving numeric cast goes through float (NaN = NULL)
+            vals = np.array(
+                [np.nan if nn else float(v) for v, nn in zip(a, nulls)]
+            )
+            if target is np.float64:
+                return vals
+            if nulls.any():
+                return vals  # keep NaN-as-NULL representation
+            return vals.astype(target)
+        if target is np.int64 and np.issubdtype(a.dtype, np.floating):
+            return np.trunc(a).astype(np.int64)
+        return a.astype(target)
+
+    def columns(self):
+        return self.child.columns()
+
+    def display(self):
+        return f"CAST({self.child.display()} AS {self.type_name})"
+
+    def transform(self, fn):
+        return fn(CastExpr(self.child.transform(fn), self.type_name))
+
+
+def _sql_str(v) -> str:
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+@dataclasses.dataclass(frozen=True)
+class InListExpr(PhysicalExpr):
+    """SQL [NOT] IN over a literal or subquery-produced value list, with
+    three-valued NULL semantics collapsed for filter context (UNKNOWN
+    never passes a WHERE): x IN (..) is false for NULL x; x NOT IN (list
+    containing NULL) is never true."""
+
+    child: PhysicalExpr
+    values: tuple
+    negated: bool
+    has_null: bool = False
+
+    def eval(self, cols, num_rows):
+        a = np.asarray(self.child.eval(cols, num_rows))
+        nulls = _null_mask(a)
+        vals = [v for v in self.values if v is not None]
+        if a.dtype == object:
+            sv = set(vals)
+            member = np.array(
+                [(v in sv) if not nn else False for v, nn in zip(a, nulls)],
+                dtype=bool,
+            )
+        else:
+            member = (
+                np.isin(a, np.asarray(vals)) if vals else np.zeros(a.shape, bool)
+            )
+            member &= ~nulls
+        if not self.negated:
+            return member
+        if self.has_null:
+            return np.zeros(a.shape, dtype=bool)  # NOT IN (.., NULL): UNKNOWN
+        return ~member & ~nulls
+
+    def columns(self):
+        return self.child.columns()
+
+    def display(self):
+        shown = ", ".join(str(v) for v in self.values[:6])
+        if len(self.values) > 6:
+            shown += ", ..."
+        op = "NOT IN" if self.negated else "IN"
+        return f"{self.child.display()} {op} ({shown})"
+
+    def transform(self, fn):
+        return fn(
+            InListExpr(
+                self.child.transform(fn), self.values, self.negated, self.has_null
+            )
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DistinctFromExpr(PhysicalExpr):
+    """IS [NOT] DISTINCT FROM: null-safe comparison (two NULLs are NOT
+    distinct; a NULL and a value are distinct) — never returns UNKNOWN."""
+
+    left: PhysicalExpr
+    right: PhysicalExpr
+    negated: bool  # True = IS NOT DISTINCT FROM (null-safe equality)
+
+    def eval(self, cols, num_rows):
+        l = np.asarray(self.left.eval(cols, num_rows))
+        r = np.asarray(self.right.eval(cols, num_rows))
+        l, r = np.broadcast_arrays(l, r)
+        ln, rn = _null_mask(l), _null_mask(r)
+        if l.dtype == object or r.dtype == object:
+            eq = np.array(
+                [x == y for x, y in zip(l, r)], dtype=bool
+            ) & ~ln & ~rn
+        else:
+            with np.errstate(invalid="ignore"):
+                eq = np.equal(l, r) & ~ln & ~rn
+        same = eq | (ln & rn)
+        return same if self.negated else ~same
+
+    def columns(self):
+        return self.left.columns() + self.right.columns()
+
+    def display(self):
+        op = "IS NOT DISTINCT FROM" if self.negated else "IS DISTINCT FROM"
+        return f"{self.left.display()} {op} {self.right.display()}"
+
+    def transform(self, fn):
+        return fn(
+            DistinctFromExpr(
+                self.left.transform(fn), self.right.transform(fn), self.negated
+            )
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -201,7 +201,7 @@ class SessionContext:
 
     # -- planning + execution ----------------------------------------------
     def create_physical_plan(self, sel: ast.Select):
-        plan = Binder(self.catalog).bind_select(sel)
+        plan = Binder(self.catalog, runner=self._run_select).bind_select(sel)
         plan = PredicatePushdownRule().optimize(plan)
         plan = IntervalJoinRule(self.config).optimize(plan)
         plan = ProjectionPushdownRule().optimize(plan)
@@ -265,7 +265,7 @@ class SessionContext:
             from sequila_tpu.planner.binder import Binder
 
             scan = ScanExec("__union__", out, None)
-            b = Binder(self.catalog)
+            b = Binder(self.catalog, runner=self._run_select)
             schema = scan.schema()
             exprs, asc = [], []
             for oi in u.order_by:

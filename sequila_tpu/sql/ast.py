@@ -59,6 +59,38 @@ class Cast(SqlExpr):
     type_name: str
 
 
+@dataclasses.dataclass(frozen=True)
+class InList(SqlExpr):
+    child: SqlExpr
+    items: tuple[SqlExpr, ...]
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class InSubquery(SqlExpr):
+    child: SqlExpr
+    select: "Select"
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Exists(SqlExpr):
+    select: "Select"
+    negated: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalarSubquery(SqlExpr):
+    select: "Select"
+
+
+@dataclasses.dataclass(frozen=True)
+class DistinctFrom(SqlExpr):
+    left: SqlExpr
+    right: SqlExpr
+    negated: bool = False  # True = IS NOT DISTINCT FROM
+
+
 # -- select -----------------------------------------------------------------
 
 

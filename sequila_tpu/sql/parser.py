@@ -355,7 +355,15 @@ class Parser:
         return left
 
     def parse_not(self) -> ast.SqlExpr:
-        if self.eat_kw("NOT"):
+        if self.at_kw("NOT") and self.peek(1).upper == "EXISTS":
+            self.next()
+            self.next()
+            self.expect("punct", "(")
+            sub = self.parse_select()
+            self.expect("punct", ")")
+            return ast.Exists(sub, negated=True)
+        if self.at_kw("NOT") and self.peek(1).upper != "IN":
+            self.next()
             return ast.Unary("NOT", self.parse_not())
         return self.parse_comparison()
 
@@ -377,9 +385,25 @@ class Parser:
         if self.at_kw("IS"):
             self.next()
             neg = self.eat_kw("NOT")
+            if self.eat_kw("DISTINCT"):
+                self.expect_kw("FROM")
+                return ast.DistinctFrom(left, self.parse_additive(), negated=neg)
             self.expect_kw("NULL")
             node = ast.Func("isnull", (left,))
             return ast.Unary("NOT", node) if neg else node
+        if self.at_kw("IN") or (self.at_kw("NOT") and self.peek(1).upper == "IN"):
+            negated = self.eat_kw("NOT")
+            self.expect_kw("IN")
+            self.expect("punct", "(")
+            if self.at_kw("SELECT"):
+                sub = self.parse_select()
+                self.expect("punct", ")")
+                return ast.InSubquery(left, sub, negated=negated)
+            items = [self.parse_additive()]
+            while self.eat("punct", ","):
+                items.append(self.parse_additive())
+            self.expect("punct", ")")
+            return ast.InList(left, tuple(items), negated=negated)
         return left
 
     def parse_additive(self) -> ast.SqlExpr:
@@ -413,6 +437,10 @@ class Parser:
             self.next()
             return ast.Lit(t.value)
         if self.eat("punct", "("):
+            if self.at_kw("SELECT"):
+                sub = self.parse_select()
+                self.expect("punct", ")")
+                return ast.ScalarSubquery(sub)
             e = self.parse_expr()
             self.expect("punct", ")")
             return e
@@ -426,6 +454,12 @@ class Parser:
             if t.upper == "FALSE":
                 self.next()
                 return ast.Lit(False)
+            if t.upper == "EXISTS" and self.peek(1).kind == "punct" and self.peek(1).value == "(":
+                self.next()
+                self.next()  # (
+                sub = self.parse_select()
+                self.expect("punct", ")")
+                return ast.Exists(sub)
             if t.upper == "CAST":
                 self.next()
                 self.expect("punct", "(")

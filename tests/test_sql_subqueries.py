@@ -1,0 +1,183 @@
+"""SQL surface: [NOT] IN (list|subquery), [NOT] EXISTS, scalar subqueries,
+CAST coercion, IS [NOT] DISTINCT FROM.
+
+The reference inherits these from DataFusion's SQL frontend (its own
+tests/queries never exercise them); this engine evaluates uncorrelated
+subqueries eagerly at bind time and rejects correlated ones with a clear
+PlanError (ROADMAP.md 'SQL surface').
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sequila_tpu.errors import PlanError
+from sequila_tpu.session import SessionContext
+
+
+@pytest.fixture()
+def ctx():
+    c = SessionContext()
+    c.register_table(
+        "t",
+        pa.table({"x": [1, 2, 3, 4, 5], "name": ["a", "b", "c", "d", "e"]}),
+    )
+    c.register_table("s", pa.table({"y": [2, 4, 9]}))
+    c.register_table(
+        "n", pa.table({"v": pa.array([1, None, 3], type=pa.int64())})
+    )
+    return c
+
+
+class TestInList:
+    def test_in_literals(self, ctx):
+        got = ctx.sql("SELECT x FROM t WHERE x IN (2, 4, 7) ORDER BY x")
+        assert got.to_pylist_column(0) == [2, 4]
+
+    def test_not_in_literals(self, ctx):
+        got = ctx.sql("SELECT x FROM t WHERE x NOT IN (2, 4) ORDER BY x")
+        assert got.to_pylist_column(0) == [1, 3, 5]
+
+    def test_in_strings(self, ctx):
+        got = ctx.sql("SELECT name FROM t WHERE name IN ('b', 'e') ORDER BY name")
+        assert got.to_pylist_column(0) == ["b", "e"]
+
+    def test_not_in_with_null_matches_nothing(self, ctx):
+        # SQL 3VL: x NOT IN (.., NULL) is never TRUE
+        got = ctx.sql("SELECT x FROM t WHERE x NOT IN (2, NULL)")
+        assert got.num_rows == 0
+
+    def test_in_null_rows_excluded(self, ctx):
+        got = ctx.sql("SELECT v FROM n WHERE v IN (1, 2, 3) ORDER BY v")
+        assert got.to_pylist_column(0) == [1, 3]
+
+    def test_not_in_null_rows_excluded(self, ctx):
+        # NULL NOT IN (2) is UNKNOWN -> filtered
+        got = ctx.sql("SELECT v FROM n WHERE v NOT IN (2) ORDER BY v")
+        assert got.to_pylist_column(0) == [1, 3]
+
+    def test_in_expression_items(self, ctx):
+        got = ctx.sql("SELECT x FROM t WHERE x IN (1 + 1, 2 * 2) ORDER BY x")
+        assert got.to_pylist_column(0) == [2, 4]
+
+
+class TestInSubquery:
+    def test_in_subquery(self, ctx):
+        got = ctx.sql("SELECT x FROM t WHERE x IN (SELECT y FROM s) ORDER BY x")
+        assert got.to_pylist_column(0) == [2, 4]
+
+    def test_not_in_subquery(self, ctx):
+        got = ctx.sql(
+            "SELECT x FROM t WHERE x NOT IN (SELECT y FROM s) ORDER BY x"
+        )
+        assert got.to_pylist_column(0) == [1, 3, 5]
+
+    def test_in_subquery_with_filter(self, ctx):
+        got = ctx.sql(
+            "SELECT x FROM t WHERE x IN (SELECT y FROM s WHERE y < 3) ORDER BY x"
+        )
+        assert got.to_pylist_column(0) == [2]
+
+    def test_not_in_subquery_with_null_matches_nothing(self, ctx):
+        got = ctx.sql("SELECT x FROM t WHERE x NOT IN (SELECT v FROM n)")
+        assert got.num_rows == 0
+
+    def test_in_subquery_two_columns_rejected(self, ctx):
+        with pytest.raises(PlanError, match="one column"):
+            ctx.sql("SELECT x FROM t WHERE x IN (SELECT y, y FROM s)")
+
+    def test_correlated_rejected(self, ctx):
+        with pytest.raises(PlanError, match="correlated"):
+            ctx.sql("SELECT x FROM t WHERE x IN (SELECT y FROM s WHERE y = t.x)")
+
+
+class TestExists:
+    def test_exists_true(self, ctx):
+        got = ctx.sql("SELECT count(*) FROM t WHERE EXISTS (SELECT y FROM s)")
+        assert got.column_np(0)[0] == 5
+
+    def test_exists_false(self, ctx):
+        got = ctx.sql(
+            "SELECT count(*) FROM t WHERE EXISTS (SELECT y FROM s WHERE y > 99)"
+        )
+        assert got.column_np(0)[0] == 0
+
+    def test_not_exists(self, ctx):
+        got = ctx.sql(
+            "SELECT count(*) FROM t WHERE NOT EXISTS (SELECT y FROM s WHERE y > 99)"
+        )
+        assert got.column_np(0)[0] == 5
+
+
+class TestScalarSubquery:
+    def test_scalar_in_comparison(self, ctx):
+        got = ctx.sql(
+            "SELECT x FROM t WHERE x > (SELECT min(y) FROM s) ORDER BY x"
+        )
+        assert got.to_pylist_column(0) == [3, 4, 5]
+
+    def test_scalar_in_projection(self, ctx):
+        got = ctx.sql("SELECT x + (SELECT max(y) FROM s) FROM t WHERE x = 1")
+        assert got.column_np(0)[0] == 10
+
+    def test_scalar_multi_row_rejected(self, ctx):
+        with pytest.raises(PlanError, match="more than one row"):
+            ctx.sql("SELECT x FROM t WHERE x > (SELECT y FROM s)")
+
+    def test_scalar_empty_is_null(self, ctx):
+        got = ctx.sql("SELECT x FROM t WHERE x = (SELECT y FROM s WHERE y > 99)")
+        assert got.num_rows == 0  # comparison with NULL filters all rows
+
+    def test_nested_subquery(self, ctx):
+        got = ctx.sql(
+            "SELECT x FROM t WHERE x IN "
+            "(SELECT y FROM s WHERE y > (SELECT min(y) FROM s)) ORDER BY x"
+        )
+        assert got.to_pylist_column(0) == [4]
+
+
+class TestCast:
+    def test_cast_int_to_double(self, ctx):
+        got = ctx.sql("SELECT CAST(x AS DOUBLE) / 2 FROM t WHERE x = 3")
+        assert got.column_np(0)[0] == 1.5
+
+    def test_cast_string_to_int(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"s": ["10", "20"]}))
+        got = c.sql("SELECT CAST(s AS INT) + 1 FROM q ORDER BY 1" .replace(" ORDER BY 1", ""))
+        assert sorted(got.column_np(0).tolist()) == [11, 21]
+
+    def test_cast_to_varchar(self, ctx):
+        got = ctx.sql("SELECT CAST(x AS VARCHAR) FROM t WHERE x = 4")
+        assert got.column_np(0)[0] == "4"
+
+    def test_cast_truncates_float(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"f": [2.9, -2.9]}))
+        got = c.sql("SELECT CAST(f AS INT) FROM q")
+        assert got.column_np(0).tolist() == [2, -2]
+
+    def test_cast_unknown_type_rejected(self, ctx):
+        from sequila_tpu.errors import ExecutionError
+
+        with pytest.raises((PlanError, ExecutionError)):
+            ctx.sql("SELECT CAST(x AS BLOB) FROM t")
+
+
+class TestDistinctFrom:
+    def test_is_distinct_from(self, ctx):
+        got = ctx.sql("SELECT v FROM n WHERE v IS DISTINCT FROM 1 ORDER BY v")
+        # NULL IS DISTINCT FROM 1 -> TRUE (unlike v != 1); NULLS LAST
+        assert got.to_pylist_column(0) == [3, None]
+
+    def test_is_not_distinct_from_null(self, ctx):
+        got = ctx.sql("SELECT v FROM n WHERE v IS NOT DISTINCT FROM NULL")
+        assert got.to_pylist_column(0) == [None]
+
+    def test_is_not_distinct_from_value(self, ctx):
+        got = ctx.sql("SELECT v FROM n WHERE v IS NOT DISTINCT FROM 3")
+        assert got.to_pylist_column(0) == [3]
+
+    def test_plain_neq_drops_nulls(self, ctx):
+        got = ctx.sql("SELECT v FROM n WHERE v != 1 ORDER BY v")
+        assert got.to_pylist_column(0) == [3]
