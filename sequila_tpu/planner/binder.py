@@ -71,6 +71,7 @@ class Binder:
     # ------------------------------------------------------------------
     def bind_select(self, sel: ast.Select) -> ExecPlan:
         plan, where = self._bind_from(sel)
+        plan, where = self._decorrelate_where(plan, where)
         schema = plan.schema()
 
         has_aggs = (
@@ -161,6 +162,100 @@ class Binder:
         for c in pending:
             where = c if where is None else ast.Binary(where, "AND", c)
         return plan, where
+
+    # -- correlated subqueries ------------------------------------------
+    def _is_correlated(self, sel: ast.Select) -> bool:
+        """True when the subquery references columns outside its own FROM
+        scope (binding it standalone fails name resolution)."""
+        try:
+            self.bind_select(sel)
+            return False
+        except PlanError as e:
+            if "not found" in str(e):
+                return True
+            raise
+
+    def _decorrelate_where(self, plan: ExecPlan, where):
+        """Rewrite top-level correlated [NOT] EXISTS / IN conjuncts into
+        semi/anti joins (what DataFusion's decorrelate_predicate_subquery
+        rule does).  Uncorrelated subquery conjuncts stay for the eager
+        bind-time evaluation path."""
+        if where is None:
+            return plan, None
+        kept = []
+        for cj in self._flatten_and(where):
+            if isinstance(cj, (ast.Exists, ast.InSubquery)) and self._is_correlated(
+                cj.select
+            ):
+                plan = self._decorrelate_subquery(plan, cj)
+            else:
+                kept.append(cj)
+        out = None
+        for c in kept:
+            out = c if out is None else ast.Binary(out, "AND", c)
+        return plan, out
+
+    def _decorrelate_subquery(self, plan: ExecPlan, node) -> ExecPlan:
+        """Outer plan ⋉/▷ inner plan on the correlation predicates.
+
+        The subquery's WHERE conjuncts split three ways: inner-only ->
+        filter below the join; equality spanning outer+inner -> hash-join
+        key pair; anything else spanning sides -> join filter."""
+        sel = node.select
+        if (
+            sel.group_by
+            or sel.having is not None
+            or sel.limit is not None
+            or any(self._contains_agg(it.expr) for it in sel.items)
+        ):
+            raise PlanError(
+                "correlated subqueries with aggregation or LIMIT are not supported"
+            )
+        if isinstance(node, ast.InSubquery) and node.negated:
+            raise PlanError(
+                "correlated NOT IN subqueries are not supported "
+                "(null-aware anti join); use NOT EXISTS"
+            )
+        inner_plan, inner_where = self._bind_from(sel)
+        inner_schema = inner_plan.schema()
+        cross = []
+        if inner_where is not None:
+            for cj in self._flatten_and(inner_where):
+                try:
+                    b = self._bind_expr(cj, inner_schema)
+                except PlanError:
+                    cross.append(cj)  # references the outer scope
+                else:
+                    inner_plan = FilterExec(inner_plan, b.expr)
+        lschema = plan.schema()
+        nleft = len(lschema)
+        combined = lschema + inner_plan.schema()
+        on_pairs, filter_conjuncts = [], []
+        for cj in cross:
+            bound = self._bind_expr(cj, combined)
+            pair = self._as_equi_pair(bound, nleft)
+            if pair is not None:
+                on_pairs.append(pair)
+            else:
+                filter_conjuncts.append(bound)
+        if isinstance(node, ast.InSubquery):
+            if len(sel.items) != 1 or isinstance(sel.items[0].expr, ast.Star):
+                raise PlanError("IN subquery must return exactly one column")
+            on_pairs.append(
+                (
+                    self._bind_expr(node.child, lschema).expr,
+                    self._bind_expr(sel.items[0].expr, inner_plan.schema()).expr,
+                )
+            )
+        jt = "leftanti" if node.negated else "leftsemi"
+        jf = (
+            self._make_join_filter(filter_conjuncts, nleft)
+            if filter_conjuncts
+            else None
+        )
+        if on_pairs:
+            return HashJoinExec(plan, inner_plan, on_pairs, jf, jt)
+        return NestedLoopJoinExec(plan, inner_plan, jf, jt)
 
     def _flatten_and(self, e: ast.SqlExpr) -> list[ast.SqlExpr]:
         if isinstance(e, ast.Binary) and e.op == "AND":

@@ -242,9 +242,21 @@ class Parser:
                     self.expect_kw("JOIN")
                     jt = "inner"
                 elif self.at_kw("LEFT"):
-                    self.next(); self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "left"
+                    self.next()
+                    if self.eat_kw("SEMI"):
+                        self.expect_kw("JOIN"); jt = "leftsemi"
+                    elif self.eat_kw("ANTI"):
+                        self.expect_kw("JOIN"); jt = "leftanti"
+                    else:
+                        self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "left"
                 elif self.at_kw("RIGHT"):
-                    self.next(); self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "right"
+                    self.next()
+                    if self.eat_kw("SEMI"):
+                        self.expect_kw("JOIN"); jt = "rightsemi"
+                    elif self.eat_kw("ANTI"):
+                        self.expect_kw("JOIN"); jt = "rightanti"
+                    else:
+                        self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "right"
                 elif self.at_kw("FULL"):
                     self.next(); self.eat_kw("OUTER"); self.expect_kw("JOIN"); jt = "full"
                 elif self.at_kw("CROSS"):

@@ -86,9 +86,12 @@ class TestInSubquery:
         with pytest.raises(PlanError, match="one column"):
             ctx.sql("SELECT x FROM t WHERE x IN (SELECT y, y FROM s)")
 
-    def test_correlated_rejected(self, ctx):
-        with pytest.raises(PlanError, match="correlated"):
-            ctx.sql("SELECT x FROM t WHERE x IN (SELECT y FROM s WHERE y = t.x)")
+    def test_correlated_in_decorrelates(self, ctx):
+        # correlated IN no longer errors: it decorrelates to a semi join
+        got = ctx.sql(
+            "SELECT x FROM t WHERE x IN (SELECT y FROM s WHERE y = t.x) ORDER BY x"
+        )
+        assert got.to_pylist_column(0) == [2, 4]
 
 
 class TestExists:
@@ -181,3 +184,112 @@ class TestDistinctFrom:
     def test_plain_neq_drops_nulls(self, ctx):
         got = ctx.sql("SELECT v FROM n WHERE v != 1 ORDER BY v")
         assert got.to_pylist_column(0) == [3]
+
+
+class TestSemiAntiJoinSyntax:
+    """LEFT/RIGHT SEMI/ANTI JOIN SQL syntax over the programmatic
+    semi/anti machinery (exec/joins/utils.py join types)."""
+
+    @pytest.fixture()
+    def jctx(self):
+        c = SessionContext()
+        c.register_table("t", pa.table({"x": [1, 2, 3, 4, 5]}))
+        c.register_table("s", pa.table({"y": [2, 4, 9]}))
+        return c
+
+    def test_left_semi(self, jctx):
+        got = jctx.sql("SELECT x FROM t LEFT SEMI JOIN s ON t.x = s.y ORDER BY x")
+        assert got.to_pylist_column(0) == [2, 4]
+
+    def test_left_anti(self, jctx):
+        got = jctx.sql("SELECT x FROM t LEFT ANTI JOIN s ON t.x = s.y ORDER BY x")
+        assert got.to_pylist_column(0) == [1, 3, 5]
+
+    def test_right_semi(self, jctx):
+        got = jctx.sql("SELECT y FROM t RIGHT SEMI JOIN s ON t.x = s.y ORDER BY y")
+        assert got.to_pylist_column(0) == [2, 4]
+
+    def test_right_anti(self, jctx):
+        got = jctx.sql("SELECT y FROM t RIGHT ANTI JOIN s ON t.x = s.y ORDER BY y")
+        assert got.to_pylist_column(0) == [9]
+
+
+class TestCorrelatedSubqueries:
+    """Correlated [NOT] EXISTS / IN decorrelate into semi/anti joins
+    (DataFusion's decorrelate_predicate_subquery equivalent)."""
+
+    @pytest.fixture()
+    def cctx(self):
+        c = SessionContext()
+        c.register_table(
+            "orders",
+            pa.table({"oid": [1, 2, 3, 4], "cust": [10, 20, 10, 30], "amt": [5, 50, 8, 2]}),
+        )
+        c.register_table("cust", pa.table({"cid": [10, 20, 40], "name": ["a", "b", "d"]}))
+        return c
+
+    def test_correlated_exists(self, cctx):
+        got = cctx.sql(
+            "SELECT oid FROM orders WHERE EXISTS "
+            "(SELECT cid FROM cust WHERE cust.cid = orders.cust) ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [1, 2, 3]
+
+    def test_correlated_not_exists(self, cctx):
+        got = cctx.sql(
+            "SELECT oid FROM orders WHERE NOT EXISTS "
+            "(SELECT cid FROM cust WHERE cust.cid = orders.cust) ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [4]
+
+    def test_correlated_exists_inner_filter(self, cctx):
+        # inner-only conjunct (amt > 10) filters below the semi join
+        got = cctx.sql(
+            "SELECT name FROM cust WHERE EXISTS "
+            "(SELECT oid FROM orders WHERE orders.cust = cust.cid AND orders.amt > 10) "
+            "ORDER BY name"
+        )
+        assert got.to_pylist_column(0) == ["b"]
+
+    def test_correlated_in(self, cctx):
+        got = cctx.sql(
+            "SELECT oid FROM orders WHERE cust IN "
+            "(SELECT cid FROM cust WHERE cust.cid = orders.cust) ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [1, 2, 3]
+
+    def test_correlated_not_in_rejected(self, cctx):
+        with pytest.raises(PlanError, match="NOT IN"):
+            cctx.sql(
+                "SELECT oid FROM orders WHERE cust NOT IN "
+                "(SELECT cid FROM cust WHERE cust.cid = orders.cust)"
+            )
+
+    def test_correlated_agg_rejected(self, cctx):
+        with pytest.raises(PlanError, match="aggregation"):
+            cctx.sql(
+                "SELECT oid FROM orders WHERE EXISTS "
+                "(SELECT max(cid) FROM cust WHERE cust.cid = orders.cust)"
+            )
+
+    def test_correlated_exists_interval_predicate(self):
+        # pure non-equi correlation: NLJ semi join with a join filter
+        c = SessionContext()
+        c.register_table(
+            "a", pa.table({"s": [0, 100, 200], "e": [50, 150, 250]})
+        )
+        c.register_table(
+            "b", pa.table({"s2": [40, 120, 300], "e2": [60, 130, 310]})
+        )
+        got = c.sql(
+            "SELECT s FROM a WHERE EXISTS "
+            "(SELECT s2 FROM b WHERE b.s2 <= a.e AND b.e2 >= a.s) ORDER BY s"
+        )
+        assert got.to_pylist_column(0) == [0, 100]
+
+    def test_correlated_and_plain_conjuncts_mix(self, cctx):
+        got = cctx.sql(
+            "SELECT oid FROM orders WHERE amt < 40 AND EXISTS "
+            "(SELECT cid FROM cust WHERE cust.cid = orders.cust) ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [1, 3]
