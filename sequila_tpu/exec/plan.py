@@ -338,6 +338,175 @@ class AggregateExec(ExecPlan):
         return AggregateExec(children[0], self.group_exprs, self.group_names, self.agg_specs)
 
 
+_WINDOW_FUNCS = {
+    "row_number", "rank", "dense_rank", "lag", "lead",
+    "sum", "count", "avg", "min", "max", "first_value", "last_value",
+    "ntile",
+}
+
+
+class WindowExec(ExecPlan):
+    """Vectorized window functions over the child's output.
+
+    Each spec is (func, args, partition_exprs, order_exprs, asc, name).
+    Semantics follow DataFusion/standard SQL defaults: ranking functions
+    need ORDER BY; aggregates without ORDER BY run over the whole
+    partition; with ORDER BY they are running aggregates with RANGE
+    peers (tied order keys share the value at the peer group's end);
+    last_value with ORDER BY is the current peer group's last row (the
+    standard default-frame gotcha).  The reference inherits windowing
+    wholesale from DataFusion (never exercised in its tests)."""
+
+    def __init__(self, child: ExecPlan, specs):
+        self.children = [child]
+        self.specs = specs
+
+    def schema(self):
+        return self.children[0].schema() + [
+            (None, sp[5]) for sp in self.specs
+        ]
+
+    @staticmethod
+    def _order_codes(vals, asc):
+        """Dense sortable int codes for one ORDER BY key (any dtype)."""
+        codes, _ = _row_group_codes([vals])
+        return codes if asc else -codes
+
+    def execute(self, ctx):
+        t = self.children[0].execute(ctx)
+        n = t.num_rows
+        cols = _LazyCols(t)
+        arrays = list(t.arrow.columns)
+        names = [n2 for _, n2 in self.children[0].schema()]
+        for func, args, parts, orders, ascs, out_name in self.specs:
+            arrays.append(pa.array(self._compute(func, args, parts, orders, ascs, cols, n)))
+            names.append(out_name)
+        out = Table(pa.Table.from_arrays(arrays, names=names))
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def _compute(self, func, args, parts, orders, ascs, cols, n):
+        if n == 0:
+            return np.empty(0, np.int64 if func in ("row_number", "rank", "dense_rank", "count") else np.float64)
+        pvals = [np.asarray(e.eval(cols, n)) for e in parts]
+        seg_codes, _ = _row_group_codes(pvals) if pvals else (np.zeros(n, np.int64), [0])
+        ocodes = [
+            self._order_codes(np.asarray(e.eval(cols, n)), asc)
+            for e, asc in zip(orders, ascs)
+        ]
+        # primary: partition, then order keys; np.lexsort is stable so
+        # input order breaks remaining ties deterministically
+        order = np.lexsort(tuple(reversed(ocodes)) + (seg_codes,))
+        segs = seg_codes[order]
+        new_seg = np.ones(n, bool)
+        new_seg[1:] = segs[1:] != segs[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_first = np.nonzero(new_seg)[0]
+        pos = np.arange(n)
+        idx_in_seg = pos - seg_first[seg_id]
+        if ocodes:
+            o_sorted = [oc[order] for oc in ocodes]
+            new_peer = new_seg.copy()
+            for oc in o_sorted:
+                new_peer[1:] |= oc[1:] != oc[:-1]
+        else:
+            new_peer = new_seg.copy()
+        peer_id = np.cumsum(new_peer) - 1
+        peer_first = np.nonzero(new_peer)[0]
+        peer_last = np.append(peer_first[1:], n) - 1
+
+        if func == "row_number":
+            vals = (idx_in_seg + 1).astype(np.int64)
+        elif func == "rank":
+            vals = (peer_first[peer_id] - seg_first[seg_id] + 1).astype(np.int64)
+        elif func == "dense_rank":
+            dp = np.cumsum(new_peer)
+            vals = (dp - dp[seg_first[seg_id]] + 1).astype(np.int64)
+        elif func == "ntile":
+            k = int(args[0])
+            seg_len = np.append(seg_first[1:], n) - seg_first
+            sl = seg_len[seg_id]
+            vals = (idx_in_seg * k // np.maximum(sl, 1) + 1).astype(np.int64)
+        elif func in ("lag", "lead"):
+            a = np.asarray(args[0].eval(cols, n))[order]
+            k = int(args[1]) if len(args) > 1 else 1
+            default = args[2] if len(args) > 2 else None
+            shifted = np.empty(n, dtype=object)
+            if func == "lag":
+                shifted[k:] = a[:-k] if k else a
+                shifted[:k] = default
+                invalid = idx_in_seg < k
+            else:
+                if k:
+                    shifted[:-k] = a[k:]
+                    shifted[-k:] = default
+                else:
+                    shifted[:] = a
+                seg_len = np.append(seg_first[1:], n) - seg_first
+                invalid = idx_in_seg >= seg_len[seg_id] - k
+            shifted[invalid] = default
+            vals = shifted
+        elif func in ("first_value", "last_value"):
+            a = np.asarray(args[0].eval(cols, n))[order]
+            if func == "first_value":
+                vals = a[seg_first[seg_id]]
+            elif ocodes:
+                vals = a[peer_last[peer_id]]  # default frame ends at peers
+            else:
+                seg_last = np.append(seg_first[1:], n) - 1
+                vals = a[seg_last[seg_id]]
+        elif func in ("sum", "count", "avg", "min", "max"):
+            if func == "count" and not args:
+                a = np.ones(n)
+            else:
+                a = np.asarray(args[0].eval(cols, n))[order].astype(np.float64)
+            if not ocodes:
+                # whole-partition aggregate broadcast
+                red = {"sum": np.add, "count": np.add, "avg": np.add,
+                       "min": np.minimum, "max": np.maximum}[func]
+                base = np.ones(n) if func == "count" else a
+                agg = red.reduceat(base, seg_first)
+                if func == "avg":
+                    cnt = np.add.reduceat(np.ones(n), seg_first)
+                    agg = agg / cnt
+                vals = agg[seg_id]
+            else:
+                # running aggregate, RANGE peers (value at peer-group end)
+                if func in ("sum", "avg", "count"):
+                    base = np.ones(n) if func == "count" else a
+                    cs = np.cumsum(base)
+                    seg_base = np.where(seg_first[seg_id] > 0,
+                                        cs[np.maximum(seg_first[seg_id] - 1, 0)], 0.0)
+                    run = cs - seg_base
+                    if func == "avg":
+                        run = run / (idx_in_seg + 1)
+                else:
+                    # segment-reset running extreme via per-segment offset
+                    fin = a[np.isfinite(a)]
+                    span = (fin.max() - fin.min() + 1.0) if len(fin) else 1.0
+                    off = seg_id * span * (1.0 if func == "max" else -1.0)
+                    acc = {"min": np.minimum, "max": np.maximum}[func]
+                    run = acc.accumulate(a + off) - off
+                vals = run[peer_last[peer_id]]
+                if func in ("count",):
+                    vals = vals.astype(np.int64)
+            if func == "count":
+                vals = vals.astype(np.int64)
+        else:
+            raise ExecutionError(f"unsupported window function: {func}")
+
+        out = np.empty(n, dtype=np.asarray(vals).dtype)
+        out[order] = vals
+        return out
+
+    def display_line(self):
+        parts = ", ".join(sp[5] for sp in self.specs)
+        return f"WindowExec: [{parts}]"
+
+    def with_children(self, children):
+        return WindowExec(children[0], self.specs)
+
+
 class DistinctExec(ExecPlan):
     def __init__(self, child: ExecPlan):
         self.children = [child]

@@ -83,6 +83,12 @@ class Binder:
         if not has_aggs:
             if where is not None:
                 plan = FilterExec(plan, self._bind_expr(where, schema).expr)
+            # window functions evaluate after WHERE, before ORDER BY /
+            # projection (standard SQL evaluation order)
+            plan, items = self._extract_windows(plan, sel.items)
+            if items is not sel.items:
+                sel = dataclasses.replace(sel, items=items)
+                schema = plan.schema()
             # ORDER BY binds against the pre-projection schema; a bare
             # column that only exists as a SELECT alias resolves to the
             # aliased expression (standard SQL).
@@ -108,6 +114,10 @@ class Binder:
             if sel.distinct:
                 plan = DistinctExec(plan)
         else:
+            if any(self._contains_window(it.expr) for it in sel.items):
+                raise PlanError(
+                    "window functions over aggregated output are not supported"
+                )
             if where is not None:
                 plan = FilterExec(plan, self._bind_expr(where, schema).expr)
             plan = self._bind_aggregate(plan, sel)
@@ -162,6 +172,107 @@ class Binder:
         for c in pending:
             where = c if where is None else ast.Binary(where, "AND", c)
         return plan, where
+
+    # -- window functions -----------------------------------------------
+    def _contains_window(self, e) -> bool:
+        if isinstance(e, ast.WindowFunc):
+            return True
+        if isinstance(e, ast.Binary):
+            return self._contains_window(e.left) or self._contains_window(e.right)
+        if isinstance(e, (ast.Unary, ast.Cast)):
+            return self._contains_window(e.child)
+        if isinstance(e, ast.Func):
+            return any(self._contains_window(a) for a in e.args)
+        return False
+
+    def _extract_windows(self, plan: ExecPlan, items):
+        """Pull WindowFunc nodes out of the SELECT items into a WindowExec
+        below the projection; each occurrence is replaced by a ColRef to
+        the window's appended output column."""
+        from sequila_tpu.exec.plan import _WINDOW_FUNCS, WindowExec
+
+        if not any(self._contains_window(it.expr) for it in items):
+            return plan, items
+        schema = plan.schema()
+        specs = []
+        counter = [0]
+
+        def replace(e):
+            if isinstance(e, ast.WindowFunc):
+                fn = e.func
+                if fn.name not in _WINDOW_FUNCS:
+                    raise PlanError(f"unsupported window function: {fn.name}")
+                if fn.distinct:
+                    raise PlanError("DISTINCT window aggregates are not supported")
+                args = []
+                for i, a in enumerate(fn.args):
+                    if (fn.name in ("lag", "lead") and i >= 1) or fn.name == "ntile":
+                        lit = a
+                        neg = False
+                        while isinstance(lit, ast.Unary) and lit.op == "-":
+                            neg = not neg
+                            lit = lit.child
+                        if not isinstance(lit, ast.Lit):
+                            raise PlanError(
+                                f"{fn.name} offset/default must be a literal"
+                            )
+                        v = lit.value
+                        args.append(-v if neg and v is not None else v)
+                    else:
+                        args.append(self._bind_expr(a, schema).expr)
+                parts = [self._bind_expr(p, schema).expr for p in e.partition_by]
+                orders = [
+                    self._bind_expr(oi.expr, schema).expr for oi in e.order_by
+                ]
+                ascs = [oi.asc for oi in e.order_by]
+                if fn.name in ("row_number", "rank", "dense_rank") and not orders:
+                    raise PlanError(f"{fn.name}() requires ORDER BY in OVER()")
+                name = f"__window_{counter[0]}"
+                counter[0] += 1
+                specs.append((fn.name, args, parts, orders, ascs, name))
+                return ast.ColRef(None, name)
+            if isinstance(e, ast.Binary):
+                return ast.Binary(replace(e.left), e.op, replace(e.right))
+            if isinstance(e, ast.Unary):
+                return ast.Unary(e.op, replace(e.child))
+            if isinstance(e, ast.Cast):
+                return ast.Cast(replace(e.child), e.type_name)
+            if isinstance(e, ast.Func):
+                return dataclasses.replace(
+                    e, args=tuple(replace(a) for a in e.args)
+                )
+            return e
+
+        def window_display(w: ast.WindowFunc) -> str:
+            fn = w.func
+            args = "*" if fn.star else ", ".join(
+                self._display_name(a) for a in fn.args
+            )
+            over = []
+            if w.partition_by:
+                over.append(
+                    "PARTITION BY "
+                    + ", ".join(self._display_name(e) for e in w.partition_by)
+                )
+            if w.order_by:
+                over.append(
+                    "ORDER BY "
+                    + ", ".join(
+                        self._display_name(oi.expr) + ("" if oi.asc else " DESC")
+                        for oi in w.order_by
+                    )
+                )
+            return f"{fn.name}({args}) OVER ({' '.join(over)})"
+
+        new_items = []
+        for it in items:
+            alias = it.alias
+            if alias is None and isinstance(it.expr, ast.WindowFunc):
+                alias = window_display(it.expr)
+            new_items.append(
+                dataclasses.replace(it, expr=replace(it.expr), alias=alias)
+            )
+        return WindowExec(plan, specs), tuple(new_items)
 
     # -- correlated subqueries ------------------------------------------
     def _is_correlated(self, sel: ast.Select) -> bool:

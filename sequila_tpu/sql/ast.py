@@ -85,6 +85,13 @@ class ScalarSubquery(SqlExpr):
 
 
 @dataclasses.dataclass(frozen=True)
+class WindowFunc(SqlExpr):
+    func: "Func"
+    partition_by: tuple = ()
+    order_by: tuple = ()  # OrderItem
+
+
+@dataclasses.dataclass(frozen=True)
 class DistinctFrom(SqlExpr):
     left: SqlExpr
     right: SqlExpr

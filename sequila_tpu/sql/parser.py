@@ -351,6 +351,32 @@ class Parser:
         return ast.SelectItem(expr, alias)
 
     # -- expressions (precedence climbing) ----------------------------------
+    def parse_over(self, fn: ast.Func) -> ast.SqlExpr:
+        """OVER ([PARTITION BY e, ..] [ORDER BY e [ASC|DESC], ..])."""
+        self.expect_kw("OVER")
+        self.expect("punct", "(")
+        partition = []
+        if self.eat_kw("PARTITION"):
+            self.expect_kw("BY")
+            partition.append(self.parse_expr())
+            while self.eat("punct", ","):
+                partition.append(self.parse_expr())
+        order = []
+        if self.eat_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.eat_kw("DESC"):
+                    asc = False
+                else:
+                    self.eat_kw("ASC")
+                order.append(ast.OrderItem(e, asc))
+                if not self.eat("punct", ","):
+                    break
+        self.expect("punct", ")")
+        return ast.WindowFunc(fn, tuple(partition), tuple(order))
+
     def parse_expr(self) -> ast.SqlExpr:
         return self.parse_or()
 
@@ -487,14 +513,20 @@ class Parser:
                 distinct = self.eat_kw("DISTINCT")
                 if self.eat("punct", "*"):
                     self.expect("punct", ")")
-                    return ast.Func(fname, (), star=True)
+                    fn = ast.Func(fname, (), star=True)
+                    if self.at_kw("OVER"):
+                        return self.parse_over(fn)
+                    return fn
                 args = []
                 if not self.at("punct", ")"):
                     args.append(self.parse_expr())
                     while self.eat("punct", ","):
                         args.append(self.parse_expr())
                 self.expect("punct", ")")
-                return ast.Func(fname, tuple(args), distinct=distinct)
+                fn = ast.Func(fname, tuple(args), distinct=distinct)
+                if self.at_kw("OVER"):
+                    return self.parse_over(fn)
+                return fn
             # column ref (possibly qualified)
             name = self.next().value
             if self.at("punct", ".") and self.peek(1).kind in ("ident", "qident"):

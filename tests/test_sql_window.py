@@ -1,0 +1,184 @@
+"""Window functions: fn() OVER ([PARTITION BY ..] [ORDER BY ..]).
+
+Standard-SQL default-frame semantics (the reference inherits windowing
+wholesale from DataFusion; see docs/SQL.md): ranking needs ORDER BY,
+aggregates without ORDER BY cover the whole partition, with ORDER BY they
+are running aggregates over RANGE peers, last_value's default frame ends
+at the current peer group.
+"""
+
+import pyarrow as pa
+import pytest
+
+from sequila_tpu.errors import PlanError
+from sequila_tpu.session import SessionContext
+
+
+@pytest.fixture()
+def ctx():
+    c = SessionContext()
+    c.register_table(
+        "t",
+        pa.table(
+            {
+                "g": ["a", "a", "a", "b", "b"],
+                "x": [10, 30, 20, 5, 5],
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        ),
+    )
+    return c
+
+
+class TestRanking:
+    def test_row_number_partitioned(self, ctx):
+        got = ctx.sql(
+            "SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn "
+            "FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["rn"] for r in got] == [1, 2, 3, 1, 2]
+
+    def test_rank_and_dense_rank_ties(self, ctx):
+        got = ctx.sql(
+            "SELECT x, rank() OVER (ORDER BY x) AS r, "
+            "dense_rank() OVER (ORDER BY x) AS dr FROM t ORDER BY x"
+        ).to_pylist()
+        assert [r["r"] for r in got] == [1, 1, 3, 4, 5]
+        assert [r["dr"] for r in got] == [1, 1, 2, 3, 4]
+
+    def test_row_number_desc(self, ctx):
+        got = ctx.sql(
+            "SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x DESC) AS rn "
+            "FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["rn"] for r in got] == [3, 2, 1, 1, 2]
+
+    def test_ntile(self, ctx):
+        got = ctx.sql(
+            "SELECT x, ntile(2) OVER (ORDER BY x) AS nt FROM t ORDER BY x"
+        ).to_pylist()
+        assert [r["nt"] for r in got] == [1, 1, 1, 2, 2]
+
+    def test_ranking_requires_order_by(self, ctx):
+        with pytest.raises(PlanError, match="ORDER BY"):
+            ctx.sql("SELECT row_number() OVER () FROM t")
+
+
+class TestWindowAggregates:
+    def test_sum_whole_partition(self, ctx):
+        got = ctx.sql(
+            "SELECT g, v, sum(v) OVER (PARTITION BY g) AS s FROM t ORDER BY g, v"
+        ).to_pylist()
+        assert [r["s"] for r in got] == [6.0, 6.0, 6.0, 9.0, 9.0]
+
+    def test_running_sum_range_peers(self, ctx):
+        # g='b' rows tie on x: RANGE frame -> both peers share the total
+        got = ctx.sql(
+            "SELECT g, x, sum(v) OVER (PARTITION BY g ORDER BY x) AS run "
+            "FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["run"] for r in got] == [1.0, 4.0, 6.0, 9.0, 9.0]
+
+    def test_running_min(self, ctx):
+        got = ctx.sql(
+            "SELECT g, x, min(x) OVER (PARTITION BY g ORDER BY x DESC) AS rm "
+            "FROM t ORDER BY g, x"
+        ).to_pylist()
+        # DESC order: running min after seeing larger x first
+        assert [r["rm"] for r in got] == [10.0, 20.0, 30.0, 5.0, 5.0]
+
+    def test_count_star_over_partition(self, ctx):
+        got = ctx.sql(
+            "SELECT g, count(*) OVER (PARTITION BY g) AS c FROM t ORDER BY g"
+        ).to_pylist()
+        assert [r["c"] for r in got] == [3, 3, 3, 2, 2]
+
+    def test_running_avg(self, ctx):
+        got = ctx.sql(
+            "SELECT g, avg(v) OVER (PARTITION BY g ORDER BY x) AS ra "
+            "FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["ra"] for r in got] == [1.0, 2.0, 2.0, 4.5, 4.5]
+
+
+class TestNavigation:
+    def test_lag_lead(self, ctx):
+        got = ctx.sql(
+            "SELECT x, lag(x) OVER (ORDER BY x) AS pl, "
+            "lead(x, 1, -1) OVER (ORDER BY x) AS nl "
+            "FROM t WHERE g = 'a' ORDER BY x"
+        ).to_pylist()
+        assert [r["pl"] for r in got] == [None, 10, 20]
+        assert [r["nl"] for r in got] == [20, 30, -1]
+
+    def test_lag_respects_partitions(self, ctx):
+        got = ctx.sql(
+            "SELECT g, x, lag(x) OVER (PARTITION BY g ORDER BY x) AS pl "
+            "FROM t ORDER BY g, x"
+        ).to_pylist()
+        # partition boundary resets the lag to NULL
+        assert [r["pl"] for r in got] == [None, 10, 20, None, 5]
+
+    def test_first_last_value(self, ctx):
+        got = ctx.sql(
+            "SELECT g, x, first_value(x) OVER (PARTITION BY g ORDER BY x) AS fv, "
+            "last_value(x) OVER (PARTITION BY g) AS lv FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["fv"] for r in got] == [10, 10, 10, 5, 5]
+        # no ORDER BY in the spec -> whole-partition frame in input row
+        # order (g='a' input rows end at x=20)
+        assert [r["lv"] for r in got] == [20, 20, 20, 5, 5]
+
+    def test_last_value_default_frame_gotcha(self, ctx):
+        got = ctx.sql(
+            "SELECT g, x, last_value(x) OVER (PARTITION BY g ORDER BY x) AS lv "
+            "FROM t ORDER BY g, x"
+        ).to_pylist()
+        # with ORDER BY the default frame ends at the current peers
+        assert [r["lv"] for r in got] == [10, 20, 30, 5, 5]
+
+
+class TestWindowMisc:
+    def test_window_in_expression(self, ctx):
+        got = ctx.sql(
+            "SELECT row_number() OVER (ORDER BY x) + 100 AS rn FROM t ORDER BY rn"
+        ).to_pylist()
+        assert [r["rn"] for r in got] == [101, 102, 103, 104, 105]
+
+    def test_two_windows_one_query(self, ctx):
+        got = ctx.sql(
+            "SELECT x, row_number() OVER (ORDER BY x) AS rn, "
+            "sum(v) OVER (PARTITION BY g) AS s FROM t ORDER BY x, rn"
+        ).to_pylist()
+        assert [r["rn"] for r in got] == [1, 2, 3, 4, 5]
+        assert [r["s"] for r in got] == [9.0, 9.0, 6.0, 6.0, 6.0]
+
+    def test_window_after_where(self, ctx):
+        # windows evaluate after WHERE: filtered rows don't count
+        got = ctx.sql(
+            "SELECT count(*) OVER () AS c FROM t WHERE g = 'a'"
+        ).to_pylist()
+        assert [r["c"] for r in got] == [3, 3, 3]
+
+    def test_order_by_window_alias(self, ctx):
+        got = ctx.sql(
+            "SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM t "
+            "ORDER BY rn LIMIT 2"
+        ).to_pylist()
+        assert [r["x"] for r in got] == [30, 20]
+
+    def test_unsupported_window_function(self, ctx):
+        with pytest.raises(PlanError, match="window function"):
+            ctx.sql("SELECT percent_rank() OVER (ORDER BY x) FROM t")
+
+    def test_window_over_aggregate_rejected(self, ctx):
+        with pytest.raises(PlanError, match="aggregated"):
+            ctx.sql(
+                "SELECT g, sum(sum(v)) OVER (ORDER BY g) FROM t GROUP BY g"
+            )
+
+    def test_empty_input(self, ctx):
+        got = ctx.sql(
+            "SELECT row_number() OVER (ORDER BY x) AS rn FROM t WHERE x > 99"
+        )
+        assert got.num_rows == 0
