@@ -299,12 +299,126 @@ class Binder:
                 cj.select
             ):
                 plan = self._decorrelate_subquery(plan, cj)
-            else:
-                kept.append(cj)
+                continue
+            scalar = self._match_scalar_agg_conjunct(cj)
+            if scalar is not None and self._is_correlated(scalar[1].select):
+                plan = self._decorrelate_scalar_agg(plan, *scalar)
+                continue
+            kept.append(cj)
         out = None
         for c in kept:
             out = c if out is None else ast.Binary(out, "AND", c)
         return plan, out
+
+    @staticmethod
+    def _match_scalar_agg_conjunct(cj):
+        """(outer_expr_ast, ScalarSubquery, op, sub_on_left) for conjuncts
+        shaped `expr cmp (SELECT agg(..) ..)` (either side)."""
+        if not (isinstance(cj, ast.Binary) and cj.op in ("=", "!=", "<", "<=", ">", ">=")):
+            return None
+        if isinstance(cj.right, ast.ScalarSubquery) and not isinstance(
+            cj.left, ast.ScalarSubquery
+        ):
+            return cj.left, cj.right, cj.op, False
+        if isinstance(cj.left, ast.ScalarSubquery) and not isinstance(
+            cj.right, ast.ScalarSubquery
+        ):
+            return cj.right, cj.left, cj.op, True
+        return None
+
+    def _decorrelate_scalar_agg(
+        self, plan: ExecPlan, outer_ast, sub, op, sub_on_left
+    ) -> ExecPlan:
+        """`expr cmp (SELECT agg(e) FROM inner WHERE inner.k = outer.k ..)`
+        -> group inner by its correlation keys, join, filter, project the
+        outer columns back (DataFusion's scalar_subquery_to_join)."""
+        from sequila_tpu.exec.plan import AggregateExec
+
+        sel = sub.select
+        if (
+            len(sel.items) != 1
+            or sel.group_by
+            or sel.having is not None
+            or sel.limit is not None
+        ):
+            raise PlanError(
+                "correlated scalar subqueries must be a single aggregate "
+                "with no GROUP BY/HAVING/LIMIT"
+            )
+        item = sel.items[0].expr
+        if not (isinstance(item, ast.Func) and item.name in _AGG_FUNCS):
+            raise PlanError(
+                "correlated scalar subqueries must select a plain aggregate"
+            )
+        inner_plan, inner_where = self._bind_from(sel)
+        inner_schema = inner_plan.schema()
+        cross = []
+        if inner_where is not None:
+            for cj in self._flatten_and(inner_where):
+                try:
+                    b = self._bind_expr(cj, inner_schema)
+                except PlanError:
+                    cross.append(cj)
+                else:
+                    inner_plan = FilterExec(inner_plan, b.expr)
+        lschema = plan.schema()
+        nleft = len(lschema)
+        combined = lschema + inner_plan.schema()
+        pairs = []
+        for cj in cross:
+            bound = self._bind_expr(cj, combined)
+            pair = self._as_equi_pair(bound, nleft)
+            if pair is None:
+                raise PlanError(
+                    "correlated scalar subqueries support only equality "
+                    "correlation predicates"
+                )
+            pairs.append(pair)
+        if not pairs:
+            raise PlanError("correlated scalar subquery has no correlation keys")
+        # aggregate the inner side per correlation-key group
+        group_exprs = [p[1] for p in pairs]
+        group_names = [f"__corr_k{i}" for i in range(len(pairs))]
+        arg = (
+            None
+            if item.star or not item.args
+            else self._bind_expr(item.args[0], inner_plan.schema()).expr
+        )
+        agg_name = "__corr_agg"
+        agg_plan = AggregateExec(
+            inner_plan,
+            group_exprs,
+            group_names,
+            [(item.name, arg, item.distinct, agg_name)],
+        )
+        is_count = item.name == "count"
+        jt = "left" if is_count else "inner"
+        join = HashJoinExec(
+            plan,
+            agg_plan,
+            [(p[0], pe.Column(n, i)) for i, (p, n) in enumerate(zip(pairs, group_names))],
+            None,
+            jt,
+        )
+        agg_col = pe.Column(agg_name, nleft + len(pairs))
+        if is_count:
+            # count over an empty correlation group is 0, not NULL
+            agg_col = pe.IfNullExpr(agg_col, 0)
+        outer_expr = self._bind_expr(outer_ast, lschema).expr
+        cmp = (
+            pe.BinaryExpr(agg_col, op, outer_expr)
+            if sub_on_left
+            else pe.BinaryExpr(outer_expr, op, agg_col)
+        )
+        filtered = FilterExec(join, cmp)
+        # project the outer schema back (with qualifiers so later
+        # resolution like ORDER BY t.x keeps working)
+        return ProjectExec(
+            filtered,
+            [pe.Column(n, i) for i, (_, n) in enumerate(lschema)],
+            [n for _, n in lschema],
+            [q for q, _ in lschema],
+        )
 
     def _decorrelate_subquery(self, plan: ExecPlan, node) -> ExecPlan:
         """Outer plan ⋉/▷ inner plan on the correlation predicates.

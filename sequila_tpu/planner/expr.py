@@ -296,6 +296,36 @@ class InListExpr(PhysicalExpr):
 
 
 @dataclasses.dataclass(frozen=True)
+class IfNullExpr(PhysicalExpr):
+    """COALESCE(child, default-literal) — used by correlated-aggregate
+    decorrelation (count over an empty correlation group is 0, not NULL)."""
+
+    child: PhysicalExpr
+    default: Any
+
+    def eval(self, cols, num_rows):
+        a = np.asarray(self.child.eval(cols, num_rows))
+        nulls = _null_mask(a)
+        if not nulls.any():
+            return a
+        if a.dtype == object:
+            return np.array(
+                [self.default if nn else v for v, nn in zip(a, nulls)],
+                dtype=object,
+            )
+        return np.where(nulls, self.default, a)
+
+    def columns(self):
+        return self.child.columns()
+
+    def display(self):
+        return f"COALESCE({self.child.display()}, {self.default})"
+
+    def transform(self, fn):
+        return fn(IfNullExpr(self.child.transform(fn), self.default))
+
+
+@dataclasses.dataclass(frozen=True)
 class DistinctFromExpr(PhysicalExpr):
     """IS [NOT] DISTINCT FROM: null-safe comparison (two NULLs are NOT
     distinct; a NULL and a value are distinct) — never returns UNKNOWN."""

@@ -293,3 +293,74 @@ class TestCorrelatedSubqueries:
             "(SELECT cid FROM cust WHERE cust.cid = orders.cust) ORDER BY oid"
         )
         assert got.to_pylist_column(0) == [1, 3]
+
+
+class TestCorrelatedScalarAgg:
+    """`expr cmp (SELECT agg(..) WHERE inner.k = outer.k)` decorrelates
+    into GROUP BY + join + filter (DataFusion's scalar_subquery_to_join)."""
+
+    @pytest.fixture()
+    def sctx(self):
+        c = SessionContext()
+        c.register_table(
+            "orders",
+            pa.table({"oid": [1, 2, 3, 4, 5], "cust": [10, 20, 10, 30, 10],
+                      "amt": [5.0, 50.0, 8.0, 2.0, 100.0]}),
+        )
+        c.register_table("returns", pa.table({"cust": [20, 20], "r": [1, 2]}))
+        return c
+
+    def test_above_group_average(self, sctx):
+        got = sctx.sql(
+            "SELECT oid FROM orders WHERE amt > "
+            "(SELECT avg(amt) FROM orders o2 WHERE o2.cust = orders.cust) "
+            "ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [5]
+
+    def test_count_empty_group_is_zero(self, sctx):
+        # count over an empty correlation group must compare as 0, not NULL
+        got = sctx.sql(
+            "SELECT oid FROM orders WHERE "
+            "(SELECT count(*) FROM returns WHERE returns.cust = orders.cust) = 0 "
+            "ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [1, 3, 4, 5]
+
+    def test_subquery_on_left_side(self, sctx):
+        got = sctx.sql(
+            "SELECT oid FROM orders WHERE "
+            "(SELECT min(amt) FROM orders o2 WHERE o2.cust = orders.cust) = amt "
+            "ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [1, 2, 4]
+
+    def test_inner_filter_plus_correlation(self, sctx):
+        got = sctx.sql(
+            "SELECT oid FROM orders WHERE amt >= "
+            "(SELECT max(amt) FROM orders o2 WHERE o2.cust = orders.cust "
+            "AND o2.amt < 90) ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [2, 3, 4, 5]
+
+    def test_mixed_with_plain_conjunct(self, sctx):
+        got = sctx.sql(
+            "SELECT oid FROM orders WHERE oid < 5 AND amt >= "
+            "(SELECT max(amt) FROM orders o2 WHERE o2.cust = orders.cust) "
+            "ORDER BY oid"
+        )
+        assert got.to_pylist_column(0) == [2, 4]
+
+    def test_non_equality_correlation_rejected(self, sctx):
+        with pytest.raises(PlanError, match="equality"):
+            sctx.sql(
+                "SELECT oid FROM orders WHERE amt > "
+                "(SELECT avg(amt) FROM orders o2 WHERE o2.cust < orders.cust)"
+            )
+
+    def test_non_aggregate_item_rejected(self, sctx):
+        with pytest.raises(PlanError, match="aggregate"):
+            sctx.sql(
+                "SELECT oid FROM orders WHERE amt > "
+                "(SELECT amt FROM orders o2 WHERE o2.cust = orders.cust)"
+            )
