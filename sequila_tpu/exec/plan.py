@@ -292,28 +292,50 @@ class AggregateExec(ExecPlan):
 
         arrays = [pa.array(g) for g in group_cols]
         names = list(self.group_names)
+        from sequila_tpu.planner.expr import _null_mask
+
         for func, arg, distinct, out_name in self.agg_specs:
             if func == "count" and arg is None and not distinct:
                 vals = np.bincount(codes, minlength=ngroups).astype(np.int64)
             else:
                 a = np.asarray(arg.eval(cols, n))
+                nulls = _null_mask(a)
                 a_s = a[order]
+                null_s = nulls[order]
                 if func == "count":
+                    # SQL: count(col) / count(DISTINCT col) skip NULLs
                     if distinct:
                         vals = np.array(
                             [
-                                len(np.unique(a_s[seg_starts[g]:(seg_starts[g + 1] if g + 1 < ngroups else n)]))
+                                len(np.unique(
+                                    a_s[seg_starts[g]:(seg_starts[g + 1] if g + 1 < ngroups else n)][
+                                        ~null_s[seg_starts[g]:(seg_starts[g + 1] if g + 1 < ngroups else n)]
+                                    ]
+                                ))
                                 for g in range(ngroups)
                             ],
                             dtype=np.int64,
                         )
                     else:
-                        vals = np.bincount(codes, minlength=ngroups).astype(np.int64)
+                        vals = np.bincount(
+                            codes[~nulls], minlength=ngroups
+                        ).astype(np.int64)
                 elif func in ("sum", "min", "max", "avg"):
                     red = {"sum": np.add, "min": np.minimum, "max": np.maximum, "avg": np.add}[func]
                     if n == 0:
                         # SQL: sum/min/max/avg over zero rows is NULL, not 0
                         vals = pa.array([None] * ngroups, type=pa.float64())
+                    elif nulls.any():
+                        # SQL aggregates skip NULLs; all-NULL groups are NULL
+                        fill = {"sum": 0.0, "avg": 0.0,
+                                "min": np.inf, "max": -np.inf}[func]
+                        af = a_s.astype(np.float64)
+                        af[null_s] = fill
+                        agg = red.reduceat(af, seg_starts)
+                        nn_cnt = np.bincount(codes[~nulls], minlength=ngroups)
+                        if func == "avg":
+                            agg = agg / np.maximum(nn_cnt, 1)
+                        vals = pa.array(agg, mask=nn_cnt == 0)
                     else:
                         vals = red.reduceat(a_s, seg_starts)
                         if func == "avg":

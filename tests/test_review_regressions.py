@@ -294,3 +294,38 @@ class TestChunkRankNoPadTail:
                                          side="left"))
         want = np_rank_lex((bk, bv), (qk, qv), side="left")
         np.testing.assert_array_equal(got, want)
+
+
+class TestAggregateNullSkipping:
+    """SQL aggregates skip NULLs: count(col) counts non-null rows only,
+    sum/avg/min/max ignore NULLs, and all-NULL groups yield NULL."""
+
+    def _ctx(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table(
+            "n",
+            pa.table({"g": ["a", "a", "b"],
+                      "v": pa.array([1, None, None], type=pa.int64())}),
+        )
+        return c
+
+    def test_global_aggregates_skip_nulls(self):
+        got = self._ctx().sql(
+            "SELECT count(*), count(v), sum(v), avg(v), min(v), max(v) FROM n"
+        ).to_pylist()[0]
+        assert list(got.values()) == [3, 1, 1.0, 1.0, 1.0, 1.0]
+
+    def test_grouped_all_null_group_is_null(self):
+        got = self._ctx().sql(
+            "SELECT g, count(v), sum(v), min(v) FROM n GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert got == [
+            {"g": "a", "count(v)": 1, "sum(v)": 1.0, "min(v)": 1.0},
+            {"g": "b", "count(v)": 0, "sum(v)": None, "min(v)": None},
+        ]
+
+    def test_count_distinct_skips_nulls(self):
+        got = self._ctx().sql("SELECT count(DISTINCT v) FROM n").to_pylist()[0]
+        assert list(got.values()) == [1]
