@@ -701,9 +701,28 @@ class Binder:
                 vals = sub.to_pylist_column(0)
                 return pe.Literal(vals[0] if vals else None)
             if isinstance(node, ast.Func):
-                raise PlanError(
-                    f"function {node.name} not allowed in this context"
-                )
+                if node.name in _AGG_FUNCS:
+                    raise PlanError(
+                        f"aggregate function {node.name} not allowed in this context"
+                    )
+                if node.name in pe.SCALAR_FUNCS:
+                    if node.star or node.distinct:
+                        raise PlanError(
+                            f"invalid arguments for {node.name}()"
+                        )
+                    lo_a, hi_a = pe.SCALAR_FUNC_ARITY[node.name]
+                    if len(node.args) < lo_a or (
+                        hi_a is not None and len(node.args) > hi_a
+                    ):
+                        raise PlanError(
+                            f"{node.name}() takes "
+                            + (f"{lo_a}" if lo_a == hi_a else f"{lo_a}-{hi_a or 'N'}")
+                            + f" arguments, got {len(node.args)}"
+                        )
+                    return pe.ScalarFuncExpr(
+                        node.name, tuple(go(a) for a in node.args)
+                    )
+                raise PlanError(f"unknown function: {node.name}")
             raise PlanError(f"unsupported expression: {node}")
 
         return _Bound(go(e), cols)
@@ -711,7 +730,9 @@ class Binder:
     # -- projection / aggregation --------------------------------------
     def _contains_agg(self, e: ast.SqlExpr) -> bool:
         if isinstance(e, ast.Func):
-            return e.name in _AGG_FUNCS
+            return e.name in _AGG_FUNCS or any(
+                self._contains_agg(a) for a in e.args
+            )
         if isinstance(e, ast.Binary):
             return self._contains_agg(e.left) or self._contains_agg(e.right)
         if isinstance(e, ast.Unary):
@@ -792,16 +813,27 @@ class Binder:
         if isinstance(e, ast.Unary):
             child = self._bind_agg_value_expr(e.child, aschema)
             return pe.NotExpr(child) if e.op == "NOT" else pe.NegExpr(child)
+        if isinstance(e, ast.Func) and e.name in pe.SCALAR_FUNCS:
+            return pe.ScalarFuncExpr(
+                e.name,
+                tuple(self._bind_agg_value_expr(a, aschema) for a in e.args),
+            )
+        if isinstance(e, ast.Cast):
+            return pe.CastExpr(
+                self._bind_agg_value_expr(e.child, aschema), e.type_name
+            )
         if isinstance(e, ast.ColRef):
             return self._bind_expr(e, aschema).expr
         raise PlanError(f"unsupported HAVING expression: {e}")
 
     def _collect_agg_funcs(self, e: ast.SqlExpr) -> list:
-        if isinstance(e, ast.Func) and e.name in _AGG_FUNCS:
-            return [e]
+        if isinstance(e, ast.Func):
+            if e.name in _AGG_FUNCS:
+                return [e]
+            return [f for a in e.args for f in self._collect_agg_funcs(a)]
         if isinstance(e, ast.Binary):
             return self._collect_agg_funcs(e.left) + self._collect_agg_funcs(e.right)
-        if isinstance(e, ast.Unary):
+        if isinstance(e, (ast.Unary, ast.Cast)):
             return self._collect_agg_funcs(e.child)
         return []
 
@@ -814,19 +846,40 @@ class Binder:
             group_names.append(self._display_name(g))
 
         agg_specs = []
-        out_items = []  # (kind, key) kind in {'group','agg'}
+        existing: set = set()
+
+        def ensure_spec(f: ast.Func, out_name=None):
+            """Register an aggregate call as a spec (dedup by display)."""
+            disp = out_name or self._display_name(f)
+            if disp in existing:
+                return disp
+            if f.star or (
+                f.name == "count" and len(f.args) == 1 and isinstance(f.args[0], ast.Lit)
+            ):
+                arg = None
+            elif len(f.args) == 1:
+                arg = self._bind_expr(f.args[0], schema).expr
+            else:
+                raise PlanError(f"{f.name} takes one argument")
+            agg_specs.append((f.name, arg, f.distinct, disp))
+            existing.add(disp)
+            return disp
+
+        out_items = []  # ('agg', name) | ('group', src, out) | ('expr', ast, out)
         for item in sel.items:
             e = item.expr
             if isinstance(e, ast.Func) and e.name in _AGG_FUNCS:
-                if e.star or (len(e.args) == 1 and isinstance(e.args[0], ast.Lit)):
-                    arg = None if (e.star or e.name == "count") else self._bind_expr(e.args[0], schema).expr
-                elif len(e.args) == 1:
-                    arg = self._bind_expr(e.args[0], schema).expr
-                else:
-                    raise PlanError(f"{e.name} takes one argument")
-                name = item.alias or self._display_name(e)
-                agg_specs.append((e.name, arg, e.distinct, name))
+                name = ensure_spec(e, item.alias or self._display_name(e))
                 out_items.append(("agg", name))
+            elif self._contains_agg(e):
+                # expression over aggregates (round(avg(v),1), sum/count..):
+                # inner calls become hidden specs, the item evaluates over
+                # the aggregate output schema
+                for f in self._collect_agg_funcs(e):
+                    ensure_spec(f)
+                out_items.append(
+                    ("expr", e, item.alias or self._display_name(e))
+                )
             else:
                 # must be a group-by expression
                 name = self._display_name(e)
@@ -839,18 +892,8 @@ class Binder:
         # HAVING may reference aggregates not in the SELECT list: compute
         # them as hidden specs, filter, then project them away.
         if sel.having is not None:
-            existing = {name for *_x, name in agg_specs}
             for f in self._collect_agg_funcs(sel.having):
-                disp = self._display_name(f)
-                if disp not in existing:
-                    if f.star or (f.name == "count" and len(f.args) == 1 and isinstance(f.args[0], ast.Lit)):
-                        arg = None
-                    elif len(f.args) == 1:
-                        arg = self._bind_expr(f.args[0], schema).expr
-                    else:
-                        raise PlanError(f"{f.name} takes one argument")
-                    agg_specs.append((f.name, arg, f.distinct, disp))
-                    existing.add(disp)
+                ensure_spec(f)
 
         agg = AggregateExec(plan, group_exprs, group_names, agg_specs)
         plan_after = agg
@@ -864,11 +907,19 @@ class Binder:
         for kind, src, out_name in (
             it if len(it) == 3 else (it[0], it[1], it[1]) for it in out_items
         ):
-            idx = next(
-                i for i, (_, n) in enumerate(aschema) if n == src
-            )
-            exprs.append(pe.Column(aschema[idx][1], idx))
+            if kind == "expr":
+                exprs.append(self._bind_agg_value_expr(src, aschema))
+            else:
+                idx = next(
+                    i for i, (_, n) in enumerate(aschema) if n == src
+                )
+                exprs.append(pe.Column(aschema[idx][1], idx))
             names.append(out_name)
-        if names == [n for _, n in aschema] and plan_after is agg:
+        has_expr_items = any(it[0] == "expr" for it in out_items)
+        if (
+            names == [n for _, n in aschema]
+            and plan_after is agg
+            and not has_expr_items
+        ):
             return agg
         return ProjectExec(plan_after, exprs, names)

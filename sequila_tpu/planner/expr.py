@@ -295,6 +295,181 @@ class InListExpr(PhysicalExpr):
         )
 
 
+def _str_args(arrs, n):
+    """Broadcast scalar/array args to length-n object lists."""
+    out = []
+    for a in arrs:
+        a = np.asarray(a)
+        if a.ndim == 0:
+            out.append([a.item()] * n)
+        else:
+            out.append(list(a))
+    return out
+
+
+def _elementwise(fn, arrs, n, skip_null=True):
+    cols = _str_args(arrs, n)
+    res = []
+    for row in zip(*cols):
+        if skip_null and any(
+            v is None or (isinstance(v, float) and v != v) for v in row
+        ):
+            res.append(None)
+        else:
+            res.append(fn(*row))
+    return np.array(res, dtype=object)
+
+
+def _sql_substr(s_, start, length=None):
+    start = int(start)
+    # SQL substr is 1-based; 0/negative follow DataFusion (chars before
+    # position 1 are not part of the string but count against length)
+    begin = max(start - 1, 0)
+    if length is None:
+        return s_[begin:]
+    end = start - 1 + int(length)
+    return s_[begin:max(end, begin)]
+
+
+_NUMERIC_FUNCS = {
+    "abs": np.abs,
+    "floor": np.floor,
+    "ceil": np.ceil,
+    "ceiling": np.ceil,
+    "sqrt": np.sqrt,
+    "exp": np.exp,
+    "ln": np.log,
+    "log10": np.log10,
+    "log2": np.log2,
+    "sign": np.sign,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+}
+
+_STRING_FUNCS = {
+    "upper": lambda s_: str(s_).upper(),
+    "lower": lambda s_: str(s_).lower(),
+    "length": lambda s_: len(str(s_)),
+    "char_length": lambda s_: len(str(s_)),
+    "trim": lambda s_: str(s_).strip(),
+    "ltrim": lambda s_: str(s_).lstrip(),
+    "rtrim": lambda s_: str(s_).rstrip(),
+    "reverse": lambda s_: str(s_)[::-1],
+}
+
+# (min_args, max_args or None for variadic)
+SCALAR_FUNC_ARITY = {
+    **{k: (1, 1) for k in _NUMERIC_FUNCS},
+    **{k: (1, 1) for k in _STRING_FUNCS},
+    "isnull": (1, 1), "round": (1, 2), "power": (2, 2), "pow": (2, 2),
+    "substr": (2, 3), "substring": (2, 3), "concat": (1, None),
+    "replace": (3, 3), "starts_with": (2, 2), "ends_with": (2, 2),
+    "coalesce": (1, None), "nullif": (2, 2), "ifnull": (2, 2),
+    "nvl": (2, 2), "greatest": (1, None), "least": (1, None),
+}
+
+SCALAR_FUNCS = (
+    set(_NUMERIC_FUNCS)
+    | set(_STRING_FUNCS)
+    | {
+        "isnull", "round", "power", "pow", "substr", "substring", "concat",
+        "replace", "starts_with", "ends_with", "coalesce", "nullif",
+        "ifnull", "nvl", "greatest", "least",
+    }
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalarFuncExpr(PhysicalExpr):
+    """Vectorized scalar SQL function (the reference inherits DataFusion's
+    scalar library; this covers the commonly used subset — see docs/SQL.md)."""
+
+    name: str
+    args: tuple
+
+    def eval(self, cols, num_rows):
+        name = self.name
+        vals = [a.eval(cols, num_rows) for a in self.args]
+        if name == "isnull":
+            return _null_mask(np.asarray(vals[0]))
+        if name in _NUMERIC_FUNCS:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return _NUMERIC_FUNCS[name](np.asarray(vals[0], dtype=np.float64))
+        if name == "round":
+            d = int(np.asarray(vals[1]).item()) if len(vals) > 1 else 0
+            out = np.round(np.asarray(vals[0], dtype=np.float64), d)
+            return out
+        if name in ("power", "pow"):
+            with np.errstate(invalid="ignore"):
+                return np.power(
+                    np.asarray(vals[0], dtype=np.float64),
+                    np.asarray(vals[1], dtype=np.float64),
+                )
+        if name in _STRING_FUNCS:
+            return _elementwise(_STRING_FUNCS[name], vals, num_rows)
+        if name in ("substr", "substring"):
+            return _elementwise(_sql_substr, vals, num_rows)
+        if name == "replace":
+            return _elementwise(
+                lambda s_, a, b: str(s_).replace(str(a), str(b)), vals, num_rows
+            )
+        if name == "starts_with":
+            return _elementwise(
+                lambda s_, p: str(s_).startswith(str(p)), vals, num_rows
+            )
+        if name == "ends_with":
+            return _elementwise(
+                lambda s_, p: str(s_).endswith(str(p)), vals, num_rows
+            )
+        if name == "concat":
+            # DataFusion concat skips NULL arguments
+            def cc(*row):
+                return "".join(str(v) for v in row if v is not None and v == v)
+
+            return _elementwise(cc, vals, num_rows, skip_null=False)
+        if name == "coalesce":
+            def co(*row):
+                for v in row:
+                    if v is not None and v == v:
+                        return v
+                return None
+
+            return _elementwise(co, vals, num_rows, skip_null=False)
+        if name in ("ifnull", "nvl"):
+            def inv(a, b):
+                return b if a is None or a != a else a
+
+            return _elementwise(inv, vals, num_rows, skip_null=False)
+        if name == "nullif":
+            return _elementwise(
+                lambda a, b: None if a == b else a, vals, num_rows,
+                skip_null=False,
+            )
+        if name in ("greatest", "least"):
+            pick = max if name == "greatest" else min
+            def gl(*row):
+                vv = [v for v in row if v is not None and v == v]
+                return pick(vv) if vv else None
+
+            return _elementwise(gl, vals, num_rows, skip_null=False)
+        raise ExecutionError(f"unsupported scalar function: {name}")
+
+    def columns(self):
+        out = []
+        for a in self.args:
+            out += a.columns()
+        return out
+
+    def display(self):
+        return f"{self.name}({', '.join(a.display() for a in self.args)})"
+
+    def transform(self, fn):
+        return fn(
+            ScalarFuncExpr(self.name, tuple(a.transform(fn) for a in self.args))
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class IfNullExpr(PhysicalExpr):
     """COALESCE(child, default-literal) — used by correlated-aggregate

@@ -1,0 +1,149 @@
+"""Scalar SQL functions and expressions over aggregates.
+
+The reference inherits DataFusion's scalar-function library; this engine
+implements the commonly used subset (docs/SQL.md) with SQL NULL
+propagation.  Also locks in `IS [NOT] NULL` (previously unbound) and
+post-aggregate expressions like round(avg(v), 1).
+"""
+
+import pyarrow as pa
+import pytest
+
+from sequila_tpu.errors import PlanError
+from sequila_tpu.session import SessionContext
+
+
+@pytest.fixture()
+def ctx():
+    c = SessionContext()
+    c.register_table(
+        "t",
+        pa.table(
+            {
+                "g": ["a", "a", "b"],
+                "v": pa.array([1, None, -3], type=pa.int64()),
+                "s": ["Hello", None, "world"],
+            }
+        ),
+    )
+    return c
+
+
+class TestIsNull:
+    def test_is_null(self, ctx):
+        assert ctx.sql("SELECT g FROM t WHERE v IS NULL").to_pylist_column(0) == ["a"]
+
+    def test_is_not_null(self, ctx):
+        got = ctx.sql("SELECT v FROM t WHERE v IS NOT NULL ORDER BY v")
+        assert got.to_pylist_column(0) == [-3, 1]
+
+
+class TestNumericFuncs:
+    def test_abs_round_sqrt_power(self, ctx):
+        got = ctx.sql(
+            "SELECT abs(v), round(sqrt(4), 1), power(2, 10) FROM t WHERE v = -3"
+        ).to_pylist()[0]
+        assert list(got.values()) == [3.0, 2.0, 1024.0]
+
+    def test_floor_ceil_sign(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"f": [2.7, -2.7]}))
+        got = c.sql("SELECT floor(f), ceil(f), sign(f) FROM q").to_pylist()
+        assert [list(r.values()) for r in got] == [[2.0, 3.0, 1.0], [-3.0, -2.0, -1.0]]
+
+
+class TestStringFuncs:
+    def test_upper_lower_length(self, ctx):
+        got = ctx.sql(
+            "SELECT upper(s), lower(s), length(s) FROM t WHERE s = 'Hello'"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["HELLO", "hello", 5]
+
+    def test_null_propagates(self, ctx):
+        got = ctx.sql("SELECT upper(s) FROM t WHERE v IS NULL").to_pylist()[0]
+        assert list(got.values()) == [None]
+
+    def test_substr_one_based(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"s": ["genomics"]}))
+        got = c.sql("SELECT substr(s, 1, 3), substr(s, 4) FROM q").to_pylist()[0]
+        assert list(got.values()) == ["gen", "omics"]
+
+    def test_replace_trim_starts_with(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"s": ["  chr1  "]}))
+        got = c.sql(
+            "SELECT trim(s), replace(trim(s), 'chr', ''), starts_with(trim(s), 'chr') FROM q"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["chr1", "1", True]
+
+    def test_concat_skips_nulls(self, ctx):
+        got = ctx.sql("SELECT concat(s, '!') FROM t ORDER BY g").to_pylist()
+        vals = [list(r.values())[0] for r in got]
+        assert "!" in vals  # NULL s row contributes just the literal
+
+
+class TestConditionalFuncs:
+    def test_coalesce(self, ctx):
+        got = ctx.sql("SELECT coalesce(v, 0) FROM t ORDER BY g")
+        assert sorted(got.to_pylist_column(0)) == [-3.0, 0.0, 1.0]
+
+    def test_nullif(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"x": [1, 2]}))
+        got = c.sql("SELECT nullif(x, 1) FROM q").to_pylist()
+        assert [list(r.values())[0] for r in got] == [None, 2]
+
+    def test_greatest_least(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"x": [5]}))
+        got = c.sql("SELECT greatest(3, x, 4), least(3, x, 4) FROM q").to_pylist()[0]
+        assert list(got.values()) == [5, 3]
+
+    def test_unknown_function_rejected(self, ctx):
+        with pytest.raises(PlanError, match="unknown function"):
+            ctx.sql("SELECT frobnicate(v) FROM t")
+
+
+class TestExprOverAggregates:
+    def test_round_avg(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"v": [1, 2, 5]}))
+        got = c.sql("SELECT round(avg(v), 1) AS a FROM q").to_pylist()
+        assert got == [{"a": 2.7}]
+
+    def test_arith_over_aggs_grouped(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"g": ["a", "a", "b"], "v": [1, 2, 5]}))
+        got = c.sql(
+            "SELECT g, sum(v) * 2 + count(*) AS z FROM q GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert got == [{"g": "a", "z": 8}, {"g": "b", "z": 11}]
+
+    def test_cast_over_agg(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"v": [1, 2, 5]}))
+        got = c.sql("SELECT CAST(avg(v) AS INT) FROM q").to_pylist()[0]
+        assert list(got.values()) == [2]
+
+    def test_ratio_of_aggs(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"v": [2, 4, 6]}))
+        got = c.sql("SELECT sum(v) / count(v) AS m FROM q").to_pylist()
+        assert got == [{"m": 4}]
+
+    def test_scalar_funcs_in_where(self, ctx):
+        got = ctx.sql("SELECT s FROM t WHERE length(s) = 5 AND lower(s) = 'world'")
+        assert got.to_pylist_column(0) == ["world"]
+
+    def test_group_by_scalar_func(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"s": ["aa", "AB", "ba"], "v": [1, 2, 4]}))
+        got = c.sql(
+            "SELECT upper(substr(s, 1, 1)) AS k, sum(v) FROM q "
+            "GROUP BY upper(substr(s, 1, 1)) ORDER BY k"
+        ).to_pylist()
+        assert got == [
+            {"k": "A", "sum(v)": 3},
+            {"k": "B", "sum(v)": 4},
+        ]
