@@ -191,10 +191,19 @@ class ProjectExec(ExecPlan):
 
 
 class SortExec(ExecPlan):
-    def __init__(self, child: ExecPlan, sort_exprs: list[PhysicalExpr], ascending: list[bool]):
+    def __init__(
+        self,
+        child: ExecPlan,
+        sort_exprs: list[PhysicalExpr],
+        ascending: list[bool],
+        nulls_first: list[bool | None] | None = None,
+    ):
         self.children = [child]
         self.sort_exprs = sort_exprs
         self.ascending = ascending
+        # None = dialect default (NULLS LAST, matching DataFusion's
+        # default of last for ASC)
+        self.nulls_first = nulls_first or [None] * len(sort_exprs)
 
     def schema(self):
         return self.children[0].schema()
@@ -203,11 +212,26 @@ class SortExec(ExecPlan):
         t = self.children[0].execute(ctx)
         if t.num_rows == 0:
             return t
+        from sequila_tpu.planner.expr import _null_mask
+
         cols = _LazyCols(t)
         keys = []
         # np.lexsort: last key is primary -> reverse order, invert descending.
-        for e, asc in zip(reversed(self.sort_exprs), reversed(self.ascending)):
-            k = e.eval(cols, t.num_rows)
+        for e, asc, nf in zip(
+            reversed(self.sort_exprs),
+            reversed(self.ascending),
+            reversed(self.nulls_first),
+        ):
+            k = np.asarray(e.eval(cols, t.num_rows))
+            nulls = _null_mask(k)
+            if k.dtype == object and nulls.any():
+                # np.unique can't mix None with values; rank non-nulls
+                ranks = np.zeros(len(k), np.int64)
+                nn = ~nulls
+                if nn.any():
+                    _, inv = np.unique(k[nn], return_inverse=True)
+                    ranks[nn] = inv
+                k = ranks
             if not asc:
                 if np.issubdtype(np.asarray(k).dtype, np.number):
                     k = -np.asarray(k)
@@ -216,6 +240,13 @@ class SortExec(ExecPlan):
                     _, inv = np.unique(k, return_inverse=True)
                     k = -inv
             keys.append(np.asarray(k))
+            if nulls.any():
+                # secondary-to-primary: NULL placement key dominates the
+                # value key (default NULLS LAST)
+                first = bool(nf) if nf is not None else False
+                keys.append(
+                    np.where(nulls, 0 if first else 1, 1 if first else 0)
+                )
         order = np.lexsort(keys)
         out = t.take(order)
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
@@ -229,25 +260,31 @@ class SortExec(ExecPlan):
         return f"SortExec: expr=[{items}]"
 
     def with_children(self, children):
-        return SortExec(children[0], self.sort_exprs, self.ascending)
+        return SortExec(
+            children[0], self.sort_exprs, self.ascending, self.nulls_first
+        )
 
 
 class LimitExec(ExecPlan):
-    def __init__(self, child: ExecPlan, limit: int):
+    def __init__(self, child: ExecPlan, limit: int | None, offset: int = 0):
         self.children = [child]
         self.limit = limit
+        self.offset = offset
 
     def schema(self):
         return self.children[0].schema()
 
     def execute(self, ctx):
-        return self.children[0].execute(ctx).slice(0, self.limit)
+        return self.children[0].execute(ctx).slice(self.offset, self.limit)
 
     def display_line(self):
-        return f"LimitExec: fetch={self.limit}"
+        s = f"LimitExec: fetch={self.limit}"
+        if self.offset:
+            s += f", skip={self.offset}"
+        return s
 
     def with_children(self, children):
-        return LimitExec(children[0], self.limit)
+        return LimitExec(children[0], self.limit, self.offset)
 
 
 class AggregateExec(ExecPlan):

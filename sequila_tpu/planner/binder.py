@@ -98,7 +98,7 @@ class Binder:
                     for item in sel.items
                     if item.alias is not None
                 }
-                exprs, asc = [], []
+                exprs, asc, nfs = [], [], []
                 for oi in sel.order_by:
                     target = oi.expr
                     if (
@@ -109,7 +109,8 @@ class Binder:
                         target = alias_exprs[target.name]
                     exprs.append(self._bind_expr(target, schema).expr)
                     asc.append(oi.asc)
-                plan = SortExec(plan, exprs, asc)
+                    nfs.append(oi.nulls_first)
+                plan = SortExec(plan, exprs, asc, nfs)
             plan = self._bind_projection(plan, sel)
             if sel.distinct:
                 plan = DistinctExec(plan)
@@ -124,7 +125,7 @@ class Binder:
             if sel.order_by:
                 aschema = plan.schema()
                 names = [n for _, n in aschema]
-                exprs, asc = [], []
+                exprs, asc, nfs = [], [], []
                 for oi in sel.order_by:
                     # ORDER BY count(*) / other aggregate expressions
                     # resolve by display name in the aggregate output
@@ -134,10 +135,11 @@ class Binder:
                     else:
                         exprs.append(self._bind_expr(oi.expr, aschema).expr)
                     asc.append(oi.asc)
-                plan = SortExec(plan, exprs, asc)
+                    nfs.append(oi.nulls_first)
+                plan = SortExec(plan, exprs, asc, nfs)
 
-        if sel.limit is not None:
-            plan = LimitExec(plan, sel.limit)
+        if sel.limit is not None or sel.offset:
+            plan = LimitExec(plan, sel.limit, sel.offset)
         return plan
 
     # -- FROM / joins ---------------------------------------------------
@@ -647,6 +649,16 @@ class Binder:
                 return pe.NegExpr(go(node.child))
             if isinstance(node, ast.Cast):
                 return pe.CastExpr(go(node.child), node.type_name)
+            if isinstance(node, ast.Case):
+                return pe.CaseExpr(
+                    tuple((go(c), go(r)) for c, r in node.whens),
+                    go(node.else_) if node.else_ is not None else None,
+                )
+            if isinstance(node, ast.Like):
+                return pe.LikeExpr(
+                    go(node.child), go(node.pattern),
+                    node.negated, node.case_insensitive,
+                )
             if isinstance(node, ast.DistinctFrom):
                 return pe.DistinctFromExpr(
                     go(node.left), go(node.right), node.negated
@@ -835,6 +847,13 @@ class Binder:
             return self._collect_agg_funcs(e.left) + self._collect_agg_funcs(e.right)
         if isinstance(e, (ast.Unary, ast.Cast)):
             return self._collect_agg_funcs(e.child)
+        if isinstance(e, ast.Case):
+            out = []
+            for c, r in e.whens:
+                out += self._collect_agg_funcs(c) + self._collect_agg_funcs(r)
+            if e.else_ is not None:
+                out += self._collect_agg_funcs(e.else_)
+            return out
         return []
 
     def _bind_aggregate(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:

@@ -471,6 +471,149 @@ class ScalarFuncExpr(PhysicalExpr):
 
 
 @dataclasses.dataclass(frozen=True)
+class CaseExpr(PhysicalExpr):
+    """CASE WHEN .. THEN .. ELSE .. END: first matching branch wins;
+    unmatched rows take the ELSE value (NULL if absent)."""
+
+    whens: tuple  # ((cond_expr, result_expr), ...)
+    else_: PhysicalExpr | None
+
+    def eval(self, cols, num_rows):
+        taken = np.zeros(num_rows, dtype=bool)
+        out = np.full(num_rows, None, dtype=object)
+        for cond, res in self.whens:
+            c = np.asarray(cond.eval(cols, num_rows)).astype(bool)
+            pick = c & ~taken
+            if pick.any():
+                r = np.asarray(res.eval(cols, num_rows))
+                vals = (
+                    np.broadcast_to(r, (num_rows,)) if r.ndim == 0 else r
+                )
+                out[pick] = vals[pick]
+            taken |= c
+        if self.else_ is not None and not taken.all():
+            r = np.asarray(self.else_.eval(cols, num_rows))
+            vals = np.broadcast_to(r, (num_rows,)) if r.ndim == 0 else r
+            out[~taken] = vals[~taken]
+        # collapse to a numeric dtype when possible (no Nones, numeric)
+        if all(v is not None and not isinstance(v, str) for v in out):
+            try:
+                return out.astype(np.float64)
+            except (TypeError, ValueError):
+                pass
+        return out
+
+    def columns(self):
+        out = []
+        for c, r in self.whens:
+            out += c.columns() + r.columns()
+        if self.else_ is not None:
+            out += self.else_.columns()
+        return out
+
+    def display(self):
+        parts = " ".join(
+            f"WHEN {c.display()} THEN {r.display()}" for c, r in self.whens
+        )
+        if self.else_ is not None:
+            parts += f" ELSE {self.else_.display()}"
+        return f"CASE {parts} END"
+
+    def transform(self, fn):
+        return fn(
+            CaseExpr(
+                tuple(
+                    (c.transform(fn), r.transform(fn)) for c, r in self.whens
+                ),
+                self.else_.transform(fn) if self.else_ is not None else None,
+            )
+        )
+
+
+def _like_regex(pattern: str, case_insensitive: bool):
+    import re
+
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile(
+        "^" + "".join(out) + "$", re.IGNORECASE if case_insensitive else 0
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class LikeExpr(PhysicalExpr):
+    """SQL [NOT] LIKE / ILIKE with % and _ wildcards (backslash escapes).
+    NULL operands are UNKNOWN -> false in filter context."""
+
+    child: PhysicalExpr
+    pattern: PhysicalExpr
+    negated: bool = False
+    case_insensitive: bool = False
+
+    def eval(self, cols, num_rows):
+        a = np.asarray(self.child.eval(cols, num_rows))
+        p = np.asarray(self.pattern.eval(cols, num_rows))
+        nulls = _null_mask(a)
+        if p.ndim == 0:
+            rx = _like_regex(str(p.item()), self.case_insensitive)
+            hits = np.array(
+                [
+                    bool(rx.match(str(v))) if not nn else False
+                    for v, nn in zip(a, nulls)
+                ],
+                dtype=bool,
+            )
+        else:
+            pn = _null_mask(p)
+            hits = np.array(
+                [
+                    bool(
+                        _like_regex(str(pv), self.case_insensitive).match(str(v))
+                    )
+                    if not (nn or pnn)
+                    else False
+                    for v, pv, nn, pnn in zip(a, p, nulls, pn)
+                ],
+                dtype=bool,
+            )
+        if self.negated:
+            return ~hits & ~nulls
+        return hits
+
+    def columns(self):
+        return self.child.columns() + self.pattern.columns()
+
+    def display(self):
+        op = ("NOT " if self.negated else "") + (
+            "ILIKE" if self.case_insensitive else "LIKE"
+        )
+        return f"{self.child.display()} {op} {self.pattern.display()}"
+
+    def transform(self, fn):
+        return fn(
+            LikeExpr(
+                self.child.transform(fn),
+                self.pattern.transform(fn),
+                self.negated,
+                self.case_insensitive,
+            )
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class IfNullExpr(PhysicalExpr):
     """COALESCE(child, default-literal) — used by correlated-aggregate
     decorrelation (count over an empty correlation group is 0, not NULL)."""

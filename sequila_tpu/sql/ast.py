@@ -85,6 +85,23 @@ class ScalarSubquery(SqlExpr):
 
 
 @dataclasses.dataclass(frozen=True)
+class Case(SqlExpr):
+    """CASE [operand] WHEN c THEN v .. [ELSE e] END (operand form is
+    desugared to equality conditions at parse time)."""
+
+    whens: tuple  # ((cond, result), ...)
+    else_: Optional[SqlExpr] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Like(SqlExpr):
+    child: SqlExpr
+    pattern: SqlExpr
+    negated: bool = False
+    case_insensitive: bool = False  # ILIKE
+
+
+@dataclasses.dataclass(frozen=True)
 class WindowFunc(SqlExpr):
     func: "Func"
     partition_by: tuple = ()
@@ -124,6 +141,7 @@ class JoinClause:
 class OrderItem:
     expr: SqlExpr
     asc: bool = True
+    nulls_first: Optional[bool] = None  # None = dialect default (LAST)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +155,7 @@ class Select:
     limit: Optional[int]
     distinct: bool = False
     having: Optional[SqlExpr] = None
+    offset: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -288,15 +288,24 @@ class Parser:
                     asc = False
                 else:
                     self.eat_kw("ASC")
-                order_by.append(ast.OrderItem(e, asc))
+                nf = None
+                if self.eat_kw("NULLS"):
+                    nf = self.eat_kw("FIRST")
+                    if not nf:
+                        self.expect_kw("LAST")
+                order_by.append(ast.OrderItem(e, asc, nf))
                 if not self.eat("punct", ","):
                     break
         limit = None
+        offset = 0
         if self.eat_kw("LIMIT"):
             limit = int(self.expect("number").value)
+        if self.eat_kw("OFFSET"):
+            offset = int(self.expect("number").value)
         return ast.Select(
             tuple(items), tuple(from_tables), tuple(joins), where,
             tuple(group_by), tuple(order_by), limit, distinct, having,
+            offset=offset,
         )
 
     def parse_select_or_union(self) -> "ast.Statement":
@@ -429,6 +438,13 @@ class Parser:
             self.expect_kw("NULL")
             node = ast.Func("isnull", (left,))
             return ast.Unary("NOT", node) if neg else node
+        if self.at_kw("LIKE", "ILIKE") or (
+            self.at_kw("NOT") and self.peek(1).upper in ("LIKE", "ILIKE")
+        ):
+            negated = self.eat_kw("NOT")
+            ci = self.peek().upper == "ILIKE"
+            self.next()
+            return ast.Like(left, self.parse_additive(), negated, ci)
         if self.at_kw("IN") or (self.at_kw("NOT") and self.peek(1).upper == "IN"):
             negated = self.eat_kw("NOT")
             self.expect_kw("IN")
@@ -492,6 +508,23 @@ class Parser:
             if t.upper == "FALSE":
                 self.next()
                 return ast.Lit(False)
+            if t.upper == "CASE":
+                self.next()
+                operand = None
+                if not self.at_kw("WHEN"):
+                    operand = self.parse_expr()
+                whens = []
+                while self.eat_kw("WHEN"):
+                    cond = self.parse_expr()
+                    if operand is not None:
+                        cond = ast.Binary(operand, "=", cond)
+                    self.expect_kw("THEN")
+                    whens.append((cond, self.parse_expr()))
+                if not whens:
+                    raise PlanError("CASE requires at least one WHEN")
+                else_ = self.parse_expr() if self.eat_kw("ELSE") else None
+                self.expect_kw("END")
+                return ast.Case(tuple(whens), else_)
             if t.upper == "EXISTS" and self.peek(1).kind == "punct" and self.peek(1).value == "(":
                 self.next()
                 self.next()  # (

@@ -147,3 +147,106 @@ class TestExprOverAggregates:
             {"k": "A", "sum(v)": 3},
             {"k": "B", "sum(v)": 4},
         ]
+
+
+class TestCaseWhen:
+    @pytest.fixture()
+    def cctx(self):
+        c = SessionContext()
+        c.register_table(
+            "t",
+            pa.table({"x": [1, 2, 3, 4], "s": ["chr1", "chr2", "chrX", "other"],
+                      "v": pa.array([5, None, 1, 3], type=pa.int64())}),
+        )
+        return c
+
+    def test_searched_case(self, cctx):
+        got = cctx.sql(
+            "SELECT CASE WHEN x < 2 THEN 'low' WHEN x < 4 THEN 'mid' "
+            "ELSE 'high' END AS b FROM t"
+        ).to_pylist_column(0)
+        assert got == ["low", "mid", "mid", "high"]
+
+    def test_simple_case_null_fallthrough(self, cctx):
+        got = cctx.sql(
+            "SELECT CASE x WHEN 1 THEN 'one' WHEN 2 THEN 'two' END AS w FROM t"
+        ).to_pylist_column(0)
+        assert got == ["one", "two", None, None]
+
+    def test_case_numeric_in_aggregate(self, cctx):
+        # conditional count via CASE (classic pivot idiom)
+        got = cctx.sql(
+            "SELECT sum(CASE WHEN x < 3 THEN 1 ELSE 0 END) AS c FROM t"
+        ).to_pylist()
+        assert got == [{"c": 2.0}]
+
+    def test_case_in_where(self, cctx):
+        got = cctx.sql(
+            "SELECT x FROM t WHERE CASE WHEN x > 2 THEN TRUE ELSE FALSE END "
+            "ORDER BY x"
+        ).to_pylist_column(0)
+        assert got == [3, 4]
+
+
+class TestLike:
+    @pytest.fixture()
+    def lctx(self):
+        c = SessionContext()
+        c.register_table(
+            "t",
+            pa.table({"s": ["chr1", "chr2", "chrX", "other", None]}),
+        )
+        return c
+
+    def test_like_prefix(self, lctx):
+        got = lctx.sql("SELECT s FROM t WHERE s LIKE 'chr%' ORDER BY s")
+        assert got.to_pylist_column(0) == ["chr1", "chr2", "chrX"]
+
+    def test_like_single_char(self, lctx):
+        got = lctx.sql("SELECT s FROM t WHERE s LIKE 'chr_' ORDER BY s")
+        assert got.to_pylist_column(0) == ["chr1", "chr2", "chrX"]
+
+    def test_not_like_excludes_nulls(self, lctx):
+        # NULL NOT LIKE p is UNKNOWN -> filtered
+        got = lctx.sql("SELECT s FROM t WHERE s NOT LIKE 'chr%'")
+        assert got.to_pylist_column(0) == ["other"]
+
+    def test_ilike(self, lctx):
+        got = lctx.sql("SELECT s FROM t WHERE s ILIKE 'CHR%' ORDER BY s")
+        assert got.to_pylist_column(0) == ["chr1", "chr2", "chrX"]
+
+    def test_like_regex_metachar_escaped(self, lctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"s": ["a.b", "axb"]}))
+        got = c.sql("SELECT s FROM q WHERE s LIKE 'a.b'")
+        assert got.to_pylist_column(0) == ["a.b"]  # '.' is literal in LIKE
+
+
+class TestOrderNullsAndOffset:
+    @pytest.fixture()
+    def octx(self):
+        c = SessionContext()
+        c.register_table(
+            "t", pa.table({"v": pa.array([5, None, 1, 3], type=pa.int64())})
+        )
+        return c
+
+    def test_nulls_first(self, octx):
+        got = octx.sql("SELECT v FROM t ORDER BY v NULLS FIRST")
+        assert got.to_pylist_column(0) == [None, 1, 3, 5]
+
+    def test_default_nulls_last(self, octx):
+        got = octx.sql("SELECT v FROM t ORDER BY v")
+        assert got.to_pylist_column(0) == [1, 3, 5, None]
+
+    def test_desc_nulls_last(self, octx):
+        got = octx.sql("SELECT v FROM t ORDER BY v DESC NULLS LAST")
+        assert got.to_pylist_column(0) == [5, 3, 1, None]
+
+    def test_limit_offset(self, octx):
+        got = octx.sql("SELECT v FROM t ORDER BY v LIMIT 2 OFFSET 1")
+        assert got.to_pylist_column(0) == [3, 5]
+
+    def test_offset_only(self, octx):
+        got = octx.sql("SELECT v FROM t ORDER BY v OFFSET 3")
+        assert got.to_pylist_column(0) == [None]
