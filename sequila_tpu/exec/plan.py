@@ -437,14 +437,20 @@ class WindowExec(ExecPlan):
         cols = _LazyCols(t)
         arrays = list(t.arrow.columns)
         names = [n2 for _, n2 in self.children[0].schema()]
-        for func, args, parts, orders, ascs, out_name in self.specs:
-            arrays.append(pa.array(self._compute(func, args, parts, orders, ascs, cols, n)))
+        for spec in self.specs:
+            func, args, parts, orders, ascs, out_name = spec[:6]
+            frame = spec[6] if len(spec) > 6 else None
+            arrays.append(
+                pa.array(
+                    self._compute(func, args, parts, orders, ascs, cols, n, frame)
+                )
+            )
             names.append(out_name)
         out = Table(pa.Table.from_arrays(arrays, names=names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 
-    def _compute(self, func, args, parts, orders, ascs, cols, n):
+    def _compute(self, func, args, parts, orders, ascs, cols, n, frame=None):
         if n == 0:
             return np.empty(0, np.int64 if func in ("row_number", "rank", "dense_rank", "count") else np.float64)
         pvals = [np.asarray(e.eval(cols, n)) for e in parts]
@@ -519,7 +525,9 @@ class WindowExec(ExecPlan):
                 a = np.ones(n)
             else:
                 a = np.asarray(args[0].eval(cols, n))[order].astype(np.float64)
-            if not ocodes:
+            if frame is not None:
+                vals = self._frame_agg(func, a, frame, seg_first, seg_id, pos, n)
+            elif not ocodes:
                 # whole-partition aggregate broadcast
                 red = {"sum": np.add, "count": np.add, "avg": np.add,
                        "min": np.minimum, "max": np.maximum}[func]
@@ -557,6 +565,61 @@ class WindowExec(ExecPlan):
         out = np.empty(n, dtype=np.asarray(vals).dtype)
         out[order] = vals
         return out
+
+    @staticmethod
+    def _frame_agg(func, a, frame, seg_first, seg_id, pos, n):
+        """ROWS BETWEEN lo AND hi aggregate over the sorted array: window
+        rows are [pos+lo, pos+hi] clamped to the partition; computed with
+        prefix sums (sum/count/avg) or clamped sliding extremes (min/max)
+        — no per-row Python."""
+        lo, hi = frame
+        seg_start = seg_first[seg_id]
+        seg_end = np.append(seg_first[1:], n)[seg_id]  # exclusive
+        w_lo = seg_start if lo is None else np.maximum(pos + lo, seg_start)
+        w_hi = seg_end if hi is None else np.minimum(pos + hi + 1, seg_end)
+        w_hi = np.maximum(w_hi, w_lo)  # empty window allowed
+        width = w_hi - w_lo
+        if func in ("sum", "count", "avg"):
+            cs = np.concatenate([[0.0], np.cumsum(a)])
+            tot = cs[w_hi] - cs[w_lo]
+            if func == "count":
+                return width.astype(np.int64)
+            if func == "avg":
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    return np.where(width > 0, tot / np.maximum(width, 1), np.nan)
+            return tot
+        # min/max: running extremes from the left and right edges of
+        # fixed-size blocks (sparse-table / two-pass trick), handling the
+        # clamp by per-row block recombination.  Windows here are bounded
+        # (lo/hi not None) or degenerate to running aggregates.
+        acc = np.minimum if func == "min" else np.maximum
+        ident = np.inf if func == "min" else -np.inf
+        # answer[i] = reduce(a[w_lo[i]:w_hi[i]]) via a sparse table of
+        # power-of-two reductions (O(n log n) build, O(1) per row)
+        max_w = int(width.max()) if n else 0
+        if max_w == 0:
+            return np.full(n, np.nan)
+        levels = max(1, int(np.ceil(np.log2(max_w))) + 1)
+        table = [a.astype(np.float64)]
+        for k in range(1, levels):
+            prev = table[-1]
+            half = 1 << (k - 1)
+            nxt = prev.copy()
+            nxt[: n - half] = acc(prev[: n - half], prev[half:])
+            table.append(nxt)
+        k_arr = np.zeros(n, np.int64)
+        nz = width > 0
+        k_arr[nz] = np.floor(np.log2(width[nz])).astype(np.int64)
+        res = np.full(n, ident)
+        for k in range(levels):
+            sel = nz & (k_arr == k)
+            if not sel.any():
+                continue
+            tl = table[k]
+            i0 = w_lo[sel]
+            i1 = w_hi[sel] - (1 << k)
+            res[sel] = acc(tl[i0], tl[np.maximum(i1, 0)])
+        return np.where(nz, res, np.nan)
 
     def display_line(self):
         parts = ", ".join(sp[5] for sp in self.specs)

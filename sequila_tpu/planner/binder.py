@@ -229,9 +229,19 @@ class Binder:
                 ascs = [oi.asc for oi in e.order_by]
                 if fn.name in ("row_number", "rank", "dense_rank") and not orders:
                     raise PlanError(f"{fn.name}() requires ORDER BY in OVER()")
+                if e.frame is not None:
+                    if fn.name not in ("sum", "count", "avg", "min", "max"):
+                        raise PlanError(
+                            "ROWS BETWEEN frames are supported for "
+                            "sum/count/avg/min/max only"
+                        )
+                    if not orders:
+                        raise PlanError("ROWS BETWEEN requires ORDER BY in OVER()")
                 name = f"__window_{counter[0]}"
                 counter[0] += 1
-                specs.append((fn.name, args, parts, orders, ascs, name))
+                specs.append(
+                    (fn.name, args, parts, orders, ascs, name, e.frame)
+                )
                 return ast.ColRef(None, name)
             if isinstance(e, ast.Binary):
                 return ast.Binary(replace(e.left), e.op, replace(e.right))

@@ -106,6 +106,9 @@ class WindowFunc(SqlExpr):
     func: "Func"
     partition_by: tuple = ()
     order_by: tuple = ()  # OrderItem
+    # ROWS BETWEEN frame as (lo, hi) row offsets relative to the current
+    # row; None side = unbounded; -k = k PRECEDING, +k = k FOLLOWING
+    frame: Optional[tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -380,11 +380,37 @@ class Parser:
                     asc = False
                 else:
                     self.eat_kw("ASC")
-                order.append(ast.OrderItem(e, asc))
+                nf = None
+                if self.eat_kw("NULLS"):
+                    nf = self.eat_kw("FIRST")
+                    if not nf:
+                        self.expect_kw("LAST")
+                order.append(ast.OrderItem(e, asc, nf))
                 if not self.eat("punct", ","):
                     break
+        frame = None
+        if self.eat_kw("ROWS"):
+            self.expect_kw("BETWEEN")
+
+            def bound(start: bool):
+                if self.eat_kw("UNBOUNDED"):
+                    self.expect_kw("PRECEDING" if start else "FOLLOWING")
+                    return None  # unbounded
+                if self.eat_kw("CURRENT"):
+                    self.expect_kw("ROW")
+                    return 0
+                n_ = int(self.expect("number").value)
+                if self.eat_kw("PRECEDING"):
+                    return -n_
+                self.expect_kw("FOLLOWING")
+                return n_
+
+            lo = bound(True)
+            self.expect_kw("AND")
+            hi = bound(False)
+            frame = (lo, hi)
         self.expect("punct", ")")
-        return ast.WindowFunc(fn, tuple(partition), tuple(order))
+        return ast.WindowFunc(fn, tuple(partition), tuple(order), frame)
 
     def parse_expr(self) -> ast.SqlExpr:
         return self.parse_or()

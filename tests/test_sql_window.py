@@ -182,3 +182,90 @@ class TestWindowMisc:
             "SELECT row_number() OVER (ORDER BY x) AS rn FROM t WHERE x > 99"
         )
         assert got.num_rows == 0
+
+
+class TestRowsFrames:
+    """ROWS BETWEEN frames: sliding-window aggregates (prefix sums for
+    sum/count/avg, sparse-table range extremes for min/max)."""
+
+    @pytest.fixture()
+    def fctx(self):
+        c = SessionContext()
+        c.register_table(
+            "t",
+            pa.table({"g": ["a"] * 6 + ["b"] * 3,
+                      "x": list(range(6)) + [0, 1, 2],
+                      "v": [1.0, 5.0, 2.0, 8.0, 3.0, 4.0, 10.0, 20.0, 30.0]}),
+        )
+        return c
+
+    def test_sliding_sum(self, fctx):
+        got = fctx.sql(
+            "SELECT g, sum(v) OVER (PARTITION BY g ORDER BY x "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["s"] for r in got] == [6.0, 8.0, 15.0, 13.0, 15.0, 7.0, 30.0, 60.0, 50.0]
+
+    def test_sliding_min(self, fctx):
+        got = fctx.sql(
+            "SELECT min(v) OVER (PARTITION BY g ORDER BY x "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["m"] for r in got] == [1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 10.0, 10.0, 10.0]
+
+    def test_sliding_max_following_only(self, fctx):
+        got = fctx.sql(
+            "SELECT max(v) OVER (PARTITION BY g ORDER BY x "
+            "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS m FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["m"] for r in got] == [5.0, 8.0, 8.0, 8.0, 4.0, 4.0, 30.0, 30.0, 30.0]
+
+    def test_unbounded_rows_running(self, fctx):
+        got = fctx.sql(
+            "SELECT avg(v) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS ra FROM t WHERE g = 'b' ORDER BY x"
+        ).to_pylist()
+        assert [r["ra"] for r in got] == [10.0, 15.0, 20.0]
+
+    def test_rows_count(self, fctx):
+        got = fctx.sql(
+            "SELECT count(*) OVER (PARTITION BY g ORDER BY x "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c FROM t ORDER BY g, x"
+        ).to_pylist()
+        assert [r["c"] for r in got] == [2, 3, 3, 3, 3, 2, 2, 3, 2]
+
+    def test_frame_on_ranking_rejected(self, fctx):
+        with pytest.raises(PlanError, match="ROWS BETWEEN"):
+            fctx.sql(
+                "SELECT row_number() OVER (ORDER BY x "
+                "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+            )
+
+    def test_frame_without_order_rejected(self, fctx):
+        with pytest.raises(PlanError, match="ORDER BY"):
+            fctx.sql(
+                "SELECT sum(v) OVER (ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+            )
+
+    def test_vs_numpy_oracle(self, fctx):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        n = 500
+        g = rng.integers(0, 4, n)
+        x = rng.permutation(n)
+        v = rng.normal(size=n).round(3)
+        c = SessionContext()
+        c.register_table("r", pa.table({"g": g, "x": x, "v": v}))
+        got = c.sql(
+            "SELECT g, x, min(v) OVER (PARTITION BY g ORDER BY x "
+            "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS m FROM r ORDER BY g, x"
+        ).to_pylist()
+        rows = sorted(zip(g, x, v))
+        want = []
+        for i, (gi, xi, vi) in enumerate(rows):
+            seg = [r for r in rows if r[0] == gi]
+            j = seg.index((gi, xi, vi))
+            lo, hi = max(j - 3, 0), min(j + 2, len(seg) - 1)
+            want.append(min(r[2] for r in seg[lo:hi + 1]))
+        assert [r["m"] for r in got] == pytest.approx(want)
