@@ -440,11 +440,8 @@ class WindowExec(ExecPlan):
         for spec in self.specs:
             func, args, parts, orders, ascs, out_name = spec[:6]
             frame = spec[6] if len(spec) > 6 else None
-            arrays.append(
-                pa.array(
-                    self._compute(func, args, parts, orders, ascs, cols, n, frame)
-                )
-            )
+            v = self._compute(func, args, parts, orders, ascs, cols, n, frame)
+            arrays.append(v if isinstance(v, pa.Array) else pa.array(v))
             names.append(out_name)
         out = Table(pa.Table.from_arrays(arrays, names=names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
@@ -521,44 +518,70 @@ class WindowExec(ExecPlan):
                 seg_last = np.append(seg_first[1:], n) - 1
                 vals = a[seg_last[seg_id]]
         elif func in ("sum", "count", "avg", "min", "max"):
+            from sequila_tpu.planner.expr import _null_mask
+
+            # SQL window aggregates skip NULLs (like regular aggregates):
+            # nn = per-row "counts toward the aggregate" indicator
             if func == "count" and not args:
                 a = np.ones(n)
+                nn = np.ones(n, dtype=bool)
             else:
-                a = np.asarray(args[0].eval(cols, n))[order].astype(np.float64)
+                raw = np.asarray(args[0].eval(cols, n))
+                nulls = _null_mask(raw)
+                a = np.where(nulls, 0.0, raw.astype(np.float64) if raw.dtype != object
+                             else np.array([0.0 if x is None else float(x) for x in raw]))[order]
+                nn = (~nulls)[order]
+                if func in ("min", "max"):
+                    a = np.where(nn, a, np.inf if func == "min" else -np.inf)
+            nn_f = nn.astype(np.float64)
+            null_out = None
             if frame is not None:
-                vals = self._frame_agg(func, a, frame, seg_first, seg_id, pos, n)
+                vals, cnt = self._frame_agg(
+                    func, a, nn_f, frame, seg_first, seg_id, pos, n
+                )
+                null_out = cnt == 0
             elif not ocodes:
                 # whole-partition aggregate broadcast
                 red = {"sum": np.add, "count": np.add, "avg": np.add,
                        "min": np.minimum, "max": np.maximum}[func]
-                base = np.ones(n) if func == "count" else a
-                agg = red.reduceat(base, seg_first)
+                agg = red.reduceat(nn_f if func == "count" else a, seg_first)
+                cnt = np.add.reduceat(nn_f, seg_first)
                 if func == "avg":
-                    cnt = np.add.reduceat(np.ones(n), seg_first)
-                    agg = agg / cnt
+                    agg = agg / np.maximum(cnt, 1)
                 vals = agg[seg_id]
+                null_out = (cnt == 0)[seg_id]
             else:
                 # running aggregate, RANGE peers (value at peer-group end)
+                ccnt = np.cumsum(nn_f)
+                seg_base_c = np.where(seg_first[seg_id] > 0,
+                                      ccnt[np.maximum(seg_first[seg_id] - 1, 0)], 0.0)
+                run_cnt = ccnt - seg_base_c
                 if func in ("sum", "avg", "count"):
-                    base = np.ones(n) if func == "count" else a
+                    base = nn_f if func == "count" else a
                     cs = np.cumsum(base)
                     seg_base = np.where(seg_first[seg_id] > 0,
                                         cs[np.maximum(seg_first[seg_id] - 1, 0)], 0.0)
                     run = cs - seg_base
                     if func == "avg":
-                        run = run / (idx_in_seg + 1)
+                        run = run / np.maximum(run_cnt, 1)
                 else:
                     # segment-reset running extreme via per-segment offset
                     fin = a[np.isfinite(a)]
                     span = (fin.max() - fin.min() + 1.0) if len(fin) else 1.0
                     off = seg_id * span * (1.0 if func == "max" else -1.0)
                     acc = {"min": np.minimum, "max": np.maximum}[func]
-                    run = acc.accumulate(a + off) - off
+                    run = acc.accumulate(np.where(np.isfinite(a), a + off, a)) - off
                 vals = run[peer_last[peer_id]]
-                if func in ("count",):
-                    vals = vals.astype(np.int64)
+                null_out = run_cnt[peer_last[peer_id]] == 0
             if func == "count":
-                vals = vals.astype(np.int64)
+                vals = np.asarray(vals).astype(np.int64)
+                null_out = None  # count over empty/all-null window is 0
+            if null_out is not None and null_out.any():
+                out = np.empty(n)
+                out[order] = vals
+                m = np.zeros(n, dtype=bool)
+                m[order] = null_out
+                return pa.array(out, mask=m)
         else:
             raise ExecutionError(f"unsupported window function: {func}")
 
@@ -567,7 +590,7 @@ class WindowExec(ExecPlan):
         return out
 
     @staticmethod
-    def _frame_agg(func, a, frame, seg_first, seg_id, pos, n):
+    def _frame_agg(func, a, nn_f, frame, seg_first, seg_id, pos, n):
         """ROWS BETWEEN lo AND hi aggregate over the sorted array: window
         rows are [pos+lo, pos+hi] clamped to the partition; computed with
         prefix sums (sum/count/avg) or clamped sliding extremes (min/max)
@@ -579,15 +602,16 @@ class WindowExec(ExecPlan):
         w_hi = seg_end if hi is None else np.minimum(pos + hi + 1, seg_end)
         w_hi = np.maximum(w_hi, w_lo)  # empty window allowed
         width = w_hi - w_lo
+        ccs = np.concatenate([[0.0], np.cumsum(nn_f)])
+        cnt = ccs[w_hi] - ccs[w_lo]  # non-null rows in the window
         if func in ("sum", "count", "avg"):
-            cs = np.concatenate([[0.0], np.cumsum(a)])
+            cs = np.concatenate([[0.0], np.cumsum(nn_f if func == "count" else a)])
             tot = cs[w_hi] - cs[w_lo]
             if func == "count":
-                return width.astype(np.int64)
+                return tot.astype(np.int64), np.maximum(width, 1)
             if func == "avg":
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    return np.where(width > 0, tot / np.maximum(width, 1), np.nan)
-            return tot
+                tot = tot / np.maximum(cnt, 1)
+            return tot, cnt
         # min/max: running extremes from the left and right edges of
         # fixed-size blocks (sparse-table / two-pass trick), handling the
         # clamp by per-row block recombination.  Windows here are bounded
@@ -598,7 +622,7 @@ class WindowExec(ExecPlan):
         # power-of-two reductions (O(n log n) build, O(1) per row)
         max_w = int(width.max()) if n else 0
         if max_w == 0:
-            return np.full(n, np.nan)
+            return np.full(n, np.nan), np.zeros(n)
         levels = max(1, int(np.ceil(np.log2(max_w))) + 1)
         table = [a.astype(np.float64)]
         for k in range(1, levels):
@@ -619,7 +643,7 @@ class WindowExec(ExecPlan):
             i0 = w_lo[sel]
             i1 = w_hi[sel] - (1 << k)
             res[sel] = acc(tl[i0], tl[np.maximum(i1, 0)])
-        return np.where(nz, res, np.nan)
+        return np.where(nz, res, np.nan), cnt
 
     def display_line(self):
         parts = ", ".join(sp[5] for sp in self.specs)

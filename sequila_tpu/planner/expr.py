@@ -397,9 +397,12 @@ class ScalarFuncExpr(PhysicalExpr):
             with np.errstate(invalid="ignore", divide="ignore"):
                 return _NUMERIC_FUNCS[name](np.asarray(vals[0], dtype=np.float64))
         if name == "round":
-            d = int(np.asarray(vals[1]).item()) if len(vals) > 1 else 0
-            out = np.round(np.asarray(vals[0], dtype=np.float64), d)
-            return out
+            if len(vals) > 1:
+                darr = np.asarray(vals[1])
+                d = int(darr.flat[0]) if darr.size else 0
+            else:
+                d = 0
+            return np.round(np.asarray(vals[0], dtype=np.float64), d)
         if name in ("power", "pow"):
             with np.errstate(invalid="ignore"):
                 return np.power(

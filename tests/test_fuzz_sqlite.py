@@ -1,0 +1,222 @@
+"""Differential SQL fuzz: this engine vs sqlite3 (stdlib).
+
+Random queries over the common SQL subset run through both engines and
+must produce identical result sets (float-tolerant).  Determinism comes
+from ORDER BY over a unique key with NULLS LAST (sqlite defaults to
+NULLS FIRST; PRAGMA case_sensitive_like aligns LIKE semantics).
+
+This is the engine-level analog of the kernel fuzz in test_fuzz.py: the
+kernels have brute-force oracles, the SQL frontend has sqlite.
+"""
+
+import math
+import random
+import sqlite3
+
+import pyarrow as pa
+import pytest
+
+from sequila_tpu.session import SessionContext
+
+N_ROWS = 60
+N_QUERIES = 40
+
+
+def _dataset(rng: random.Random):
+    ids = list(range(N_ROWS))
+    gs = [rng.choice(["a", "b", "c", None]) for _ in ids]
+    xs = [rng.choice([None, *range(-5, 20)]) for _ in ids]
+    ys = [
+        rng.choice([None, round(rng.uniform(-3, 3), 2)]) for _ in ids
+    ]
+    ss = [
+        rng.choice(["chr1", "chr2", "chrX", "other", "", None]) for _ in ids
+    ]
+    return ids, gs, xs, ys, ss
+
+
+def _setup(rng):
+    ids, gs, xs, ys, ss = _dataset(rng)
+    ctx = SessionContext()
+    ctx.register_table(
+        "t",
+        pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "g": pa.array(gs),
+                "x": pa.array(xs, type=pa.int64()),
+                "y": pa.array(ys, type=pa.float64()),
+                "s": pa.array(ss),
+            }
+        ),
+    )
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA case_sensitive_like=ON")
+    con.execute("CREATE TABLE t (id INTEGER, g TEXT, x INTEGER, y REAL, s TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)", list(zip(ids, gs, xs, ys, ss))
+    )
+    return ctx, con
+
+
+def _rand_pred(rng: random.Random) -> str:
+    preds = [
+        lambda: f"x {rng.choice(['<', '<=', '>', '>=', '=', '!='])} {rng.randint(-3, 15)}",
+        lambda: f"y {rng.choice(['<', '>'])} {round(rng.uniform(-2, 2), 2)}",
+        lambda: f"g = '{rng.choice(['a', 'b', 'c'])}'",
+        lambda: f"s LIKE '{rng.choice(['chr%', '%1', 'chr_', '%th%'])}'",
+        lambda: f"s NOT LIKE '{rng.choice(['chr%', '%2'])}'",
+        lambda: f"x IN ({', '.join(str(rng.randint(0, 12)) for _ in range(3))})",
+        lambda: rng.choice(["x IS NULL", "x IS NOT NULL", "g IS NULL", "s IS NOT NULL"]),
+        lambda: f"x BETWEEN {rng.randint(-2, 5)} AND {rng.randint(6, 15)}",
+        lambda: f"abs(x) < {rng.randint(2, 10)}",
+        lambda: f"length(s) = {rng.randint(0, 5)}",
+    ]
+    p = rng.choice(preds)()
+    if rng.random() < 0.4:
+        q = rng.choice(preds)()
+        p = f"({p} {rng.choice(['AND', 'OR'])} {q})"
+    return p
+
+
+def _rand_scalar_item(rng: random.Random) -> str:
+    items = [
+        "x + 1",
+        "x * 2 - 3",
+        "abs(x)",
+        "coalesce(x, -99)",
+        # round() is deliberately absent: sqlite rounds the DECIMAL
+        # representation (round(2.65,1)=2.7) while numpy/DataFusion round
+        # the binary double (2.6) — both self-consistent, not comparable
+        "upper(s)",
+        "lower(s)",
+        "length(s)",
+        "substr(s, 1, 3)",
+        "nullif(g, 'a')",
+        "CASE WHEN x < 5 THEN 'lo' WHEN x < 12 THEN 'mid' ELSE 'hi' END",
+        "CASE g WHEN 'a' THEN 1 WHEN 'b' THEN 2 ELSE 0 END",
+    ]
+    return rng.choice(items)
+
+
+def _normalize(rows):
+    out = []
+    for row in rows:
+        norm = []
+        for v in row:
+            if v is None:
+                norm.append(None)
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    norm.append(None)
+                else:
+                    norm.append(round(v, 6))
+            elif isinstance(v, bool):
+                norm.append(int(v))
+            else:
+                norm.append(v)
+        out.append(tuple(norm))
+    return out
+
+
+def _run_both(ctx, con, sql):
+    mine = [
+        tuple(r.values()) for r in ctx.sql(sql).to_pylist()
+    ]
+    theirs = con.execute(sql).fetchall()
+    assert _normalize(mine) == _normalize(theirs), sql
+
+
+class TestSqliteDifferential:
+    def test_select_where_order(self):
+        rng = random.Random(100)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES):
+            item = _rand_scalar_item(rng)
+            sql = (
+                f"SELECT id, {item} FROM t WHERE {_rand_pred(rng)} "
+                "ORDER BY id NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
+
+    def test_aggregates_group_by(self):
+        rng = random.Random(200)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES):
+            aggs = rng.sample(
+                ["count(*)", "count(x)", "sum(x)", "avg(y)", "min(x)",
+                 "max(y)", "count(DISTINCT g)"],
+                k=3,
+            )
+            sql = (
+                f"SELECT g, {', '.join(aggs)} FROM t WHERE {_rand_pred(rng)} "
+                "GROUP BY g ORDER BY g NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
+
+    def test_having(self):
+        rng = random.Random(300)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 2):
+            sql = (
+                f"SELECT g, count(*) FROM t WHERE {_rand_pred(rng)} "
+                f"GROUP BY g HAVING count(*) > {rng.randint(0, 6)} "
+                "ORDER BY g NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
+
+    def test_limit_offset(self):
+        rng = random.Random(400)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 2):
+            sql = (
+                f"SELECT id, x FROM t ORDER BY id NULLS LAST "
+                f"LIMIT {rng.randint(1, 20)} OFFSET {rng.randint(0, 10)}"
+            )
+            _run_both(ctx, con, sql)
+
+    def test_in_and_exists_subqueries(self):
+        rng = random.Random(500)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 2):
+            inner_pred = _rand_pred(rng)
+            form = rng.choice(
+                [
+                    f"x IN (SELECT x FROM t WHERE {inner_pred})",
+                    f"EXISTS (SELECT id FROM t WHERE {inner_pred})",
+                    f"x > (SELECT avg(x) FROM t WHERE x IS NOT NULL)",
+                ]
+            )
+            sql = f"SELECT id FROM t WHERE {form} ORDER BY id NULLS LAST"
+            _run_both(ctx, con, sql)
+
+    def test_window_functions(self):
+        rng = random.Random(600)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 2):
+            fn = rng.choice(
+                [
+                    "row_number() OVER (ORDER BY id)",
+                    "rank() OVER (ORDER BY x NULLS LAST, id)",
+                    "dense_rank() OVER (ORDER BY g NULLS LAST, id)",
+                    "sum(x) OVER (PARTITION BY g ORDER BY id)",
+                    "count(*) OVER (PARTITION BY g)",
+                    "lag(x) OVER (ORDER BY id)",
+                    "lead(x, 2) OVER (ORDER BY id)",
+                    "min(x) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
+                    "sum(x) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)",
+                ]
+            )
+            sql = f"SELECT id, {fn} FROM t ORDER BY id NULLS LAST"
+            _run_both(ctx, con, sql)
+
+    def test_case_in_aggregate(self):
+        rng = random.Random(700)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 4):
+            sql = (
+                "SELECT g, sum(CASE WHEN x > "
+                f"{rng.randint(0, 10)} THEN 1 ELSE 0 END) FROM t "
+                "GROUP BY g ORDER BY g NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
