@@ -432,6 +432,91 @@ class Binder:
             [q for q, _ in lschema],
         )
 
+    def _decorrelate_not_in(self, plan: ExecPlan, node) -> ExecPlan:
+        """Correlated NOT IN needs a NULL-AWARE anti join: for each outer
+        row, `x NOT IN S` is TRUE iff S is empty, or (x is not NULL, S has
+        no NULLs, and x matches nothing).  Plan: anti-join on the
+        correlation keys + (x = y) to drop exact matches, left-join
+        per-group [count(*), count(y)] to detect empty / NULL-bearing
+        groups, filter, project the outer schema back."""
+        from sequila_tpu.exec.plan import AggregateExec
+
+        sel = node.select
+        if (
+            len(sel.items) != 1
+            or isinstance(sel.items[0].expr, ast.Star)
+            or sel.group_by
+            or sel.having is not None
+            or sel.limit is not None
+            or any(self._contains_agg(it.expr) for it in sel.items)
+        ):
+            raise PlanError(
+                "correlated NOT IN requires a single plain column subquery"
+            )
+        inner_plan, inner_where = self._bind_from(sel)
+        inner_schema = inner_plan.schema()
+        cross = []
+        if inner_where is not None:
+            for cj in self._flatten_and(inner_where):
+                try:
+                    b = self._bind_expr(cj, inner_schema)
+                except PlanError:
+                    cross.append(cj)
+                else:
+                    inner_plan = FilterExec(inner_plan, b.expr)
+        lschema = plan.schema()
+        nleft = len(lschema)
+        combined = lschema + inner_plan.schema()
+        pairs = []
+        for cj in cross:
+            bound = self._bind_expr(cj, combined)
+            pair = self._as_equi_pair(bound, nleft)
+            if pair is None:
+                raise PlanError(
+                    "correlated NOT IN supports only equality correlation"
+                )
+            pairs.append(pair)
+        y_expr = self._bind_expr(sel.items[0].expr, inner_plan.schema()).expr
+        x_expr = self._bind_expr(node.child, lschema).expr
+        # 1) drop outer rows with an exact (corr, x=y) match
+        anti = HashJoinExec(
+            plan, inner_plan, pairs + [(x_expr, y_expr)], None, "leftanti"
+        )
+        # 2) per-correlation-group counts: cnt (rows) vs nn (non-null y)
+        agg_plan = AggregateExec(
+            inner_plan,
+            [p[1] for p in pairs],
+            [f"__ni_k{i}" for i in range(len(pairs))],
+            [("count", None, False, "__ni_cnt"), ("count", y_expr, False, "__ni_nn")],
+        )
+        join = HashJoinExec(
+            anti,
+            agg_plan,
+            [
+                (p[0], pe.Column(f"__ni_k{i}", i))
+                for i, p in enumerate(pairs)
+            ],
+            None,
+            "left",
+        )
+        cnt_col = pe.Column("__ni_cnt", nleft + len(pairs))
+        nn_col = pe.Column("__ni_nn", nleft + len(pairs) + 1)
+        absent = pe.BinaryExpr(
+            pe.IfNullExpr(cnt_col, -1), "=", pe.Literal(-1)
+        )
+        clean = pe.BinaryExpr(
+            pe.NotExpr(pe.ScalarFuncExpr("isnull", (x_expr,))),
+            "AND",
+            pe.BinaryExpr(cnt_col, "=", nn_col),
+        )
+        filtered = FilterExec(join, pe.BinaryExpr(absent, "OR", clean))
+        return ProjectExec(
+            filtered,
+            [pe.Column(n, i) for i, (_, n) in enumerate(lschema)],
+            [n for _, n in lschema],
+            [q for q, _ in lschema],
+        )
+
     def _decorrelate_subquery(self, plan: ExecPlan, node) -> ExecPlan:
         """Outer plan ⋉/▷ inner plan on the correlation predicates.
 
@@ -449,10 +534,7 @@ class Binder:
                 "correlated subqueries with aggregation or LIMIT are not supported"
             )
         if isinstance(node, ast.InSubquery) and node.negated:
-            raise PlanError(
-                "correlated NOT IN subqueries are not supported "
-                "(null-aware anti join); use NOT EXISTS"
-            )
+            return self._decorrelate_not_in(plan, node)
         inner_plan, inner_where = self._bind_from(sel)
         inner_schema = inner_plan.schema()
         cross = []

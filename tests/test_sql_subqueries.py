@@ -258,12 +258,36 @@ class TestCorrelatedSubqueries:
         )
         assert got.to_pylist_column(0) == [1, 2, 3]
 
-    def test_correlated_not_in_rejected(self, cctx):
-        with pytest.raises(PlanError, match="NOT IN"):
-            cctx.sql(
-                "SELECT oid FROM orders WHERE cust NOT IN "
-                "(SELECT cid FROM cust WHERE cust.cid = orders.cust)"
-            )
+    def test_correlated_not_in_null_aware(self):
+        # null-aware anti join: matches drop, NULL-bearing groups drop,
+        # empty groups keep (verified identical to sqlite3)
+        import sqlite3
+
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE o (oid INT, cust INT, amt INT)")
+        con.execute("CREATE TABLE r (cust INT, code INT)")
+        orders = [(1, 10, 5), (2, 20, 50), (3, 10, 8), (4, 30, 2), (5, None, 7)]
+        rets = [(10, 5), (10, 9), (20, None), (40, 1)]
+        con.executemany("INSERT INTO o VALUES (?,?,?)", orders)
+        con.executemany("INSERT INTO r VALUES (?,?)", rets)
+        c = SessionContext()
+        c.register_table(
+            "o",
+            pa.table({"oid": [x[0] for x in orders],
+                      "cust": pa.array([x[1] for x in orders], pa.int64()),
+                      "amt": [x[2] for x in orders]}),
+        )
+        c.register_table(
+            "r",
+            pa.table({"cust": [x[0] for x in rets],
+                      "code": pa.array([x[1] for x in rets], pa.int64())}),
+        )
+        q = ("SELECT oid FROM o WHERE amt NOT IN "
+             "(SELECT code FROM r WHERE r.cust = o.cust) ORDER BY oid")
+        assert c.sql(q).to_pylist_column(0) == [x[0] for x in con.execute(q).fetchall()]
+        q2 = ("SELECT oid FROM o WHERE amt NOT IN (SELECT code FROM r "
+              "WHERE r.cust = o.cust AND r.code IS NOT NULL) ORDER BY oid")
+        assert c.sql(q2).to_pylist_column(0) == [x[0] for x in con.execute(q2).fetchall()]
 
     def test_correlated_agg_rejected(self, cctx):
         with pytest.raises(PlanError, match="aggregation"):
