@@ -1,5 +1,6 @@
 """Shared join plumbing: pair gathering, filter evaluation, display.
 
+
 Analog of the reference's joins/utils.rs (metrics, output assembly); the
 output of every join is take(left, left_idx) ++ take(right, right_idx)
 exactly as the reference's emit paths (interval_join.rs:1338-1420).
@@ -11,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 
 from sequila_tpu.models.table import Table
-from sequila_tpu.planner.expr import LEFT, JoinFilter
+from sequila_tpu.planner.expr import LEFT, JoinFilter, truth
 
 JOIN_TYPE_DISPLAY = {
     "inner": "Inner",
@@ -108,7 +109,7 @@ def eval_join_filter(
         else:
             cols.append(right.column_np(ci.index)[right_idx])
     return np.asarray(
-        filter_.expression.eval(cols, len(left_idx)), dtype=bool
+        truth(filter_.expression.eval(cols, len(left_idx))), dtype=bool
     )
 
 

@@ -135,8 +135,10 @@ class FilterExec(ExecPlan):
         return self.children[0].schema()
 
     def execute(self, ctx):
+        from sequila_tpu.planner.expr import truth
+
         t = self.children[0].execute(ctx)
-        mask = _eval_on_table(self.predicate, t).astype(bool)
+        mask = truth(_eval_on_table(self.predicate, t))
         out = Table(t.arrow.filter(pa.array(mask)))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
@@ -243,7 +245,9 @@ class SortExec(ExecPlan):
             if nulls.any():
                 # secondary-to-primary: NULL placement key dominates the
                 # value key (default NULLS LAST)
-                first = bool(nf) if nf is not None else False
+                # default NULLS LAST for ASC, FIRST for DESC (DataFusion/
+                # Postgres convention)
+                first = bool(nf) if nf is not None else (not asc)
                 keys.append(
                     np.where(nulls, 0 if first else 1, 1 if first else 0)
                 )
@@ -357,6 +361,32 @@ class AggregateExec(ExecPlan):
                         vals = np.bincount(
                             codes[~nulls], minlength=ngroups
                         ).astype(np.int64)
+                elif func in ("min", "max") and a.dtype == object:
+                    # strings (or mixed objects): ordinal-encode the
+                    # non-null values, reduce on codes, map back
+                    if n == 0:
+                        vals = pa.array([None] * ngroups, type=pa.string())
+                    else:
+                        nn = ~nulls
+                        uniq, inv = (
+                            np.unique(a[nn], return_inverse=True)
+                            if nn.any()
+                            else (np.array([], dtype=object), np.array([], np.int64))
+                        )
+                        codes_o = np.full(n, len(uniq) if func == "min" else -1,
+                                          np.int64)
+                        codes_o[nn] = inv
+                        red = np.minimum if func == "min" else np.maximum
+                        agg = red.reduceat(codes_o[order], seg_starts)
+                        nn_cnt = np.bincount(codes[nn], minlength=ngroups)
+                        vals = pa.array(
+                            [
+                                None
+                                if nn_cnt[gidx] == 0
+                                else uniq[agg[gidx]]
+                                for gidx in range(ngroups)
+                            ]
+                        )
                 elif func in ("sum", "min", "max", "avg"):
                     red = {"sum": np.add, "min": np.minimum, "max": np.maximum, "avg": np.add}[func]
                     if n == 0:
@@ -426,10 +456,20 @@ class WindowExec(ExecPlan):
         ]
 
     @staticmethod
-    def _order_codes(vals, asc):
-        """Dense sortable int codes for one ORDER BY key (any dtype)."""
+    def _order_codes(vals, asc, nf=None):
+        """Dense sortable int codes for one ORDER BY key (any dtype),
+        honoring NULLS FIRST/LAST (default: LAST for ASC, FIRST for DESC
+        — the DataFusion/Postgres convention)."""
+        from sequila_tpu.planner.expr import _null_mask
+
         codes, _ = _row_group_codes([vals])
-        return codes if asc else -codes
+        k = codes if asc else -codes
+        nulls = _null_mask(np.asarray(vals))
+        if not nulls.any():
+            return k
+        first = bool(nf) if nf is not None else (not asc)
+        big = int(np.abs(k).max()) + 1 if len(k) else 1
+        return np.where(nulls, -big if first else big, k)
 
     def execute(self, ctx):
         t = self.children[0].execute(ctx)
@@ -440,21 +480,23 @@ class WindowExec(ExecPlan):
         for spec in self.specs:
             func, args, parts, orders, ascs, out_name = spec[:6]
             frame = spec[6] if len(spec) > 6 else None
-            v = self._compute(func, args, parts, orders, ascs, cols, n, frame)
+            nfs = spec[7] if len(spec) > 7 else None
+            v = self._compute(func, args, parts, orders, ascs, cols, n, frame, nfs)
             arrays.append(v if isinstance(v, pa.Array) else pa.array(v))
             names.append(out_name)
         out = Table(pa.Table.from_arrays(arrays, names=names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 
-    def _compute(self, func, args, parts, orders, ascs, cols, n, frame=None):
+    def _compute(self, func, args, parts, orders, ascs, cols, n, frame=None, nfs=None):
         if n == 0:
             return np.empty(0, np.int64 if func in ("row_number", "rank", "dense_rank", "count") else np.float64)
         pvals = [np.asarray(e.eval(cols, n)) for e in parts]
         seg_codes, _ = _row_group_codes(pvals) if pvals else (np.zeros(n, np.int64), [0])
+        nfs = nfs or [None] * len(orders)
         ocodes = [
-            self._order_codes(np.asarray(e.eval(cols, n)), asc)
-            for e, asc in zip(orders, ascs)
+            self._order_codes(np.asarray(e.eval(cols, n)), asc, nf)
+            for e, asc, nf in zip(orders, ascs, nfs)
         ]
         # primary: partition, then order keys; np.lexsort is stable so
         # input order breaks remaining ties deterministically
@@ -522,14 +564,37 @@ class WindowExec(ExecPlan):
 
             # SQL window aggregates skip NULLs (like regular aggregates):
             # nn = per-row "counts toward the aggregate" indicator
+            str_map = None
             if func == "count" and not args:
                 a = np.ones(n)
                 nn = np.ones(n, dtype=bool)
             else:
                 raw = np.asarray(args[0].eval(cols, n))
                 nulls = _null_mask(raw)
-                a = np.where(nulls, 0.0, raw.astype(np.float64) if raw.dtype != object
-                             else np.array([0.0 if x is None else float(x) for x in raw]))[order]
+                if raw.dtype == object and func in ("min", "max"):
+                    # strings: ordinal-encode, reduce on codes, map back
+                    nn0 = ~nulls
+                    uniq, inv = (
+                        np.unique(raw[nn0], return_inverse=True)
+                        if nn0.any()
+                        else (np.array([], dtype=object), np.array([], np.int64))
+                    )
+                    enc = np.zeros(n)
+                    enc[nn0] = inv.astype(np.float64)
+                    a = enc[order]
+                    str_map = uniq
+                elif raw.dtype == object:
+                    try:
+                        a = np.where(
+                            nulls, 0.0,
+                            np.array([0.0 if x is None else float(x) for x in raw]),
+                        )[order]
+                    except (TypeError, ValueError):
+                        raise ExecutionError(
+                            f"window {func}() requires a numeric column"
+                        )
+                else:
+                    a = np.where(nulls, 0.0, raw.astype(np.float64))[order]
                 nn = (~nulls)[order]
                 if func in ("min", "max"):
                     a = np.where(nn, a, np.inf if func == "min" else -np.inf)
@@ -576,6 +641,19 @@ class WindowExec(ExecPlan):
             if func == "count":
                 vals = np.asarray(vals).astype(np.int64)
                 null_out = None  # count over empty/all-null window is 0
+            if str_map is not None:
+                dec = np.full(n, None, dtype=object)
+                vf = np.asarray(vals, dtype=np.float64)
+                ok = (
+                    np.isfinite(vf)
+                    if null_out is None
+                    else np.isfinite(vf) & ~null_out
+                )
+                idxs = np.clip(vf[ok].astype(np.int64), 0, max(len(str_map) - 1, 0))
+                dec[ok] = str_map[idxs] if len(str_map) else None
+                out = np.empty(n, dtype=object)
+                out[order] = dec
+                return pa.array(out)
             if null_out is not None and null_out.any():
                 out = np.empty(n)
                 out[order] = vals
@@ -598,8 +676,16 @@ class WindowExec(ExecPlan):
         lo, hi = frame
         seg_start = seg_first[seg_id]
         seg_end = np.append(seg_first[1:], n)[seg_id]  # exclusive
-        w_lo = seg_start if lo is None else np.maximum(pos + lo, seg_start)
-        w_hi = seg_end if hi is None else np.minimum(pos + hi + 1, seg_end)
+        w_lo = (
+            seg_start
+            if lo is None
+            else np.clip(pos + lo, seg_start, seg_end)
+        )
+        w_hi = (
+            seg_end
+            if hi is None
+            else np.clip(pos + hi + 1, seg_start, seg_end)
+        )
         w_hi = np.maximum(w_hi, w_lo)  # empty window allowed
         width = w_hi - w_lo
         ccs = np.concatenate([[0.0], np.cumsum(nn_f)])

@@ -219,7 +219,14 @@ class Binder:
                                 f"{fn.name} offset/default must be a literal"
                             )
                         v = lit.value
-                        args.append(-v if neg and v is not None else v)
+                        v = -v if neg and v is not None else v
+                        if i == 1 and fn.name in ("lag", "lead") and (
+                            not isinstance(v, int) or v < 0
+                        ):
+                            raise PlanError(
+                                f"{fn.name} offset must be a non-negative integer"
+                            )
+                        args.append(v)
                     else:
                         args.append(self._bind_expr(a, schema).expr)
                 parts = [self._bind_expr(p, schema).expr for p in e.partition_by]
@@ -227,6 +234,7 @@ class Binder:
                     self._bind_expr(oi.expr, schema).expr for oi in e.order_by
                 ]
                 ascs = [oi.asc for oi in e.order_by]
+                nfs = [oi.nulls_first for oi in e.order_by]
                 if fn.name in ("row_number", "rank", "dense_rank") and not orders:
                     raise PlanError(f"{fn.name}() requires ORDER BY in OVER()")
                 if e.frame is not None:
@@ -240,7 +248,7 @@ class Binder:
                 name = f"__window_{counter[0]}"
                 counter[0] += 1
                 specs.append(
-                    (fn.name, args, parts, orders, ascs, name, e.frame)
+                    (fn.name, args, parts, orders, ascs, name, e.frame, nfs)
                 )
                 return ast.ColRef(None, name)
             if isinstance(e, ast.Binary):
@@ -362,30 +370,14 @@ class Binder:
             raise PlanError(
                 "correlated scalar subqueries must select a plain aggregate"
             )
-        inner_plan, inner_where = self._bind_from(sel)
-        inner_schema = inner_plan.schema()
-        cross = []
-        if inner_where is not None:
-            for cj in self._flatten_and(inner_where):
-                try:
-                    b = self._bind_expr(cj, inner_schema)
-                except PlanError:
-                    cross.append(cj)
-                else:
-                    inner_plan = FilterExec(inner_plan, b.expr)
-        lschema = plan.schema()
-        nleft = len(lschema)
-        combined = lschema + inner_plan.schema()
-        pairs = []
-        for cj in cross:
-            bound = self._bind_expr(cj, combined)
-            pair = self._as_equi_pair(bound, nleft)
-            if pair is None:
-                raise PlanError(
-                    "correlated scalar subqueries support only equality "
-                    "correlation predicates"
-                )
-            pairs.append(pair)
+        inner_plan, pairs, residual, lschema, nleft = self._split_correlation(
+            plan, sel
+        )
+        if residual:
+            raise PlanError(
+                "correlated scalar subqueries support only equality "
+                "correlation predicates"
+            )
         if not pairs:
             raise PlanError("correlated scalar subquery has no correlation keys")
         # aggregate the inner side per correlation-key group
@@ -423,10 +415,43 @@ class Binder:
             else pe.BinaryExpr(outer_expr, op, agg_col)
         )
         filtered = FilterExec(join, cmp)
-        # project the outer schema back (with qualifiers so later
-        # resolution like ORDER BY t.x keeps working)
+        return self._project_outer(filtered, lschema)
+
+    def _split_correlation(self, plan: ExecPlan, sel: ast.Select):
+        """Shared decorrelation front half: bind the subquery's FROM,
+        push inner-only conjuncts below, and split cross-scope conjuncts
+        into equality pairs vs residual bound filters.
+
+        Returns (inner_plan, pairs, residual_bounds, lschema, nleft)."""
+        inner_plan, inner_where = self._bind_from(sel)
+        inner_schema = inner_plan.schema()
+        cross = []
+        if inner_where is not None:
+            for cj in self._flatten_and(inner_where):
+                try:
+                    b = self._bind_expr(cj, inner_schema)
+                except PlanError:
+                    cross.append(cj)  # references the outer scope
+                else:
+                    inner_plan = FilterExec(inner_plan, b.expr)
+        lschema = plan.schema()
+        nleft = len(lschema)
+        combined = lschema + inner_plan.schema()
+        pairs, residual = [], []
+        for cj in cross:
+            bound = self._bind_expr(cj, combined)
+            pair = self._as_equi_pair(bound, nleft)
+            if pair is not None:
+                pairs.append(pair)
+            else:
+                residual.append(bound)
+        return inner_plan, pairs, residual, lschema, nleft
+
+    def _project_outer(self, plan: ExecPlan, lschema) -> ExecPlan:
+        """Project a decorrelated join back to the outer schema (with
+        qualifiers, so downstream resolution keeps working)."""
         return ProjectExec(
-            filtered,
+            plan,
             [pe.Column(n, i) for i, (_, n) in enumerate(lschema)],
             [n for _, n in lschema],
             [q for q, _ in lschema],
@@ -453,29 +478,13 @@ class Binder:
             raise PlanError(
                 "correlated NOT IN requires a single plain column subquery"
             )
-        inner_plan, inner_where = self._bind_from(sel)
-        inner_schema = inner_plan.schema()
-        cross = []
-        if inner_where is not None:
-            for cj in self._flatten_and(inner_where):
-                try:
-                    b = self._bind_expr(cj, inner_schema)
-                except PlanError:
-                    cross.append(cj)
-                else:
-                    inner_plan = FilterExec(inner_plan, b.expr)
-        lschema = plan.schema()
-        nleft = len(lschema)
-        combined = lschema + inner_plan.schema()
-        pairs = []
-        for cj in cross:
-            bound = self._bind_expr(cj, combined)
-            pair = self._as_equi_pair(bound, nleft)
-            if pair is None:
-                raise PlanError(
-                    "correlated NOT IN supports only equality correlation"
-                )
-            pairs.append(pair)
+        inner_plan, pairs, residual, lschema, nleft = self._split_correlation(
+            plan, sel
+        )
+        if residual:
+            raise PlanError(
+                "correlated NOT IN supports only equality correlation"
+            )
         y_expr = self._bind_expr(sel.items[0].expr, inner_plan.schema()).expr
         x_expr = self._bind_expr(node.child, lschema).expr
         # 1) drop outer rows with an exact (corr, x=y) match
@@ -510,12 +519,7 @@ class Binder:
             pe.BinaryExpr(cnt_col, "=", nn_col),
         )
         filtered = FilterExec(join, pe.BinaryExpr(absent, "OR", clean))
-        return ProjectExec(
-            filtered,
-            [pe.Column(n, i) for i, (_, n) in enumerate(lschema)],
-            [n for _, n in lschema],
-            [q for q, _ in lschema],
-        )
+        return self._project_outer(filtered, lschema)
 
     def _decorrelate_subquery(self, plan: ExecPlan, node) -> ExecPlan:
         """Outer plan ⋉/▷ inner plan on the correlation predicates.
@@ -535,28 +539,9 @@ class Binder:
             )
         if isinstance(node, ast.InSubquery) and node.negated:
             return self._decorrelate_not_in(plan, node)
-        inner_plan, inner_where = self._bind_from(sel)
-        inner_schema = inner_plan.schema()
-        cross = []
-        if inner_where is not None:
-            for cj in self._flatten_and(inner_where):
-                try:
-                    b = self._bind_expr(cj, inner_schema)
-                except PlanError:
-                    cross.append(cj)  # references the outer scope
-                else:
-                    inner_plan = FilterExec(inner_plan, b.expr)
-        lschema = plan.schema()
-        nleft = len(lschema)
-        combined = lschema + inner_plan.schema()
-        on_pairs, filter_conjuncts = [], []
-        for cj in cross:
-            bound = self._bind_expr(cj, combined)
-            pair = self._as_equi_pair(bound, nleft)
-            if pair is not None:
-                on_pairs.append(pair)
-            else:
-                filter_conjuncts.append(bound)
+        inner_plan, on_pairs, filter_conjuncts, lschema, nleft = (
+            self._split_correlation(plan, sel)
+        )
         if isinstance(node, ast.InSubquery):
             if len(sel.items) != 1 or isinstance(sel.items[0].expr, ast.Star):
                 raise PlanError("IN subquery must return exactly one column")
@@ -839,9 +824,17 @@ class Binder:
             )
         if isinstance(e, ast.Binary):
             return self._contains_agg(e.left) or self._contains_agg(e.right)
-        if isinstance(e, ast.Unary):
+        if isinstance(e, (ast.Unary, ast.Cast, ast.Like)):
             return self._contains_agg(e.child)
-        if isinstance(e, ast.Cast):
+        if isinstance(e, ast.Case):
+            return (
+                any(
+                    self._contains_agg(c) or self._contains_agg(r)
+                    for c, r in e.whens
+                )
+                or (e.else_ is not None and self._contains_agg(e.else_))
+            )
+        if isinstance(e, ast.InList):
             return self._contains_agg(e.child)
         return False
 
@@ -926,6 +919,37 @@ class Binder:
             return pe.CastExpr(
                 self._bind_agg_value_expr(e.child, aschema), e.type_name
             )
+        if isinstance(e, ast.Case):
+            return pe.CaseExpr(
+                tuple(
+                    (
+                        self._bind_agg_value_expr(c, aschema),
+                        self._bind_agg_value_expr(r, aschema),
+                    )
+                    for c, r in e.whens
+                ),
+                self._bind_agg_value_expr(e.else_, aschema)
+                if e.else_ is not None
+                else None,
+            )
+        if isinstance(e, ast.Like):
+            return pe.LikeExpr(
+                self._bind_agg_value_expr(e.child, aschema),
+                self._bind_agg_value_expr(e.pattern, aschema),
+                e.negated,
+                e.case_insensitive,
+            )
+        if isinstance(e, ast.InList):
+            items = tuple(self._bind_agg_value_expr(a, aschema) for a in e.items)
+            if all(isinstance(x, pe.Literal) for x in items):
+                vals = tuple(x.value for x in items)
+                return pe.InListExpr(
+                    self._bind_agg_value_expr(e.child, aschema),
+                    vals,
+                    e.negated,
+                    has_null=any(v is None for v in vals),
+                )
+            raise PlanError("IN over aggregates requires literal items")
         if isinstance(e, ast.ColRef):
             return self._bind_expr(e, aschema).expr
         raise PlanError(f"unsupported HAVING expression: {e}")

@@ -66,6 +66,30 @@ class Literal(PhysicalExpr):
         return str(self.value)
 
 
+def truth(mask) -> np.ndarray:
+    """Collapse a (possibly Kleene float 1/0/NaN) condition to a boolean
+    filter mask: UNKNOWN (NaN) never passes (SQL WHERE semantics)."""
+    m = np.asarray(mask)
+    if m.dtype == bool:
+        return m
+    if m.dtype == object:
+        return np.array([v is True or v == 1 for v in m], dtype=bool)
+    with np.errstate(invalid="ignore"):
+        return m == 1
+
+
+def _kleene(x) -> np.ndarray:
+    """Lift a condition to the Kleene float domain (1/0/NaN)."""
+    x = np.asarray(x)
+    if x.dtype == np.float64:
+        return x
+    if x.dtype == object:
+        return np.array(
+            [np.nan if v is None or v != v else float(bool(v)) for v in x]
+        )
+    return x.astype(np.float64)
+
+
 _OP_FUNCS = {
     "+": np.add,
     "-": np.subtract,
@@ -92,9 +116,27 @@ class BinaryExpr(PhysicalExpr):
         r = self.right.eval(cols, num_rows)
         op = self.op
         if op == "AND":
-            return np.logical_and(l.astype(bool), r.astype(bool))
+            la, ra = np.asarray(l), np.asarray(r)
+            if la.dtype == bool and ra.dtype == bool:
+                return np.logical_and(la, ra)
+            # Kleene: FALSE dominates, then UNKNOWN (NaN)
+            lk, rk = _kleene(la), _kleene(ra)
+            with np.errstate(invalid="ignore"):
+                return np.where(
+                    (lk == 0) | (rk == 0), 0.0,
+                    np.where(np.isnan(lk) | np.isnan(rk), np.nan, 1.0),
+                )
         if op == "OR":
-            return np.logical_or(l.astype(bool), r.astype(bool))
+            la, ra = np.asarray(l), np.asarray(r)
+            if la.dtype == bool and ra.dtype == bool:
+                return np.logical_or(la, ra)
+            # Kleene: TRUE dominates, then UNKNOWN (NaN)
+            lk, rk = _kleene(la), _kleene(ra)
+            with np.errstate(invalid="ignore"):
+                return np.where(
+                    (lk == 1) | (rk == 1), 1.0,
+                    np.where(np.isnan(lk) | np.isnan(rk), np.nan, 0.0),
+                )
         if op == "/":
             if np.issubdtype(np.asarray(l).dtype, np.integer) and np.issubdtype(
                 np.asarray(r).dtype, np.integer
@@ -105,23 +147,28 @@ class BinaryExpr(PhysicalExpr):
         if fn is None:
             raise ExecutionError(f"unsupported operator {op}")
         if op in ("=", "!=", "<", "<=", ">", ">="):
+            # SQL three-valued logic: comparisons with a NULL operand are
+            # UNKNOWN, represented as NaN in a Kleene float array so that
+            # NOT/AND/OR propagate it; truth() at filter boundaries maps
+            # UNKNOWN -> excluded.  NULL-free inputs stay boolean.
             l_arr, r_arr = np.asarray(l), np.asarray(r)
             if l_arr.dtype == object or r_arr.dtype == object:
                 l_arr, r_arr = np.broadcast_arrays(l_arr, r_arr)
                 nn = _null_mask(l_arr) | _null_mask(r_arr)
-                out = np.array(
-                    [False if m else bool(fn(x, y))
+                if not nn.any():
+                    return np.array(
+                        [bool(fn(x, y)) for x, y in zip(l_arr, r_arr)],
+                        dtype=bool,
+                    )
+                return np.array(
+                    [np.nan if m else float(bool(fn(x, y)))
                      for x, y, m in zip(l_arr, r_arr, nn)],
-                    dtype=bool,
                 )
-                return out
-            # SQL 3VL in filter context: NULL-compared rows are UNKNOWN ->
-            # false.  numpy gets this right for NaN everywhere except !=
+            nn = _null_mask(l_arr) | _null_mask(r_arr)
             with np.errstate(invalid="ignore"):
                 out = fn(l_arr, r_arr)
-            nn = _null_mask(l_arr) | _null_mask(r_arr)
             if nn.any():
-                out = out & ~nn
+                return np.where(nn, np.nan, out.astype(np.float64))
             return out
         return fn(l, r)
 
@@ -142,7 +189,11 @@ class NotExpr(PhysicalExpr):
     child: PhysicalExpr
 
     def eval(self, cols, num_rows):
-        return np.logical_not(self.child.eval(cols, num_rows).astype(bool))
+        c = np.asarray(self.child.eval(cols, num_rows))
+        if c.dtype == bool:
+            return np.logical_not(c)
+        # Kleene NOT: 1-x keeps UNKNOWN (NaN) unknown
+        return 1.0 - _kleene(c)
 
     def columns(self):
         return self.child.columns()
@@ -219,8 +270,19 @@ class CastExpr(PhysicalExpr):
             )
             if target is np.float64:
                 return vals
-            if nulls.any():
-                return vals  # keep NaN-as-NULL representation
+            if target is np.int64:
+                # truncate toward zero; NULLs stay NaN (the engine-wide
+                # NULL representation for numeric arrays)
+                out = np.trunc(vals)
+                return out if nulls.any() else out.astype(np.int64)
+            if target is np.bool_:
+                if nulls.any():
+                    return np.array(
+                        [None if nn else bool(v)
+                         for v, nn in zip(vals, nulls)],
+                        dtype=object,
+                    )
+                return vals.astype(np.bool_)
             return vals.astype(target)
         if target is np.int64 and np.issubdtype(a.dtype, np.floating):
             return np.trunc(a).astype(np.int64)
@@ -246,10 +308,10 @@ def _sql_str(v) -> str:
 
 @dataclasses.dataclass(frozen=True)
 class InListExpr(PhysicalExpr):
-    """SQL [NOT] IN over a literal or subquery-produced value list, with
-    three-valued NULL semantics collapsed for filter context (UNKNOWN
-    never passes a WHERE): x IN (..) is false for NULL x; x NOT IN (list
-    containing NULL) is never true."""
+    """SQL [NOT] IN over a literal or subquery-produced value list with
+    Kleene three-valued semantics: NULL x (or an unmatched list NULL) is
+    UNKNOWN (NaN), which truth() excludes at filter boundaries and NOT
+    keeps unknown."""
 
     child: PhysicalExpr
     values: tuple
@@ -258,6 +320,10 @@ class InListExpr(PhysicalExpr):
 
     def eval(self, cols, num_rows):
         a = np.asarray(self.child.eval(cols, num_rows))
+        if not self.values:
+            # IN over an empty set is FALSE for every row (even NULL x)
+            out = np.zeros(a.shape, dtype=bool)
+            return ~out if self.negated else out
         nulls = _null_mask(a)
         vals = [v for v in self.values if v is not None]
         if a.dtype == object:
@@ -271,11 +337,15 @@ class InListExpr(PhysicalExpr):
                 np.isin(a, np.asarray(vals)) if vals else np.zeros(a.shape, bool)
             )
             member &= ~nulls
-        if not self.negated:
-            return member
-        if self.has_null:
-            return np.zeros(a.shape, dtype=bool)  # NOT IN (.., NULL): UNKNOWN
-        return ~member & ~nulls
+        # Kleene: matches are TRUE; NULL x (or a NULL in the list when
+        # nothing matched) is UNKNOWN; truth() at the filter boundary
+        # excludes UNKNOWN rows
+        unknown = nulls | (~member & self.has_null)
+        if not unknown.any():
+            return ~member if self.negated else member
+        base = np.where(member, 1.0, 0.0)
+        out = np.where(unknown & ~member, np.nan, base)
+        return 1.0 - out if self.negated else out
 
     def columns(self):
         return self.child.columns()
@@ -485,7 +555,7 @@ class CaseExpr(PhysicalExpr):
         taken = np.zeros(num_rows, dtype=bool)
         out = np.full(num_rows, None, dtype=object)
         for cond, res in self.whens:
-            c = np.asarray(cond.eval(cols, num_rows)).astype(bool)
+            c = truth(cond.eval(cols, num_rows))
             pick = c & ~taken
             if pick.any():
                 r = np.asarray(res.eval(cols, num_rows))
@@ -559,7 +629,8 @@ def _like_regex(pattern: str, case_insensitive: bool):
 @dataclasses.dataclass(frozen=True)
 class LikeExpr(PhysicalExpr):
     """SQL [NOT] LIKE / ILIKE with % and _ wildcards (backslash escapes).
-    NULL operands are UNKNOWN -> false in filter context."""
+    NULL operands are UNKNOWN (Kleene NaN) so NOT/AND/OR compose
+    correctly; truth() excludes UNKNOWN at filter boundaries."""
 
     child: PhysicalExpr
     pattern: PhysicalExpr
@@ -574,27 +645,28 @@ class LikeExpr(PhysicalExpr):
             rx = _like_regex(str(p.item()), self.case_insensitive)
             hits = np.array(
                 [
-                    bool(rx.match(str(v))) if not nn else False
+                    np.nan if nn else float(bool(rx.match(str(v))))
                     for v, nn in zip(a, nulls)
                 ],
-                dtype=bool,
             )
         else:
             pn = _null_mask(p)
             hits = np.array(
                 [
-                    bool(
-                        _like_regex(str(pv), self.case_insensitive).match(str(v))
+                    np.nan
+                    if (nn or pnn)
+                    else float(
+                        bool(
+                            _like_regex(str(pv), self.case_insensitive).match(str(v))
+                        )
                     )
-                    if not (nn or pnn)
-                    else False
                     for v, pv, nn, pnn in zip(a, p, nulls, pn)
                 ],
-                dtype=bool,
             )
-        if self.negated:
-            return ~hits & ~nulls
-        return hits
+        out = 1.0 - hits if self.negated else hits
+        if not np.isnan(out).any():
+            return out == 1.0
+        return out
 
     def columns(self):
         return self.child.columns() + self.pattern.columns()

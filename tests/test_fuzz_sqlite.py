@@ -76,6 +76,8 @@ def _rand_pred(rng: random.Random) -> str:
     if rng.random() < 0.4:
         q = rng.choice(preds)()
         p = f"({p} {rng.choice(['AND', 'OR'])} {q})"
+    if rng.random() < 0.25:
+        p = f"NOT {p}"  # exercises Kleene NOT over UNKNOWN
     return p
 
 
@@ -205,6 +207,9 @@ class TestSqliteDifferential:
                     "lead(x, 2) OVER (ORDER BY id)",
                     "min(x) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
                     "sum(x) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)",
+                    "sum(x) OVER (ORDER BY id ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING)",
+                    "max(s) OVER (PARTITION BY g)",
+                    "min(s) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
                 ]
             )
             sql = f"SELECT id, {fn} FROM t ORDER BY id NULLS LAST"

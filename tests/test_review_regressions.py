@@ -329,3 +329,85 @@ class TestAggregateNullSkipping:
     def test_count_distinct_skips_nulls(self):
         got = self._ctx().sql("SELECT count(DISTINCT v) FROM n").to_pylist()[0]
         assert list(got.values()) == [1]
+
+
+class TestSqlReviewRound2:
+    """Round-2 review findings on the SQL layer (code-review of the SQL
+    surface expansion): frame clamping, nullable CAST, OVER NULLS
+    placement, Kleene NOT, negative lag offsets, string min/max with
+    NULLs, CASE over aggregates, DESC NULLS default."""
+
+    def _ctx(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table(
+            "t",
+            pa.table({"id": list(range(5)),
+                      "x": pa.array([1.7, None, 3.0, 4.0, 5.0], pa.float64())}),
+        )
+        return c
+
+    def test_following_only_frame_no_crash(self):
+        got = self._ctx().sql(
+            "SELECT id, sum(x) OVER (ORDER BY id ROWS BETWEEN 2 FOLLOWING "
+            "AND 3 FOLLOWING) AS s FROM t ORDER BY id"
+        ).to_pylist()
+        vals = [r["s"] for r in got]
+        assert vals[3] is None and vals[4] is None
+        assert vals[:3] == pytest.approx([7.0, 9.0, 5.0])
+
+    def test_cast_int_nullable_truncates(self):
+        got = self._ctx().sql("SELECT CAST(x AS INTEGER) AS i FROM t").column_np(0)
+        assert got[0] == 1.0 and got[2] == 3.0  # truncated, not 1.7
+
+    def test_over_nulls_first(self):
+        got = self._ctx().sql(
+            "SELECT id, row_number() OVER (ORDER BY x NULLS FIRST) AS rn "
+            "FROM t ORDER BY id"
+        ).to_pylist()
+        assert got[1]["rn"] == 1  # NULL row ranks first
+
+    def test_not_comparison_excludes_null(self):
+        got = self._ctx().sql(
+            "SELECT id FROM t WHERE NOT (x = 3) ORDER BY id"
+        ).to_pylist_column(0)
+        assert got == [0, 3, 4]  # NULL row excluded (UNKNOWN)
+
+    def test_negative_lag_offset_rejected(self):
+        from sequila_tpu.errors import PlanError
+
+        with pytest.raises(PlanError, match="non-negative"):
+            self._ctx().sql("SELECT lag(id, -1) OVER (ORDER BY id) FROM t")
+
+    def test_string_min_max_with_nulls(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table(
+            "s", pa.table({"g": ["a", "a", "b"], "v": ["x", None, None]})
+        )
+        got = c.sql("SELECT g, min(v), max(v) FROM s GROUP BY g ORDER BY g").to_pylist()
+        assert got == [
+            {"g": "a", "min(v)": "x", "max(v)": "x"},
+            {"g": "b", "min(v)": None, "max(v)": None},
+        ]
+        got2 = c.sql("SELECT min(v) OVER (PARTITION BY g) FROM s").to_pylist()
+        assert [list(r.values())[0] for r in got2] == ["x", "x", None]
+
+    def test_case_over_aggregate(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("q", pa.table({"g": ["a", "a", "b"], "v": [1, 2, 5]}))
+        got = c.sql(
+            "SELECT g, CASE WHEN count(*) > 1 THEN 'big' ELSE 'small' END AS z "
+            "FROM q GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert got == [{"g": "a", "z": "big"}, {"g": "b", "z": "small"}]
+
+    def test_desc_defaults_nulls_first(self):
+        got = self._ctx().sql(
+            "SELECT id FROM t ORDER BY x DESC"
+        ).to_pylist_column(0)
+        assert got == [1, 4, 3, 2, 0]  # NULL first on DESC (DataFusion)
