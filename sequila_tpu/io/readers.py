@@ -69,6 +69,10 @@ def read_table(path: str, fmt: str, **options) -> Table:
         return read_parquet(path)
     if fmt == "bed":
         return read_bed(path)
+    if fmt == "json":
+        import pyarrow.json as pajson
+
+        return Table(pajson.read_json(path))
     raise PlanError(f"unsupported storage format: {fmt}")
 
 

@@ -48,8 +48,10 @@ class _Bound:
 
 
 class Binder:
-    def __init__(self, catalog, runner=None):
+    def __init__(self, catalog, runner=None, views=None):
         self.catalog = catalog
+        self.views = views or {}
+        self._view_stack: list[str] = []
         # runner: Callable[[ast.Select], Table] — executes an uncorrelated
         # subquery (IN/EXISTS/scalar) at bind time.  DataFusion decorrelates
         # these into joins; the reference exercises none of them, so eager
@@ -143,10 +145,29 @@ class Binder:
         return plan
 
     # -- FROM / joins ---------------------------------------------------
-    def _scan(self, tref: ast.TableRef) -> ScanExec:
-        if tref.name not in self.catalog:
+    def _scan(self, tref: ast.TableRef) -> ExecPlan:
+        key = tref.name.lower()
+        if key in self.views:
+            if key in self._view_stack:
+                raise PlanError(f"view '{tref.name}' is recursive")
+            self._view_stack.append(key)
+            try:
+                sub = self.bind_select(self.views[key])
+            finally:
+                self._view_stack.pop()
+            # re-qualify the view's output columns under the view alias so
+            # `v.col` resolves (the inner plan keeps its own structure)
+            qual = tref.alias or tref.name
+            schema = sub.schema()
+            return ProjectExec(
+                sub,
+                [pe.Column(n, i) for i, (_, n) in enumerate(schema)],
+                [n for _, n in schema],
+                [qual] * len(schema),
+            )
+        if key not in self.catalog:
             raise PlanError(f"table '{tref.name}' not found")
-        return ScanExec(tref.name, self.catalog[tref.name], tref.alias or tref.name)
+        return ScanExec(tref.name, self.catalog[key], tref.alias or tref.name)
 
     def _bind_from(self, sel: ast.Select):
         """Returns (plan, remaining_where): a comma cross-join consumes the

@@ -78,6 +78,7 @@ class SessionContext:
     def __init__(self, config: SequilaConfig | None = None):
         self.config = config or SequilaConfig()
         self.catalog: dict[str, Table] = {}
+        self.views: dict[str, ast.Select] = {}
         self.datafusion_options: dict[str, str] = {}
         self.last_metrics = None
 
@@ -140,10 +141,71 @@ class SessionContext:
         if isinstance(stmt, ast.CreateTableAsSelect):
             self.catalog[stmt.name.lower()] = self._run_select(stmt.select)
             return None
-        if isinstance(stmt, ast.DropTable):
-            if stmt.name.lower() not in self.catalog and not stmt.if_exists:
+        if isinstance(stmt, ast.CreateView):
+            key = stmt.name.lower()
+            if not stmt.or_replace and (key in self.views or key in self.catalog):
+                raise PlanError(f"'{stmt.name}' already exists")
+            # bind now to surface errors early (result is discarded)
+            Binder(self.catalog, runner=self._run_select, views=self.views).bind_select(
+                stmt.select
+            )
+            self.views[key] = stmt.select
+            return None
+        if isinstance(stmt, ast.InsertInto):
+            key = stmt.name.lower()
+            if key not in self.catalog:
                 raise PlanError(f"table '{stmt.name}' not found")
-            self.catalog.pop(stmt.name.lower(), None)
+            target = self.catalog[key]
+            if stmt.select is not None:
+                new = self._run_select(stmt.select)
+            else:
+                cols = list(zip(*stmt.rows)) if stmt.rows else []
+                if len(cols) != len(target.column_names):
+                    raise PlanError(
+                        f"INSERT expects {len(target.column_names)} values, "
+                        f"got {len(cols)}"
+                    )
+                new = Table(
+                    pa.table(
+                        {n: list(c) for n, c in zip(target.column_names, cols)},
+                        schema=target.arrow.schema,
+                    )
+                )
+            if new.column_names != target.column_names:
+                new = new.rename(target.column_names)
+            merged = pa.concat_tables(
+                [target.arrow, new.arrow.cast(target.arrow.schema)]
+            )
+            self.catalog[key] = Table(merged)
+            return None
+        if isinstance(stmt, ast.Describe):
+            key = stmt.name.lower()
+            if key in self.views:
+                plan = self.create_physical_plan(self.views[key])
+                names = [n for _, n in plan.schema()]
+                return Table(pa.table({
+                    "column_name": names,
+                    "data_type": ["?"] * len(names),
+                    "is_nullable": ["YES"] * len(names),
+                }))
+            if key not in self.catalog:
+                raise PlanError(f"table '{stmt.name}' not found")
+            sch = self.catalog[key].arrow.schema
+            return Table(pa.table({
+                "column_name": [f.name for f in sch],
+                "data_type": [str(f.type) for f in sch],
+                "is_nullable": ["YES" if f.nullable else "NO" for f in sch],
+            }))
+        if isinstance(stmt, ast.DropTable):
+            key = stmt.name.lower()
+            if stmt.view:
+                if key not in self.views and not stmt.if_exists:
+                    raise PlanError(f"view '{stmt.name}' not found")
+                self.views.pop(key, None)
+                return None
+            if key not in self.catalog and not stmt.if_exists:
+                raise PlanError(f"table '{stmt.name}' not found")
+            self.catalog.pop(key, None)
             return None
         if isinstance(stmt, ast.Explain):
             return self._explain(stmt)
@@ -201,7 +263,9 @@ class SessionContext:
 
     # -- planning + execution ----------------------------------------------
     def create_physical_plan(self, sel: ast.Select):
-        plan = Binder(self.catalog, runner=self._run_select).bind_select(sel)
+        plan = Binder(
+            self.catalog, runner=self._run_select, views=self.views
+        ).bind_select(sel)
         plan = PredicatePushdownRule().optimize(plan)
         plan = IntervalJoinRule(self.config).optimize(plan)
         plan = ProjectionPushdownRule().optimize(plan)
@@ -265,7 +329,7 @@ class SessionContext:
             from sequila_tpu.planner.binder import Binder
 
             scan = ScanExec("__union__", out, None)
-            b = Binder(self.catalog, runner=self._run_select)
+            b = Binder(self.catalog, runner=self._run_select, views=self.views)
             schema = scan.schema()
             exprs, asc = [], []
             for oi in u.order_by:

@@ -216,9 +216,31 @@ class CreateTableAsSelect(Statement):
 
 
 @dataclasses.dataclass(frozen=True)
+class CreateView(Statement):
+    name: str
+    select: Select
+    or_replace: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class InsertInto(Statement):
+    """INSERT INTO t VALUES (..), .. | INSERT INTO t SELECT .."""
+
+    name: str
+    rows: tuple = ()  # literal rows, or empty when select is set
+    select: Optional[Select] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Describe(Statement):
+    name: str
+
+
+@dataclasses.dataclass(frozen=True)
 class DropTable(Statement):
     name: str
     if_exists: bool
+    view: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,6 +91,32 @@ class Parser:
             return ast.Explain(self.parse_select(), analyze)
         if self.at_kw("SELECT"):
             return self.parse_select_or_union()
+        if self.at_kw("INSERT"):
+            self.next()
+            self.expect_kw("INTO")
+            name = self.parse_object_name()
+            if self.at("punct", "("):
+                # optional column list (must match table order; kept simple)
+                self.parse_column_names()
+            if self.eat_kw("VALUES"):
+                rows = []
+                while True:
+                    self.expect("punct", "(")
+                    row = []
+                    while not self.at("punct", ")"):
+                        row.append(self.parse_literal_value())
+                        self.eat("punct", ",")
+                    self.expect("punct", ")")
+                    rows.append(tuple(row))
+                    if not self.eat("punct", ","):
+                        break
+                return ast.InsertInto(name, tuple(rows))
+            if self.at_kw("SELECT"):
+                return ast.InsertInto(name, (), self.parse_select())
+            raise PlanError("expected VALUES or SELECT after INSERT INTO")
+        if self.at_kw("DESCRIBE") or self.at_kw("DESC"):
+            self.next()
+            return ast.Describe(self.parse_object_name())
         if self.at_kw("SHOW"):
             self.next()
             self.expect_kw("TABLES")
@@ -123,8 +149,24 @@ class Parser:
         raise PlanError(f"bad SET value: {t.value!r}")
 
     # -- CREATE -------------------------------------------------------------
+    def parse_column_names(self) -> list[str]:
+        self.expect("punct", "(")
+        out = []
+        while not self.eat("punct", ")"):
+            out.append(self.next().value)
+            self.eat("punct", ",")
+        return out
+
     def parse_create(self) -> ast.Statement:
         self.expect_kw("CREATE")
+        or_replace = False
+        if self.eat_kw("OR"):
+            self.expect_kw("REPLACE")
+            or_replace = True
+        if self.eat_kw("VIEW"):
+            name = self.parse_object_name()
+            self.expect_kw("AS")
+            return ast.CreateView(name, self.parse_select(), or_replace)
         external = self.eat_kw("EXTERNAL")
         self.expect_kw("TABLE")
         self.eat_kw("IF")  # IF NOT EXISTS
@@ -210,12 +252,14 @@ class Parser:
     # -- DROP ---------------------------------------------------------------
     def parse_drop(self) -> ast.DropTable:
         self.expect_kw("DROP")
-        self.expect_kw("TABLE")
+        view = self.eat_kw("VIEW")
+        if not view:
+            self.expect_kw("TABLE")
         if_exists = False
         if self.eat_kw("IF"):
             self.expect_kw("EXISTS")
             if_exists = True
-        return ast.DropTable(self.parse_object_name(), if_exists)
+        return ast.DropTable(self.parse_object_name(), if_exists, view)
 
     # -- SELECT -------------------------------------------------------------
     def parse_select(self) -> ast.Select:

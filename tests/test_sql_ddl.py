@@ -1,0 +1,115 @@
+"""Session DDL/DML surface: CREATE [OR REPLACE] VIEW, DROP VIEW,
+INSERT INTO (VALUES | SELECT), DESCRIBE, JSON external tables.
+
+The reference inherits all of these from DataFusion / datafusion-cli;
+none are exercised in its own tests, but a DataFusion user expects them.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from sequila_tpu.errors import PlanError
+from sequila_tpu.session import SessionContext
+
+
+@pytest.fixture()
+def ctx():
+    c = SessionContext()
+    c.register_table(
+        "reads",
+        pa.table({"contig": ["c1", "c1", "c2"], "s": [0, 100, 50], "e": [50, 150, 99]}),
+    )
+    return c
+
+
+class TestViews:
+    def test_create_query_drop(self, ctx):
+        ctx.sql("CREATE VIEW lr AS SELECT contig, s, e FROM reads WHERE s > 0")
+        assert ctx.sql("SELECT count(*) FROM lr").column_np(0)[0] == 2
+        ctx.sql("DROP VIEW lr")
+        with pytest.raises(PlanError):
+            ctx.sql("SELECT * FROM lr")
+
+    def test_view_alias_qualification(self, ctx):
+        ctx.sql("CREATE VIEW v AS SELECT contig, s FROM reads")
+        got = ctx.sql("SELECT v.contig FROM v WHERE v.s = 100")
+        assert got.to_pylist_column(0) == ["c1"]
+
+    def test_view_in_interval_join(self, ctx):
+        ctx.register_table("targets", pa.table({"contig": ["c1"], "s": [40], "e": [60]}))
+        ctx.sql("CREATE VIEW lr AS SELECT * FROM reads")
+        got = ctx.sql(
+            "SELECT count(*) FROM lr a JOIN targets b ON a.contig = b.contig "
+            "AND a.s <= b.e AND a.e >= b.s"
+        )
+        assert got.column_np(0)[0] == 1
+
+    def test_nested_views(self, ctx):
+        ctx.sql("CREATE VIEW v1 AS SELECT s * 2 AS y FROM reads")
+        ctx.sql("CREATE VIEW v2 AS SELECT y + 1 AS z FROM v1")
+        assert ctx.sql("SELECT max(z) FROM v2").column_np(0)[0] == 201
+
+    def test_or_replace_and_duplicate(self, ctx):
+        ctx.sql("CREATE VIEW v AS SELECT contig FROM reads")
+        with pytest.raises(PlanError, match="exists"):
+            ctx.sql("CREATE VIEW v AS SELECT s FROM reads")
+        ctx.sql("CREATE OR REPLACE VIEW v AS SELECT s FROM reads")
+        assert ctx.sql("SELECT count(*) FROM v").column_np(0)[0] == 3
+
+    def test_recursive_view_rejected(self, ctx):
+        ctx.sql("CREATE VIEW v AS SELECT contig FROM reads")
+        ctx.sql("CREATE OR REPLACE VIEW v AS SELECT contig FROM v")
+        with pytest.raises(PlanError, match="recursive"):
+            ctx.sql("SELECT * FROM v")
+
+    def test_drop_view_if_exists(self, ctx):
+        ctx.sql("DROP VIEW IF EXISTS nosuch")
+        with pytest.raises(PlanError):
+            ctx.sql("DROP VIEW nosuch")
+
+
+class TestInsert:
+    def test_insert_values(self, ctx):
+        ctx.sql("INSERT INTO reads VALUES ('c3', 1, 2), ('c3', 5, 9)")
+        assert ctx.sql("SELECT count(*) FROM reads").column_np(0)[0] == 5
+
+    def test_insert_select(self, ctx):
+        ctx.sql("INSERT INTO reads SELECT contig, s, e FROM reads WHERE contig = 'c2'")
+        assert ctx.sql("SELECT count(*) FROM reads").column_np(0)[0] == 4
+
+    def test_insert_arity_mismatch(self, ctx):
+        with pytest.raises(PlanError, match="values"):
+            ctx.sql("INSERT INTO reads VALUES ('c3', 1)")
+
+    def test_insert_unknown_table(self, ctx):
+        with pytest.raises(PlanError, match="not found"):
+            ctx.sql("INSERT INTO nosuch VALUES (1)")
+
+    def test_inserted_rows_join(self, ctx):
+        # device caches must not leak stale data after INSERT
+        ctx.register_table("targets", pa.table({"contig": ["c3"], "s": [0], "e": [10]}))
+        q = ("SELECT count(*) FROM reads a JOIN targets b ON a.contig = b.contig "
+             "AND a.s <= b.e AND a.e >= b.s")
+        assert ctx.sql(q).column_np(0)[0] == 0
+        ctx.sql("INSERT INTO reads VALUES ('c3', 1, 2)")
+        assert ctx.sql(q).column_np(0)[0] == 1
+
+
+class TestDescribeAndJson:
+    def test_describe(self, ctx):
+        got = ctx.sql("DESCRIBE reads").to_pylist()
+        assert [r["column_name"] for r in got] == ["contig", "s", "e"]
+        assert got[1]["data_type"] == "int64"
+
+    def test_json_external_table(self, ctx, tmp_path):
+        pth = os.path.join(tmp_path, "x.json")
+        with open(pth, "w") as f:
+            for row in [{"contig": "c1", "s": 1, "e": 5},
+                        {"contig": "c2", "s": 2, "e": 9}]:
+                f.write(json.dumps(row) + "\n")
+        ctx.sql(f"CREATE EXTERNAL TABLE j STORED AS JSON LOCATION '{pth}'")
+        got = ctx.sql("SELECT contig FROM j ORDER BY s")
+        assert got.to_pylist_column(0) == ["c1", "c2"]
