@@ -1,4 +1,4 @@
-"""Host table IO: CSV / Parquet / BED readers (pyarrow's native C++ engines).
+"""Host table IO: CSV / Parquet / BED / VCF / GFF readers (pyarrow C++).
 
 The reference registers external tables through DataFusion's CSV/Parquet
 scans (reference queries/q1-coitrees.sql: CREATE EXTERNAL TABLE ... STORED AS
@@ -73,6 +73,10 @@ def read_table(path: str, fmt: str, **options) -> Table:
         import pyarrow.json as pajson
 
         return Table(pajson.read_json(path))
+    if fmt == "vcf":
+        return read_vcf(path)
+    if fmt in ("gff", "gff3", "gtf"):
+        return read_gff(path)
     raise PlanError(f"unsupported storage format: {fmt}")
 
 
@@ -104,3 +108,70 @@ def write_table(table: Table, path: str) -> None:
         pacsv.write_csv(table.arrow, path)
     else:
         raise PlanError(f"can't infer output format from path: {path}")
+
+
+_VCF_COLS = ("contig", "pos_start", "id", "ref", "alt", "qual", "filter", "info")
+
+
+def read_vcf(path: str) -> Table:
+    """Plain-text VCF (no bgzip): the 8 fixed columns, plus computed
+    end-inclusive ``pos_end`` (start + len(ref) - 1 — the deletion span)
+    so variants drop straight into the interval-join operators.
+    FORMAT/sample columns are ignored; '##' headers skipped."""
+    t = _read_tab_skip_hash(path)
+    cols = {}
+    ncols = min(len(t.column_names), len(_VCF_COLS))
+    for i in range(ncols):
+        cols[_VCF_COLS[i]] = t.column(i)
+    import pyarrow.compute as pc
+
+    start = pc.cast(cols["pos_start"], pa.int64())
+    ref_len = pc.utf8_length(pc.cast(cols["ref"], pa.string()))
+    cols["pos_start"] = start
+    out = pa.table(cols)
+    end = pc.add(start, pc.subtract(pc.cast(ref_len, pa.int64()), 1))
+    out = out.add_column(2, "pos_end", end)
+    return Table(out)
+
+
+def _read_tab_skip_hash(path: str) -> pa.Table:
+    """Tab-separated read skipping '#'-prefixed header lines (VCF '##'
+    metadata + '#CHROM' header, GFF '##' pragmas)."""
+    import io
+
+    with open(path, "rb") as f:
+        data = b"".join(
+            line for line in f if not line.startswith(b"#")
+        )
+    if not data.strip():
+        raise PlanError(f"no data rows in '{path}' (headers/comments only)")
+    return pacsv.read_csv(
+        io.BytesIO(data),
+        read_options=pacsv.ReadOptions(autogenerate_column_names=True),
+        parse_options=pacsv.ParseOptions(delimiter="\t"),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"f5": pa.string(), "f6": pa.string()}
+        ),
+    )
+
+
+_GFF_COLS = (
+    "contig", "source", "type", "pos_start", "pos_end",
+    "score", "strand", "phase", "attributes",
+)
+
+
+def read_gff(path: str) -> Table:
+    """GFF3/GTF: the 9 standard columns with interval-ready names
+    (contig/pos_start/pos_end are the join columns; GFF is 1-based
+    end-inclusive already, matching the engine's convention)."""
+    t = _read_tab_skip_hash(path)
+    cols = {}
+    ncols = min(len(t.column_names), len(_GFF_COLS))
+    for i in range(ncols):
+        cols[_GFF_COLS[i]] = t.column(i)
+    import pyarrow.compute as pc
+
+    cols["pos_start"] = pc.cast(cols["pos_start"], pa.int64())
+    cols["pos_end"] = pc.cast(cols["pos_end"], pa.int64())
+    return Table(pa.table(cols))

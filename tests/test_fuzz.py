@@ -99,3 +99,54 @@ def test_differential_interval_vs_hash(trial, monkeypatch):
         assert int(ctx.sql(qc).column_np(0)[0]) == len(baseline)
         monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "65536")
         assert int(ctx.sql(qc).column_np(0)[0]) == len(baseline)
+
+
+class TestParserRobustness:
+    """Garbage and truncated SQL must raise PlanError (or parse), never
+    crash with an internal exception — the REPL feeds user input here."""
+
+    def test_truncations_of_valid_queries(self):
+        import pyarrow as pa
+        from sequila_tpu.errors import ExecutionError, PlanError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"g": ["a"], "x": [1]}))
+        queries = [
+            "SELECT x, row_number() OVER (PARTITION BY g ORDER BY x DESC NULLS FIRST) FROM t",
+            "SELECT CASE WHEN x IN (1, 2) THEN upper(g) ELSE 'z' END FROM t WHERE g LIKE 'a%'",
+            "SELECT count(*) FROM t WHERE EXISTS (SELECT 1 FROM t WHERE x > 0) GROUP BY g HAVING count(*) > 0",
+            "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t ORDER BY 1 LIMIT 5 OFFSET 1",
+            "SELECT g FROM t WHERE x IS NOT DISTINCT FROM 1 AND x NOT IN (SELECT x FROM t)",
+        ]
+        for q in queries:
+            for cut in range(1, len(q)):
+                try:
+                    c.sql(q[:cut])
+                except (PlanError, ExecutionError):
+                    pass
+                # anything else crashes the test
+
+    def test_token_soup(self):
+        import random
+
+        import pyarrow as pa
+
+        from sequila_tpu.errors import ExecutionError, PlanError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"g": ["a"], "x": [1]}))
+        rng = random.Random(9)
+        tokens = [
+            "SELECT", "FROM", "WHERE", "t", "g", "x", "(", ")", ",", "*",
+            "OVER", "CASE", "WHEN", "END", "IN", "NOT", "LIKE", "NULLS",
+            "ORDER", "BY", "GROUP", "1", "'a'", "=", "<", "AND", "OR",
+            "EXISTS", "ROWS", "BETWEEN", "CAST", "AS", "INT", "VIEW",
+        ]
+        for _ in range(400):
+            q = " ".join(rng.choices(tokens, k=rng.randint(1, 14)))
+            try:
+                c.sql(q)
+            except (PlanError, ExecutionError, KeyError):
+                pass
