@@ -55,6 +55,39 @@ class IntervalMap:
     def reserve(self, n: int) -> None:  # API compatibility; lists auto-grow
         pass
 
+    # -- serialization ------------------------------------------------------
+    # (the reference's superintervals derives serde Serialize/Deserialize on
+    # its IntervalMap — reference superintervals.rs:9,33; here the portable
+    # form is the raw arrays, and the index rebuilds on load)
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            starts=np.asarray(self._starts, np.int64),
+            ends=np.asarray(self._ends, np.int64),
+            data=np.asarray(self._data, dtype=object),
+            allow_pickle=True,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IntervalMap":
+        with np.load(
+            path if path.endswith(".npz") else path + ".npz", allow_pickle=True
+        ) as z:
+            m = cls.from_arrays(z["starts"], z["ends"], list(z["data"]))
+        m.build()
+        return m
+
+    def __getstate__(self):
+        return {"starts": self._starts, "ends": self._ends, "data": self._data}
+
+    def __setstate__(self, state):
+        self._starts = state["starts"]
+        self._ends = state["ends"]
+        self._data = state["data"]
+        self._index = None
+        if self._starts:
+            self.build()
+
     # -- introspection ------------------------------------------------------
     def __len__(self) -> int:
         return len(self._starts)

@@ -64,3 +64,37 @@ def test_random_against_numpy(rng):
         assert sorted(imap.search_idxs(qs, qe)) == sorted(
             np.nonzero((s <= qe) & (e >= qs))[0].tolist()
         )
+
+
+class TestSerialization:
+    """Parity with superintervals' serde derive (reference
+    superintervals.rs:9,33): the index round-trips through pickle and
+    save/load; queries agree after reload."""
+
+    def _map(self):
+        from sequila_tpu.intervalmap import IntervalMap
+
+        m = IntervalMap()
+        m.add(10, 20, "A")
+        m.add(15, 30, "B")
+        m.add(100, 200, "C")
+        m.build()
+        return m
+
+    def test_pickle_round_trip(self):
+        import pickle
+
+        m = self._map()
+        m2 = pickle.loads(pickle.dumps(m))
+        assert m2.search_values(8, 16) == ["A", "B"]
+        assert m2.count(150, 160) == 1
+
+    def test_save_load(self, tmp_path):
+        from sequila_tpu.intervalmap import IntervalMap
+
+        m = self._map()
+        p = str(tmp_path / "idx")
+        m.save(p)
+        m2 = IntervalMap.load(p)
+        assert m2.search_items(14, 16) == m.search_items(14, 16)
+        assert len(m2) == 3
