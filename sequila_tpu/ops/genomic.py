@@ -24,7 +24,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from sequila_tpu.ops.interval_index import IntervalIndex, build_interval_index
-from sequila_tpu.ops.interval_join import overlap_bounds
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ def _setup_jax_compilation_cache():
 
 _setup_jax_compilation_cache()
 
-from sequila_tpu.config import Algorithm, SequilaConfig
+from sequila_tpu.config import SequilaConfig
 from sequila_tpu.errors import PlanError
 from sequila_tpu.exec.context import ExecContext
 from sequila_tpu.io.readers import read_table
