@@ -69,8 +69,15 @@ def _bucket_counts_fn(mesh: Mesh):
     return jax.jit(step)
 
 
-def _shuffle_count_fn(mesh: Mesh, cap: int):
-    """Phase B: bucket + all_to_all both sides' columns, then count."""
+def _shuffle_count_fn(mesh: Mesh, cap: int, chunks: int = 1):
+    """Phase B: bucket + all_to_all both sides' columns, then count.
+
+    chunks > 1 splits the probe side into independent slices, each with
+    its own all_to_all + count.  The slices share no dataflow, so on real
+    multi-chip hardware XLA's latency-hiding scheduler can overlap slice
+    i+1's exchange (ICI) with slice i's sort/count (compute) — the
+    double-buffered shuffle/compute pipeline.  Identical results for any
+    chunk count (verified on the virtual mesh)."""
     nparts = mesh.shape["part"]
 
     def exchange(keys, starts, ends, valid, pad_end_degenerate):
@@ -105,20 +112,28 @@ def _shuffle_count_fn(mesh: Mesh, cap: int):
     )
     def step(bk, bs, be, bv, qk, qs, qe, qv):
         rbk, rbs, rbe = exchange(bk[0], bs[0], be[0], bv[0], False)
-        rqk, rqs, rqe = exchange(qk[0], qs[0], qe[0], qv[0], True)
-        # pad the probe side to a 64-divisible total for the partials
         n = rbk.shape[0]
-        m = rqk.shape[0]
-        pad_to = -((-(n + m)) // 64) * 64 - n
-        if pad_to > m:
-            extra = pad_to - m
-            rqk = jnp.concatenate([rqk, jnp.full((extra,), PAD_KEY, jnp.int32)])
-            rqs = jnp.concatenate([rqs, jnp.full((extra,), PAD_VAL, jnp.int32)])
-            rqe = jnp.concatenate([rqe, jnp.full((extra,), PAD_VAL - 2, jnp.int32)])
-        pu = _sum_rank_partials(rbk, rbs, rqk, rqe, side="right")
-        pl_ = _sum_rank_partials(rbk, rbe, rqk, rqs, side="left")
-        local = jnp.concatenate([pu, -pl_])
-        return jax.lax.psum(local, "part")
+        rows = qk.shape[1]
+        per = rows // chunks
+        locals_ = []
+        # unrolled: each slice's exchange+count is independent dataflow
+        for c in range(chunks):
+            lo, hi = c * per, rows if c == chunks - 1 else (c + 1) * per
+            rqk, rqs, rqe = exchange(
+                qk[0, lo:hi], qs[0, lo:hi], qe[0, lo:hi], qv[0, lo:hi], True
+            )
+            m = rqk.shape[0]
+            # pad the probe slice to a 64-divisible total for the partials
+            pad_to = -((-(n + m)) // 64) * 64 - n
+            if pad_to > m:
+                extra = pad_to - m
+                rqk = jnp.concatenate([rqk, jnp.full((extra,), PAD_KEY, jnp.int32)])
+                rqs = jnp.concatenate([rqs, jnp.full((extra,), PAD_VAL, jnp.int32)])
+                rqe = jnp.concatenate([rqe, jnp.full((extra,), PAD_VAL - 2, jnp.int32)])
+            pu = _sum_rank_partials(rbk, rbs, rqk, rqe, side="right")
+            pl_ = _sum_rank_partials(rbk, rbe, rqk, rqs, side="left")
+            locals_.append(jnp.concatenate([pu, -pl_]))
+        return jax.lax.psum(jnp.concatenate(locals_), "part")
 
     return jax.jit(step)
 
@@ -252,7 +267,9 @@ def _deal(k, s, e, nparts):
     return K, S, E, I
 
 
-def all_to_all_partitioned_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
+def all_to_all_partitioned_count(
+    mesh: Mesh, lk, ls, le, rk, rs, re, chunks: int = 1
+) -> int:
     """Exact count with a REAL device-side shuffle of both tables.
 
     Rows are dealt round-robin across the 'part' axis (arbitrary initial
@@ -287,7 +304,7 @@ def all_to_all_partitioned_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
     cap_b = int(_bucket_counts_fn(mesh)(dBK, dBV))
     cap_q = int(_bucket_counts_fn(mesh)(dQK, dQV))
     cap = _bucket(max(cap_b, cap_q, 1), minimum=8)
-    fn = _shuffle_count_fn(mesh, cap)
+    fn = _shuffle_count_fn(mesh, cap, chunks)
     partials = fn(
         dBK, dev(BS), dev(BE), dBV, dQK, dev(QS), dev(QE), dQV
     )

@@ -309,3 +309,29 @@ class TestDeviceShuffle:
         assert sorted(zip(q.tolist(), b.tolist())) == sorted(
             zip(op.tolist(), ob.tolist())
         )
+
+
+def test_all_to_all_count_pipelined_chunks():
+    """chunks>1 splits the probe exchange into independent slices (the
+    shuffle/compute-overlap pipeline); results are identical for any
+    chunk count."""
+    import numpy as np
+
+    from sequila_tpu.ops.oracle import oracle_counts
+    from sequila_tpu.parallel.mesh import make_mesh
+    from sequila_tpu.parallel.shuffle import all_to_all_partitioned_count
+
+    rng = np.random.default_rng(3)
+    n, m = 300, 700
+    lk = rng.integers(0, 4, n).astype(np.int32)
+    ls = rng.integers(0, 8000, n).astype(np.int32)
+    le = ls + rng.integers(0, 150, n).astype(np.int32)
+    rk = rng.integers(0, 5, m).astype(np.int32)
+    rs = rng.integers(0, 8000, m).astype(np.int32)
+    re = rs + rng.integers(0, 150, m).astype(np.int32)
+    mesh = make_mesh(8, part=8)
+    want = int(oracle_counts(lk, ls, le, rk, rs, re).sum())
+    for chunks in (1, 2, 3, 4):
+        assert all_to_all_partitioned_count(
+            mesh, lk, ls, le, rk, rs, re, chunks=chunks
+        ) == want
