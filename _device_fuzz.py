@@ -30,7 +30,7 @@ for trial in range(10):
         got = np.asarray(count_matches(index, jnp.asarray(rk), jnp.asarray(rs), jnp.asarray(re), "bits"))
         assert (got == want).all(), (trial, "bits")
     if trial % 4 == 1:
-        b, p = materialize_pairs(index, jnp.asarray(rk), jnp.asarray(rs), jnp.asarray(re))
+        b, p, total = materialize_pairs(index, jnp.asarray(rk), jnp.asarray(rs), jnp.asarray(re))
         ob, op = oracle_pairs(lk, ls, le, rk, rs, re)
         assert sorted(zip(p.tolist(), b.tolist())) == sorted(zip(op.tolist(), ob.tolist())), (trial, "pairs")
     print(f"trial {trial}: keys={nk} span={span} wid={wid} total={int(want.sum())} OK [{time.time()-t0:.0f}s]", flush=True)

@@ -95,20 +95,9 @@ class Binder:
             # column that only exists as a SELECT alias resolves to the
             # aliased expression (standard SQL).
             if sel.order_by:
-                alias_exprs = {
-                    item.alias: item.expr
-                    for item in sel.items
-                    if item.alias is not None
-                }
                 exprs, asc, nfs = [], [], []
                 for oi in sel.order_by:
-                    target = oi.expr
-                    if (
-                        isinstance(target, ast.ColRef)
-                        and target.qualifier is None
-                        and target.name in alias_exprs
-                    ):
-                        target = alias_exprs[target.name]
+                    target, _ = self._resolve_item_ref(oi.expr, sel)
                     exprs.append(self._bind_expr(target, schema).expr)
                     asc.append(oi.asc)
                     nfs.append(oi.nulls_first)
@@ -129,6 +118,19 @@ class Binder:
                 names = [n for _, n in aschema]
                 exprs, asc, nfs = [], [], []
                 for oi in sel.order_by:
+                    target = oi.expr
+                    if isinstance(target, ast.Lit) and isinstance(
+                        target.value, int
+                    ) and not isinstance(target.value, bool):
+                        k = target.value
+                        if not 1 <= k <= len(aschema):
+                            raise PlanError(
+                                f"ORDER BY position {k} is not in the select list"
+                            )
+                        exprs.append(pe.Column(names[k - 1], k - 1))
+                        asc.append(oi.asc)
+                        nfs.append(oi.nulls_first)
+                        continue
                     # ORDER BY count(*) / other aggregate expressions
                     # resolve by display name in the aggregate output
                     disp = self._display_name(oi.expr)
@@ -993,13 +995,33 @@ class Binder:
             return out
         return []
 
+    def _resolve_item_ref(self, e, sel: ast.Select):
+        """SELECT-alias or 1-based ordinal reference -> (target_expr,
+        display_name) — standard GROUP BY / ORDER BY shorthand."""
+        if isinstance(e, ast.Lit) and isinstance(e.value, int) and not isinstance(
+            e.value, bool
+        ):
+            k = e.value
+            if not 1 <= k <= len(sel.items):
+                raise PlanError(
+                    f"ORDER/GROUP BY position {k} is not in the select list"
+                )
+            item = sel.items[k - 1]
+            return item.expr, item.alias or self._display_name(item.expr)
+        if isinstance(e, ast.ColRef) and e.qualifier is None:
+            for item in sel.items:
+                if item.alias == e.name:
+                    return item.expr, item.alias
+        return e, self._display_name(e)
+
     def _bind_aggregate(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:
         schema = plan.schema()
         group_exprs, group_names = [], []
         for g in sel.group_by:
-            b = self._bind_expr(g, schema)
+            target, disp = self._resolve_item_ref(g, sel)
+            b = self._bind_expr(target, schema)
             group_exprs.append(b.expr)
-            group_names.append(self._display_name(g))
+            group_names.append(disp)
 
         agg_specs = []
         existing: set = set()
@@ -1037,14 +1059,19 @@ class Binder:
                     ("expr", e, item.alias or self._display_name(e))
                 )
             else:
-                # must be a group-by expression
+                # must be a group-by expression (by display name or alias)
                 name = self._display_name(e)
-                if name not in group_names:
+                key = (
+                    name
+                    if name in group_names
+                    else (item.alias if item.alias in group_names else None)
+                )
+                if key is None:
                     raise PlanError(
                         f"'{name}' must appear in GROUP BY or an aggregate"
                     )
                 # (source name in the aggregate schema, output name)
-                out_items.append(("group", name, item.alias or name))
+                out_items.append(("group", key, item.alias or name))
         # HAVING may reference aggregates not in the SELECT list: compute
         # them as hidden specs, filter, then project them away.
         if sel.having is not None:

@@ -215,6 +215,22 @@ class TestSqliteDifferential:
             sql = f"SELECT id, {fn} FROM t ORDER BY id NULLS LAST"
             _run_both(ctx, con, sql)
 
+    def test_group_by_alias_and_ordinals(self):
+        rng = random.Random(800)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 4):
+            sql = (
+                "SELECT CASE WHEN x > "
+                f"{rng.randint(0, 10)} THEN 'y' ELSE 'n' END AS c, count(*) "
+                "FROM t GROUP BY c ORDER BY 1 NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
+            sql2 = (
+                f"SELECT g, count(x) FROM t WHERE {_rand_pred(rng)} "
+                "GROUP BY 1 ORDER BY 1 NULLS LAST, 2"
+            )
+            _run_both(ctx, con, sql2)
+
     def test_case_in_aggregate(self):
         rng = random.Random(700)
         ctx, con = _setup(rng)

@@ -250,3 +250,37 @@ class TestOrderNullsAndOffset:
     def test_offset_only(self, octx):
         got = octx.sql("SELECT v FROM t ORDER BY v OFFSET 3")
         assert got.to_pylist_column(0) == [None]
+
+
+class TestAliasOrdinalRefs:
+    """GROUP BY / ORDER BY may reference SELECT aliases and 1-based
+    ordinals (sqlite/Postgres/DataFusion shorthand)."""
+
+    @pytest.fixture()
+    def rctx(self):
+        c = SessionContext()
+        c.register_table("t", pa.table({"g": ["a", "a", "b"], "x": [1, 5, 3]}))
+        return c
+
+    def test_group_by_alias(self, rctx):
+        got = rctx.sql(
+            "SELECT CASE WHEN x > 2 THEN 'hi' ELSE 'lo' END AS c, count(*) "
+            "FROM t GROUP BY c ORDER BY c"
+        ).to_pylist()
+        assert got == [{"c": "hi", "count(*)": 2}, {"c": "lo", "count(*)": 1}]
+
+    def test_group_by_ordinal(self, rctx):
+        got = rctx.sql(
+            "SELECT g, sum(x) FROM t GROUP BY 1 ORDER BY 2 DESC"
+        ).to_pylist()
+        assert got == [{"g": "a", "sum(x)": 6}, {"g": "b", "sum(x)": 3}]
+
+    def test_order_by_ordinal_plain(self, rctx):
+        got = rctx.sql("SELECT x, g FROM t ORDER BY 2, 1 DESC").to_pylist()
+        assert [r["x"] for r in got] == [5, 1, 3]
+
+    def test_ordinal_out_of_range(self, rctx):
+        with pytest.raises(PlanError, match="position"):
+            rctx.sql("SELECT x FROM t ORDER BY 3")
+        with pytest.raises(PlanError, match="position"):
+            rctx.sql("SELECT g, count(*) FROM t GROUP BY 5")
