@@ -544,3 +544,17 @@ def test_null_interval_bounds_error(ctx):
             "SELECT * FROM nb1 JOIN nb2 ON nb1.k = nb2.k"
             " AND nb1.s <= nb2.e AND nb1.e >= nb2.s"
         )
+
+
+def test_between_point_in_interval_join(ctx):
+    """ON a.pos BETWEEN b.s AND b.e desugars to the 2-conjunct range and
+    the interval-join rewrite fires (point intervals: start = end)."""
+    import pyarrow as pa
+
+    ctx.register_table("snp", pa.table({"contig": ["c1", "c1", "c2"], "pos": [100, 400, 5]}))
+    ctx.register_table("genes", pa.table({"contig": ["c1", "c2"], "s": [50, 1], "e": [150, 10]}))
+    q = ("SELECT count(*) FROM snp a JOIN genes b ON a.contig = b.contig "
+         "AND a.pos BETWEEN b.s AND b.e")
+    assert ctx.sql(q).column_np(0)[0] == 2
+    plan = ctx.sql("EXPLAIN " + q).column_np("plan")[0]
+    assert "IntervalJoinExec" in plan
