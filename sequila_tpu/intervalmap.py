@@ -65,7 +65,6 @@ class IntervalMap:
             starts=np.asarray(self._starts, np.int64),
             ends=np.asarray(self._ends, np.int64),
             data=np.asarray(self._data, dtype=object),
-            allow_pickle=True,
         )
 
     @classmethod

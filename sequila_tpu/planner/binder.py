@@ -97,7 +97,9 @@ class Binder:
             if sel.order_by:
                 exprs, asc, nfs = [], [], []
                 for oi in sel.order_by:
-                    target, _ = self._resolve_item_ref(oi.expr, sel)
+                    target, _ = self._resolve_item_ref(
+                        oi.expr, sel, schema, alias_wins=True
+                    )
                     exprs.append(self._bind_expr(target, schema).expr)
                     asc.append(oi.asc)
                     nfs.append(oi.nulls_first)
@@ -119,13 +121,11 @@ class Binder:
                 exprs, asc, nfs = [], [], []
                 for oi in sel.order_by:
                     target = oi.expr
-                    if isinstance(target, ast.Lit) and isinstance(
-                        target.value, int
-                    ) and not isinstance(target.value, bool):
-                        k = target.value
+                    k = self._ordinal(target)
+                    if k is not None:
                         if not 1 <= k <= len(aschema):
                             raise PlanError(
-                                f"ORDER BY position {k} is not in the select list"
+                                f"ORDER/GROUP BY position {k} is not in the select list"
                             )
                         exprs.append(pe.Column(names[k - 1], k - 1))
                         asc.append(oi.asc)
@@ -995,20 +995,50 @@ class Binder:
             return out
         return []
 
-    def _resolve_item_ref(self, e, sel: ast.Select):
-        """SELECT-alias or 1-based ordinal reference -> (target_expr,
-        display_name) — standard GROUP BY / ORDER BY shorthand."""
+    @staticmethod
+    def _ordinal(e) -> int | None:
+        """1-based select-list position for a bare integer literal."""
         if isinstance(e, ast.Lit) and isinstance(e.value, int) and not isinstance(
             e.value, bool
         ):
-            k = e.value
-            if not 1 <= k <= len(sel.items):
+            return e.value
+        return None
+
+    def _effective_items(self, sel: ast.Select, schema):
+        """SELECT items with `*` / `alias.*` expanded against the input
+        schema, so ordinals count real output columns."""
+        out = []
+        for item in sel.items:
+            if isinstance(item.expr, ast.Star):
+                for _, name, qual in self._expand_star(item, schema):
+                    out.append(ast.SelectItem(ast.ColRef(qual, name), None))
+            else:
+                out.append(item)
+        return out
+
+    def _resolve_item_ref(self, e, sel: ast.Select, schema, alias_wins: bool):
+        """SELECT-alias or 1-based ordinal reference -> (target_expr,
+        display_name) — standard GROUP BY / ORDER BY shorthand.
+
+        alias_wins: ORDER BY prefers the output alias for a bare name;
+        GROUP BY prefers the input column (Postgres/sqlite resolution)."""
+        k = self._ordinal(e)
+        if k is not None:
+            items = self._effective_items(sel, schema)
+            if not 1 <= k <= len(items):
                 raise PlanError(
                     f"ORDER/GROUP BY position {k} is not in the select list"
                 )
-            item = sel.items[k - 1]
+            item = items[k - 1]
             return item.expr, item.alias or self._display_name(item.expr)
         if isinstance(e, ast.ColRef) and e.qualifier is None:
+            if not alias_wins:
+                # input column shadows the alias when it resolves
+                try:
+                    self._resolve_column(e, schema)
+                    return e, self._display_name(e)
+                except PlanError:
+                    pass
             for item in sel.items:
                 if item.alias == e.name:
                     return item.expr, item.alias
@@ -1016,12 +1046,14 @@ class Binder:
 
     def _bind_aggregate(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:
         schema = plan.schema()
-        group_exprs, group_names = [], []
+        items = self._effective_items(sel, schema)
+        group_exprs, group_names, group_targets = [], [], []
         for g in sel.group_by:
-            target, disp = self._resolve_item_ref(g, sel)
+            target, disp = self._resolve_item_ref(g, sel, schema, alias_wins=False)
             b = self._bind_expr(target, schema)
             group_exprs.append(b.expr)
             group_names.append(disp)
+            group_targets.append(target)
 
         agg_specs = []
         existing: set = set()
@@ -1044,7 +1076,7 @@ class Binder:
             return disp
 
         out_items = []  # ('agg', name) | ('group', src, out) | ('expr', ast, out)
-        for item in sel.items:
+        for item in items:
             e = item.expr
             if isinstance(e, ast.Func) and e.name in _AGG_FUNCS:
                 name = ensure_spec(e, item.alias or self._display_name(e))
@@ -1059,13 +1091,18 @@ class Binder:
                     ("expr", e, item.alias or self._display_name(e))
                 )
             else:
-                # must be a group-by expression (by display name or alias)
+                # must be a grouped expression: match by display name or by
+                # structural equality with a resolved GROUP BY target (an
+                # alias match alone is NOT enough — `SELECT x AS g ...
+                # GROUP BY g` groups by input column g, so x itself is
+                # ungrouped and rejected, as in Postgres/DataFusion)
                 name = self._display_name(e)
-                key = (
-                    name
-                    if name in group_names
-                    else (item.alias if item.alias in group_names else None)
-                )
+                key = name if name in group_names else None
+                if key is None:
+                    for tgt, disp in zip(group_targets, group_names):
+                        if tgt == e:
+                            key = disp
+                            break
                 if key is None:
                     raise PlanError(
                         f"'{name}' must appear in GROUP BY or an aggregate"

@@ -107,6 +107,58 @@ class SessionContext:
                 result = out
         return result
 
+    def _insert_into(self, stmt: ast.InsertInto) -> None:
+        key = stmt.name.lower()
+        if key not in self.catalog:
+            raise PlanError(f"table '{stmt.name}' not found")
+        target = self.catalog[key]
+        tcols = target.column_names
+        # explicit column list: values arrive in that order; unlisted
+        # columns are filled with NULL
+        order = list(stmt.columns) if stmt.columns is not None else tcols
+        unknown = [c for c in order if c not in tcols]
+        if unknown:
+            raise PlanError(f"INSERT column(s) not in '{stmt.name}': {unknown}")
+        if len(set(order)) != len(order):
+            raise PlanError("duplicate column in INSERT column list")
+        if stmt.select is not None:
+            new = self._run_select(stmt.select)
+            if len(new.column_names) != len(order):
+                raise PlanError(
+                    f"INSERT expects {len(order)} columns from SELECT, "
+                    f"got {len(new.column_names)}"
+                )
+            by_name = {
+                dest: new.arrow.column(i) for i, dest in enumerate(order)
+            }
+            nrows = new.num_rows
+        else:
+            for i, row in enumerate(stmt.rows):
+                if len(row) != len(order):
+                    raise PlanError(
+                        f"INSERT row {i + 1} has {len(row)} values, "
+                        f"expected {len(order)}"
+                    )
+            cols = list(zip(*stmt.rows)) if stmt.rows else [[] for _ in order]
+            by_name = {dest: list(vals) for dest, vals in zip(order, cols)}
+            nrows = len(stmt.rows)
+        arrays = []
+        for name in tcols:
+            field = target.arrow.schema.field(name)
+            if name in by_name:
+                try:
+                    arrays.append(pa.array(by_name[name], type=field.type)
+                                  if not isinstance(by_name[name], (pa.Array, pa.ChunkedArray))
+                                  else by_name[name].cast(field.type))
+                except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+                    raise PlanError(
+                        f"INSERT value type mismatch for column '{name}': {e}"
+                    ) from e
+            else:
+                arrays.append(pa.nulls(nrows, type=field.type))
+        new_t = pa.table(dict(zip(tcols, arrays)), schema=target.arrow.schema)
+        self.catalog[key] = Table(pa.concat_tables([target.arrow, new_t]))
+
     def show(self, text: str) -> str:
         res = self.sql(text)
         return pretty_format(res) if res is not None else ""
@@ -152,31 +204,7 @@ class SessionContext:
             self.views[key] = stmt.select
             return None
         if isinstance(stmt, ast.InsertInto):
-            key = stmt.name.lower()
-            if key not in self.catalog:
-                raise PlanError(f"table '{stmt.name}' not found")
-            target = self.catalog[key]
-            if stmt.select is not None:
-                new = self._run_select(stmt.select)
-            else:
-                cols = list(zip(*stmt.rows)) if stmt.rows else []
-                if len(cols) != len(target.column_names):
-                    raise PlanError(
-                        f"INSERT expects {len(target.column_names)} values, "
-                        f"got {len(cols)}"
-                    )
-                new = Table(
-                    pa.table(
-                        {n: list(c) for n, c in zip(target.column_names, cols)},
-                        schema=target.arrow.schema,
-                    )
-                )
-            if new.column_names != target.column_names:
-                new = new.rename(target.column_names)
-            merged = pa.concat_tables(
-                [target.arrow, new.arrow.cast(target.arrow.schema)]
-            )
-            self.catalog[key] = Table(merged)
+            self._insert_into(stmt)
             return None
         if isinstance(stmt, ast.Describe):
             key = stmt.name.lower()

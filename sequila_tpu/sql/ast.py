@@ -224,11 +224,12 @@ class CreateView(Statement):
 
 @dataclasses.dataclass(frozen=True)
 class InsertInto(Statement):
-    """INSERT INTO t VALUES (..), .. | INSERT INTO t SELECT .."""
+    """INSERT INTO t [(cols)] VALUES (..), .. | INSERT INTO t [(cols)] SELECT .."""
 
     name: str
     rows: tuple = ()  # literal rows, or empty when select is set
     select: Optional[Select] = None
+    columns: Optional[tuple] = None  # explicit target column order
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,9 +95,9 @@ class Parser:
             self.next()
             self.expect_kw("INTO")
             name = self.parse_object_name()
+            columns = None
             if self.at("punct", "("):
-                # optional column list (must match table order; kept simple)
-                self.parse_column_names()
+                columns = tuple(self.parse_column_names())
             if self.eat_kw("VALUES"):
                 rows = []
                 while True:
@@ -110,9 +110,11 @@ class Parser:
                     rows.append(tuple(row))
                     if not self.eat("punct", ","):
                         break
-                return ast.InsertInto(name, tuple(rows))
+                return ast.InsertInto(name, tuple(rows), columns=columns)
             if self.at_kw("SELECT"):
-                return ast.InsertInto(name, (), self.parse_select())
+                return ast.InsertInto(
+                    name, (), self.parse_select(), columns=columns
+                )
             raise PlanError("expected VALUES or SELECT after INSERT INTO")
         if self.at_kw("DESCRIBE") or self.at_kw("DESC"):
             self.next()
@@ -153,7 +155,12 @@ class Parser:
         self.expect("punct", "(")
         out = []
         while not self.eat("punct", ")"):
-            out.append(self.next().value)
+            if self.at("eof"):
+                raise PlanError("unterminated column list")
+            tok = self.next()
+            if tok.kind not in ("ident", "qident"):
+                raise PlanError(f"expected column name, got {tok.value!r}")
+            out.append(tok.value)
             self.eat("punct", ",")
         return out
 

@@ -113,3 +113,91 @@ class TestDescribeAndJson:
         ctx.sql(f"CREATE EXTERNAL TABLE j STORED AS JSON LOCATION '{pth}'")
         got = ctx.sql("SELECT contig FROM j ORDER BY s")
         assert got.to_pylist_column(0) == ["c1", "c2"]
+
+
+class TestInsertReviewFixes:
+    """Review round 3: INSERT column lists honored, ragged rows rejected,
+    arrow errors wrapped, truncated column list can't hang the parser."""
+
+    @pytest.fixture()
+    def ictx(self):
+        c = SessionContext()
+        c.register_table(
+            "t", pa.table({"contig": ["c1"], "s": [1], "e": [2]})
+        )
+        return c
+
+    def test_column_list_reorders(self, ictx):
+        ictx.sql("INSERT INTO t (e, s, contig) VALUES (99, 50, 'z')")
+        got = ictx.sql("SELECT * FROM t WHERE contig = 'z'").to_pylist()
+        assert got == [{"contig": "z", "s": 50, "e": 99}]
+
+    def test_partial_column_list_fills_null(self, ictx):
+        ictx.sql("INSERT INTO t (contig) VALUES ('only')")
+        got = ictx.sql("SELECT * FROM t WHERE contig = 'only'").to_pylist()
+        assert got == [{"contig": "only", "s": None, "e": None}]
+
+    def test_ragged_rows_rejected(self, ictx):
+        with pytest.raises(PlanError, match="row 2"):
+            ictx.sql("INSERT INTO t VALUES ('b', 2, 3), ('c', 3, 4, 5)")
+
+    def test_unknown_column_rejected(self, ictx):
+        with pytest.raises(PlanError, match="nosuch"):
+            ictx.sql("INSERT INTO t (nosuch) VALUES (1)")
+
+    def test_type_mismatch_is_planerror(self, ictx):
+        with pytest.raises(PlanError, match="type mismatch"):
+            ictx.sql("INSERT INTO t VALUES (1, 'a', 'b')")
+
+    def test_truncated_column_list_no_hang(self, ictx):
+        with pytest.raises(PlanError, match="unterminated"):
+            ictx.sql("INSERT INTO t (")
+
+    def test_insert_select_column_list(self, ictx):
+        ictx.sql(
+            "INSERT INTO t (s, e, contig) SELECT s, e, contig FROM t"
+        )
+        assert ictx.sql("SELECT count(*) FROM t").column_np(0)[0] == 2
+
+
+class TestAliasOrdinalReviewFixes:
+    """Review round 3: GROUP BY prefers input columns over aliases
+    (alias-shadowed ungrouped items are rejected like Postgres), and
+    ordinals work under SELECT *."""
+
+    @pytest.fixture()
+    def gctx(self):
+        c = SessionContext()
+        c.register_table("t", pa.table({"g": ["a", "a", "b"], "x": [1, 2, 2]}))
+        return c
+
+    def test_alias_shadow_rejected(self, gctx):
+        with pytest.raises(PlanError, match="GROUP BY or an aggregate"):
+            gctx.sql("SELECT x AS g, count(*) FROM t GROUP BY g")
+
+    def test_alias_without_conflict_still_resolves(self, gctx):
+        got = gctx.sql(
+            "SELECT g AS grp, count(*) FROM t GROUP BY grp ORDER BY grp"
+        ).to_pylist()
+        assert got == [{"grp": "a", "count(*)": 2}, {"grp": "b", "count(*)": 1}]
+
+    def test_star_ordinals(self, gctx):
+        got = gctx.sql("SELECT * FROM t ORDER BY 2 DESC, 1").to_pylist()
+        assert [r["x"] for r in got] == [2, 2, 1]
+        got2 = gctx.sql("SELECT * FROM t GROUP BY 1, 2 ORDER BY 1, 2").to_pylist()
+        assert len(got2) == 3
+
+
+class TestIntervalMapArchive:
+    def test_savez_archive_is_clean(self, tmp_path):
+        import numpy as np
+
+        from sequila_tpu.intervalmap import IntervalMap
+
+        m = IntervalMap()
+        m.add(1, 5, "A")
+        m.build()
+        p = str(tmp_path / "i")
+        m.save(p)
+        with np.load(p + ".npz", allow_pickle=True) as z:
+            assert z.files == ["starts", "ends", "data"]
