@@ -481,14 +481,20 @@ class WindowExec(ExecPlan):
             func, args, parts, orders, ascs, out_name = spec[:6]
             frame = spec[6] if len(spec) > 6 else None
             nfs = spec[7] if len(spec) > 7 else None
-            v = self._compute(func, args, parts, orders, ascs, cols, n, frame, nfs)
+            fkind = spec[8] if len(spec) > 8 else "rows"
+            v = self._compute(
+                func, args, parts, orders, ascs, cols, n, frame, nfs, fkind
+            )
             arrays.append(v if isinstance(v, pa.Array) else pa.array(v))
             names.append(out_name)
         out = Table(pa.Table.from_arrays(arrays, names=names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 
-    def _compute(self, func, args, parts, orders, ascs, cols, n, frame=None, nfs=None):
+    def _compute(
+        self, func, args, parts, orders, ascs, cols, n,
+        frame=None, nfs=None, fkind="rows",
+    ):
         if n == 0:
             return np.empty(0, np.int64 if func in ("row_number", "rank", "dense_rank", "count") else np.float64)
         pvals = [np.asarray(e.eval(cols, n)) for e in parts]
@@ -601,8 +607,15 @@ class WindowExec(ExecPlan):
             nn_f = nn.astype(np.float64)
             null_out = None
             if frame is not None:
+                if fkind == "range":
+                    okey = np.asarray(orders[0].eval(cols, n), dtype=np.float64)[order]
+                    bounds = self._range_bounds(
+                        okey, frame, ascs[0], seg_first, seg_id, pos, n
+                    )
+                else:
+                    bounds = None
                 vals, cnt = self._frame_agg(
-                    func, a, nn_f, frame, seg_first, seg_id, pos, n
+                    func, a, nn_f, frame, seg_first, seg_id, pos, n, bounds
                 )
                 null_out = cnt == 0
             elif not ocodes:
@@ -668,25 +681,59 @@ class WindowExec(ExecPlan):
         return out
 
     @staticmethod
-    def _frame_agg(func, a, nn_f, frame, seg_first, seg_id, pos, n):
-        """ROWS BETWEEN lo AND hi aggregate over the sorted array: window
-        rows are [pos+lo, pos+hi] clamped to the partition; computed with
-        prefix sums (sum/count/avg) or clamped sliding extremes (min/max)
-        — no per-row Python."""
+    def _range_bounds(okey, frame, asc, seg_first, seg_id, pos, n):
+        """RANGE BETWEEN bounds: rows whose (single, numeric) ORDER BY
+        value lies within [v - lo_delta, v + hi_delta] of the current
+        row's value, clamped to the partition.  Vectorized with one
+        searchsorted over partition-biased keys (each partition's keys
+        are shifted into a disjoint band, preserving in-partition order)."""
         lo, hi = frame
         seg_start = seg_first[seg_id]
-        seg_end = np.append(seg_first[1:], n)[seg_id]  # exclusive
+        seg_end = np.append(seg_first[1:], n)[seg_id]
+        sign = 1.0 if asc else -1.0
+        k = sign * okey  # ascending within each partition either way
+        fin = k[np.isfinite(k)]
+        span = (fin.max() - fin.min()) if len(fin) else 0.0
+        width = max(abs(x) for x in (lo or 0, hi or 0))
+        band = span + 2.0 * width + 1.0
+        biased = seg_id * band + k
         w_lo = (
             seg_start
             if lo is None
-            else np.clip(pos + lo, seg_start, seg_end)
+            else np.searchsorted(biased, seg_id * band + k + lo, side="left")
         )
         w_hi = (
             seg_end
             if hi is None
-            else np.clip(pos + hi + 1, seg_start, seg_end)
+            else np.searchsorted(biased, seg_id * band + k + hi, side="right")
         )
-        w_hi = np.maximum(w_hi, w_lo)  # empty window allowed
+        w_lo = np.clip(w_lo, seg_start, seg_end)
+        w_hi = np.clip(w_hi, seg_start, seg_end)
+        return w_lo, np.maximum(w_hi, w_lo)
+
+    @staticmethod
+    def _frame_agg(func, a, nn_f, frame, seg_first, seg_id, pos, n, bounds=None):
+        """ROWS/RANGE BETWEEN aggregate over the sorted array: window rows
+        are [pos+lo, pos+hi] (or the precomputed RANGE bounds) clamped to
+        the partition; computed with prefix sums (sum/count/avg) or
+        sparse-table range extremes (min/max) — no per-row Python."""
+        lo, hi = frame
+        seg_start = seg_first[seg_id]
+        seg_end = np.append(seg_first[1:], n)[seg_id]  # exclusive
+        if bounds is not None:
+            w_lo, w_hi = bounds
+        else:
+            w_lo = (
+                seg_start
+                if lo is None
+                else np.clip(pos + lo, seg_start, seg_end)
+            )
+            w_hi = (
+                seg_end
+                if hi is None
+                else np.clip(pos + hi + 1, seg_start, seg_end)
+            )
+            w_hi = np.maximum(w_hi, w_lo)  # empty window allowed
         width = w_hi - w_lo
         ccs = np.concatenate([[0.0], np.cumsum(nn_f)])
         cnt = ccs[w_hi] - ccs[w_lo]  # non-null rows in the window

@@ -263,15 +263,22 @@ class Binder:
                 if e.frame is not None:
                     if fn.name not in ("sum", "count", "avg", "min", "max"):
                         raise PlanError(
-                            "ROWS BETWEEN frames are supported for "
+                            "ROWS/RANGE BETWEEN frames are supported for "
                             "sum/count/avg/min/max only"
                         )
                     if not orders:
-                        raise PlanError("ROWS BETWEEN requires ORDER BY in OVER()")
+                        raise PlanError(
+                            "ROWS/RANGE BETWEEN requires ORDER BY in OVER()"
+                        )
+                    if e.frame_kind == "range" and len(orders) != 1:
+                        raise PlanError(
+                            "RANGE BETWEEN requires exactly one ORDER BY key"
+                        )
                 name = f"__window_{counter[0]}"
                 counter[0] += 1
                 specs.append(
-                    (fn.name, args, parts, orders, ascs, name, e.frame, nfs)
+                    (fn.name, args, parts, orders, ascs, name, e.frame, nfs,
+                     e.frame_kind)
                 )
                 return ast.ColRef(None, name)
             if isinstance(e, ast.Binary):

@@ -106,9 +106,11 @@ class WindowFunc(SqlExpr):
     func: "Func"
     partition_by: tuple = ()
     order_by: tuple = ()  # OrderItem
-    # ROWS BETWEEN frame as (lo, hi) row offsets relative to the current
-    # row; None side = unbounded; -k = k PRECEDING, +k = k FOLLOWING
+    # ROWS/RANGE BETWEEN frame as (lo, hi) offsets relative to the
+    # current row (rows) or its ORDER BY value (range); None side =
+    # unbounded; -k = k PRECEDING, +k = k FOLLOWING
     frame: Optional[tuple] = None
+    frame_kind: str = "rows"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -440,7 +440,9 @@ class Parser:
                 if not self.eat("punct", ","):
                     break
         frame = None
-        if self.eat_kw("ROWS"):
+        frame_kind = None
+        if self.at_kw("ROWS") or self.at_kw("RANGE"):
+            frame_kind = "rows" if self.eat_kw("ROWS") else (self.next() and "range")
             self.expect_kw("BETWEEN")
 
             def bound(start: bool):
@@ -461,7 +463,9 @@ class Parser:
             hi = bound(False)
             frame = (lo, hi)
         self.expect("punct", ")")
-        return ast.WindowFunc(fn, tuple(partition), tuple(order), frame)
+        return ast.WindowFunc(
+            fn, tuple(partition), tuple(order), frame, frame_kind or "rows"
+        )
 
     def parse_expr(self) -> ast.SqlExpr:
         return self.parse_or()

@@ -235,7 +235,7 @@ class TestRowsFrames:
         assert [r["c"] for r in got] == [2, 3, 3, 3, 3, 2, 2, 3, 2]
 
     def test_frame_on_ranking_rejected(self, fctx):
-        with pytest.raises(PlanError, match="ROWS BETWEEN"):
+        with pytest.raises(PlanError, match="BETWEEN frames"):
             fctx.sql(
                 "SELECT row_number() OVER (ORDER BY x "
                 "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
@@ -269,3 +269,64 @@ class TestRowsFrames:
             lo, hi = max(j - 3, 0), min(j + 2, len(seg) - 1)
             want.append(min(r[2] for r in seg[lo:hi + 1]))
         assert [r["m"] for r in got] == pytest.approx(want)
+
+
+class TestRangeFrames:
+    """RANGE BETWEEN value-based frames (the 'aggregate within N bp'
+    idiom); differential-checked against sqlite3."""
+
+    def _pair(self):
+        import sqlite3
+
+        rows = [("c1", 100, 2.0), ("c1", 150, 3.0), ("c1", 900, 5.0),
+                ("c1", 1000, 7.0), ("c2", 120, 11.0)]
+        c = SessionContext()
+        c.register_table(
+            "d",
+            pa.table({"contig": [r[0] for r in rows],
+                      "pos": [r[1] for r in rows],
+                      "v": [r[2] for r in rows]}),
+        )
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE d (contig TEXT, pos INT, v REAL)")
+        con.executemany("INSERT INTO d VALUES (?,?,?)", rows)
+        return c, con
+
+    def _check(self, q):
+        c, con = self._pair()
+        mine = [tuple(r.values()) for r in c.sql(q).to_pylist()]
+        assert mine == con.execute(q).fetchall(), q
+
+    def test_symmetric_bp_window(self):
+        self._check(
+            "SELECT pos, sum(v) OVER (PARTITION BY contig ORDER BY pos "
+            "RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS s "
+            "FROM d ORDER BY contig, pos"
+        )
+
+    def test_unbounded_to_current_includes_peers(self):
+        self._check(
+            "SELECT pos, count(*) OVER (ORDER BY pos RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM d ORDER BY pos"
+        )
+
+    def test_desc_range(self):
+        self._check(
+            "SELECT pos, sum(v) OVER (ORDER BY pos DESC RANGE BETWEEN "
+            "200 PRECEDING AND CURRENT ROW) AS s FROM d ORDER BY pos"
+        )
+
+    def test_range_min(self):
+        self._check(
+            "SELECT pos, min(v) OVER (PARTITION BY contig ORDER BY pos "
+            "RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS m "
+            "FROM d ORDER BY contig, pos"
+        )
+
+    def test_range_requires_single_order_key(self):
+        c, _ = self._pair()
+        with pytest.raises(PlanError, match="one ORDER BY"):
+            c.sql(
+                "SELECT sum(v) OVER (ORDER BY contig, pos RANGE BETWEEN "
+                "1 PRECEDING AND CURRENT ROW) FROM d"
+            )
