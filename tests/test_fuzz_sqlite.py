@@ -208,6 +208,8 @@ class TestSqliteDifferential:
                     "min(x) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
                     "sum(x) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)",
                     "sum(x) OVER (ORDER BY id ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING)",
+                    "sum(x) OVER (ORDER BY id RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)",
+                    "count(*) OVER (PARTITION BY g ORDER BY id RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)",
                     "max(s) OVER (PARTITION BY g)",
                     "min(s) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
                 ]
