@@ -123,8 +123,19 @@ def run_pair(name, t1, t2, iters, query=QUERY, setup_sql=()):
         times.append(time.perf_counter() - t0)
     t = min(times)
     total = int(out.column_np(0)[0]) if out.num_rows == 1 and len(out.column_names) == 1 else out.num_rows
+    # rough HBM-traffic model for the count kernel: the co-sort makes
+    # O(log2(n+m)) passes over 3 int32 operands of both searches'
+    # combined arrays (SURVEY.md §7 asks for BW-utilization reporting;
+    # TPU v5e peak is ~819 GB/s)
+    import math
+
+    n_rows = sum(len(next(iter(tt.values()))) for tt in (t1, t2))
+    passes = max(math.log2(max(n_rows, 2)), 1.0)
+    bw = 2 * 3 * 4 * n_rows * passes / max(t, 1e-9) / 1e9
     print(
-        f"{name}: {total:,} rows, {t*1000:.1f} ms -> {total/max(t,1e-9)/1e6:.0f}M rows/s",
+        f"{name}: {total:,} rows, {t*1000:.1f} ms -> "
+        f"{total/max(t,1e-9)/1e6:.0f}M rows/s "
+        f"(~{bw:.0f} GB/s sort traffic, {bw/819*100:.0f}% of v5e HBM peak)",
         file=sys.stderr,
     )
     return total, t
