@@ -165,6 +165,19 @@ class IntervalMap:
             total += min(self._ends[i], end) - max(self._starts[i], start)
         return len(rows), total
 
+    def search_idxs_batch(self, starts, ends) -> list:
+        """Per-query lists of overlapping interval indexes (the
+        reference's batch variant, intervalmap.pyx:387)."""
+        return [
+            self.search_idxs(int(s_), int(e_)) for s_, e_ in zip(starts, ends)
+        ]
+
+    def search_values_batch(self, starts, ends) -> list:
+        """Per-query lists of overlapping values (intervalmap.pyx:433)."""
+        return [
+            self.search_values(int(s_), int(e_)) for s_, e_ in zip(starts, ends)
+        ]
+
     def count_batch(self, starts, ends) -> np.ndarray:
         idx = self._require_built()
         s = np.asarray(starts, np.int32)

@@ -98,3 +98,14 @@ class TestSerialization:
         m2 = IntervalMap.load(p)
         assert m2.search_items(14, 16) == m.search_items(14, 16)
         assert len(m2) == 3
+
+
+def test_batch_search_variants():
+    """Parity with the reference's search_idxs_batch / search_values_batch
+    (intervalmap.pyx:387,433)."""
+    from sequila_tpu.intervalmap import IntervalMap
+
+    m = IntervalMap.from_arrays([1, 10], [5, 20], ["a", "b"])
+    m.build()
+    assert m.search_idxs_batch([0, 12], [2, 15]) == [[0], [1]]
+    assert m.search_values_batch([0, 12], [2, 15]) == [["a"], ["b"]]
