@@ -303,6 +303,53 @@ def jaccard(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> dict
     return genomic.jaccard(ca, sa, ea, cb, sb, eb)
 
 
+def tile(chrom_sizes: dict, window: int, step: int | None = None,
+         cols: tuple = DEFAULT_COLS) -> Table:
+    """Fixed-size windows per contig (bedtools makewindows):
+    ``chrom_sizes[name] = (lo, hi)`` or ``name: hi`` meaning (0, hi)."""
+    names = sorted(chrom_sizes)
+    key_sizes = {
+        i: (sp if isinstance(sp, (tuple, list)) else (0, sp))
+        for i, sp in enumerate(chrom_sizes[n] for n in names)
+    }
+    k, s_, e = genomic.tile_genome(key_sizes, window, step)
+    return Table(
+        pa.Table.from_arrays(
+            [
+                pa.array([names[int(c)] for c in k]),
+                pa.array(s_.astype(np.int64)),
+                pa.array(e.astype(np.int64)),
+            ],
+            names=list(cols),
+        )
+    )
+
+
+def flank(a: Table, left: int, right: int, chrom_sizes: dict | None = None,
+          cols: tuple = DEFAULT_COLS) -> Table:
+    """Flanking windows adjacent to each interval (bedtools flank)."""
+    keys, starts, ends = _prep(a, cols)
+    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    key_sizes = None
+    if chrom_sizes:
+        name_to_code = {}
+        for c, name in zip(codes, keys.to_pylist()):
+            name_to_code.setdefault(name, int(c))
+        key_sizes = {
+            name_to_code[n]: (sp if isinstance(sp, (tuple, list)) else (0, sp))
+            for n, sp in chrom_sizes.items()
+            if n in name_to_code
+        }
+    fk, fs, fe = genomic.flank(codes, starts, ends, left, right, key_sizes)
+    decode = _code_decoder(a, cols[0], codes)
+    return Table(
+        pa.Table.from_arrays(
+            [decode(fk), pa.array(fs.astype(np.int64)), pa.array(fe.astype(np.int64))],
+            names=list(cols),
+        )
+    )
+
+
 def slop(a: Table, left: int, right: int, chrom_sizes: dict | None = None,
          cols: tuple = DEFAULT_COLS) -> Table:
     """Extend intervals by left/right bases, clamped to contig spans."""

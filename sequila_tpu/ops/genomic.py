@@ -200,6 +200,65 @@ def jaccard(ak, as_, ae, bk, bs, be) -> dict:
     }
 
 
+def tile_genome(key_sizes: dict[int, tuple[int, int]], window: int, step: int | None = None):
+    """Fixed-size windows per contig (bedtools makewindows): windows of
+    ``window`` bases every ``step`` (default: non-overlapping), the last
+    window clipped to the contig end.  End-inclusive coordinates."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    step = step or window
+    if step <= 0:
+        raise ValueError("step must be positive")
+    ks, ss, es = [], [], []
+    for k, (lo, hi) in sorted(key_sizes.items()):
+        if hi < lo:
+            continue
+        starts = np.arange(lo, hi + 1, step, dtype=np.int64)
+        ends = np.minimum(starts + window - 1, hi)
+        ks.append(np.full(len(starts), k, np.int32))
+        ss.append(starts.astype(np.int32))
+        es.append(ends.astype(np.int32))
+    if not ks:
+        z = np.empty(0, np.int32)
+        return z, z, z
+    return np.concatenate(ks), np.concatenate(ss), np.concatenate(es)
+
+
+def flank(keys, starts, ends, left: int, right: int, key_sizes=None):
+    """Flanking intervals of each input (bedtools flank): a ``left``-base
+    window immediately upstream and/or a ``right``-base window immediately
+    downstream, clamped to the contig span; zero-width sides omitted."""
+    out_k, out_s, out_e = [], [], []
+    k64 = np.asarray(keys)
+    s64 = np.asarray(starts).astype(np.int64)
+    e64 = np.asarray(ends).astype(np.int64)
+    lo = np.full(len(k64), -(2**31), np.int64)
+    hi = np.full(len(k64), 2**31 - 1, np.int64)
+    if key_sizes:
+        for k, (klo, khi) in key_sizes.items():
+            mask = k64 == k
+            lo[mask] = klo
+            hi[mask] = khi
+    if left > 0:
+        ls = np.maximum(s64 - left, lo)
+        le_ = s64 - 1
+        keep = le_ >= ls
+        out_k.append(k64[keep]); out_s.append(ls[keep]); out_e.append(le_[keep])
+    if right > 0:
+        rs = e64 + 1
+        re_ = np.minimum(e64 + right, hi)
+        keep = re_ >= rs
+        out_k.append(k64[keep]); out_s.append(rs[keep]); out_e.append(re_[keep])
+    if not out_k:
+        z = np.empty(0, np.int32)
+        return z, z, z
+    k = np.concatenate(out_k).astype(np.int32)
+    s_ = np.concatenate(out_s).astype(np.int32)
+    e_ = np.concatenate(out_e).astype(np.int32)
+    order = np.lexsort((s_, k))
+    return k[order], s_[order], e_[order]
+
+
 def slop(keys, starts, ends, left: int, right: int, key_sizes=None):
     """Extend intervals by `left`/`right` bases, clamped to the contig
     span when given (bedtools slop)."""

@@ -246,3 +246,71 @@ class TestSubtractJaccardSlop:
         out = gdf.slop(a, 10, 10, {"chr1": (0, 99)})
         rows = sorted(zip(*[out.column_np(i).tolist() for i in range(3)]))
         assert rows == [("chr1", 0, 20), ("chr1", 80, 99)]
+
+
+class TestTileAndFlank:
+    """bedtools makewindows / flank equivalents (beyond the reference,
+    rounding out the operator set like closest/complement)."""
+
+    def test_tile_windows(self):
+        from sequila_tpu import dataframe as gdf
+
+        w = gdf.tile({"chr1": 95, "chr2": (10, 29)}, window=30)
+        rows = w.to_pylist()
+        assert rows[:2] == [
+            {"contig": "chr1", "pos_start": 0, "pos_end": 29},
+            {"contig": "chr1", "pos_start": 30, "pos_end": 59},
+        ]
+        assert rows[3] == {"contig": "chr1", "pos_start": 90, "pos_end": 95}
+        assert rows[-1] == {"contig": "chr2", "pos_start": 10, "pos_end": 29}
+
+    def test_tile_step_overlapping(self):
+        from sequila_tpu import dataframe as gdf
+
+        w = gdf.tile({"c": (0, 9)}, window=5, step=2)
+        starts = [r["pos_start"] for r in w.to_pylist()]
+        assert starts == [0, 2, 4, 6, 8]
+
+    def test_flank_clamped(self):
+        import pyarrow as pa
+
+        from sequila_tpu import dataframe as gdf
+        from sequila_tpu.models.table import Table
+
+        t = Table(pa.table({"contig": ["c1", "c1"], "pos_start": [100, 5],
+                            "pos_end": [200, 8]}))
+        f = gdf.flank(t, left=10, right=5, chrom_sizes={"c1": (0, 1000)})
+        assert f.to_pylist() == [
+            {"contig": "c1", "pos_start": 0, "pos_end": 4},
+            {"contig": "c1", "pos_start": 9, "pos_end": 13},
+            {"contig": "c1", "pos_start": 90, "pos_end": 99},
+            {"contig": "c1", "pos_start": 201, "pos_end": 205},
+        ]
+
+    def test_flank_left_only(self):
+        import pyarrow as pa
+
+        from sequila_tpu import dataframe as gdf
+        from sequila_tpu.models.table import Table
+
+        t = Table(pa.table({"contig": ["c1"], "pos_start": [0], "pos_end": [9]}))
+        # upstream flank of an interval at the contig start is empty
+        f = gdf.flank(t, left=10, right=0, chrom_sizes={"c1": (0, 100)})
+        assert f.num_rows == 0
+
+    def test_tile_then_coverage_pipeline(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from sequila_tpu import dataframe as gdf
+        from sequila_tpu.models.table import Table
+
+        rng = np.random.default_rng(1)
+        reads = Table(pa.table({
+            "contig": ["chr1"] * 50,
+            "pos_start": (s := rng.integers(0, 900, 50)),
+            "pos_end": s + rng.integers(1, 50, 50),
+        }))
+        windows = gdf.tile({"chr1": (0, 999)}, window=100)
+        cov = gdf.coverage(windows, reads)
+        assert cov.num_rows == 10  # 10 windows with count/bases columns
