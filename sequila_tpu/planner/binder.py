@@ -175,7 +175,20 @@ class Binder:
         """Returns (plan, remaining_where): a comma cross-join consumes the
         WHERE clause into pushed-down filters / join conditions."""
         if not sel.from_tables:
-            raise PlanError("SELECT without FROM is not supported")
+            # FROM-less SELECT (constant evaluation, datafusion-cli style):
+            # a one-row zero-meaning scan the projection evaluates over
+            if sel.joins:
+                raise PlanError("JOIN requires a FROM clause")
+            if any(isinstance(it.expr, ast.Star) for it in sel.items):
+                raise PlanError("SELECT * requires a FROM clause")
+            import pyarrow as _pa
+
+            from sequila_tpu.models.table import Table as _Table
+
+            dummy = ScanExec(
+                "__values__", _Table(_pa.table({"__dummy": [0]})), None
+            )
+            return dummy, sel.where
         plan: ExecPlan = self._scan(sel.from_tables[0])
 
         # WHERE conjuncts are consumed incrementally: each comma join takes

@@ -285,3 +285,30 @@ def test_mixed_dtype_join_keys(ctx):
             "SELECT * FROM ia JOIN sb ON ia.k = sb.k AND ia.s <= sb.e AND ia.e >= sb.s"
         )
         assert out.num_rows == 1, pref
+
+
+class TestFromlessSelect:
+    """FROM-less SELECT evaluates constants over one row (datafusion-cli
+    style: `SELECT 1+1` in the REPL works)."""
+
+    def test_constants(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        got = c.sql("SELECT 1 + 1 AS two, upper('ok') AS u").to_pylist()
+        assert got == [{"two": 2, "u": "OK"}]
+
+    def test_where_filters_the_row(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        assert c.sql("SELECT 1 WHERE 1 = 2").num_rows == 0
+
+    def test_star_rejected(self):
+        import pytest as _pytest
+
+        from sequila_tpu.errors import PlanError
+        from sequila_tpu.session import SessionContext
+
+        with _pytest.raises(PlanError, match="FROM"):
+            SessionContext().sql("SELECT *")
