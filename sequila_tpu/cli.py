@@ -58,6 +58,8 @@ def exec_from_repl(ctx: SessionContext) -> int:
             buf = ""
             print()
             continue
+        if not buf and line.strip().lower() in ("quit", "exit", "\\q"):
+            return 0
         buf += line + "\n"
         if ";" not in line:
             continue
