@@ -417,9 +417,16 @@ class Binder:
             plan, sel
         )
         if residual:
+            if not pairs and len(residual) == 1:
+                built = self._try_ineq_scalar_agg(
+                    plan, inner_plan, residual[0], lschema, nleft,
+                    item, outer_ast, op, sub_on_left,
+                )
+                if built is not None:
+                    return built
             raise PlanError(
-                "correlated scalar subqueries support only equality "
-                "correlation predicates"
+                "correlated scalar subqueries support equality correlation "
+                "or a single inequality correlation predicate"
             )
         if not pairs:
             raise PlanError("correlated scalar subquery has no correlation keys")
@@ -563,6 +570,61 @@ class Binder:
         )
         filtered = FilterExec(join, pe.BinaryExpr(absent, "OR", clean))
         return self._project_outer(filtered, lschema)
+
+    def _try_ineq_scalar_agg(
+        self, plan, inner_plan, bound, lschema, nleft,
+        item, outer_ast, cmp_op, sub_on_left,
+    ):
+        """`expr cmp (SELECT agg(e) FROM inner WHERE inner.k <op> outer.k)`
+        -> PrefixAggJoinExec (sorted prefix/suffix aggregates + one
+        searchsorted per outer row).  Returns None when the residual isn't
+        a single two-sided inequality."""
+        from sequila_tpu.exec.joins.ineq_agg import AGG_COL, PrefixAggJoinExec
+
+        e = bound.expr
+        if not (
+            isinstance(e, pe.BinaryExpr) and e.op in ("<", "<=", ">", ">=")
+        ):
+            return None
+
+        def side_of(x):
+            idxs = [c.index for c in x.columns()]
+            if not idxs:
+                return None
+            if all(i < nleft for i in idxs):
+                return "outer"
+            if all(i >= nleft for i in idxs):
+                return "inner"
+            return None
+
+        ls_, rs_ = side_of(e.left), side_of(e.right)
+        if {ls_, rs_} != {"outer", "inner"}:
+            return None
+        flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+        if ls_ == "inner":
+            inner_key = self._rebase(e.left, -nleft)
+            outer_key = e.right
+            rel = e.op
+        else:
+            inner_key = self._rebase(e.right, -nleft)
+            outer_key = e.left
+            rel = flip[e.op]
+        arg = (
+            None
+            if item.star or not item.args
+            else self._bind_expr(item.args[0], inner_plan.schema()).expr
+        )
+        node = PrefixAggJoinExec(
+            plan, inner_plan, outer_key, inner_key, rel, item.name, arg
+        )
+        agg_col = pe.Column(AGG_COL, nleft)
+        outer_expr = self._bind_expr(outer_ast, lschema).expr
+        cmp = (
+            pe.BinaryExpr(agg_col, cmp_op, outer_expr)
+            if sub_on_left
+            else pe.BinaryExpr(outer_expr, cmp_op, agg_col)
+        )
+        return self._project_outer(FilterExec(node, cmp), lschema)
 
     def _decorrelate_subquery(self, plan: ExecPlan, node) -> ExecPlan:
         """Outer plan ⋉/▷ inner plan on the correlation predicates.

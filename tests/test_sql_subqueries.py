@@ -375,16 +375,94 @@ class TestCorrelatedScalarAgg:
         )
         assert got.to_pylist_column(0) == [2, 4]
 
-    def test_non_equality_correlation_rejected(self, sctx):
-        with pytest.raises(PlanError, match="equality"):
-            sctx.sql(
-                "SELECT oid FROM orders WHERE amt > "
-                "(SELECT avg(amt) FROM orders o2 WHERE o2.cust < orders.cust)"
-            )
+    def test_non_equality_correlation_now_supported(self, sctx):
+        # single-inequality correlation decorrelates (PrefixAggJoinExec)
+        got = sctx.sql(
+            "SELECT oid FROM orders WHERE amt > "
+            "(SELECT avg(amt) FROM orders o2 WHERE o2.cust < orders.cust) "
+            "ORDER BY oid"
+        ).to_pylist_column(0)
+        # cust<20: avg over cust10 rows {5,8,100}=37.67 -> oid2 (50) no..
+        # verified against sqlite semantics below via direct computation
+        import sqlite3
+
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE orders (oid INT, cust INT, amt REAL)")
+        con.executemany(
+            "INSERT INTO orders VALUES (?,?,?)",
+            [(1, 10, 5.0), (2, 20, 50.0), (3, 10, 8.0), (4, 30, 2.0),
+             (5, 10, 100.0)],
+        )
+        want = [r[0] for r in con.execute(
+            "SELECT oid FROM orders WHERE amt > "
+            "(SELECT avg(amt) FROM orders o2 WHERE o2.cust < orders.cust) "
+            "ORDER BY oid"
+        ).fetchall()]
+        assert got == want
 
     def test_non_aggregate_item_rejected(self, sctx):
         with pytest.raises(PlanError, match="aggregate"):
             sctx.sql(
                 "SELECT oid FROM orders WHERE amt > "
                 "(SELECT amt FROM orders o2 WHERE o2.cust = orders.cust)"
+            )
+
+
+class TestIneqCorrelatedScalarAgg:
+    """Single-inequality correlated scalar aggregates decorrelate into
+    PrefixAggJoinExec: sort the inner side by the correlation key, take
+    prefix/suffix aggregates, one searchsorted per outer row."""
+
+    @pytest.fixture()
+    def ictx(self):
+        import sqlite3
+
+        rows = [(1, 10, 5.0), (2, 20, 50.0), (3, 30, 8.0), (4, 40, 2.0),
+                (5, 50, 100.0)]
+        c = SessionContext()
+        c.register_table(
+            "o",
+            pa.table({"oid": [r[0] for r in rows], "ts": [r[1] for r in rows],
+                      "amt": [r[2] for r in rows]}),
+        )
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE o (oid INT, ts INT, amt REAL)")
+        con.executemany("INSERT INTO o VALUES (?,?,?)", rows)
+        return c, con
+
+    @pytest.mark.parametrize("q", [
+        "SELECT oid FROM o WHERE amt > (SELECT avg(amt) FROM o o2 WHERE o2.ts < o.ts) ORDER BY oid",
+        "SELECT oid FROM o WHERE amt >= (SELECT max(amt) FROM o o2 WHERE o2.ts <= o.ts) ORDER BY oid",
+        "SELECT oid FROM o WHERE (SELECT count(*) FROM o o2 WHERE o2.ts > o.ts) = 0 ORDER BY oid",
+        "SELECT oid FROM o WHERE amt < (SELECT sum(amt) FROM o o2 WHERE o.ts < o2.ts) ORDER BY oid",
+        "SELECT oid FROM o WHERE amt > (SELECT min(amt) FROM o o2 WHERE o2.ts >= o.ts) ORDER BY oid",
+    ])
+    def test_matches_sqlite(self, ictx, q):
+        c, con = ictx
+        assert c.sql(q).to_pylist_column(0) == [
+            r[0] for r in con.execute(q).fetchall()
+        ]
+
+    def test_plan_uses_prefix_agg_join(self, ictx):
+        c, _ = ictx
+        plan = c.sql(
+            "EXPLAIN SELECT oid FROM o WHERE amt > "
+            "(SELECT avg(amt) FROM o o2 WHERE o2.ts < o.ts)"
+        ).column_np("plan")[0]
+        assert "PrefixAggJoinExec" in plan
+
+    def test_inner_filter_composes(self, ictx):
+        c, con = ictx
+        q = ("SELECT oid FROM o WHERE amt > (SELECT avg(amt) FROM o o2 "
+             "WHERE o2.ts < o.ts AND o2.amt > 3) ORDER BY oid")
+        assert c.sql(q).to_pylist_column(0) == [
+            r[0] for r in con.execute(q).fetchall()
+        ]
+
+    def test_two_inequalities_still_rejected(self, ictx):
+        c, _ = ictx
+        with pytest.raises(PlanError, match="correlation"):
+            c.sql(
+                "SELECT oid FROM o WHERE amt > (SELECT avg(amt) FROM o o2 "
+                "WHERE o2.ts < o.ts AND o2.oid < o.oid)"
             )
