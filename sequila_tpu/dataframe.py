@@ -303,6 +303,24 @@ def jaccard(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> dict
     return genomic.jaccard(ca, sa, ea, cb, sb, eb)
 
 
+def _keys_and_sizes(a: Table, chrom_sizes, cols):
+    """(codes, key_sizes) — dictionary codes for the key column plus the
+    chrom_sizes dict remapped onto those codes (shared by flank/slop)."""
+    keys, starts, ends = _prep(a, cols)
+    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    key_sizes = None
+    if chrom_sizes:
+        name_to_code = {}
+        for c, name in zip(codes, keys.to_pylist()):
+            name_to_code.setdefault(name, int(c))
+        key_sizes = {
+            name_to_code[n]: (sp if isinstance(sp, (tuple, list)) else (0, sp))
+            for n, sp in chrom_sizes.items()
+            if n in name_to_code
+        }
+    return keys, starts, ends, codes, key_sizes
+
+
 def tile(chrom_sizes: dict, window: int, step: int | None = None,
          cols: tuple = DEFAULT_COLS) -> Table:
     """Fixed-size windows per contig (bedtools makewindows):
@@ -328,18 +346,7 @@ def tile(chrom_sizes: dict, window: int, step: int | None = None,
 def flank(a: Table, left: int, right: int, chrom_sizes: dict | None = None,
           cols: tuple = DEFAULT_COLS) -> Table:
     """Flanking windows adjacent to each interval (bedtools flank)."""
-    keys, starts, ends = _prep(a, cols)
-    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
-    key_sizes = None
-    if chrom_sizes:
-        name_to_code = {}
-        for c, name in zip(codes, keys.to_pylist()):
-            name_to_code.setdefault(name, int(c))
-        key_sizes = {
-            name_to_code[n]: (sp if isinstance(sp, (tuple, list)) else (0, sp))
-            for n, sp in chrom_sizes.items()
-            if n in name_to_code
-        }
+    _, starts, ends, codes, key_sizes = _keys_and_sizes(a, chrom_sizes, cols)
     fk, fs, fe = genomic.flank(codes, starts, ends, left, right, key_sizes)
     decode = _code_decoder(a, cols[0], codes)
     return Table(
@@ -353,18 +360,7 @@ def flank(a: Table, left: int, right: int, chrom_sizes: dict | None = None,
 def slop(a: Table, left: int, right: int, chrom_sizes: dict | None = None,
          cols: tuple = DEFAULT_COLS) -> Table:
     """Extend intervals by left/right bases, clamped to contig spans."""
-    keys, starts, ends = _prep(a, cols)
-    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
-    key_sizes = None
-    if chrom_sizes:
-        name_to_code = {}
-        for c, name in zip(codes, keys.to_pylist()):
-            name_to_code.setdefault(name, int(c))
-        key_sizes = {
-            name_to_code[n]: (sp if isinstance(sp, (tuple, list)) else (0, sp))
-            for n, sp in chrom_sizes.items()
-            if n in name_to_code
-        }
+    _, starts, ends, codes, key_sizes = _keys_and_sizes(a, chrom_sizes, cols)
     _, os_, oe = genomic.slop(codes, starts, ends, left, right, key_sizes)
     t = a.arrow.set_column(
         a.column_names.index(cols[1]), cols[1], pa.array(os_.astype(np.int64))

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from sequila_tpu.errors import ExecutionError
 from sequila_tpu.exec.plan import ExecPlan, _LazyCols
 from sequila_tpu.models.table import Table
 from sequila_tpu.planner.expr import _null_mask
@@ -57,20 +58,35 @@ class PrefixAggJoinExec(ExecPlan):
         n_out = outer.num_rows
         n_in = inner.num_rows
 
-        ok = np.asarray(
-            self.outer_key.eval(_LazyCols(outer), n_out), dtype=np.float64
-        )
-        ik = np.asarray(
-            self.inner_key.eval(_LazyCols(inner), n_in), dtype=np.float64
-        )
+        def numeric(expr, table, n, what):
+            raw = np.asarray(expr.eval(_LazyCols(table), n))
+            try:
+                if raw.dtype == object:
+                    return np.array(
+                        [np.nan if v is None else float(v) for v in raw]
+                    )
+                return raw.astype(np.float64)
+            except (TypeError, ValueError):
+                raise ExecutionError(
+                    f"inequality correlation requires a numeric {what}"
+                ) from None
+
+        ok = numeric(self.outer_key, outer, n_out, "correlation key")
+        ik = numeric(self.inner_key, inner, n_in, "correlation key")
         if self.arg is not None:
             raw = np.asarray(self.arg.eval(_LazyCols(inner), n_in))
             nulls = _null_mask(raw)
-            vals = np.where(
-                nulls, 0.0,
-                raw.astype(np.float64) if raw.dtype != object
-                else np.array([0.0 if x is None else float(x) for x in raw]),
-            )
+            try:
+                vals = np.where(
+                    nulls, 0.0,
+                    raw.astype(np.float64) if raw.dtype != object
+                    else np.array([0.0 if x is None else float(x) for x in raw]),
+                )
+            except (TypeError, ValueError):
+                raise ExecutionError(
+                    f"{self.func}() with inequality correlation requires a "
+                    "numeric argument"
+                ) from None
             nn = (~nulls).astype(np.float64)
         else:
             vals = np.ones(n_in)

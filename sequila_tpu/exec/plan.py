@@ -608,9 +608,25 @@ class WindowExec(ExecPlan):
             null_out = None
             if frame is not None:
                 if fkind == "range":
-                    okey = np.asarray(orders[0].eval(cols, n), dtype=np.float64)[order]
+                    rawk = np.asarray(orders[0].eval(cols, n))
+                    try:
+                        if rawk.dtype == object:
+                            okey = np.array(
+                                [np.nan if v is None else float(v) for v in rawk]
+                            )[order]
+                        else:
+                            okey = rawk.astype(np.float64)[order]
+                    except (TypeError, ValueError):
+                        raise ExecutionError(
+                            "RANGE frames require a numeric ORDER BY key"
+                        ) from None
+                    nf0 = (nfs or [None])[0]
+                    nulls_first = (
+                        bool(nf0) if nf0 is not None else (not ascs[0])
+                    )
                     bounds = self._range_bounds(
-                        okey, frame, ascs[0], seg_first, seg_id, pos, n
+                        okey, frame, ascs[0], nulls_first,
+                        seg_first, seg_id, pos, n,
                     )
                 else:
                     bounds = None
@@ -681,34 +697,55 @@ class WindowExec(ExecPlan):
         return out
 
     @staticmethod
-    def _range_bounds(okey, frame, asc, seg_first, seg_id, pos, n):
+    def _range_bounds(okey, frame, asc, nulls_first, seg_first, seg_id, pos, n):
         """RANGE BETWEEN bounds: rows whose (single, numeric) ORDER BY
         value lies within [v - lo_delta, v + hi_delta] of the current
         row's value, clamped to the partition.  Vectorized with one
         searchsorted over partition-biased keys (each partition's keys
-        are shifted into a disjoint band, preserving in-partition order)."""
+        are shifted into a disjoint band, preserving in-partition order).
+
+        NULL keys sort as a block at the partition edge (per nulls_first);
+        their frame is that NULL peer block (SQL: NULLs are peers of each
+        other in RANGE), and finite rows never see them (the block maps
+        to a band-edge sentinel outside any finite query window)."""
         lo, hi = frame
         seg_start = seg_first[seg_id]
         seg_end = np.append(seg_first[1:], n)[seg_id]
         sign = 1.0 if asc else -1.0
         k = sign * okey  # ascending within each partition either way
-        fin = k[np.isfinite(k)]
-        span = (fin.max() - fin.min()) if len(fin) else 0.0
+        null_s = np.isnan(k)
+        fin = k[~null_s]
+        lo_f = float(fin.min()) if len(fin) else 0.0
+        hi_f = float(fin.max()) if len(fin) else 0.0
         width = max(abs(x) for x in (lo or 0, hi or 0))
-        band = span + 2.0 * width + 1.0
-        biased = seg_id * band + k
+        margin = 2.0 * width + 2.0
+        # NULL keys become a sentinel strictly beyond any finite key's
+        # widest query window, at the sorted edge of the partition
+        sentinel = lo_f - margin if nulls_first else hi_f + margin
+        band = (hi_f - lo_f) + 2.0 * margin + 1.0
+        k_f = np.where(null_s, sentinel, k)
+        biased = seg_id * band + k_f
         w_lo = (
             seg_start
             if lo is None
-            else np.searchsorted(biased, seg_id * band + k + lo, side="left")
+            else np.searchsorted(biased, seg_id * band + k_f + lo, side="left")
         )
         w_hi = (
             seg_end
             if hi is None
-            else np.searchsorted(biased, seg_id * band + k + hi, side="right")
+            else np.searchsorted(biased, seg_id * band + k_f + hi, side="right")
         )
         w_lo = np.clip(w_lo, seg_start, seg_end)
         w_hi = np.clip(w_hi, seg_start, seg_end)
+        if null_s.any():
+            # NULL rows: the frame is exactly their partition's NULL block
+            # (contiguous at the partition edge after the sort)
+            blk_lo = np.minimum.reduceat(np.where(null_s, pos, n), seg_first)
+            blk_hi = (
+                np.maximum.reduceat(np.where(null_s, pos, -1), seg_first) + 1
+            )
+            w_lo = np.where(null_s, blk_lo[seg_id], w_lo)
+            w_hi = np.where(null_s, blk_hi[seg_id], w_hi)
         return w_lo, np.maximum(w_hi, w_lo)
 
     @staticmethod

@@ -213,6 +213,12 @@ def tile_genome(key_sizes: dict[int, tuple[int, int]], window: int, step: int | 
     for k, (lo, hi) in sorted(key_sizes.items()):
         if hi < lo:
             continue
+        if lo < -(2**31) or hi + window > 2**31 - 1:
+            # i32 overflow is a hard error everywhere in this engine
+            # (CLAUDE.md; mirrors evaluate_as_i32)
+            raise ValueError(
+                f"tile coordinates for key {k} exceed the int32 range"
+            )
         starts = np.arange(lo, hi + 1, step, dtype=np.int64)
         ends = np.minimum(starts + window - 1, hi)
         ks.append(np.full(len(starts), k, np.int32))

@@ -287,6 +287,11 @@ class Binder:
                         raise PlanError(
                             "RANGE BETWEEN requires exactly one ORDER BY key"
                         )
+                    if e.frame_kind == "rows" and any(
+                        b is not None and not isinstance(b, int)
+                        for b in e.frame
+                    ):
+                        raise PlanError("ROWS frame offsets must be integers")
                 name = f"__window_{counter[0]}"
                 counter[0] += 1
                 specs.append(
@@ -600,6 +605,11 @@ class Binder:
         ls_, rs_ = side_of(e.left), side_of(e.right)
         if {ls_, rs_} != {"outer", "inner"}:
             return None
+        if item.distinct:
+            raise PlanError(
+                "DISTINCT aggregates are not supported with inequality "
+                "correlation"
+            )
         flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
         if ls_ == "inner":
             inner_key = self._rebase(e.left, -nleft)

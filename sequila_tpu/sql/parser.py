@@ -452,7 +452,8 @@ class Parser:
                 if self.eat_kw("CURRENT"):
                     self.expect_kw("ROW")
                     return 0
-                n_ = int(self.expect("number").value)
+                tok = self.expect("number").value
+                n_ = float(tok) if "." in tok or "e" in tok.lower() else int(tok)
                 if self.eat_kw("PRECEDING"):
                     return -n_
                 self.expect_kw("FOLLOWING")

@@ -411,3 +411,94 @@ class TestSqlReviewRound2:
             "SELECT id FROM t ORDER BY x DESC"
         ).to_pylist_column(0)
         assert got == [1, 4, 3, 2, 0]  # NULL first on DESC (DataFusion)
+
+
+class TestReviewRound4:
+    """Findings from the review of the RANGE/ineq/tile/DDL batch."""
+
+    def test_range_null_keys_match_sqlite(self):
+        import sqlite3
+
+        from sequila_tpu.session import SessionContext
+
+        rows = [("a", 1, 1.0), ("a", None, 9.0), ("b", 1, 2.0),
+                ("b", 2, 3.0), ("b", 100, 5.0), ("b", None, 4.0)]
+        c = SessionContext()
+        c.register_table(
+            "t",
+            pa.table({"g": [r[0] for r in rows],
+                      "k": pa.array([r[1] for r in rows], pa.int64()),
+                      "v": [r[2] for r in rows], "id": list(range(6))}),
+        )
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (g TEXT, k INT, v REAL, id INT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?,?,?,?)",
+            [(r[0], r[1], r[2], i) for i, r in enumerate(rows)],
+        )
+        for q in [
+            "SELECT id, sum(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t ORDER BY id",
+            "SELECT id, sum(v) OVER (PARTITION BY g ORDER BY k NULLS FIRST RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM t ORDER BY id",
+            "SELECT id, sum(v) OVER (ORDER BY k RANGE BETWEEN 0.5 PRECEDING AND 1.5 FOLLOWING) AS s FROM t ORDER BY id",
+        ]:
+            mine = [tuple(r.values()) for r in c.sql(q).to_pylist()]
+            assert mine == con.execute(q).fetchall(), q
+
+    def test_tile_int32_overflow_hard_error(self):
+        from sequila_tpu import dataframe as gdf
+
+        with pytest.raises(ValueError, match="int32"):
+            gdf.tile({"c": (2**31, 2**31 + 10)}, window=5)
+
+    def test_distinct_ineq_correlation_rejected(self):
+        from sequila_tpu.errors import PlanError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("o", pa.table({"oid": [1], "ts": [1], "amt": [1.0]}))
+        with pytest.raises(PlanError, match="DISTINCT"):
+            c.sql(
+                "SELECT oid FROM o WHERE amt > "
+                "(SELECT avg(DISTINCT amt) FROM o o2 WHERE o2.ts < o.ts)"
+            )
+
+    def test_string_ineq_key_clean_error(self):
+        from sequila_tpu.errors import ExecutionError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("o", pa.table({"oid": [1], "nm": ["a"], "amt": [1.0]}))
+        with pytest.raises(ExecutionError, match="numeric"):
+            c.sql(
+                "SELECT oid FROM o WHERE amt > "
+                "(SELECT avg(amt) FROM o o2 WHERE o2.nm < o.nm)"
+            )
+
+    def test_fractional_rows_offset_rejected_range_ok(self):
+        from sequila_tpu.errors import PlanError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("o", pa.table({"ts": [1, 2], "amt": [1.0, 2.0]}))
+        with pytest.raises(PlanError, match="integers"):
+            c.sql(
+                "SELECT sum(amt) OVER (ORDER BY ts ROWS BETWEEN 2.5 "
+                "PRECEDING AND CURRENT ROW) FROM o"
+            )
+        got = c.sql(
+            "SELECT sum(amt) OVER (ORDER BY ts RANGE BETWEEN 0.5 "
+            "PRECEDING AND CURRENT ROW) AS s FROM o ORDER BY ts"
+        ).to_pylist_column(0)
+        assert got == [1.0, 2.0]
+
+    def test_range_nonnumeric_key_clean_error(self):
+        from sequila_tpu.errors import ExecutionError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("o", pa.table({"g": ["a"], "v": [1.0]}))
+        with pytest.raises(ExecutionError, match="numeric ORDER BY"):
+            c.sql(
+                "SELECT sum(v) OVER (ORDER BY g RANGE BETWEEN 1 "
+                "PRECEDING AND CURRENT ROW) FROM o"
+            )
