@@ -209,6 +209,8 @@ class TestSqliteDifferential:
                     "sum(x) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)",
                     "sum(x) OVER (ORDER BY id ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING)",
                     "sum(x) OVER (ORDER BY id RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)",
+                    "sum(y) OVER (PARTITION BY g ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)",
+                    "count(*) OVER (ORDER BY x NULLS FIRST RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)",
                     "count(*) OVER (PARTITION BY g ORDER BY id RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)",
                     "max(s) OVER (PARTITION BY g)",
                     "min(s) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
