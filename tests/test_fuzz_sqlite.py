@@ -245,3 +245,20 @@ class TestSqliteDifferential:
                 "GROUP BY g ORDER BY g NULLS LAST"
             )
             _run_both(ctx, con, sql)
+
+    def test_views_match(self):
+        rng = random.Random(900)
+        ctx, con = _setup(rng)
+        vdef = f"SELECT id, g, x, y, s FROM t WHERE {_rand_pred(rng)}"
+        ctx.sql(f"CREATE VIEW v AS {vdef}")
+        con.execute(f"CREATE VIEW v AS {vdef}")
+        for _ in range(N_QUERIES // 4):
+            sql = rng.choice(
+                [
+                    f"SELECT id FROM v WHERE {_rand_pred(rng)} ORDER BY id NULLS LAST",
+                    "SELECT g, count(*), sum(x) FROM v GROUP BY g ORDER BY g NULLS LAST",
+                    "SELECT v.id FROM v JOIN t ON v.id = t.id "
+                    "WHERE t.x IS NOT NULL ORDER BY v.id NULLS LAST",
+                ]
+            )
+            _run_both(ctx, con, sql)
