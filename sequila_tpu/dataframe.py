@@ -85,10 +85,11 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     else:
         index = build_interval_index(cb, sb, eb)
         deg = bool((sa > ea).any())
+        b_inv = bool((np.asarray(eb) < np.asarray(sb)).any())
         counts = np.asarray(
             count_matches(
                 index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea),
-                "sort" if deg else "bits",
+                "sort" if deg or b_inv else "bits",
             )
         )
     return Table(a.arrow.append_column(out_col, pa.array(counts.astype(np.int64))))

@@ -545,15 +545,13 @@ class IntervalJoinExec(ExecPlan):
         inner = self.join_type == "inner"
         parts: list[Table] = []
         all_b, all_p = [], []
+        b_inv = bool((np.asarray(index._he) < np.asarray(index._hs)).any())
         with ctx.timer(self.op_id(), "join_time"):
             lo = 0
             while lo < m:
                 rows = min(chunk, m - lo)
                 qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
                 if out_cap is not None:
-                    b_inv = bool(
-                        (np.asarray(index._he) < np.asarray(index._hs)).any()
-                    )
                     while rows > 1:
                         est = total_count_i64(
                             count_matches(

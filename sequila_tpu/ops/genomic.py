@@ -303,7 +303,13 @@ def coverage(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     """
     qs_np = np.asarray(qs)
     qe_np = np.asarray(qe)
-    if not bool((qs_np > qe_np).any()):
+    build_inverted = bool(
+        (np.asarray(index._he) < np.asarray(index._hs)).any()
+    )
+    # the A/B subset decomposition requires start <= end on the BUILD side
+    # too (CLAUDE.md: every count entry point checks both); inverted
+    # builds and degenerate probes take the exact per-level path
+    if not bool((qs_np > qe_np).any()) and not build_inverted:
         import jax.numpy as jnp
 
         from sequila_tpu.ops.ranks import rank_lex_sort

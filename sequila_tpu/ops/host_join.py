@@ -45,7 +45,9 @@ class HostIntervalIndex:
         self.ends = np.ascontiguousarray(ends, np.int32)
         n = len(self.keys)
         self.n = n
-        order = np.lexsort((self.starts, self.keys))
+        # (key, start, END) — matching the device level view and the
+        # native C++ index so nearest tie-breaks identically on all paths
+        order = np.lexsort((self.ends, self.starts, self.keys))
         self.order = order
         self.k_s = self.keys[order]
         self.s_s = self.starts[order]

@@ -343,9 +343,18 @@ def materialize_pairs_window(index: IntervalIndex, qk, qs, qe):
     ).astype(np.int32)
     lb = rank_lex_sort((keys, starts), (qk, jnp.asarray(lo_q)), side="left")
     ub = rank_lex_sort((keys, starts), (qk, qe), side="right")
-    total_cand = int(jnp.maximum(ub - lb, 0).sum())
+    # int64 on the host: a dense whole-genome window can exceed int32
+    total_cand = int(
+        np.maximum(np.asarray(ub).astype(np.int64)
+                   - np.asarray(lb).astype(np.int64), 0).sum()
+    )
     if total_cand == 0:
         return np.empty(0, np.int32), np.empty(0, np.int32), 0
+    if total_cand >= 2**31:
+        raise ExecutionError(
+            f"window emission would scan {total_cand} candidates (>= 2^31); "
+            "enable sequila.interval_join_low_memory or reduce the batch"
+        )
     capacity = _bucket(total_cand, minimum=1024)
     b_rows, p_rows, valid = _emit_window(
         keys, starts, ends, pos, max_len, qk, qs, qe, capacity=capacity

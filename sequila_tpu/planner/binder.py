@@ -1156,8 +1156,13 @@ class Binder:
             if disp in existing:
                 return disp
             if f.star or (
-                f.name == "count" and len(f.args) == 1 and isinstance(f.args[0], ast.Lit)
+                f.name == "count"
+                and len(f.args) == 1
+                and isinstance(f.args[0], ast.Lit)
+                and f.args[0].value is not None
             ):
+                # count(<non-null literal>) == count(*); count(NULL) is 0
+                # and must keep its argument so NULL-skipping applies
                 arg = None
             elif len(f.args) == 1:
                 arg = self._bind_expr(f.args[0], schema).expr

@@ -95,7 +95,7 @@ _OP_FUNCS = {
     "-": np.subtract,
     "*": np.multiply,
     "/": None,  # integer vs float division resolved at eval
-    "%": np.mod,
+    "%": np.fmod,  # SQL modulo takes the dividend's sign (not np.mod)
     "=": np.equal,
     "!=": np.not_equal,
     "<": np.less,
@@ -138,14 +138,25 @@ class BinaryExpr(PhysicalExpr):
                     np.where(np.isnan(lk) | np.isnan(rk), np.nan, 0.0),
                 )
         if op == "/":
-            if np.issubdtype(np.asarray(l).dtype, np.integer) and np.issubdtype(
-                np.asarray(r).dtype, np.integer
+            l_arr, r_arr = np.asarray(l), np.asarray(r)
+            if l_arr.dtype == object or r_arr.dtype == object:
+                return self._object_arith(l_arr, r_arr, op)
+            if np.issubdtype(l_arr.dtype, np.integer) and np.issubdtype(
+                r_arr.dtype, np.integer
             ):
-                return l // r
-            return l / r
+                # SQL integer division truncates toward zero (sqlite,
+                # DataFusion); numpy // floors
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return np.fix(l_arr / r_arr).astype(np.int64)
+            return l_arr / r_arr
         fn = _OP_FUNCS.get(op)
         if fn is None:
             raise ExecutionError(f"unsupported operator {op}")
+        if op in ("+", "-", "*", "%"):
+            l_arr, r_arr = np.asarray(l), np.asarray(r)
+            if l_arr.dtype == object or r_arr.dtype == object:
+                return self._object_arith(l_arr, r_arr, op)
+            return fn(l_arr, r_arr)
         if op in ("=", "!=", "<", "<=", ">", ">="):
             # SQL three-valued logic: comparisons with a NULL operand are
             # UNKNOWN, represented as NaN in a Kleene float array so that
@@ -171,6 +182,29 @@ class BinaryExpr(PhysicalExpr):
                 return np.where(nn, np.nan, out.astype(np.float64))
             return out
         return fn(l, r)
+
+    @staticmethod
+    def _object_arith(l_arr, r_arr, op):
+        """NULL-propagating elementwise arithmetic for object arrays
+        (outputs of nullif/coalesce/CASE over nullable columns)."""
+        import math as _math
+
+        l_arr, r_arr = np.broadcast_arrays(l_arr, r_arr)
+        fns = {
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "%": _math.fmod,
+            "/": lambda a, b: a / b,
+        }
+        f = fns[op]
+        out = []
+        for a, b in zip(l_arr, r_arr):
+            if a is None or b is None or a != a or b != b:
+                out.append(np.nan)
+            else:
+                out.append(float(f(float(a), float(b))))
+        return np.array(out)
 
     def columns(self):
         return self.left.columns() + self.right.columns()

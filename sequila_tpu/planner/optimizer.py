@@ -247,7 +247,12 @@ class CountFastPathRule:
             return node
         func, arg, distinct, out_name = node.agg_specs[0]
         if not (
-            func == "count" and not distinct and (arg is None or isinstance(arg, Literal))
+            func == "count"
+            and not distinct
+            and (
+                arg is None
+                or (isinstance(arg, Literal) and arg.value is not None)
+            )
         ):
             return node
         join = node.children[0]

@@ -273,6 +273,11 @@ class SessionContext:
 
     def _values_table(self, stmt: ast.CreateTableValues) -> Table:
         ncols = len(stmt.columns) if stmt.columns else (len(stmt.rows[0]) if stmt.rows else 0)
+        for i, row in enumerate(stmt.rows):
+            if len(row) != ncols:
+                raise PlanError(
+                    f"VALUES row {i + 1} has {len(row)} values, expected {ncols}"
+                )
         names = (
             [c.name for c in stmt.columns]
             if stmt.columns
@@ -359,11 +364,16 @@ class SessionContext:
             scan = ScanExec("__union__", out, None)
             b = Binder(self.catalog, runner=self._run_select, views=self.views)
             schema = scan.schema()
-            exprs, asc = [], []
+            exprs, asc, nfs = [], [], []
             for oi in u.order_by:
                 exprs.append(b._bind_expr(oi.expr, schema).expr)
                 asc.append(oi.asc)
-            out = SortExec(scan, exprs, asc).execute(ExecContext(self.config.copy()))
+                nfs.append(oi.nulls_first)
+            out = SortExec(scan, exprs, asc, nfs).execute(
+                ExecContext(self.config.copy())
+            )
+        if u.offset:
+            out = out.slice(u.offset, None)
         if u.limit is not None:
             out = out.slice(0, u.limit)
         return out

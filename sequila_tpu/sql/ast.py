@@ -173,6 +173,7 @@ class Union:
     alls: tuple  # tuple[bool, ...], len == len(selects) - 1
     order_by: tuple = ()
     limit: Optional[int] = None
+    offset: int = 0
 
 
 # -- statements -------------------------------------------------------------

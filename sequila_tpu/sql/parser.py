@@ -15,7 +15,7 @@ from sequila_tpu.sql import ast
 from sequila_tpu.sql.lexer import Token, tokenize
 
 _KEYWORDS_STOP = {
-    "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "INNER", "LEFT",
+    "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "JOIN", "INNER", "LEFT",
     "RIGHT", "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "BY", "ASC",
     "DESC", "UNION", "HAVING",
 }
@@ -370,12 +370,12 @@ class Parser:
         while self.eat_kw("UNION"):
             alls.append(self.eat_kw("ALL"))
             selects.append(self.parse_select())
-        # trailing ORDER BY / LIMIT were consumed into the LAST branch by
-        # parse_select; standard SQL applies them to the whole union
+        # trailing ORDER BY / LIMIT / OFFSET were consumed into the LAST
+        # branch by parse_select; standard SQL applies them to the union
         last = selects[-1]
-        order_by, limit = last.order_by, last.limit
-        selects[-1] = _dc.replace(last, order_by=(), limit=None)
-        return ast.Union(tuple(selects), tuple(alls), order_by, limit)
+        order_by, limit, offset = last.order_by, last.limit, last.offset
+        selects[-1] = _dc.replace(last, order_by=(), limit=None, offset=0)
+        return ast.Union(tuple(selects), tuple(alls), order_by, limit, offset)
 
     def parse_table_ref(self) -> ast.TableRef:
         name = self.parse_object_name()

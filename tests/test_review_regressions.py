@@ -502,3 +502,97 @@ class TestReviewRound4:
                 "SELECT sum(v) OVER (ORDER BY g RANGE BETWEEN 1 "
                 "PRECEDING AND CURRENT ROW) FROM o"
             )
+
+
+class TestReviewRound5:
+    """Final holistic review of the round: UNION OFFSET, SQL arithmetic,
+    inverted-build coverage, count(NULL), nearest tie parity, etc."""
+
+    def test_union_trailing_offset(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("a", pa.table({"x": [1, 2, 3]}))
+        c.register_table("b", pa.table({"x": [4, 5, 6]}))
+        got = c.sql(
+            "SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 4 OFFSET 2"
+        ).to_pylist_column(0)
+        assert got == [3, 4, 5, 6]
+
+    def test_union_order_nulls_first(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("u", pa.table({"x": pa.array([3, None, 1], pa.int64())}))
+        got = c.sql(
+            "SELECT x FROM u UNION ALL SELECT x FROM u WHERE x = 1 "
+            "ORDER BY x NULLS FIRST"
+        ).to_pylist_column(0)
+        assert got == [None, 1, 1, 3]
+
+    def test_integer_division_truncates(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"x": [-7, 7]}))
+        got = c.sql("SELECT x / 2, x % 2 FROM t").to_pylist()
+        assert got == [{"x / 2": -3, "x % 2": -1}, {"x / 2": 3, "x % 2": 1}]
+
+    def test_object_arith_null_propagates(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"x": [3, -7]}))
+        got = c.sql("SELECT nullif(x, 3) + 1 AS y FROM t WHERE x = -7")
+        assert got.to_pylist_column(0) == [-6.0]
+        # the nulled row doesn't crash and compares as UNKNOWN
+        assert c.sql("SELECT x FROM t WHERE nullif(x, 3) + 1 > 0").num_rows == 0
+
+    def test_coverage_inverted_build(self):
+        from sequila_tpu import dataframe as gdf
+        from sequila_tpu.models.table import Table
+
+        b = Table(pa.table({"contig": ["c", "c"], "pos_start": [10, 1],
+                            "pos_end": [5, 20]}))
+        q = Table(pa.table({"contig": ["c"], "pos_start": [6], "pos_end": [8]}))
+        row = gdf.coverage(q, b).to_pylist()[0]
+        assert row["count"] == 1 and row["bases"] == 2
+        co = gdf.count_overlaps(q, b).to_pylist()[0]
+        assert co["count"] == 1
+
+    def test_count_null_literal_is_zero(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"x": [1, 2, 3]}))
+        got = c.sql("SELECT count(NULL), count(1), count(*) FROM t").to_pylist()[0]
+        assert list(got.values()) == [0, 3, 3]
+
+    def test_offset_directly_after_table(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"x": [1, 2, 3]}))
+        assert c.sql("SELECT x FROM t OFFSET 1").to_pylist_column(0) == [2, 3]
+
+    def test_nearest_tie_break_host_device_parity(self, monkeypatch):
+        from sequila_tpu import dataframe as gdf
+        from sequila_tpu.models.table import Table
+
+        b = Table(pa.table({"contig": ["c", "c"], "pos_start": [5, 5],
+                            "pos_end": [20, 10], "name": ["long", "short"]}))
+        q = Table(pa.table({"contig": ["c"], "pos_start": [7], "pos_end": [8]}))
+        outs = []
+        for thr in ("0", "65536"):
+            monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", thr)
+            outs.append(gdf.nearest(q, b).to_pylist())
+        assert outs[0] == outs[1]
+        assert outs[0][0]["name"] == "short"  # smallest-end overlap wins
+
+    def test_ragged_create_values_rejected(self):
+        from sequila_tpu.errors import PlanError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        with pytest.raises(PlanError, match="row 2"):
+            c.sql("CREATE TABLE r (a INT, b INT) AS VALUES (1, 2), (3)")
