@@ -1187,6 +1187,12 @@ class Binder:
                 out_items.append(
                     ("expr", e, item.alias or self._display_name(e))
                 )
+            elif not self._bind_expr(e, schema).col_indices:
+                # constant expression (no column refs): legal alongside
+                # aggregates without GROUP BY membership (Postgres rule)
+                out_items.append(
+                    ("expr", e, item.alias or self._display_name(e))
+                )
             else:
                 # must be a grouped expression: match by display name or by
                 # structural equality with a resolved GROUP BY target (an

@@ -284,3 +284,19 @@ class TestAliasOrdinalRefs:
             rctx.sql("SELECT x FROM t ORDER BY 3")
         with pytest.raises(PlanError, match="position"):
             rctx.sql("SELECT g, count(*) FROM t GROUP BY 5")
+
+
+def test_constant_items_with_aggregates():
+    """Constants need no GROUP BY membership (SELECT 1, count(*) — the
+    Postgres rule); ungrouped columns are still rejected."""
+    from sequila_tpu.errors import PlanError
+    from sequila_tpu.session import SessionContext
+
+    c = SessionContext()
+    c.register_table("t", pa.table({"g": ["a", "b"], "x": [1, 2]}))
+    got = c.sql("SELECT -7 / 2 AS d, count(*) AS c FROM t").to_pylist()
+    assert got == [{"d": -3, "c": 2}]
+    got2 = c.sql("SELECT g, 'tag' AS t2, count(*) FROM t GROUP BY g ORDER BY g").to_pylist()
+    assert [r["t2"] for r in got2] == ["tag", "tag"]
+    with pytest.raises(PlanError, match="GROUP BY"):
+        c.sql("SELECT x, count(*) FROM t")
