@@ -148,6 +148,14 @@ class BinaryExpr(PhysicalExpr):
                 # DataFusion); numpy // floors
                 with np.errstate(divide="ignore", invalid="ignore"):
                     return np.fix(l_arr / r_arr).astype(np.int64)
+            if _expr_is_integer(self.left, cols) and _expr_is_integer(
+                self.right, cols
+            ):
+                # INT-typed columns ride as float (NaN = NULL) once any
+                # NULL appears; keep SQL integer-division semantics
+                # (truncate toward zero, NULLs stay NaN)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return np.fix(l_arr / r_arr)
             return l_arr / r_arr
         fn = _OP_FUNCS.get(op)
         if fn is None:
@@ -254,6 +262,40 @@ class NegExpr(PhysicalExpr):
 
     def transform(self, fn):
         return fn(NegExpr(self.child.transform(fn)))
+
+
+def _expr_is_integer(expr, cols) -> bool:
+    """Static SQL-type check: does this expression have INTEGER type?
+    Needed because NULL-bearing int columns are represented as float
+    arrays (NaN = NULL), which would otherwise silently switch `/` to
+    float division.  Conservative: unknown -> False (float semantics)."""
+    t = getattr(cols, "_t", None)
+
+    def rec(e):
+        if isinstance(e, Literal):
+            return isinstance(e.value, int) and not isinstance(e.value, bool)
+        if isinstance(e, Column):
+            if t is None:
+                return False
+            try:
+                import pyarrow as pa
+
+                return pa.types.is_integer(t.arrow.schema.field(e.index).type)
+            except Exception:
+                return False
+        if isinstance(e, BinaryExpr) and e.op in ("+", "-", "*", "%", "/"):
+            return rec(e.left) and rec(e.right)
+        if isinstance(e, NegExpr):
+            return rec(e.child)
+        if isinstance(e, CastExpr):
+            return e.type_name in (
+                "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT"
+            )
+        if isinstance(e, IfNullExpr):
+            return rec(e.child) and isinstance(e.default, int)
+        return False
+
+    return rec(expr)
 
 
 def _null_mask(a: np.ndarray) -> np.ndarray:

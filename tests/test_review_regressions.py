@@ -596,3 +596,19 @@ class TestReviewRound5:
         c = SessionContext()
         with pytest.raises(PlanError, match="row 2"):
             c.sql("CREATE TABLE r (a INT, b INT) AS VALUES (1, 2), (3)")
+
+
+def test_nullable_int_division_stays_integer():
+    """INT columns with NULLs ride as float arrays (NaN = NULL); division
+    must still truncate like integer division (17/3 = 5, not 5.67),
+    while genuine float columns keep float division."""
+    from sequila_tpu.session import SessionContext
+
+    c = SessionContext()
+    c.register_table(
+        "t", pa.table({"x": pa.array([17, None, -7], pa.int64())})
+    )
+    r = c.sql("SELECT x / 3 AS d FROM t WHERE x IS NOT NULL ORDER BY x").to_pylist()
+    assert [row["d"] for row in r] == [-2.0, 5.0]
+    c.register_table("f", pa.table({"v": [5.0]}))
+    assert c.sql("SELECT v / 2 FROM f").to_pylist() == [{"v / 2": 2.5}]
