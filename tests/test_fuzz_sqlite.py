@@ -246,6 +246,24 @@ class TestSqliteDifferential:
             )
             _run_both(ctx, con, sql)
 
+    def test_division_and_order_nulls(self):
+        rng = random.Random(950)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 2):
+            sql = rng.choice(
+                [
+                    f"SELECT id FROM t WHERE x / 3 = {rng.randint(-2, 5)} "
+                    f"OR x % 4 = {rng.randint(0, 3)} ORDER BY id NULLS LAST",
+                    f"SELECT id, x / 2, x % 3 FROM t WHERE x IS NOT NULL "
+                    "ORDER BY id NULLS LAST",
+                    f"SELECT id FROM t ORDER BY y "
+                    f"{rng.choice(['ASC', 'DESC'])} "
+                    f"{rng.choice(['NULLS FIRST', 'NULLS LAST'])}, id "
+                    f"LIMIT {rng.randint(1, 30)} OFFSET {rng.randint(0, 5)}",
+                ]
+            )
+            _run_both(ctx, con, sql)
+
     def test_views_match(self):
         rng = random.Random(900)
         ctx, con = _setup(rng)
