@@ -32,7 +32,9 @@ struct Index {
   std::vector<int32_t> keys, starts, ends, pos;
   std::vector<int64_t> comp_start;   // comp(key, start), ascending
   std::vector<int64_t> cummax_end;   // running max of comp(key, end)
-  std::vector<int64_t> comp_end;     // comp(key, end), independently sorted
+  std::vector<int64_t> comp_end;     // comp(key, end), sorted by
+                                     // (key, end, start desc, pos desc)
+  std::vector<int32_t> end_pos;      // original row of each comp_end entry
   bool has_inverted = false;         // any end < start: BITS count invalid
 };
 
@@ -76,10 +78,27 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
     idx->comp_start[i] = comp(k[o], s[o]);
     running = std::max(running, comp(k[o], e[o]));
     idx->cummax_end[i] = running;
-    idx->comp_end[i] = comp(k[o], e[o]);
     if (e[o] < s[o]) idx->has_inverted = true;
   }
-  std::sort(idx->comp_end.begin(), idx->comp_end.end());
+  // (key, end)-sorted view with positions: the predecessor of
+  // lower_bound(comp(key, qs)) is the max-end-below-qs interval — the
+  // O(log n) upstream-nearest candidate.  Ties on end keep the smallest
+  // (start, row) LAST so the predecessor matches the old linear scan's
+  // "first strictly-greater end in (key,start) order" winner.
+  std::vector<int64_t> eorder(n);
+  for (int64_t i = 0; i < n; ++i) eorder[i] = i;
+  std::sort(eorder.begin(), eorder.end(), [&](int64_t a, int64_t b) {
+    if (k[a] != k[b]) return k[a] < k[b];
+    if (e[a] != e[b]) return e[a] < e[b];
+    if (s[a] != s[b]) return s[a] > s[b];
+    return a > b;
+  });
+  idx->end_pos.resize(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t o = eorder[i];
+    idx->comp_end[i] = comp(k[o], e[o]);
+    idx->end_pos[i] = int32_t(o);
+  }
   return idx;
 }
 
@@ -159,19 +178,18 @@ void si_nearest(void* h, const int32_t* qk, const int32_t* qs,
       out[i] = found;
       continue;
     }
-    // nearest: best upstream (max end < qs) vs best downstream
+    // nearest: best upstream (max end < qs, via the (key,end)-sorted
+    // array — O(log n)) vs best downstream
     int64_t best_d = INT64_MAX;
     int64_t best = -1;
-    int64_t max_end = INT64_MIN, max_end_pos = -1;
-    for (int64_t j = seg_lo; j < seg_hi; ++j) {
-      if (idx->ends[j] < qs[i] && idx->ends[j] > max_end) {
-        max_end = idx->ends[j];
-        max_end_pos = idx->pos[j];
-      }
-    }
-    if (max_end_pos >= 0) {
-      best_d = int64_t(qs[i]) - max_end;
-      best = max_end_pos;
+    const int64_t e_seg_lo =
+        lower_bound64(idx->comp_end, int64_t(qk[i]) << 32);
+    const int64_t e_lb = lower_bound64(idx->comp_end, comp(qk[i], qs[i]));
+    if (e_lb > e_seg_lo) {
+      const int32_t up_end =
+          int32_t((idx->comp_end[e_lb - 1] & 0xFFFFFFFFll) - kBias);
+      best_d = int64_t(qs[i]) - up_end;
+      best = idx->end_pos[e_lb - 1];
     }
     const int64_t dn = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
     if (dn < seg_hi && idx->keys[dn] == qk[i]) {

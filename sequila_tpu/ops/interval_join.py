@@ -32,10 +32,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sequila_tpu.errors import ExecutionError
 from sequila_tpu.ops.interval_index import PAD_KEY, PAD_VAL, IntervalIndex, _bucket
 from sequila_tpu.ops.ranks import rank_lex_sort
 
 INT32_MAX = np.int32(2**31 - 1)
+
+# Materialization guard: one probe chunk may not emit >= 2^31 pairs (int32
+# row indices).  Module constant so regression tests can lower it.
+_EMIT_LIMIT = 2**31
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +355,7 @@ def materialize_pairs_window(index: IntervalIndex, qk, qs, qe):
     )
     if total_cand == 0:
         return np.empty(0, np.int32), np.empty(0, np.int32), 0
-    if total_cand >= 2**31:
+    if total_cand >= _EMIT_LIMIT:
         raise ExecutionError(
             f"window emission would scan {total_cand} candidates (>= 2^31); "
             "enable sequila.interval_join_low_memory or reduce the batch"
@@ -375,12 +380,10 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     if method == "window":
         return materialize_pairs_window(index, qk, qs, qe)
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
-    total64 = total_count_check = int(
+    total64 = int(
         np.asarray(counts_from_bounds(lb, ub)).astype(np.int64).sum()
     )
-    if total64 >= 2**31:
-        from sequila_tpu.errors import ExecutionError
-
+    if total64 >= _EMIT_LIMIT:
         raise ExecutionError(
             f"probe chunk would materialize {total64} pairs (>= 2^31); "
             "enable sequila.interval_join_low_memory or reduce the batch"

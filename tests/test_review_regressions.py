@@ -612,3 +612,42 @@ def test_nullable_int_division_stays_integer():
     assert [row["d"] for row in r] == [-2.0, 5.0]
     c.register_table("f", pa.table({"v": [5.0]}))
     assert c.sql("SELECT v / 2 FROM f").to_pylist() == [{"v / 2": 2.5}]
+
+
+class TestEmitGuards:
+    """Round-1 VERDICT finding: the >=2^31-candidate guard on the Lapper
+    window path raised NameError (ExecutionError was only imported inside
+    materialize_pairs).  Trip both guards with a lowered module limit."""
+
+    def _data(self):
+        lk = np.zeros(32, np.int32)
+        ls = np.arange(32, dtype=np.int32)
+        le = ls + 100  # heavily overlapping: every probe hits many builds
+        qk = np.zeros(16, np.int32)
+        qs = np.full(16, 10, np.int32)
+        qe = np.full(16, 50, np.int32)
+        return lk, ls, le, qk, qs, qe
+
+    def test_window_guard_raises_execution_error(self, monkeypatch):
+        import sequila_tpu.ops.interval_join as ij
+        from sequila_tpu.errors import ExecutionError
+
+        lk, ls, le, qk, qs, qe = self._data()
+        index = build_interval_index(lk, ls, le)
+        monkeypatch.setattr(ij, "_EMIT_LIMIT", 8)
+        with pytest.raises(ExecutionError, match="candidates"):
+            ij.materialize_pairs_window(
+                index, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe)
+            )
+
+    def test_sort_emit_guard_raises_execution_error(self, monkeypatch):
+        import sequila_tpu.ops.interval_join as ij
+        from sequila_tpu.errors import ExecutionError
+
+        lk, ls, le, qk, qs, qe = self._data()
+        index = build_interval_index(lk, ls, le)
+        monkeypatch.setattr(ij, "_EMIT_LIMIT", 8)
+        with pytest.raises(ExecutionError, match="pairs"):
+            ij.materialize_pairs(
+                index, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), "sort"
+            )
