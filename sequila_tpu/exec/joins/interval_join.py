@@ -501,6 +501,68 @@ class IntervalJoinExec(ExecPlan):
     def _use_host(self, left: Table, right: Table) -> bool:
         return left.num_rows + right.num_rows <= _host_threshold()
 
+    def _partitioned_mesh(self, ctx):
+        """The execution mesh when this node was planned in Partitioned
+        mode (reference PartitionMode::Partitioned + required
+        HashPartitioned distribution, interval_join.rs:385-404); None for
+        CollectLeft/single-chip execution."""
+        if self.mode != "Partitioned":
+            return None
+        from sequila_tpu.parallel.engine import get_engine_mesh
+
+        return get_engine_mesh(ctx.config.target_partitions)
+
+    # -- partitioned (mesh) execution ---------------------------------------
+    def _execute_partitioned(self, ctx, mesh, left: Table, right: Table):
+        """SPMD execution over the ('part','probe') mesh: hash-partitioned
+        build + 2-D sharded probe (the engine-native Partitioned mode,
+        reference interval_join.rs:459-510)."""
+        from sequila_tpu.parallel.partitioned_join import (
+            partitioned_nearest,
+            partitioned_pairs,
+        )
+
+        (lcodes, ls, le), rcodes, rs, re = self._prepare(
+            ctx, left, right, build_index=False
+        )
+        m = right.num_rows
+        with ctx.timer(self.op_id(), "join_time"):
+            if self.algorithm.is_nearest:
+                rows = partitioned_nearest(mesh, lcodes, ls, le, rcodes, rs, re)
+                null_mask = rows < 0
+                out = self._assemble(
+                    left, right,
+                    np.where(null_mask, 0, rows),
+                    np.arange(m, dtype=np.int64),
+                    left_null=null_mask,
+                )
+            else:
+                # low-memory mode drains shards through a capped buffer
+                # (chunked continuation) instead of one max-shard buffer
+                chunk_limit = (
+                    4 * ctx.config.max_output_batch_size if self.low_memory else None
+                )
+                if left.num_rows == 0 or right.num_rows == 0:
+                    b = np.empty(0, np.int64)
+                    p = np.empty(0, np.int64)
+                else:
+                    b, p = partitioned_pairs(
+                        mesh, lcodes, ls, le, rcodes, rs, re,
+                        chunk_limit=chunk_limit,
+                    )
+                # probe-side order restored (probe order preservation
+                # contract); intra-probe-row match order by build row
+                order = np.lexsort((b, p))
+                b = b[order].astype(np.int64)
+                p = p[order].astype(np.int64)
+                if self.join_type == "inner":
+                    out = self._assemble(left, right, b, p)
+                else:
+                    out = finish_join(self.join_type, left, right, b, p)
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        ctx.metrics.add(self.op_id(), "input_rows", m)
+        return out
+
     def _host_index(self, ctx, left: Table, right: Table):
         from sequila_tpu.ops.host_join import make_host_index
 
@@ -516,6 +578,9 @@ class IntervalJoinExec(ExecPlan):
         left = self.children[0].execute(ctx)
         right = self.children[1].execute(ctx)
 
+        mesh = self._partitioned_mesh(ctx)
+        if mesh is not None:
+            return self._execute_partitioned(ctx, mesh, left, right)
         if self._use_host(left, right):
             return self._execute_host(ctx, left, right)
 
@@ -625,6 +690,20 @@ class IntervalJoinExec(ExecPlan):
         right = self.children[1].execute(ctx)
         if self.algorithm.is_nearest:
             return right.num_rows
+        mesh = self._partitioned_mesh(ctx)
+        if mesh is not None:
+            from sequila_tpu.parallel.partitioned_join import partitioned_count
+
+            (lcodes, ls, le), rcodes, rs, re = self._prepare(
+                ctx, left, right, build_index=False
+            )
+            with ctx.timer(self.op_id(), "join_time"):
+                if left.num_rows == 0 or right.num_rows == 0:
+                    total = 0
+                else:
+                    total = partitioned_count(mesh, lcodes, ls, le, rcodes, rs, re)
+            ctx.metrics.add(self.op_id(), "output_rows", total)
+            return total
         if self._use_host(left, right):
             hidx, rcodes, rs, re = self._host_index(ctx, left, right)
             total = int(hidx.counts(rcodes, rs, re).sum())
@@ -667,6 +746,22 @@ class IntervalJoinExec(ExecPlan):
         callers (GroupedIntervalCountExec) don't re-execute the subplan."""
         left = self.children[0].execute(ctx)
         right = self.children[1].execute(ctx)
+        mesh = self._partitioned_mesh(ctx)
+        if mesh is not None:
+            from sequila_tpu.parallel.partitioned_join import (
+                partitioned_probe_counts,
+            )
+
+            (lcodes, ls, le), rcodes, rs, re = self._prepare(
+                ctx, left, right, build_index=False
+            )
+            if left.num_rows == 0 or right.num_rows == 0:
+                counts = np.zeros(right.num_rows, np.int64)
+            else:
+                counts = partitioned_probe_counts(
+                    mesh, lcodes, ls, le, rcodes, rs, re
+                )
+            return (counts, right) if with_table else counts
         if self._use_host(left, right):
             hidx, rcodes, rs, re = self._host_index(ctx, left, right)
             counts = hidx.counts(rcodes, rs, re).astype(np.int32)

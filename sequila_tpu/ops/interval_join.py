@@ -283,7 +283,7 @@ def pair_offsets(lb, ub):
 
 @functools.partial(jax.jit, static_argnames=("capacity", "num_levels", "level_offsets"))
 def emit_pairs(
-    offsets, lb_pm, pos, *, capacity: int, num_levels: int, level_offsets
+    offsets, lb_pm, pos, base=0, *, capacity: int, num_levels: int, level_offsets
 ):
     """Materialize (build_row, probe_row) index pairs into a static buffer.
 
@@ -291,10 +291,16 @@ def emit_pairs(
     offsets array, then the match is the (j - cell_offset)-th element of the
     cell's contiguous run.  Returns (build_rows, probe_rows, valid) of
     length ``capacity``; slots >= total are masked invalid.
+
+    ``base`` (traced scalar) shifts the emitted slot window to
+    [base, base + capacity): the chunked-continuation hook — a caller can
+    drain an arbitrarily large pair set through one fixed-capacity compiled
+    kernel instead of recompiling at a grown capacity (the distributed
+    analog of the reference's capped emission, interval_join.rs:1236-1336).
     """
     L = num_levels
     total = offsets[-1]
-    slots = jnp.arange(capacity, dtype=jnp.int32)
+    slots = jnp.arange(capacity, dtype=jnp.int32) + base
     flat = (
         jnp.searchsorted(offsets, slots, side="right", method="sort").astype(jnp.int32)
         - 1

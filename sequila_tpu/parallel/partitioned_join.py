@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sequila_tpu.ops.interval_index import (
     PAD_KEY,
@@ -43,6 +43,8 @@ from sequila_tpu.ops.interval_join import (
     _bounds_sort,
     counts_from_bounds,
     emit_pairs,
+    level_ranks,
+    nearest_from_bounds,
     pair_offsets,
 )
 
@@ -145,6 +147,7 @@ def partition_probe(rk, rs, re, npart: int, nprobe: int, part_of=None, keys=None
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
 def partitioned_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
     """jit-able SPMD count over a ('part','probe') mesh.
 
@@ -177,6 +180,7 @@ def partitioned_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=64)
 def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
     """CollectLeft analog: replicated index, fully sharded probe rows."""
 
@@ -200,6 +204,7 @@ def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=64)
 def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
     """Per-shard match totals [npart, nprobe] (for emit capacity sizing)."""
 
@@ -222,12 +227,19 @@ def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=64)
 def partitioned_emit_fn(
     mesh: Mesh, num_levels: int, level_offsets: tuple, capacity: int
 ):
     """SPMD exact pair emission: every (part, probe) chip materializes its
     shard's (build_row, probe_row) pairs into a static-capacity buffer —
-    the distributed materializing interval join."""
+    the distributed materializing interval join.
+
+    ``base`` ([npart, nprobe] int32) is each shard's continuation offset:
+    the chip emits pair slots [base, base + capacity), so a shard whose
+    output exceeds the capacity is drained over several calls of the SAME
+    compiled kernel (chunked low-memory emission, the mesh analog of the
+    reference's capped emission loop, interval_join.rs:1236-1336)."""
 
     @functools.partial(
         shard_map,
@@ -236,17 +248,18 @@ def partitioned_emit_fn(
             P("part", None), P("part", None), P("part", None), P("part", None),
             P("part", None),
             P("part", "probe", None), P("part", "probe", None), P("part", "probe", None),
+            P("part", "probe"),
         ),
         out_specs=(P("part", "probe", None), P("part", "probe", None)),
     )
-    def step(levels, keys, starts, ends, pos, qk, qs, qe):
+    def step(levels, keys, starts, ends, pos, qk, qs, qe, base):
         lb, ub = _bounds_sort(
             levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
             num_levels=num_levels, level_offsets=level_offsets,
         )
         offsets, lb_pm = pair_offsets(lb, ub)
         b, p, _valid = emit_pairs(
-            offsets, lb_pm, pos[0],
+            offsets, lb_pm, pos[0], base[0, 0],
             capacity=capacity, num_levels=num_levels, level_offsets=level_offsets,
         )
         return b[None, None, :], p[None, None, :]
@@ -254,12 +267,48 @@ def partitioned_emit_fn(
     return jax.jit(step)
 
 
-def partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re):
+def emit_all_shards(mesh: Mesh, meta, didx, dpos, dK, dS, dE, totals,
+                    chunk_limit: int | None = None):
+    """Drain every shard's pairs through the fixed-capacity emit kernel.
+
+    Yields (part, chip, build_rows, probe_slots) per shard per chunk with
+    invalid slots already stripped.  ``chunk_limit`` caps the per-shard
+    buffer (low-memory mode); None sizes it to the largest shard (one
+    call).  Exactly ONE kernel compilation either way."""
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    max_total = int(totals.max())
+    cap = _bucket(max(1, min(max_total, chunk_limit) if chunk_limit else max_total),
+                  minimum=1024)
+    emit = partitioned_emit_fn(mesh, meta["num_levels"], meta["level_offsets"], cap)
+    base = np.zeros((npart, nprobe), np.int32)
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    while True:
+        remaining = totals - base
+        if not (remaining > 0).any():
+            return
+        b, p = emit(*didx, dpos, dK, dS, dE, dev(base, P("part", "probe")))
+        b = np.asarray(b)
+        p = np.asarray(p)
+        for part in range(npart):
+            for chip in range(nprobe):
+                take = int(min(max(remaining[part, chip], 0), cap))
+                if take == 0:
+                    continue
+                valid = b[part, chip] >= 0
+                yield part, chip, b[part, chip][valid], p[part, chip][valid]
+        base = base + cap
+
+
+def partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
+                      chunk_limit: int | None = None):
     """Distributed exact materializing join over the ('part','probe') mesh.
 
     Two phases (both SPMD): per-shard totals size the static emit
-    capacity, then every chip emits its pairs; the host maps shard-local
-    probe slots back to global rows.  Returns (build_rows, probe_rows)."""
+    capacity, then every chip emits its pairs — in fixed-capacity chunks
+    when ``chunk_limit`` caps the buffer (low-memory mode); the host maps
+    shard-local probe slots back to global rows.  Returns
+    (build_rows, probe_rows)."""
     npart = mesh.shape["part"]
     nprobe = mesh.shape["probe"]
     arrays, meta = build_partitioned_index(lk, ls, le, npart)
@@ -279,19 +328,219 @@ def partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re):
             *didx, dK, dS, dE
         )
     )
-    cap = _bucket(max(int(totals.max()), 1), minimum=1024)
-    b, p = partitioned_emit_fn(
-        mesh, meta["num_levels"], meta["level_offsets"], cap
-    )(*didx, dpos, dK, dS, dE)
-    b = np.asarray(b)  # [npart, nprobe, cap] global build rows (-1 invalid)
-    p = np.asarray(p)  # [npart, nprobe, cap] shard-local probe slots
     out_b, out_p = [], []
-    for part in range(npart):
-        for chip in range(nprobe):
-            valid = b[part, chip] >= 0
-            out_b.append(b[part, chip][valid])
-            out_p.append(IDX[part, chip][p[part, chip][valid]])
+    for part, chip, b_valid, p_valid in emit_all_shards(
+        mesh, meta, didx, dpos, dK, dS, dE, totals, chunk_limit
+    ):
+        out_b.append(b_valid)
+        out_p.append(IDX[part, chip][p_valid])
+    if not out_b:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
     return np.concatenate(out_b), np.concatenate(out_p)
+
+
+@functools.lru_cache(maxsize=64)
+def partitioned_nearest_fn(
+    mesh: Mesh, num_levels: int, level_offsets: tuple, layout: tuple
+):
+    """SPMD nearest: hash partitioning keeps every key's WHOLE segment on
+    one part, so per-shard nearest (first overlap, else min genomic
+    distance, else -1) is globally correct — the mesh analog of the
+    reference's CoitreesNearest semantics (interval_join.rs:909-1020).
+    Skew range-splitting must NOT feed this kernel: a sub-range shard can
+    miss the true nearest across a split boundary (the engine routes
+    nearest through plain hash partitioning for exactly this reason)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("part", None), P("part", None), P("part", None), P("part", None),
+            P("part", None),
+            P("part", "probe", None), P("part", "probe", None), P("part", "probe", None),
+        ),
+        out_specs=P("part", "probe", None),
+    )
+    def step(levels, keys, starts, ends, pos, qk, qs, qe):
+        lv, ky, st, en = levels[0], keys[0], starts[0], ends[0]
+        k, s, e = qk[0, 0], qs[0, 0], qe[0, 0]
+        lb, ub = _bounds_sort(
+            lv, ky, st, en, k, s, e,
+            num_levels=num_levels, level_offsets=level_offsets,
+        )
+        res = nearest_from_bounds(
+            lb, ub, lv, ky, st, en, pos[0], k, s, e,
+            level_offsets=level_offsets, level_pad=layout,
+        )
+        return res[None, None, :]
+
+    return jax.jit(step)
+
+
+def partitioned_nearest(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
+    """Global nearest build row per probe row (-1 = key absent) over the
+    ('part','probe') mesh."""
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    arrays, meta = build_partitioned_index(lk, ls, le, npart)
+    K, S, E, IDX = partition_probe(rk, rs, re, npart, nprobe)
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    didx = [
+        dev(arrays[n], P("part", None))
+        for n in ("levels", "keys", "starts", "ends")
+    ]
+    dpos = dev(arrays["pos"], P("part", None))
+    fn = partitioned_nearest_fn(
+        mesh, meta["num_levels"], meta["level_offsets"], meta["layout"]
+    )
+    res = np.asarray(fn(
+        *didx, dpos,
+        dev(K, P("part", "probe", None)),
+        dev(S, P("part", "probe", None)),
+        dev(E, P("part", "probe", None)),
+    ))
+    out = np.full(len(rk), -1, np.int64)
+    slot_rows = IDX.reshape(-1)
+    slot_res = res.reshape(-1)
+    real = slot_rows >= 0
+    out[slot_rows[real]] = slot_res[real]
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def partitioned_probe_counts_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+    """Per-probe-slot overlap counts [npart, nprobe, M] (CountOverlaps /
+    grouped-count semantics on the mesh; exact for degenerate probes and
+    inverted builds — the level path, not BITS)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("part", None), P("part", None), P("part", None), P("part", None),
+            P("part", "probe", None), P("part", "probe", None), P("part", "probe", None),
+        ),
+        out_specs=P("part", "probe", None),
+    )
+    def step(levels, keys, starts, ends, qk, qs, qe):
+        lb, ub = _bounds_sort(
+            levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
+            num_levels=num_levels, level_offsets=level_offsets,
+        )
+        return counts_from_bounds(lb, ub)[None, None, :]
+
+    return jax.jit(step)
+
+
+def partitioned_probe_counts(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
+    """Exact per-probe-row overlap counts over the mesh (int64 [m])."""
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    arrays, meta = build_partitioned_index(lk, ls, le, npart)
+    K, S, E, IDX = partition_probe(rk, rs, re, npart, nprobe)
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    didx = [
+        dev(arrays[n], P("part", None))
+        for n in ("levels", "keys", "starts", "ends")
+    ]
+    fn = partitioned_probe_counts_fn(mesh, meta["num_levels"], meta["level_offsets"])
+    res = np.asarray(fn(
+        *didx,
+        dev(K, P("part", "probe", None)),
+        dev(S, P("part", "probe", None)),
+        dev(E, P("part", "probe", None)),
+    )).astype(np.int64)
+    out = np.zeros(len(rk), np.int64)
+    slot_rows = IDX.reshape(-1)
+    slot_counts = res.reshape(-1)
+    real = slot_rows >= 0
+    out[slot_rows[real]] = slot_counts[real]
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def partitioned_coverage_ranks_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+    """Per-shard level-rank matrices for coverage: the device does the
+    O((n+m) log) ranking work; the host finishes with int64 prefix-sum
+    arithmetic (device int64 is unavailable — x64 stays off)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("part", None), P("part", None), P("part", None), P("part", None),
+            P("part", "probe", None), P("part", "probe", None), P("part", "probe", None),
+        ),
+        out_specs=(
+            P("part", "probe", None, None), P("part", "probe", None, None),
+            P("part", "probe", None, None), P("part", "probe", None, None),
+        ),
+    )
+    def step(levels, keys, starts, ends, qk, qs, qe):
+        kw = dict(num_levels=num_levels, level_offsets=level_offsets)
+        lv, ky, st, en = levels[0], keys[0], starts[0], ends[0]
+        k, s, e = qk[0, 0], qs[0, 0], qe[0, 0]
+        lb = level_ranks(lv, ky, en, k, s, side="left", **kw)
+        ub = level_ranks(lv, ky, st, k, e, side="right", **kw)
+        t = level_ranks(lv, ky, en, k, e, side="right", **kw)
+        r = level_ranks(lv, ky, st, k, s, side="left", **kw)
+        return lb[None, None], ub[None, None], t[None, None], r[None, None]
+
+    return jax.jit(step)
+
+
+def partitioned_coverage(mesh: Mesh, lk, ls, le, rk, rs, re):
+    """Per-probe (count, covered_bases) on the mesh — superintervals
+    coverage semantics (superintervals.rs:802-822), exact for every query
+    shape.  Returns int64 arrays ([m], [m])."""
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    arrays, meta = build_partitioned_index(lk, ls, le, npart)
+    K, S, E, IDX = partition_probe(rk, rs, re, npart, nprobe)
+    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    didx = [
+        dev(arrays[n], P("part", None))
+        for n in ("levels", "keys", "starts", "ends")
+    ]
+    fn = partitioned_coverage_ranks_fn(mesh, meta["num_levels"], meta["level_offsets"])
+    LB, UB, T, R = (np.asarray(x).astype(np.int64) for x in fn(
+        *didx,
+        dev(K, P("part", "probe", None)),
+        dev(S, P("part", "probe", None)),
+        dev(E, P("part", "probe", None)),
+    ))
+    offs = np.asarray(meta["level_offsets"], np.int64)[:, None]
+    out_c = np.zeros(len(rk), np.int64)
+    out_b = np.zeros(len(rk), np.int64)
+    for part in range(npart):
+        # per-part prefix sums over the padded level arrays (padding rows
+        # are zeroed; rank windows never cover them anyway)
+        real = arrays["pos"][part] >= 0
+        ps = np.concatenate([[0], np.cumsum(
+            np.where(real, arrays["starts"][part], 0).astype(np.int64))])
+        pe = np.concatenate([[0], np.cumsum(
+            np.where(real, arrays["ends"][part], 0).astype(np.int64))])
+        for chip in range(nprobe):
+            rows = IDX[part, chip]
+            keep = rows >= 0
+            if not keep.any():
+                continue
+            qs64 = S[part, chip].astype(np.int64)
+            qe64 = E[part, chip].astype(np.int64)
+            gl = offs + LB[part, chip]
+            gu = offs + np.maximum(UB[part, chip], LB[part, chip])
+            gt = np.clip(offs + T[part, chip], gl, gu)
+            gr = np.clip(offs + R[part, chip], gl, gu)
+            counts = (gu - gl).sum(0)
+            total = np.zeros(gl.shape[1], np.int64)
+            for lvl in range(len(offs)):
+                l_, u_, tt, rr = gl[lvl], gu[lvl], gt[lvl], gr[lvl]
+                sum_min_end = (pe[tt] - pe[l_]) + qe64 * (u_ - tt)
+                sum_max_start = qs64 * (rr - l_) + (ps[u_] - ps[rr])
+                total += sum_min_end - sum_max_start
+            out_c[rows[keep]] = counts[keep]
+            out_b[rows[keep]] = total[keep]
+    return out_c, out_b
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sequila_tpu.ops.interval_index import PAD_KEY, PAD_VAL, _bucket
 from sequila_tpu.ops.interval_join import _sum_rank_partials

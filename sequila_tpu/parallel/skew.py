@@ -189,7 +189,7 @@ def skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) -> int:
     import functools
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from sequila_tpu.ops.interval_index import _bucket
 
@@ -271,12 +271,11 @@ def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re):
     produce duplicates.  Returns global (build_rows, probe_rows)."""
     from sequila_tpu.parallel.partitioned_join import (
         build_partitioned_index,
+        emit_all_shards,
         partition_probe,
-        partitioned_emit_fn,
         shard_totals_fn,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from sequila_tpu.ops.interval_index import _bucket
 
     npart = mesh.shape["part"]
     nprobe = mesh.shape["probe"]
@@ -311,26 +310,23 @@ def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re):
             *didx, dK, dS, dE
         )
     )
-    cap = _bucket(max(int(totals.max()), 1), minimum=1024)
-    b, p = partitioned_emit_fn(
-        mesh, meta["num_levels"], meta["level_offsets"], cap
-    )(*didx, dpos, dK, dS, dE)
-    b = np.asarray(b)  # replica indices into b_row (-1 invalid)
-    p = np.asarray(p)  # shard-local probe slots
     out_b, out_p = [], []
-    for part in range(mesh.shape["part"]):
-        for chip in range(nprobe):
-            valid = b[part, chip] >= 0
-            b_rep = b[part, chip][valid]
-            q_rep = IDX[part, chip][p[part, chip][valid]]
-            # ownership: the pair belongs to the sub-range containing
-            # max(build.start, probe.start)
-            bs_g = ls[b_row[b_rep]].astype(np.int64)
-            qs_g = rs[q_row[q_rep]].astype(np.int64)
-            own_point = np.maximum(bs_g, qs_g)
-            own = (own_point >= q_lo[q_rep]) & (own_point < q_hi[q_rep])
-            out_b.append(b_row[b_rep[own]])
-            out_p.append(q_row[q_rep[own]])
+    # chunked fixed-capacity emission (b_rep = replica indices into b_row,
+    # p = shard-local probe slots)
+    for part, chip, b_rep, p_slot in emit_all_shards(
+        mesh, meta, didx, dpos, dK, dS, dE, totals
+    ):
+        q_rep = IDX[part, chip][p_slot]
+        # ownership: the pair belongs to the sub-range containing
+        # max(build.start, probe.start)
+        bs_g = ls[b_row[b_rep]].astype(np.int64)
+        qs_g = rs[q_row[q_rep]].astype(np.int64)
+        own_point = np.maximum(bs_g, qs_g)
+        own = (own_point >= q_lo[q_rep]) & (own_point < q_hi[q_rep])
+        out_b.append(b_row[b_rep[own]])
+        out_p.append(q_row[q_rep[own]])
+    if not out_b:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(out_b), np.concatenate(out_p)
 
 

@@ -108,11 +108,18 @@ class IntervalJoinRule:
             intervals = parse(node.filter)
             if intervals is not None:
                 log.debug("rewriting HashJoinExec -> IntervalJoinExec")
+                # target_partitions > 1 selects the hash-partitioned SPMD
+                # mesh execution (reference PartitionMode::Partitioned,
+                # interval_join.rs:385-404); the NLJ path below stays
+                # CollectLeft like the reference's from_nested_loop_join.
+                mode = (
+                    "Partitioned" if cfg.target_partitions > 1 else node.mode
+                )
                 return IntervalJoinExec(
                     node.children[0], node.children[1], node.on, node.filter,
                     intervals, node.join_type,
                     cfg.interval_join_algorithm, cfg.interval_join_low_memory,
-                    mode=node.mode,
+                    mode=mode,
                 )
         elif isinstance(node, NestedLoopJoinExec):
             intervals = parse(node.filter)
