@@ -54,6 +54,11 @@ from sequila_tpu.planner.intervals import ColIntervals
 # Probe rows per device chunk in full (non-low-memory) mode.
 _FULL_MODE_CHUNK = 4 << 20
 
+# Build sides at/above this row count skip the fused BITS 64-bucket
+# partials (which could overflow int32) and use the exact chunked level
+# path instead.  Module constant so stress tests can lower it.
+_BITS_PARTIALS_MAX = 1 << 24
+
 import os as _os
 
 
@@ -298,7 +303,7 @@ class IntervalJoinExec(ExecPlan):
             return None
         if left.num_rows == 0 or right.num_rows == 0:
             return None
-        if left.num_rows >= (1 << 24):
+        if left.num_rows >= _BITS_PARTIALS_MAX:
             return None  # 64-bucket partials would overflow int32
         l_on, r_on = self.on[0]
         if not (isinstance(l_on, Column) and isinstance(r_on, Column)):
@@ -385,7 +390,7 @@ class IntervalJoinExec(ExecPlan):
             isinstance(l_on, Column) and isinstance(r_on, Column)
         ):
             return None
-        if left.num_rows >= (1 << 24):
+        if left.num_rows >= _BITS_PARTIALS_MAX:
             # 64-row bucket partials could overflow int32 for very large
             # build sides; use the exact chunked path instead
             return None

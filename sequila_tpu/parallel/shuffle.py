@@ -138,10 +138,17 @@ def _shuffle_count_fn(mesh: Mesh, cap: int, chunks: int = 1):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=64)
 def _shuffle_pairs_fns(mesh: Mesh, cap: int, pair_cap: int):
     """Phase B' kernels for the materializing shuffle join: exchange both
     tables (with row ids), per-shard sort + max-extension window emission
-    entirely on device."""
+    entirely on device.
+
+    ``base`` ([nparts] int32, sharded over 'part') shifts each shard's
+    emitted candidate-slot window to [base, base + pair_cap): shards whose
+    candidate count exceeds the static buffer drain over several calls of
+    the SAME compiled kernel (chunked continuation — no recompile per
+    growth step)."""
     nparts = mesh.shape["part"]
     PAD = jnp.int32(2**31 - 1)
 
@@ -175,10 +182,10 @@ def _shuffle_pairs_fns(mesh: Mesh, cap: int, pair_cap: int):
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("part", None),) * 10,
+        in_specs=(P("part", None),) * 10 + (P("part"),),
         out_specs=(P("part", None), P("part", None), P("part")),
     )
-    def emit(bk, bs, be, bi, bv, qk, qs, qe, qi, qv):
+    def emit(bk, bs, be, bi, bv, qk, qs, qe, qi, qv, base):
         rbk, rbs, rbe, rbi = exchange4(bk[0], bs[0], be[0], bi[0], bv[0] >= 0)
         rqk, rqs, rqe, rqi = exchange4(qk[0], qs[0], qe[0], qi[0], qv[0] >= 0)
         # per-shard sort of the received build rows by (key, start)
@@ -195,7 +202,7 @@ def _shuffle_pairs_fns(mesh: Mesh, cap: int, pair_cap: int):
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(widths, dtype=jnp.int32)]
         )
         total = offsets[-1]
-        slots = jnp.arange(pair_cap, dtype=jnp.int32)
+        slots = jnp.arange(pair_cap, dtype=jnp.int32) + base[0]
         cell = (
             jnp.searchsorted(offsets, slots, side="right", method="sort")
             .astype(jnp.int32) - 1
@@ -215,38 +222,63 @@ def _shuffle_pairs_fns(mesh: Mesh, cap: int, pair_cap: int):
     return jax.jit(emit)
 
 
-def all_to_all_partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re):
+def all_to_all_partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
+                                 chunk_limit: int = 1 << 22):
     """Exact materializing join with the device-side shuffle: both tables
     exchanged by key hash via all_to_all (row ids ride along), each shard
     sorts its build rows and window-emits its pairs on device; the host
-    only concatenates valid (build_row, probe_row) ids."""
+    only concatenates valid (build_row, probe_row) ids.
+
+    The emit buffer is statically capped at ``chunk_limit`` candidate
+    slots per shard; bigger shards drain through repeated calls of the
+    same compiled kernel with advancing base offsets (at most TWO
+    compilations total: the sizing pass + the final capacity — never one
+    per growth step)."""
     nparts = mesh.shape["part"]
     BK, BS, BE, BV = _deal(lk, ls, le, nparts)
     QK, QS, QE, QV = _deal(rk, rs, re, nparts)
     dev = lambda a: jax.device_put(a, NamedSharding(mesh, P("part", None)))
+    dev1 = lambda a: jax.device_put(a, NamedSharding(mesh, P("part")))
     cap_b = int(_bucket_counts_fn(mesh)(dev(BK), dev(BV >= 0)))
     cap_q = int(_bucket_counts_fn(mesh)(dev(QK), dev(QV >= 0)))
     cap = _bucket(max(cap_b, cap_q, 1), minimum=8)
     # candidate capacity: worst case every received build row matches
-    # every received probe row's window; size by a conservative product
-    # probe x build per shard is too big — two-phase: run emit with a
-    # small cap, read the exact candidate total, re-run if it overflowed.
+    # every received probe row's window — far too big to pre-size.  Phase
+    # 1: run emit with a small cap to read each shard's exact candidate
+    # total.  Phase 2: drain with a bounded static buffer + base offsets.
     pair_cap = 1024
     fn = _shuffle_pairs_fns(mesh, cap, pair_cap)
     args = (
         dev(BK), dev(BS), dev(BE), dev(BV), dev(BV),
         dev(QK), dev(QS), dev(QE), dev(QV), dev(QV),
     )
-    b, q, totals = fn(*args)
-    need = int(np.asarray(totals).max())
-    if need > pair_cap:
-        pair_cap = _bucket(need, minimum=1024)
+    zeros = np.zeros(nparts, np.int32)
+    b, q, totals = fn(*args, dev1(zeros))
+    totals = np.asarray(totals).astype(np.int64)
+    need = int(totals.max())
+    out_b, out_q = [], []
+
+    def collect(b, q):
+        b = np.asarray(b).reshape(-1)
+        q = np.asarray(q).reshape(-1)
+        valid = (b >= 0) & (q >= 0)
+        out_b.append(b[valid])
+        out_q.append(q[valid])
+
+    if need <= pair_cap:
+        collect(b, q)
+    else:
+        pair_cap = _bucket(min(need, chunk_limit), minimum=1024)
         fn = _shuffle_pairs_fns(mesh, cap, pair_cap)
-        b, q, totals = fn(*args)
-    b = np.asarray(b).reshape(-1)
-    q = np.asarray(q).reshape(-1)
-    valid = (b >= 0) & (q >= 0)
-    return b[valid].astype(np.int64), q[valid].astype(np.int64)
+        base = np.zeros(nparts, np.int64)
+        while (totals - base > 0).any():
+            b, q, _ = fn(*args, dev1(base.astype(np.int32)))
+            collect(b, q)
+            base += pair_cap
+    return (
+        np.concatenate(out_b).astype(np.int64),
+        np.concatenate(out_q).astype(np.int64),
+    )
 
 
 def _deal(k, s, e, nparts):

@@ -155,3 +155,31 @@ def test_partitioned_pairs_chunked_matches_unchunked(rng, chunk_limit):
     assert sorted(zip(p.tolist(), b.tolist())) == sorted(
         zip(op.tolist(), ob.tolist())
     )
+
+
+def test_shuffle_pairs_chunked_two_compiles(rng):
+    """Device-shuffle materialization with output >10x the chunk cap:
+    drains via base-offset continuation with at most TWO emit kernels
+    (sizing + final capacity), never one per growth step."""
+    import sequila_tpu.parallel.shuffle as sh
+
+    mesh = make_mesh(4, part=4)
+    n = 150
+    lk = np.zeros(n, np.int32)
+    ls = np.arange(n, dtype=np.int32)
+    le = ls + 10_000
+    rk = np.zeros(n, np.int32)
+    rs = np.arange(n, dtype=np.int32)
+    re = rs + 10_000
+    sh._shuffle_pairs_fns.cache_clear()
+    before = sh._shuffle_pairs_fns.cache_info().misses
+    b, q = sh.all_to_all_partitioned_pairs(
+        mesh, lk, ls, le, rk, rs, re, chunk_limit=2048
+    )
+    made = sh._shuffle_pairs_fns.cache_info().misses - before
+    assert made <= 2, f"expected <=2 emit kernels, built {made}"
+    assert len(b) == n * n
+    ob, op = oracle_pairs(lk, ls, le, rk, rs, re)
+    assert sorted(zip(q.tolist(), b.tolist())) == sorted(
+        zip(op.tolist(), ob.tolist())
+    )
