@@ -153,13 +153,10 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
         rows, dists = genomic.closest_k(
             index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
         )
-        a_idx, b_idx, dist = [], [], []
-        for i in range(rows.shape[0]):
-            for j in range(k):
-                if rows[i, j] >= 0:
-                    a_idx.append(i)
-                    b_idx.append(rows[i, j])
-                    dist.append(dists[i, j])
+        valid = rows >= 0
+        a_idx, _ = np.nonzero(valid)  # row-major: (a row asc, rank asc)
+        b_idx = rows[valid]
+        dist = dists[valid]
     at = a.take(np.asarray(a_idx, np.int64))
     bt = b.take(np.asarray(b_idx, np.int64))
     arrays = (

@@ -11,10 +11,13 @@ Coordinate convention: end-inclusive i32 intervals, matching the join.
 `coverage` reproduces the superintervals formula exactly:
 ``(count, sum(min(end_i, qe) - max(start_i, qs)))``.
 
-The per-key event-scan kernels (depth, merge, complement) are pure
-sort/scan/mask pipelines — XLA's bread and butter — and run on device
-via jnp; coverage aggregates run through the same BITS/level rank
-machinery as the join.
+Execution model: `coverage` runs its rank batches on device through the
+same BITS/level machinery as the join; the event-scan and windowed
+operators in this module (depth, merge, complement, subtract, closest_k)
+are vectorized host NumPy — sort/searchsorted/scan pipelines with no
+per-row Python loops — because their outputs are host-consumed tables
+and their cost is dominated by the O(n log n) sorts, which NumPy handles
+at memory speed for the row counts these API operators see.
 """
 
 from __future__ import annotations
@@ -108,30 +111,14 @@ def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int
 
     ``key_sizes[k] = (lo, hi)`` gives each key's domain (chromosome span,
     end-inclusive).  Keys present in key_sizes but absent from the data
-    yield their full span."""
-    mk, ms, me = merge_intervals(keys, starts, ends)
-    out_k, out_s, out_e = [], [], []
-    for key, (lo, hi) in sorted(key_sizes.items()):
-        seg = np.nonzero(mk == key)[0]
-        cur = lo
-        for i in seg:
-            s, e = int(ms[i]), int(me[i])
-            if s > cur:
-                out_k.append(key)
-                out_s.append(cur)
-                out_e.append(min(s - 1, hi))
-            cur = max(cur, e + 1)
-            if cur > hi:
-                break
-        if cur <= hi:
-            out_k.append(key)
-            out_s.append(cur)
-            out_e.append(hi)
-    return (
-        np.asarray(out_k, np.int32),
-        np.asarray(out_s, np.int32),
-        np.asarray(out_e, np.int32),
-    )
+    yield their full span.  Implemented as subtract(domains, intervals) —
+    one vectorized pass, no per-key loop."""
+    items = sorted(key_sizes.items())
+    ak = np.asarray([k for k, _ in items], np.int32)
+    as_ = np.asarray([lo for _, (lo, _) in items], np.int32)
+    ae = np.asarray([hi for _, (_, hi) in items], np.int32)
+    keep = ae >= as_
+    return subtract_intervals(ak[keep], as_[keep], ae[keep], keys, starts, ends)
 
 
 # ---------------------------------------------------------------------------
@@ -142,39 +129,68 @@ def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int
 def subtract_intervals(ak, as_, ae, bk, bs, be):
     """Per a-interval: the sub-ranges not covered by any b interval
     (bedtools subtract).  Merge b, then cut each a against the merged
-    runs overlapping it."""
-    mk, ms, me = merge_intervals(bk, bs, be)
-    out_k, out_s, out_e = [], [], []
+    runs overlapping it.
+
+    Fully vectorized: merged runs are disjoint and per-key sorted, so
+    per key both starts AND ends ascend and the runs overlapping
+    ``[as, ae]`` are one contiguous window found with two composite
+    searches; every gap is then one of (a) the stretch before each
+    window run, computed pairwise over the expanded (a-row, run) pairs,
+    or (b) the tail after a row's last run — no per-row Python."""
+    ak = np.asarray(ak, np.int32)
+    as_ = np.asarray(as_, np.int32)
+    ae = np.asarray(ae, np.int32)
+    mk, ms, me = merge_intervals(np.asarray(bk), np.asarray(bs), np.asarray(be))
     order = np.lexsort((ms, mk))
     mk, ms, me = mk[order], ms[order], me[order]
-    # merged runs are disjoint and sorted, so per key both starts AND ends
-    # ascend: the runs overlapping [as, ae] are one contiguous window,
-    # found with two vectorized composite searches (O(log) per a-row).
     B = np.int64(2**31)
     comp_ms = (mk.astype(np.int64) << 32) | (ms.astype(np.int64) + B)
     comp_me = (mk.astype(np.int64) << 32) | (me.astype(np.int64) + B)
     ak64 = ak.astype(np.int64)
     lo_all = np.searchsorted(comp_me, (ak64 << 32) | (as_.astype(np.int64) + B), side="left")
     hi_all = np.searchsorted(comp_ms, (ak64 << 32) | (ae.astype(np.int64) + B), side="right")
-    for i in range(len(ak)):
-        seg = range(int(lo_all[i]), int(hi_all[i]))
-        cur = int(as_[i])
-        for j in seg:
-            if ms[j] > cur:
-                out_k.append(ak[i])
-                out_s.append(cur)
-                out_e.append(int(ms[j]) - 1)
-            cur = max(cur, int(me[j]) + 1)
-            if cur > ae[i]:
-                break
-        if cur <= ae[i]:
-            out_k.append(ak[i])
-            out_s.append(cur)
-            out_e.append(int(ae[i]))
+    widths = np.maximum(hi_all - lo_all, 0)
+    total = int(widths.sum())
+    m = len(ak)
+    # (a-row, run) pair expansion
+    pair_i = np.repeat(np.arange(m, dtype=np.int64), widths)
+    offs = np.concatenate([[0], np.cumsum(widths)])
+    pair_j = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offs[:-1], widths)
+        + np.repeat(lo_all, widths)
+    )
+    # gap before run j: [prev_end+1, ms[j]-1] where prev_end is the
+    # previous window run's end (or as_-1 for the first); window runs all
+    # have me >= as_, so gap starts never fall below as_
+    first = pair_j == np.repeat(lo_all, widths)
+    prev_end = np.where(
+        first,
+        as_[pair_i].astype(np.int64) - 1,
+        me[np.maximum(pair_j - 1, 0)].astype(np.int64),
+    )
+    gap_s = prev_end + 1
+    gap_e = ms[pair_j].astype(np.int64) - 1
+    keep = gap_e >= gap_s
+    # tail gap after the last window run: [me[last]+1, ae]
+    has = widths > 0
+    last_j = hi_all - 1
+    tail_s = np.where(
+        has, me[np.maximum(last_j, 0)].astype(np.int64) + 1, as_.astype(np.int64)
+    )
+    tail_e = ae.astype(np.int64)
+    tail_keep = tail_s <= tail_e
+    out_k = np.concatenate([ak[pair_i[keep]], ak[tail_keep]])
+    out_s = np.concatenate([gap_s[keep], tail_s[tail_keep]])
+    out_e = np.concatenate([gap_e[keep], tail_e[tail_keep]])
+    # restore per-a-row emission order (gaps ascending within each a row)
+    final = np.lexsort((out_s, np.concatenate(
+        [pair_i[keep], np.nonzero(tail_keep)[0]]
+    )))
     return (
-        np.asarray(out_k, np.int32),
-        np.asarray(out_s, np.int32),
-        np.asarray(out_e, np.int32),
+        out_k[final].astype(np.int32),
+        out_s[final].astype(np.int32),
+        out_e[final].astype(np.int32),
     )
 
 
@@ -385,18 +401,130 @@ def _coverage_levels(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     return counts.astype(np.int64), total
 
 
+_D_INVALID = np.int64(1) << 62  # sentinel distance for missing candidates
+
+
 def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"):
     """k nearest build rows per probe row (overlaps first, then by genomic
-    distance; ties upstream-first).  Returns (rows [m,k], dists [m,k]);
-    -1 rows pad when fewer than k exist.  Host implementation over the
-    level view (closest is an API operator, not the benchmark hot path)."""
+    distance; ties upstream-first, then smallest build row).  Returns
+    (rows [m,k], dists [m,k]); -1 rows pad when fewer than k exist.
+
+    Vectorized k-ring candidate gathers — no per-probe Python:
+
+    - upstream ring: the k predecessors of the probe start in the
+      (key,end)-sorted order (the k largest ends < qs = the k nearest
+      upstream intervals);
+    - downstream ring: the k successors of the probe end in the
+      (key,start)-sorted order (the k smallest starts > qe);
+    - overlap ring: the first k entries of each level's contiguous match
+      run (>= min(#overlaps, k) distance-0 candidates by construction).
+
+    One lexsort over the [m, (L+2)k] candidate matrix selects each row's
+    top k.  When several overlaps tie at distance 0, the returned subset
+    is deterministic (level-major, start order) but not contractual.
+    Degenerate probes (qs > qe) and inverted build intervals fall back to
+    the exact per-row scan."""
+    qk = np.asarray(qk)
+    qs = np.asarray(qs)
+    qe = np.asarray(qe)
+    m = len(qk)
+    rows = np.full((m, k), -1, np.int64)
+    dists = np.full((m, k), -1, np.int64)
+    hk, hs, he = index._hk, index._hs, index._he
+    n = len(hk)
+    if n == 0 or m == 0:
+        return rows, dists
+
+    clean = ~(np.asarray(qs > qe))
+    if bool((he < hs).any()):
+        clean = np.zeros(m, bool)  # inverted builds: rings don't partition
+    if not clean.all():
+        dirty = np.nonzero(~clean)[0]
+        r_d, d_d = _closest_k_scan(index, qk[dirty], qs[dirty], qe[dirty], k)
+        rows[dirty] = r_d
+        dists[dirty] = d_d
+        if not clean.any():
+            return rows, dists
+    sel = np.nonzero(clean)[0]
+    cqk, cqs, cqe = qk[sel], qs[sel], qe[sel]
+    mc = len(sel)
+
+    B = np.int64(2**31)
+
+    def comp(kc, v):
+        return (kc.astype(np.int64) << 32) | (v.astype(np.int64) + B)
+
+    s_ord = np.lexsort((hs, hk))
+    e_ord = np.lexsort((he, hk))
+    comp_s = comp(hk[s_ord], hs[s_ord])
+    comp_e = comp(hk[e_ord], he[e_ord])
+    ring = np.arange(k, dtype=np.int64)
+
+    cand_rows, cand_dist, cand_up = [], [], []
+
+    # upstream ring: k predecessors by end within the key segment
+    lb_e = np.searchsorted(comp_e, comp(cqk, cqs), side="left")
+    seg_lo = np.searchsorted(comp_e, cqk.astype(np.int64) << 32, side="left")
+    li = lb_e[:, None] - 1 - ring[None, :]
+    lv = li >= seg_lo[:, None]
+    lrow = e_ord[np.clip(li, 0, n - 1)]
+    ld = np.where(lv, cqs[:, None].astype(np.int64) - he[lrow], _D_INVALID)
+    cand_rows.append(np.where(lv, lrow, -1))
+    cand_dist.append(ld)
+    cand_up.append(np.ones_like(ld))
+
+    # downstream ring: k successors by start within the key segment
+    ub_s = np.searchsorted(comp_s, comp(cqk, cqe), side="right")
+    seg_hi = np.searchsorted(
+        comp_s, (cqk.astype(np.int64) + 1) << 32, side="left"
+    )
+    ri = ub_s[:, None] + ring[None, :]
+    rv = ri < seg_hi[:, None]
+    rrow = s_ord[np.clip(ri, 0, n - 1)]
+    rd = np.where(rv, hs[rrow].astype(np.int64) - cqe[:, None], _D_INVALID)
+    cand_rows.append(np.where(rv, rrow, -1))
+    cand_dist.append(rd)
+    cand_up.append(np.zeros_like(rd))
+
+    # overlap rings: first k of each level's contiguous run
     K = np.asarray(index.keys)
     S = np.asarray(index.starts)
     E = np.asarray(index.ends)
     P = np.asarray(index.pos)
-    qk = np.asarray(qk)
-    qs = np.asarray(qs)
-    qe = np.asarray(qe)
+    for lvl in range(index.num_levels):
+        off = index.level_offsets[lvl]
+        pad = index.level_pad[lvl]
+        sl = slice(off, off + pad)
+        comp_lS = comp(K[sl], S[sl])
+        comp_lE = comp(K[sl], E[sl])
+        ub = np.searchsorted(comp_lS, comp(cqk, cqe), side="right")
+        lb = np.searchsorted(comp_lE, comp(cqk, cqs), side="left")
+        oi = lb[:, None] + ring[None, :]
+        ov = oi < ub[:, None]
+        orow = P[off + np.clip(oi, 0, pad - 1)]
+        cand_rows.append(np.where(ov, orow, -1))
+        cand_dist.append(np.where(ov, np.int64(0), _D_INVALID))
+        cand_up.append(np.zeros((mc, k), np.int64))
+
+    crows = np.concatenate(cand_rows, axis=1)
+    cdist = np.concatenate(cand_dist, axis=1)
+    cup = np.concatenate(cand_up, axis=1)
+    # top-k by (distance, upstream-first, build row); lexsort along axis 0
+    order = np.lexsort((crows.T, (1 - cup).T, cdist.T), axis=0)[:k].T
+    picked_d = np.take_along_axis(cdist, order, axis=1)
+    picked_r = np.take_along_axis(crows, order, axis=1)
+    ok = picked_d < _D_INVALID
+    rows[sel] = np.where(ok, picked_r, -1)
+    dists[sel] = np.where(ok, picked_d, -1)
+    return rows, dists
+
+
+def _closest_k_scan(index: IntervalIndex, qk, qs, qe, k: int):
+    """Exact per-row scan fallback (degenerate probes, inverted builds)."""
+    K = np.asarray(index.keys)
+    S = np.asarray(index.starts)
+    E = np.asarray(index.ends)
+    P = np.asarray(index.pos)
     m = len(qk)
     rows = np.full((m, k), -1, np.int64)
     dists = np.full((m, k), -1, np.int64)
@@ -409,7 +537,6 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
         d = np.where(
             e < qs[i], qs[i] - e, np.where(s > qe[i], s - qe[i], 0)
         )
-        # sort by (distance, upstream-first, position)
         upstream = (e < qs[i]).astype(np.int64)
         order = np.lexsort((p, -upstream, d))[:k]
         rows[i, : len(order)] = p[order]
