@@ -165,17 +165,33 @@ class IntervalMap:
             total += min(self._ends[i], end) - max(self._starts[i], start)
         return len(rows), total
 
+    def _idxs_batch_arrays(self, starts, ends):
+        """ONE vectorized host-index query for the whole batch: returns
+        (build_rows, split_bounds) with build_rows probe-major, so query i
+        owns build_rows[bounds[i]:bounds[i+1]]."""
+        idx = self._require_built()
+        s = np.asarray(starts, np.int32)
+        e = np.asarray(ends, np.int32)
+        b, p = idx.pairs(np.zeros(len(s), np.int32), s, e)
+        bounds = np.searchsorted(p, np.arange(len(s) + 1))
+        return b, bounds
+
     def search_idxs_batch(self, starts, ends) -> list:
         """Per-query lists of overlapping interval indexes (the
-        reference's batch variant, intervalmap.pyx:387)."""
+        reference's batch variant, intervalmap.pyx:387).  One vectorized
+        index pass for the whole batch — not a per-query Python loop."""
+        b, bounds = self._idxs_batch_arrays(starts, ends)
         return [
-            self.search_idxs(int(s_), int(e_)) for s_, e_ in zip(starts, ends)
+            b[bounds[i]:bounds[i + 1]].tolist() for i in range(len(bounds) - 1)
         ]
 
     def search_values_batch(self, starts, ends) -> list:
-        """Per-query lists of overlapping values (intervalmap.pyx:433)."""
+        """Per-query lists of overlapping values (intervalmap.pyx:433);
+        one vectorized index pass."""
+        b, bounds = self._idxs_batch_arrays(starts, ends)
         return [
-            self.search_values(int(s_), int(e_)) for s_, e_ in zip(starts, ends)
+            [self._data[j] for j in b[bounds[i]:bounds[i + 1]]]
+            for i in range(len(bounds) - 1)
         ]
 
     def count_batch(self, starts, ends) -> np.ndarray:
@@ -183,3 +199,41 @@ class IntervalMap:
         s = np.asarray(starts, np.int32)
         e = np.asarray(ends, np.int32)
         return idx.counts(np.zeros(len(s), np.int32), s, e)
+
+    def coverage_batch(self, starts, ends):
+        """Per-query (count, covered_bases) arrays; one vectorized pass."""
+        idx = self._require_built()
+        s = np.asarray(starts, np.int32)
+        e = np.asarray(ends, np.int32)
+        if hasattr(idx, "coverage"):
+            return idx.coverage(np.zeros(len(s), np.int32), s, e)
+        b, bounds = self._idxs_batch_arrays(starts, ends)
+        st = np.asarray(self._starts, np.int64)
+        en = np.asarray(self._ends, np.int64)
+        widths = np.minimum(en[b], e.astype(np.int64)[np.repeat(
+            np.arange(len(s)), np.diff(bounds))]) - np.maximum(
+            st[b], s.astype(np.int64)[np.repeat(np.arange(len(s)), np.diff(bounds))])
+        counts = np.diff(bounds).astype(np.int64)
+        bases = np.zeros(len(s), np.int64)
+        np.add.at(bases, np.repeat(np.arange(len(s)), np.diff(bounds)), widths)
+        return counts, bases
+
+    # -- lazy iterator variants (superintervals.rs:1009-1062) ---------------
+    # The reference join consumes search_values_iter; these are generators
+    # over one vectorized index query (laziness buys allocation-free
+    # consumption, the vectorized query buys C-speed search).
+    def search_idxs_iter(self, start: int, end: int):
+        for i in self._idxs(start, end):
+            yield int(i)
+
+    def search_values_iter(self, start: int, end: int):
+        for i in self._idxs(start, end):
+            yield self._data[i]
+
+    def search_keys_iter(self, start: int, end: int):
+        for i in self._idxs(start, end):
+            yield (self._starts[i], self._ends[i])
+
+    def search_items_iter(self, start: int, end: int):
+        for i in self._idxs(start, end):
+            yield self.at(i)

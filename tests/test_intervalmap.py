@@ -109,3 +109,72 @@ def test_batch_search_variants():
     m.build()
     assert m.search_idxs_batch([0, 12], [2, 15]) == [[0], [1]]
     assert m.search_values_batch([0, 12], [2, 15]) == [["a"], ["b"]]
+
+
+class TestBatchAndIterators:
+    """Round-2: batch searches are one vectorized index pass; iterator
+    variants complete the superintervals surface (superintervals.rs:
+    1009-1062)."""
+
+    def _map(self):
+        from sequila_tpu.intervalmap import IntervalMap
+
+        m = IntervalMap()
+        for s, e, v in [(1, 5, "a"), (3, 9, "b"), (10, 20, "c"), (15, 15, "d")]:
+            m.add(s, e, v)
+        m.build()
+        return m
+
+    def test_batch_matches_scalar(self):
+        m = self._map()
+        starts = [0, 4, 12, 100]
+        ends = [2, 11, 16, 200]
+        got = m.search_idxs_batch(starts, ends)
+        want = [m.search_idxs(s, e) for s, e in zip(starts, ends)]
+        assert [sorted(g) for g in got] == [sorted(w) for w in want]
+        gv = m.search_values_batch(starts, ends)
+        wv = [m.search_values(s, e) for s, e in zip(starts, ends)]
+        assert [sorted(g) for g in gv] == [sorted(w) for w in wv]
+
+    def test_batch_random_parity(self):
+        import numpy as np
+
+        from sequila_tpu.intervalmap import IntervalMap
+
+        rng = np.random.default_rng(0)
+        m = IntervalMap()
+        n = 300
+        bs = rng.integers(0, 5000, n)
+        be = bs + rng.integers(0, 300, n)
+        for i in range(n):
+            m.add(int(bs[i]), int(be[i]), i)
+        m.build()
+        qs = rng.integers(0, 5000, 100)
+        qe = qs + rng.integers(0, 300, 100)
+        got = m.search_idxs_batch(qs, qe)
+        for i in range(100):
+            want = sorted(
+                j for j in range(n) if bs[j] <= qe[i] and be[j] >= qs[i]
+            )
+            assert sorted(got[i]) == want
+        cb = m.count_batch(qs, qe)
+        assert [len(g) for g in got] == cb.tolist()
+        cc, bb = m.coverage_batch(qs, qe)
+        for i in range(100):
+            assert cc[i] == len(got[i])
+            assert bb[i] == sum(
+                min(int(be[j]), int(qe[i])) - max(int(bs[j]), int(qs[i]))
+                for j in got[i]
+            )
+
+    def test_iterators_lazy_and_equal(self):
+        import types
+
+        m = self._map()
+        it = m.search_values_iter(3, 12)
+        assert isinstance(it, types.GeneratorType)
+        assert sorted(it) == sorted(m.search_values(3, 12))
+        assert sorted(m.search_idxs_iter(3, 12)) == sorted(m.search_idxs(3, 12))
+        assert sorted(m.search_keys_iter(3, 12)) == sorted(m.search_keys(3, 12))
+        assert sorted(m.search_items_iter(3, 12)) == sorted(m.search_items(3, 12))
+        assert list(m.search_idxs_iter(1000, 2000)) == []
