@@ -104,7 +104,7 @@ def gen_genome_table(n, seed, num_contigs=24, median_len=5_000, sigma=1.2):
     }
 
 
-def run_pair(name, t1, t2, iters, query=QUERY, setup_sql=()):
+def run_pair(name, t1, t2, iters, query=QUERY, setup_sql=(), results=None):
     import pyarrow as pa
 
     from sequila_tpu.session import SessionContext
@@ -138,19 +138,44 @@ def run_pair(name, t1, t2, iters, query=QUERY, setup_sql=()):
         f"(~{bw:.0f} GB/s sort traffic, {bw/819*100:.0f}% of v5e HBM peak)",
         file=sys.stderr,
     )
+    if results is not None:
+        results[name] = {
+            "rows": total,
+            "seconds": round(t, 5),
+            "rows_per_sec": round(total / max(t, 1e-9)),
+        }
     return total, t
+
+
+FULL_ARTIFACT = "BENCH_full.json"
 
 
 def run_full(iters):
     """databio-style suite: multiple pairings (reference
     benches/databio_benchmark.rs runs 9 tables x 5 pairings), algorithm
-    sweep, whole-genome skewed join, and a materialization bench."""
+    sweep, whole-genome skewed join, and a materialization bench.
+
+    Every number is also recorded machine-readably in BENCH_full.json so
+    the regression gate can watch the non-default algorithms and the
+    materialization path, not just the headline pairing."""
+    artifact = {
+        "suite": "databio-style synthetic",
+        "iters": iters,
+        "algorithms": {},
+        "pairings": {},
+        "genomic_ops": {},
+    }
     print("== algorithm sweep (chr1 pair) ==", file=sys.stderr)
     for alg in (
         "coitrees", "intervaltree", "arrayintervaltree", "lapper",
         "superintervals",
     ):
-        run(alg, iters=iters, verbose=True)
+        total, t = run(alg, iters=iters, verbose=True)
+        artifact["algorithms"][alg] = {
+            "rows": total,
+            "seconds": round(t, 5),
+            "rows_per_sec": round(total / max(t, 1e-9)),
+        }
 
     print("== pairings ==", file=sys.stderr)
     pairs = [
@@ -160,7 +185,7 @@ def run_full(iters):
         ("Genome-Genome(2.3M x 7.7M)", gen_genome_table(2_350_965, 21), gen_genome_table(7_684_066, 22)),
     ]
     for name, t1, t2 in pairs:
-        run_pair(name, t1, t2, iters)
+        run_pair(name, t1, t2, iters, results=artifact["pairings"])
 
     print("== chromosome-subset + filter pushdown (q1-lapper config) ==", file=sys.stderr)
     run_pair(
@@ -174,6 +199,7 @@ def run_full(iters):
             "WHERE a.contig = 'chr1'"
         ),
         setup_sql=["SET sequila.interval_join_algorithm = lapper"],
+        results=artifact["pairings"],
     )
 
     print("== genomic operators (BASELINE configs 3-4) ==", file=sys.stderr)
@@ -186,8 +212,10 @@ def run_full(iters):
         ("coverage (500k x 500k)", lambda: gdf.coverage(A, B)),
         ("count_overlaps (500k x 500k)", lambda: gdf.count_overlaps(A, B)),
         ("closest k=1 (500k x 500k)", lambda: gdf.closest(A, B, k=1)),
+        ("closest k=3 (500k x 500k)", lambda: gdf.closest(A, B, k=3)),
         ("merge (500k)", lambda: gdf.merge(A)),
         ("complement (500k)", lambda: gdf.complement(A, {f"chr{i+1}": (0, 248_000_000) for i in range(24)})),
+        ("subtract (500k x 500k)", lambda: gdf.subtract(A, B)),
         ("depth/pileup (500k)", lambda: gdf.depth(A)),
     ]:
         fn()  # warm
@@ -195,6 +223,9 @@ def run_full(iters):
         out = fn()
         dt = time.perf_counter() - t0
         print(f"{name}: {out.num_rows:,} rows in {dt*1000:.0f} ms", file=sys.stderr)
+        artifact["genomic_ops"][name] = {
+            "rows": out.num_rows, "seconds": round(dt, 4)
+        }
 
     print("== materialization (SELECT *, 20k x 20k) ==", file=sys.stderr)
     run_pair(
@@ -207,7 +238,89 @@ def run_full(iters):
             "ON a.contig = b.contig AND a.pos_end >= b.pos_start "
             "AND a.pos_start <= b.pos_end"
         ),
+        results=artifact["pairings"],
     )
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), FULL_ARTIFACT)
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"full-suite artifact written to {path}", file=sys.stderr)
+
+
+# -- real databio data (reference benches/databio_benchmark.rs) --------------
+#
+# One-command protocol when the databio parquet blobs are available (they
+# are absent from this image — zero egress):
+#
+#   BENCH_DATA_ROOT=/data/bench_data/databio python bench.py --databio
+#
+# Layout (reference databio_benchmark.rs:147,257): {root}/{table}/*.parquet
+# for tables chainRn4, fBrain-DS14718, chainOrnAna1, ex-anno, ex-rna (the 5
+# reference pairings), plus optionally chainRn4_chr1 / chainVicPac2_chr1 to
+# reproduce the 154,374,873-row correctness anchor
+# (reference sandbox/datafusion_baseline.md:8) — asserted exactly.
+
+DATABIO_PAIRINGS = [
+    ("chainRn4", "fBrain-DS14718"),
+    ("chainRn4", "chainOrnAna1"),
+    ("chainRn4", "ex-anno"),
+    ("chainRn4", "ex-rna"),
+    ("ex-anno", "ex-rna"),
+]
+ANCHOR_PAIR = ("chainRn4_chr1", "chainVicPac2_chr1")
+ANCHOR_ROWS = 154_374_873
+
+
+def run_databio(iters):
+    import pyarrow.dataset as pds
+
+    from sequila_tpu.session import SessionContext
+
+    root = os.environ.get("BENCH_DATA_ROOT", "/data/bench_data/databio/")
+    if not os.path.isdir(root):
+        print(
+            f"BENCH_DATA_ROOT {root} not found — databio parquet data is "
+            "not in this image; see the protocol comment in bench.py",
+            file=sys.stderr,
+        )
+        return
+
+    def load(name):
+        return pds.dataset(os.path.join(root, name)).to_table()
+
+    artifact = {"suite": "databio", "root": root, "iters": iters, "results": {}}
+    pairings = list(DATABIO_PAIRINGS)
+    if all(os.path.isdir(os.path.join(root, t)) for t in ANCHOR_PAIR):
+        pairings.insert(0, ANCHOR_PAIR)
+    for s1, s2 in pairings:
+        if not all(os.path.isdir(os.path.join(root, t)) for t in (s1, s2)):
+            print(f"skipping {s1} x {s2} (missing data)", file=sys.stderr)
+            continue
+        ctx = SessionContext()
+        ctx.register_table("s1", load(s1))
+        ctx.register_table("s2", load(s2))
+        for alg in ("coitrees", "intervaltree", "arrayintervaltree", "lapper"):
+            ctx.sql(f"SET sequila.interval_join_algorithm = {alg}")
+            total = int(ctx.sql(QUERY).column_np(0)[0])
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                got = int(ctx.sql(QUERY).column_np(0)[0])
+                times.append(time.perf_counter() - t0)
+                assert got == total
+            t = min(times)
+            name = f"{s1}x{s2}:{alg}"
+            print(f"{name}: {total:,} rows in {t:.3f} s", file=sys.stderr)
+            artifact["results"][name] = {"rows": total, "seconds": round(t, 4)}
+            if (s1, s2) == ANCHOR_PAIR:
+                assert total == ANCHOR_ROWS, (
+                    f"anchor mismatch: {total} != {ANCHOR_ROWS}"
+                )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_databio.json"
+    )
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"databio artifact written to {path}", file=sys.stderr)
 
 
 def run_pipeline(k=8):
@@ -340,6 +453,10 @@ def main():
     ap.add_argument("--full", action="store_true", help="run the full databio-style suite")
     ap.add_argument("--scaling", action="store_true", help="virtual-mesh scaling check")
     ap.add_argument("--pipeline", action="store_true", help="sustained async throughput")
+    ap.add_argument(
+        "--databio", action="store_true",
+        help="run the reference's real databio parquet suite (BENCH_DATA_ROOT)",
+    )
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -348,6 +465,9 @@ def main():
         return
     if args.pipeline:
         run_pipeline()
+        return
+    if args.databio:
+        run_databio(args.iters)
         return
     if args.full:
         run_full(args.iters)

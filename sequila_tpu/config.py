@@ -102,6 +102,11 @@ class SequilaConfig:
     prefer_interval_join: bool = True
     interval_join_algorithm: Algorithm = Algorithm.COITREES
     interval_join_low_memory: bool = False
+    # Partitioned-mode skew handling: range-split hot contigs across parts
+    # (parallel/skew.py) for count queries.  Off by default — plain hash
+    # partitioning is exact and simpler; turn on for heavily skewed data
+    # (one dominant chromosome) on multi-chip meshes.
+    partitioned_skew: bool = False
     max_output_batch_size: int = dataclasses.field(
         default_factory=lambda: _env_int("SEQUILA_MAX_OUTPUT_BATCH_SIZE", 100_000)
     )
@@ -110,7 +115,11 @@ class SequilaConfig:
     target_partitions: int = 1
     batch_size: int = 8192
 
-    _BOOL_KEYS = ("prefer_interval_join", "interval_join_low_memory")
+    _BOOL_KEYS = (
+        "prefer_interval_join",
+        "interval_join_low_memory",
+        "partitioned_skew",
+    )
     _INT_KEYS = ("max_output_batch_size", "target_partitions", "batch_size")
 
     def set(self, key: str, value: str) -> None:

@@ -28,6 +28,15 @@ from sequila_tpu.ops.interval_join import count_matches, materialize_pairs, near
 DEFAULT_COLS = ("contig", "pos_start", "pos_end")
 
 
+def _mesh(partitions: int):
+    """Engine mesh for partitions > 1, else None (single-chip path)."""
+    if partitions <= 1:
+        return None
+    from sequila_tpu.parallel.engine import get_engine_mesh
+
+    return get_engine_mesh(partitions)
+
+
 def _use_host(*tables) -> bool:
     from sequila_tpu.exec.joins.interval_join import _host_threshold
 
@@ -49,13 +58,26 @@ def _encode_pair(a: Table, b: Table, cols_a, cols_b):
     return ca, sa, ea, cb, sb, eb
 
 
-def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
+def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
+            partitions: int = 1) -> Table:
     """Inner overlap join: all (a_row ++ b_row) pairs with equal contig and
     end-inclusive range overlap.  b is the build side, a the probe side
-    (probe order preserved)."""
+    (probe order preserved).
+
+    ``partitions > 1`` executes SPMD over a device mesh."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    if _use_host(a, b):
+    mesh = _mesh(partitions)
+    if mesh is not None:
+        from sequila_tpu.parallel.partitioned_join import partitioned_pairs
+
+        b_rows, p_rows = partitioned_pairs(
+            mesh, cb, np.asarray(sb), np.asarray(eb),
+            ca, np.asarray(sa), np.asarray(ea),
+        )
+        order = np.lexsort((b_rows, p_rows))
+        b_rows, p_rows = b_rows[order], p_rows[order]
+    elif _use_host(a, b):
         from sequila_tpu.ops.host_join import make_host_index
 
         b_rows, p_rows = make_host_index(cb, sb, eb).pairs(ca, sa, ea)
@@ -72,13 +94,24 @@ def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Tabl
 
 
 def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
-                   out_col: str = "count") -> Table:
+                   out_col: str = "count", partitions: int = 1) -> Table:
     """a with an appended per-row count of overlapping b intervals — the
     intended semantics of the reference's CoitreesCountOverlaps algorithm
-    (see SURVEY.md §2 item 9) and of superintervals `count`."""
+    (see SURVEY.md §2 item 9) and of superintervals `count`.
+
+    ``partitions > 1`` executes SPMD over a device mesh (the engine's
+    Partitioned mode; shrinks to the available devices)."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    if _use_host(a, b):
+    mesh = _mesh(partitions)
+    if mesh is not None:
+        from sequila_tpu.parallel.partitioned_join import partitioned_probe_counts
+
+        counts = partitioned_probe_counts(
+            mesh, cb, np.asarray(sb), np.asarray(eb),
+            ca, np.asarray(sa), np.asarray(ea),
+        )
+    elif _use_host(a, b):
         from sequila_tpu.ops.host_join import make_host_index
 
         counts = np.asarray(make_host_index(cb, sb, eb).counts(ca, sa, ea))
@@ -172,13 +205,24 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
     return Table(pa.Table.from_arrays(arrays, names=names))
 
 
-def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
+def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
+             partitions: int = 1) -> Table:
     """a with appended (count, bases) of b-coverage per a interval —
     superintervals `coverage` semantics (reference superintervals.rs:802:
-    bases = sum(min(end_i,qe) - max(start_i,qs)))."""
+    bases = sum(min(end_i,qe) - max(start_i,qs))).
+
+    ``partitions > 1`` executes SPMD over a device mesh."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    if _use_host(a, b):
+    mesh = _mesh(partitions)
+    if mesh is not None:
+        from sequila_tpu.parallel.partitioned_join import partitioned_coverage
+
+        counts, bases = partitioned_coverage(
+            mesh, cb, np.asarray(sb), np.asarray(eb),
+            ca, np.asarray(sa), np.asarray(ea),
+        )
+    elif _use_host(a, b):
         from sequila_tpu.ops.host_join import make_host_index
 
         hidx = make_host_index(cb, sb, eb)

@@ -705,6 +705,23 @@ class IntervalJoinExec(ExecPlan):
             with ctx.timer(self.op_id(), "join_time"):
                 if left.num_rows == 0 or right.num_rows == 0:
                     total = 0
+                elif (
+                    ctx.config.partitioned_skew
+                    # the skew count's rank arithmetic assumes qs <= qe
+                    # and start <= end (CLAUDE.md BITS invariant); negative
+                    # sentinel codes (NULL keys) can't be bincounted
+                    and not bool((rs > re).any())
+                    and not bool((le < ls).any())
+                    and not bool((lcodes < 0).any())
+                    and not bool((rcodes < 0).any())
+                ):
+                    from sequila_tpu.parallel.skew import (
+                        skew_partitioned_count_mesh,
+                    )
+
+                    total = skew_partitioned_count_mesh(
+                        mesh, lcodes, ls, le, rcodes, rs, re
+                    )
                 else:
                     total = partitioned_count(mesh, lcodes, ls, le, rcodes, rs, re)
             ctx.metrics.add(self.op_id(), "output_rows", total)

@@ -441,3 +441,25 @@ class TestVectorizedSubtract:
             keep = np.nonzero(~cov[as_[i] : ae[i] + 1])[0] + as_[i]
             want.setdefault(int(ak[i]), set()).update(keep.tolist())
         assert got == want
+
+
+class TestDataframePartitions:
+    """partitions>1 runs the bioframe-style ops SPMD over the mesh with
+    identical results (the dataframe-level Partitioned mode)."""
+
+    def test_overlap_count_coverage_parity(self, rng):
+        a = random_table(rng, 300, num_keys=5)
+        b = random_table(rng, 400, num_keys=5)
+        o1 = gdf.overlap(a, b)
+        o8 = gdf.overlap(a, b, partitions=8)
+        key = lambda t: sorted(
+            zip(*(t.column_np(i).tolist() for i in range(len(t.column_names))))
+        )
+        assert key(o1) == key(o8)
+        c1 = gdf.count_overlaps(a, b).column_np("count").tolist()
+        c8 = gdf.count_overlaps(a, b, partitions=8).column_np("count").tolist()
+        assert c1 == c8
+        v1 = gdf.coverage(a, b)
+        v8 = gdf.coverage(a, b, partitions=8)
+        assert v1.column_np("count").tolist() == v8.column_np("count").tolist()
+        assert v1.column_np("bases").tolist() == v8.column_np("bases").tolist()

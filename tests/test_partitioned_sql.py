@@ -218,3 +218,64 @@ def test_reference_fixture_partitioned(tmp_path):
     from tests.test_integration_sql import sorted_rows
 
     assert got == sorted_rows(EXPECTED_EQUI)
+
+
+def test_skew_knob_count_parity():
+    """SET sequila.partitioned_skew = true routes Partitioned-mode counts
+    through the range-splitting skew path; result identical on a heavily
+    skewed table (90% one contig)."""
+    r = np.random.default_rng(3)
+
+    def skewed(n, seed):
+        rr = np.random.default_rng(seed)
+        hot = rr.random(n) < 0.9
+        k = np.where(hot, 0, rr.integers(1, 6, n))
+        st = rr.integers(0, 50_000, n)
+        return pa.table(
+            {
+                "contig": [f"chr{i}" for i in k],
+                "pos_start": st,
+                "pos_end": st + rr.integers(0, 2_000, n),
+            }
+        )
+
+    q = (
+        "SELECT count(1) FROM s1 JOIN s2 ON s1.contig = s2.contig "
+        "AND s1.pos_end >= s2.pos_start AND s1.pos_start <= s2.pos_end"
+    )
+    outs = {}
+    for name, setup in (
+        ("single", []),
+        ("partitioned", ["SET datafusion.execution.target_partitions = 8"]),
+        ("skew", [
+            "SET datafusion.execution.target_partitions = 8",
+            "SET sequila.partitioned_skew = true",
+        ]),
+    ):
+        ctx = SessionContext()
+        ctx.register_table("s1", skewed(1500, 1))
+        ctx.register_table("s2", skewed(2000, 2))
+        for s in setup:
+            ctx.sql(s)
+        outs[name] = ctx.sql(q).to_pylist()
+    assert outs["single"] == outs["partitioned"] == outs["skew"]
+
+
+def test_skew_knob_degenerate_probes_fall_back():
+    """Degenerate (qs > qe) probe rows must route AROUND the skew count
+    (BITS zeroes them) and still be exact."""
+    ctx = SessionContext()
+    ctx.register_table("s1", pa.table(
+        {"contig": ["c0"] * 4, "pos_start": [10, 50, 100, 12],
+         "pos_end": [20, 60, 110, 18]}))
+    ctx.register_table("s2", pa.table(
+        {"contig": ["c0"] * 3, "pos_start": [15, 55, 105],
+         "pos_end": [11, 52, 101]}))  # all degenerate stabbing probes
+    q = (
+        "SELECT count(1) FROM s1 JOIN s2 ON s1.contig = s2.contig "
+        "AND s1.pos_end >= s2.pos_start AND s1.pos_start <= s2.pos_end"
+    )
+    want = ctx.sql(q).to_pylist()
+    ctx.sql("SET datafusion.execution.target_partitions = 8")
+    ctx.sql("SET sequila.partitioned_skew = true")
+    assert ctx.sql(q).to_pylist() == want
