@@ -238,6 +238,53 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     return Table(t)
 
 
+def cluster(a: Table, min_dist: int = 0, cols: tuple = DEFAULT_COLS,
+            out_col: str = "cluster") -> Table:
+    """a with an appended dense cluster id per row: rows whose intervals
+    chain into one merged run (gaps <= min_dist) share an id (bedtools
+    cluster)."""
+    keys, starts, ends = _prep(a, cols)
+    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    cids = genomic.cluster_intervals(codes, starts, ends, min_dist)
+    return Table(a.arrow.append_column(out_col, pa.array(cids)))
+
+
+def map_overlaps(a: Table, b: Table, column: str, ops=("mean",),
+                 cols: tuple = DEFAULT_COLS, cols_b=None,
+                 partitions: int = 1) -> Table:
+    """a with appended aggregations of b.<column> over the b rows
+    overlapping each a interval (bedtools map).  ``ops`` from
+    count/sum/mean/min/max/median/collapse/distinct; empty groups yield
+    NULL (count 0).  Output columns are named ``<column>_<op>``."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    mesh = _mesh(partitions)
+    if mesh is not None:
+        from sequila_tpu.parallel.partitioned_join import partitioned_pairs
+
+        b_rows, p_rows = partitioned_pairs(
+            mesh, cb, np.asarray(sb), np.asarray(eb),
+            ca, np.asarray(sa), np.asarray(ea),
+        )
+        order = np.argsort(p_rows, kind="stable")
+        b_rows, p_rows = b_rows[order], p_rows[order]
+    elif _use_host(a, b):
+        from sequila_tpu.ops.host_join import make_host_index
+
+        b_rows, p_rows = make_host_index(cb, sb, eb).pairs(ca, sa, ea)
+    else:
+        index = build_interval_index(cb, sb, eb)
+        b_rows, p_rows, _total = materialize_pairs(
+            index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
+        )
+    vals = b.column_np(column)[np.asarray(b_rows, np.int64)]
+    agg = genomic.map_aggregate(p_rows, vals, a.num_rows, ops)
+    t = a.arrow
+    for op in ops:
+        t = t.append_column(f"{column}_{op}", pa.array(agg[op]))
+    return Table(t)
+
+
 def merge(a: Table, min_dist: int = 0, cols: tuple = DEFAULT_COLS) -> Table:
     """Union of intervals per contig (gaps <= min_dist joined)."""
     keys, starts, ends = _prep(a, cols)

@@ -106,6 +106,33 @@ def merge_intervals(keys, starts, ends, min_dist: int = 0):
     return out_k.astype(np.int32), out_s.astype(np.int32), out_e.astype(np.int32)
 
 
+def cluster_intervals(keys, starts, ends, min_dist: int = 0):
+    """Cluster id per input row (bedtools cluster): rows whose intervals
+    chain into one merged run (gaps <= min_dist) share an id; ids are
+    dense, ordered by (key, run start).  Returns int64 [n] aligned with
+    the INPUT row order — one vectorized pass over the merge machinery."""
+    keys = np.asarray(keys)
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((starts, keys))
+    k, s, e = keys[order], starts[order], ends[order]
+    comp = (k.astype(np.int64) << 32) | (e.astype(np.int64) + 2**31)
+    cummax = np.maximum.accumulate(comp)
+    prev_end = (np.roll(cummax, 1) & 0xFFFFFFFF).astype(np.int64) - 2**31
+    prev_key = (np.roll(cummax, 1) >> 32).astype(np.int64)
+    new_run = np.ones(n, bool)
+    new_run[1:] = (k[1:].astype(np.int64) != prev_key[1:]) | (
+        s[1:].astype(np.int64) > prev_end[1:] + 1 + min_dist
+    )
+    cid_sorted = np.cumsum(new_run) - 1
+    out = np.empty(n, np.int64)
+    out[order] = cid_sorted
+    return out
+
+
 def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int]]):
     """Gaps of the merged intervals per key within [lo, hi] bounds.
 
@@ -399,6 +426,73 @@ def _coverage_levels(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         sum_max_start = qs_h * (rr - l) + (ps[u] - ps[rr])
         total += sum_min_end - sum_max_start
     return counts.astype(np.int64), total
+
+
+_MAP_OPS = ("count", "sum", "mean", "min", "max", "median", "collapse", "distinct")
+
+
+def map_aggregate(p_rows, vals, m, ops):
+    """Per-probe-row aggregation of matched values (the reduction half of
+    bedtools map).  ``p_rows`` must be sorted ascending (probe-major pair
+    emission order); ``vals`` are the matched b-side values aligned with
+    it.  Returns {op: array of length m}; empty groups yield NaN (numeric
+    ops), 0 (count) or None (collapse/distinct) — bedtools' "." analog.
+
+    All numeric ops are vectorized (bincount / reduceat / one lexsort for
+    median); only the string ops build per-group Python lists, and only
+    over the matched rows."""
+    for op in ops:
+        if op not in _MAP_OPS:
+            raise ValueError(f"unsupported map op '{op}' (use {_MAP_OPS})")
+    p_rows = np.asarray(p_rows, np.int64)
+    counts = np.bincount(p_rows, minlength=m).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    nonempty = counts > 0
+    out = {}
+    numeric = [op for op in ops if op in ("sum", "mean", "min", "max", "median")]
+    if numeric:
+        v = np.asarray(vals, np.float64)
+    for op in ops:
+        if op == "count":
+            out[op] = counts
+            continue
+        if op in ("collapse", "distinct"):
+            groups = np.split(np.asarray(vals), np.cumsum(counts)[:-1])
+            if op == "collapse":
+                out[op] = np.array(
+                    [",".join(str(x) for x in g) if len(g) else None for g in groups],
+                    dtype=object,
+                )
+            else:
+                out[op] = np.array(
+                    [",".join(sorted({str(x) for x in g})) if len(g) else None
+                     for g in groups],
+                    dtype=object,
+                )
+            continue
+        res = np.full(m, np.nan)
+        if not nonempty.any():
+            out[op] = res
+            continue
+        if op in ("sum", "mean"):
+            sums = np.bincount(p_rows, weights=v, minlength=m)
+            res[nonempty] = (
+                sums[nonempty] / counts[nonempty] if op == "mean" else sums[nonempty]
+            )
+        elif op in ("min", "max"):
+            fn = np.minimum if op == "min" else np.maximum
+            red = fn.reduceat(v, offs[nonempty]) if nonempty.any() else v
+            res[nonempty] = red
+        else:  # median: one co-sort puts each group's values in order
+            order = np.lexsort((v, p_rows))
+            vs = v[order]
+            c = counts[nonempty]
+            o = offs[nonempty]
+            lo = vs[o + (c - 1) // 2]
+            hi = vs[o + c // 2]
+            res[nonempty] = (lo + hi) / 2.0
+        out[op] = res
+    return out
 
 
 _D_INVALID = np.int64(1) << 62  # sentinel distance for missing candidates

@@ -463,3 +463,68 @@ class TestDataframePartitions:
         v8 = gdf.coverage(a, b, partitions=8)
         assert v1.column_np("count").tolist() == v8.column_np("count").tolist()
         assert v1.column_np("bases").tolist() == v8.column_np("bases").tolist()
+
+
+class TestClusterAndMap:
+    def test_cluster_simple(self):
+        a = table_of(
+            ["chr1", "chr1", "chr1", "chr2", "chr1"],
+            [1, 4, 100, 1, 102],
+            [5, 10, 101, 3, 110],
+        )
+        out = gdf.cluster(a)
+        cid = out.column_np("cluster").tolist()
+        assert cid[0] == cid[1]          # [1,5] and [4,10] chain
+        assert cid[2] == cid[4]          # [100,101] and [102,110] adjacent
+        assert len({cid[0], cid[2], cid[3]}) == 3
+
+    def test_cluster_matches_merge_count(self, rng):
+        a = random_table(rng, 200, num_keys=3)
+        nclusters = len(set(gdf.cluster(a).column_np("cluster").tolist()))
+        assert nclusters == gdf.merge(a).num_rows
+
+    def test_map_ops_bruteforce(self, rng):
+        a = random_table(rng, 60)
+        b = random_table(rng, 90)
+        score = rng.integers(0, 100, 90)
+        b = Table(b.arrow.append_column("score", pa.array(score)))
+        out = gdf.map_overlaps(
+            a, b, "score",
+            ops=("count", "sum", "mean", "min", "max", "median", "collapse"),
+        )
+        ak = a.column_np("contig")
+        as_, ae = a.column_np("pos_start"), a.column_np("pos_end")
+        bk = b.column_np("contig")
+        bs, be = b.column_np("pos_start"), b.column_np("pos_end")
+        import math
+
+        for i in range(a.num_rows):
+            sel = np.nonzero((bk == ak[i]) & (bs <= ae[i]) & (be >= as_[i]))[0]
+            vals = score[sel]
+            assert out.column_np("score_count")[i] == len(vals)
+            if len(vals) == 0:
+                for op in ("sum", "mean", "min", "max", "median"):
+                    assert math.isnan(out.column_np(f"score_{op}")[i])
+                assert out.column_np("score_collapse")[i] is None
+                continue
+            assert out.column_np("score_sum")[i] == vals.sum()
+            assert out.column_np("score_mean")[i] == pytest.approx(vals.mean())
+            assert out.column_np("score_min")[i] == vals.min()
+            assert out.column_np("score_max")[i] == vals.max()
+            assert out.column_np("score_median")[i] == pytest.approx(
+                float(np.median(vals))
+            )
+            got = sorted(out.column_np("score_collapse")[i].split(","))
+            assert got == sorted(str(v) for v in vals)
+
+    def test_map_partitions_parity(self, rng):
+        a = random_table(rng, 150, num_keys=4)
+        b = random_table(rng, 200, num_keys=4)
+        score = rng.integers(0, 50, 200)
+        b = Table(b.arrow.append_column("score", pa.array(score)))
+        o1 = gdf.map_overlaps(a, b, "score", ops=("count", "sum", "median"))
+        o8 = gdf.map_overlaps(
+            a, b, "score", ops=("count", "sum", "median"), partitions=8
+        )
+        for c in ("score_count", "score_sum", "score_median"):
+            np.testing.assert_array_equal(o1.column_np(c), o8.column_np(c))
