@@ -17,7 +17,10 @@ a formulation that maps directly onto TPU sort/scan/gather hardware and
 scales over device meshes with XLA collectives.
 """
 
+from sequila_tpu._jaxcache import setup_jax_compilation_cache
 from sequila_tpu.config import Algorithm, SequilaConfig
+
+setup_jax_compilation_cache()
 
 __version__ = "0.1.0"
 

@@ -20,25 +20,9 @@ import numpy as np
 import pyarrow as pa
 
 
-def _setup_jax_compilation_cache():
-    """Persistent XLA compile cache: against a remote TPU a cold compile
-    costs tens of seconds, so cache across processes (CLI runs, notebooks)."""
-    try:
-        import jax
+from sequila_tpu._jaxcache import setup_jax_compilation_cache
 
-        cache_dir = os.environ.get(
-            "SEQUILA_JAX_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "sequila_tpu", "jax"),
-        )
-        if cache_dir:
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # cache is best-effort
-        pass
-
-
-_setup_jax_compilation_cache()
+setup_jax_compilation_cache()
 
 from sequila_tpu.config import SequilaConfig
 from sequila_tpu.errors import PlanError
