@@ -30,8 +30,6 @@ DEFAULT_COLS = ("contig", "pos_start", "pos_end")
 
 def _mesh(partitions: int):
     """Engine mesh for partitions > 1, else None (single-chip path)."""
-    if partitions <= 1:
-        return None
     from sequila_tpu.parallel.engine import get_engine_mesh
 
     return get_engine_mesh(partitions)
@@ -58,15 +56,11 @@ def _encode_pair(a: Table, b: Table, cols_a, cols_b):
     return ca, sa, ea, cb, sb, eb
 
 
-def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
-            partitions: int = 1) -> Table:
-    """Inner overlap join: all (a_row ++ b_row) pairs with equal contig and
-    end-inclusive range overlap.  b is the build side, a the probe side
-    (probe order preserved).
-
-    ``partitions > 1`` executes SPMD over a device mesh."""
-    cols_b = cols_b or cols
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+def _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions):
+    """All matching (b_row, a_row) index pairs, dispatched over the
+    mesh / host-index / device paths (shared by every pair-materializing
+    verb).  Mesh results are normalized to (probe asc, build asc) order;
+    the host and device paths emit probe-major already."""
     mesh = _mesh(partitions)
     if mesh is not None:
         from sequila_tpu.parallel.partitioned_join import partitioned_pairs
@@ -76,16 +70,28 @@ def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
             ca, np.asarray(sa), np.asarray(ea),
         )
         order = np.lexsort((b_rows, p_rows))
-        b_rows, p_rows = b_rows[order], p_rows[order]
-    elif _use_host(a, b):
+        return b_rows[order], p_rows[order]
+    if _use_host(a, b):
         from sequila_tpu.ops.host_join import make_host_index
 
-        b_rows, p_rows = make_host_index(cb, sb, eb).pairs(ca, sa, ea)
-    else:
-        index = build_interval_index(cb, sb, eb)
-        b_rows, p_rows, _total = materialize_pairs(
-            index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
-        )
+        return make_host_index(cb, sb, eb).pairs(ca, sa, ea)
+    index = build_interval_index(cb, sb, eb)
+    b_rows, p_rows, _total = materialize_pairs(
+        index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
+    )
+    return b_rows, p_rows
+
+
+def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
+            partitions: int = 1) -> Table:
+    """Inner overlap join: all (a_row ++ b_row) pairs with equal contig and
+    end-inclusive range overlap.  b is the build side, a the probe side
+    (probe order preserved).
+
+    ``partitions > 1`` executes SPMD over a device mesh."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions)
     at = a.take(p_rows.astype(np.int64))
     bt = b.take(b_rows.astype(np.int64))
     arrays = list(at.arrow.columns) + list(bt.arrow.columns)
@@ -258,25 +264,7 @@ def map_overlaps(a: Table, b: Table, column: str, ops=("mean",),
     NULL (count 0).  Output columns are named ``<column>_<op>``."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    mesh = _mesh(partitions)
-    if mesh is not None:
-        from sequila_tpu.parallel.partitioned_join import partitioned_pairs
-
-        b_rows, p_rows = partitioned_pairs(
-            mesh, cb, np.asarray(sb), np.asarray(eb),
-            ca, np.asarray(sa), np.asarray(ea),
-        )
-        order = np.argsort(p_rows, kind="stable")
-        b_rows, p_rows = b_rows[order], p_rows[order]
-    elif _use_host(a, b):
-        from sequila_tpu.ops.host_join import make_host_index
-
-        b_rows, p_rows = make_host_index(cb, sb, eb).pairs(ca, sa, ea)
-    else:
-        index = build_interval_index(cb, sb, eb)
-        b_rows, p_rows, _total = materialize_pairs(
-            index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
-        )
+    b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions)
     vals = b.column_np(column)[np.asarray(b_rows, np.int64)]
     agg = genomic.map_aggregate(p_rows, vals, a.num_rows, ops)
     t = a.arrow

@@ -210,12 +210,12 @@ class IntervalMap:
         b, bounds = self._idxs_batch_arrays(starts, ends)
         st = np.asarray(self._starts, np.int64)
         en = np.asarray(self._ends, np.int64)
-        widths = np.minimum(en[b], e.astype(np.int64)[np.repeat(
-            np.arange(len(s)), np.diff(bounds))]) - np.maximum(
-            st[b], s.astype(np.int64)[np.repeat(np.arange(len(s)), np.diff(bounds))])
         counts = np.diff(bounds).astype(np.int64)
+        reps = np.repeat(np.arange(len(s)), counts)  # query id per match
+        widths = (np.minimum(en[b], e.astype(np.int64)[reps])
+                  - np.maximum(st[b], s.astype(np.int64)[reps]))
         bases = np.zeros(len(s), np.int64)
-        np.add.at(bases, np.repeat(np.arange(len(s)), np.diff(bounds)), widths)
+        np.add.at(bases, reps, widths)
         return counts, bases
 
     # -- lazy iterator variants (superintervals.rs:1009-1062) ---------------

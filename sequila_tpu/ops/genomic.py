@@ -168,6 +168,8 @@ def subtract_intervals(ak, as_, ae, bk, bs, be):
     as_ = np.asarray(as_, np.int32)
     ae = np.asarray(ae, np.int32)
     mk, ms, me = merge_intervals(np.asarray(bk), np.asarray(bs), np.asarray(be))
+    if len(mk) == 0:  # nothing to subtract: every a row survives whole
+        return ak.copy(), as_.copy(), ae.copy()
     order = np.lexsort((ms, mk))
     mk, ms, me = mk[order], ms[order], me[order]
     B = np.int64(2**31)
@@ -411,16 +413,26 @@ def _coverage_levels(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
 
     qs_h = np.asarray(qs).astype(np.int64)
     qe_h = np.asarray(qe).astype(np.int64)
-    m = lb.shape[1]
-    counts = np.zeros(m, np.int64)
-    total = np.zeros(m, np.int64)
-    offs = np.asarray(index.level_offsets)[:, None]
+    return coverage_finish(lb, ub, t, r, index.level_offsets, ps, pe, qs_h, qe_h)
+
+
+def coverage_finish(lb, ub, t, r, level_offsets, ps, pe, qs_h, qe_h):
+    """int64 host finish of the rank-window coverage arithmetic — shared
+    by the single-chip (_coverage_levels) and mesh (partitioned_coverage)
+    paths so the subtle clipping/prefix algebra exists exactly once.
+
+    Per level: the matches are ranks [lb, ub); of those, ends beyond qe
+    start at rank t and starts before qs end at rank r, so
+    sum(min(end_i, qe)) = (pe[t] - pe[l]) + qe*(u - t) and
+    sum(max(start_i, qs)) = qs*(r - l) + (ps[u] - ps[r])."""
+    offs = np.asarray(level_offsets, np.int64)[:, None]
     gl = offs + lb
     gu = offs + np.maximum(ub, lb)
     gt = np.clip(offs + t, gl, gu)
     gr = np.clip(offs + r, gl, gu)
     counts = (gu - gl).sum(0)
-    for lvl in range(index.num_levels):
+    total = np.zeros(gl.shape[1], np.int64)
+    for lvl in range(len(offs)):
         l, u, tt, rr = gl[lvl], gu[lvl], gt[lvl], gr[lvl]
         sum_min_end = (pe[tt] - pe[l]) + qe_h * (u - tt)
         sum_max_start = qs_h * (rr - l) + (ps[u] - ps[rr])
@@ -549,7 +561,13 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
         return (kc.astype(np.int64) << 32) | (v.astype(np.int64) + B)
 
     s_ord = np.lexsort((hs, hk))
-    e_ord = np.lexsort((he, hk))
+    # Equal (key,end) runs are ordered by DESCENDING build row so the
+    # backward predecessor walk surfaces the smallest rows first — the
+    # documented "then smallest build row" tie-break needs those rows IN
+    # the k-ring candidate set, not just preferred by the final lexsort.
+    # (The downstream ring reads forward, where the stable ascending
+    # order already yields smallest rows first.)
+    e_ord = np.lexsort((-np.arange(n, dtype=np.int64), he, hk))
     comp_s = comp(hk[s_ord], hs[s_ord])
     comp_e = comp(hk[e_ord], he[e_ord])
     ring = np.arange(k, dtype=np.int64)

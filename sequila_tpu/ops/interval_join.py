@@ -317,14 +317,29 @@ def emit_pairs(
     return jnp.where(valid, build_row, -1), jnp.where(valid, probe_row, -1), valid
 
 
+def sat_sub_i32(qs, max_len):
+    """``qs - max(max_len, 0)`` with int32 saturation at INT32_MIN.
+
+    x64 is never enabled, so an ``astype(int64)`` upcast on device would
+    silently truncate back to int32 and the "clamp" after it would be a
+    no-op — with int32-extreme coordinates the wrapped difference lands
+    ABOVE the real starts and matching pairs are silently dropped.  The
+    true difference is <= qs (max_len >= 0), so a result above qs is
+    exactly the wrap case."""
+    raw = qs - jnp.maximum(max_len, 0)
+    return jnp.where(raw > qs, jnp.int32(-(2**31)), raw)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
-def _emit_window(keys, starts, ends, pos, max_len, qk, qs, qe, *, capacity: int):
+def _emit_window(keys, starts, ends, pos, lo_q, qk, qs, qe, *, capacity: int):
     """Lapper-style max-extension window emission: candidates are the
     contiguous run of starts in [qs - max_len, qe] within the key segment
     (rust-lapper's layered scan idea); an end mask filters the true
     matches — exact for every query shape, including degenerate stabbing.
+    ``lo_q`` is the host-precomputed saturated window floor
+    max(qs - max_len, INT32_MIN) — computed in real int64 on the host
+    because a device int64 upcast would silently truncate (x64 is off).
     Returns (build_rows, probe_rows, valid) of static ``capacity``."""
-    lo_q = jnp.maximum(qs.astype(jnp.int64) - max_len, -(2**31)).astype(jnp.int32)
     lb = rank_lex_sort((keys, starts), (qk, lo_q), side="left")
     ub = rank_lex_sort((keys, starts), (qk, qe), side="right")
     widths = jnp.maximum(ub - lb, 0)
@@ -368,7 +383,7 @@ def materialize_pairs_window(index: IntervalIndex, qk, qs, qe):
         )
     capacity = _bucket(total_cand, minimum=1024)
     b_rows, p_rows, valid = _emit_window(
-        keys, starts, ends, pos, max_len, qk, qs, qe, capacity=capacity
+        keys, starts, ends, pos, jnp.asarray(lo_q), qk, qs, qe, capacity=capacity
     )
     valid = np.asarray(valid)
     b = np.asarray(b_rows)[valid]

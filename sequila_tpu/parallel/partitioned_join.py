@@ -206,7 +206,10 @@ def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
 
 @functools.lru_cache(maxsize=64)
 def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
-    """Per-shard match totals [npart, nprobe] (for emit capacity sizing)."""
+    """Per-shard 8-row-bucket match partials [npart, nprobe, M/8] (emit
+    capacity sizing).  Partials stay int32-safe (a bucket is at most
+    8 x build-part rows); the host finishes the per-shard sum in int64 —
+    a whole-shard device sum would silently wrap at 2^31 pairs."""
 
     @functools.partial(
         shard_map,
@@ -215,16 +218,39 @@ def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
             P("part", None), P("part", None), P("part", None), P("part", None),
             P("part", "probe", None), P("part", "probe", None), P("part", "probe", None),
         ),
-        out_specs=P("part", "probe"),
+        out_specs=P("part", "probe", None),
     )
     def step(levels, keys, starts, ends, qk, qs, qe):
         lb, ub = _bounds_sort(
             levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
             num_levels=num_levels, level_offsets=level_offsets,
         )
-        return counts_from_bounds(lb, ub).sum()[None, None]
+        return counts_from_bounds(lb, ub).reshape(-1, 8).sum(axis=1)[None, None]
 
     return jax.jit(step)
+
+
+def shard_totals(mesh: Mesh, meta, didx, dK, dS, dE) -> np.ndarray:
+    """Exact per-shard match totals [npart, nprobe] in int64, guarded by
+    the same 2^31 limit as the single-chip emit path (_EMIT_LIMIT): the
+    emit kernel's slot/offset arithmetic is int32, so a shard that would
+    emit >= 2^31 pairs must be an error, never a silent wrap."""
+    from sequila_tpu.errors import ExecutionError
+    from sequila_tpu.ops.interval_join import _EMIT_LIMIT
+
+    partials = np.asarray(
+        shard_totals_fn(mesh, meta["num_levels"], meta["level_offsets"])(
+            *didx, dK, dS, dE
+        )
+    ).astype(np.int64)
+    totals = partials.sum(axis=-1)
+    if totals.size and int(totals.max()) >= _EMIT_LIMIT:
+        raise ExecutionError(
+            f"a join shard would emit {int(totals.max())} pairs (>= 2^31, "
+            "the int32 emit-offset limit); raise target_partitions so no "
+            "single (part, probe) shard exceeds it"
+        )
+    return totals
 
 
 @functools.lru_cache(maxsize=64)
@@ -281,13 +307,16 @@ def emit_all_shards(mesh: Mesh, meta, didx, dpos, dK, dS, dE, totals,
     cap = _bucket(max(1, min(max_total, chunk_limit) if chunk_limit else max_total),
                   minimum=1024)
     emit = partitioned_emit_fn(mesh, meta["num_levels"], meta["level_offsets"], cap)
-    base = np.zeros((npart, nprobe), np.int32)
+    # int64 on host; always < 2^31 when passed to the kernel (shard_totals
+    # guarantees totals < _EMIT_LIMIT and the loop exits before base >= total)
+    base = np.zeros((npart, nprobe), np.int64)
     dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     while True:
-        remaining = totals - base
+        remaining = np.asarray(totals, np.int64) - base
         if not (remaining > 0).any():
             return
-        b, p = emit(*didx, dpos, dK, dS, dE, dev(base, P("part", "probe")))
+        b, p = emit(*didx, dpos, dK, dS, dE,
+                    dev(base.astype(np.int32), P("part", "probe")))
         b = np.asarray(b)
         p = np.asarray(p)
         for part in range(npart):
@@ -323,11 +352,7 @@ def partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
     dS = dev(S, P("part", "probe", None))
     dE = dev(E, P("part", "probe", None))
 
-    totals = np.asarray(
-        shard_totals_fn(mesh, meta["num_levels"], meta["level_offsets"])(
-            *didx, dK, dS, dE
-        )
-    )
+    totals = shard_totals(mesh, meta, didx, dK, dS, dE)
     out_b, out_p = [], []
     for part, chip, b_valid, p_valid in emit_all_shards(
         mesh, meta, didx, dpos, dK, dS, dE, totals, chunk_limit
@@ -509,7 +534,8 @@ def partitioned_coverage(mesh: Mesh, lk, ls, le, rk, rs, re):
         dev(S, P("part", "probe", None)),
         dev(E, P("part", "probe", None)),
     ))
-    offs = np.asarray(meta["level_offsets"], np.int64)[:, None]
+    from sequila_tpu.ops.genomic import coverage_finish
+
     out_c = np.zeros(len(rk), np.int64)
     out_b = np.zeros(len(rk), np.int64)
     for part in range(npart):
@@ -525,19 +551,11 @@ def partitioned_coverage(mesh: Mesh, lk, ls, le, rk, rs, re):
             keep = rows >= 0
             if not keep.any():
                 continue
-            qs64 = S[part, chip].astype(np.int64)
-            qe64 = E[part, chip].astype(np.int64)
-            gl = offs + LB[part, chip]
-            gu = offs + np.maximum(UB[part, chip], LB[part, chip])
-            gt = np.clip(offs + T[part, chip], gl, gu)
-            gr = np.clip(offs + R[part, chip], gl, gu)
-            counts = (gu - gl).sum(0)
-            total = np.zeros(gl.shape[1], np.int64)
-            for lvl in range(len(offs)):
-                l_, u_, tt, rr = gl[lvl], gu[lvl], gt[lvl], gr[lvl]
-                sum_min_end = (pe[tt] - pe[l_]) + qe64 * (u_ - tt)
-                sum_max_start = qs64 * (rr - l_) + (ps[u_] - ps[rr])
-                total += sum_min_end - sum_max_start
+            counts, total = coverage_finish(
+                LB[part, chip], UB[part, chip], T[part, chip], R[part, chip],
+                meta["level_offsets"], ps, pe,
+                S[part, chip].astype(np.int64), E[part, chip].astype(np.int64),
+            )
             out_c[rows[keep]] = counts[keep]
             out_b[rows[keep]] = total[keep]
     return out_c, out_b

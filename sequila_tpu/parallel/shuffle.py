@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from sequila_tpu.ops.interval_index import PAD_KEY, PAD_VAL, _bucket
-from sequila_tpu.ops.interval_join import _sum_rank_partials
+from sequila_tpu.ops.interval_join import _sum_rank_partials, sat_sub_i32
 from sequila_tpu.ops.ranks import rank_lex_sort
 
 
@@ -192,9 +192,7 @@ def _shuffle_pairs_fns(mesh: Mesh, cap: int, pair_cap: int):
         sk, ss, se, si = jax.lax.sort((rbk, rbs, rbe, rbi), num_keys=2)
         real = sk != PAD
         max_len = jnp.max(jnp.where(real, se - ss, 0))
-        lo_q = jnp.maximum(
-            rqs.astype(jnp.int64) - max_len.astype(jnp.int64), -(2**31)
-        ).astype(jnp.int32)
+        lo_q = sat_sub_i32(rqs, max_len)
         lb = rank_lex_sort((sk, ss), (rqk, lo_q), side="left")
         ub = rank_lex_sort((sk, ss), (rqk, rqe), side="right")
         widths = jnp.maximum(ub - lb, 0)

@@ -273,7 +273,7 @@ def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re):
         build_partitioned_index,
         emit_all_shards,
         partition_probe,
-        shard_totals_fn,
+        shard_totals,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -305,11 +305,7 @@ def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re):
     dK = dev(K, P("part", "probe", None))
     dS = dev(S, P("part", "probe", None))
     dE = dev(E, P("part", "probe", None))
-    totals = np.asarray(
-        shard_totals_fn(mesh, meta["num_levels"], meta["level_offsets"])(
-            *didx, dK, dS, dE
-        )
-    )
+    totals = shard_totals(mesh, meta, didx, dK, dS, dE)
     out_b, out_p = [], []
     # chunked fixed-capacity emission (b_rep = replica indices into b_row,
     # p = shard-local probe slots)

@@ -651,3 +651,175 @@ class TestEmitGuards:
             ij.materialize_pairs(
                 index, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), "sort"
             )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review findings
+# ---------------------------------------------------------------------------
+
+
+class TestSubtractEmptyB:
+    """Round-2 finding: vectorized subtract_intervals crashed with
+    IndexError when the b side was empty (np.where evaluates both
+    branches; me[0] on a size-0 array).  The old loop returned a
+    unchanged."""
+
+    def test_genomic_subtract_empty_b(self):
+        from sequila_tpu.ops import genomic
+
+        k, s, e = genomic.subtract_intervals(
+            np.array([0, 1], np.int32), np.array([5, 7], np.int32),
+            np.array([20, 30], np.int32),
+            np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, np.int32),
+        )
+        assert k.tolist() == [0, 1]
+        assert s.tolist() == [5, 7]
+        assert e.tolist() == [20, 30]
+
+    def test_dataframe_subtract_empty_b(self):
+        import sequila_tpu.dataframe as gdf
+        from sequila_tpu.models.table import Table
+
+        a = Table(pa.table({
+            "contig": ["chr1", "chr2"], "pos_start": [5, 10], "pos_end": [20, 30],
+        }))
+        b = Table(a.arrow.slice(0, 0))
+        out = gdf.subtract(a, b)
+        assert out.column_np("pos_start").tolist() == [5, 10]
+        assert out.column_np("pos_end").tolist() == [20, 30]
+
+    def test_complement_key_with_no_data(self):
+        from sequila_tpu.ops import genomic
+
+        k, s, e = genomic.complement_intervals(
+            np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, np.int32),
+            {3: (0, 99)},
+        )
+        assert k.tolist() == [3]
+        assert s.tolist() == [0]
+        assert e.tolist() == [99]
+
+
+class TestClosestKTieBreak:
+    """Round-2 finding: the upstream k-ring walked the stable (key,end)
+    lexsort backward, so equal-end ties surfaced the LARGEST build row
+    and the documented 'then smallest build row' tie-break (and parity
+    with _closest_k_scan) was violated."""
+
+    def _index(self):
+        lk = np.zeros(3, np.int32)
+        ls = np.array([1, 2, 3], np.int32)
+        le = np.full(3, 10, np.int32)  # three rows tie on (key, end)
+        return build_interval_index(lk, ls, le, to_device=np.asarray)
+
+    def test_upstream_tie_returns_smallest_row(self):
+        from sequila_tpu.ops import genomic
+
+        index = self._index()
+        qk = np.zeros(1, np.int32)
+        qs = np.array([20], np.int32)
+        qe = np.array([25], np.int32)
+        rows, dists = genomic.closest_k(index, qk, qs, qe, k=2)
+        assert rows[0].tolist() == [0, 1]
+        assert dists[0].tolist() == [10, 10]
+
+    def test_vectorized_matches_scan_on_ties(self):
+        from sequila_tpu.ops import genomic
+        from sequila_tpu.ops.genomic import _closest_k_scan
+
+        index = self._index()
+        qk = np.zeros(2, np.int32)
+        qs = np.array([20, 20], np.int32)
+        qe = np.array([25, 25], np.int32)
+        r_vec, d_vec = genomic.closest_k(index, qk, qs, qe, k=3)
+        r_scan, d_scan = _closest_k_scan(index, qk, qs, qe, 3)
+        np.testing.assert_array_equal(r_vec, r_scan)
+        np.testing.assert_array_equal(d_vec, d_scan)
+
+
+class TestShardTotalsGuard:
+    """Round-2 finding: per-shard emit totals summed on device in int32
+    could silently wrap past 2^31; shard_totals now finishes in int64 on
+    the host and raises the same guard as the single-chip emit path."""
+
+    def test_partitioned_pairs_raises_over_limit(self, monkeypatch):
+        import sequila_tpu.ops.interval_join as ij
+        from sequila_tpu.errors import ExecutionError
+        from sequila_tpu.parallel.mesh import make_mesh
+        from sequila_tpu.parallel.partitioned_join import partitioned_pairs
+
+        mesh = make_mesh(8, part=2)
+        lk = np.zeros(64, np.int32)
+        ls = np.arange(64, dtype=np.int32)
+        le = ls + 1000
+        rk = np.zeros(32, np.int32)
+        rs = np.full(32, 5, np.int32)
+        re = np.full(32, 50, np.int32)
+        monkeypatch.setattr(ij, "_EMIT_LIMIT", 8)
+        with pytest.raises(ExecutionError, match="shard"):
+            partitioned_pairs(mesh, lk, ls, le, rk, rs, re)
+
+    def test_shard_totals_dtype_int64(self, rng):
+        from sequila_tpu.parallel.mesh import make_mesh
+        from sequila_tpu.parallel.partitioned_join import (
+            build_partitioned_index,
+            partition_probe,
+            shard_totals,
+        )
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(8, part=2)
+        lk = rng.integers(0, 4, 100).astype(np.int32)
+        ls = rng.integers(0, 1000, 100).astype(np.int32)
+        le = ls + rng.integers(0, 50, 100).astype(np.int32)
+        arrays, meta = build_partitioned_index(lk, ls, le, 2)
+        K, S, E, _ = partition_probe(lk, ls, le, 2, 4)
+        dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        didx = [
+            dev(arrays[n], P("part", None))
+            for n in ("levels", "keys", "starts", "ends")
+        ]
+        totals = shard_totals(
+            mesh, meta, didx,
+            dev(K, P("part", "probe", None)),
+            dev(S, P("part", "probe", None)),
+            dev(E, P("part", "probe", None)),
+        )
+        assert totals.dtype == np.int64
+        from sequila_tpu.ops.oracle import oracle_counts
+
+        want = oracle_counts(lk, ls, le, lk, ls, le).sum()
+        assert totals.sum() == want
+
+
+class TestSatSubI32:
+    """Round-2 finding: the device-side window floor used an int64 upcast
+    that silently truncates back to int32 (x64 off), wrapping past
+    INT32_MIN and dropping matches.  sat_sub_i32 saturates instead."""
+
+    def test_saturates_at_int32_min(self):
+        from sequila_tpu.ops.interval_join import sat_sub_i32
+
+        qs = jnp.array([-(2**31) + 10, 100, 0], jnp.int32)
+        ml = jnp.asarray(100, jnp.int32)
+        out = np.asarray(sat_sub_i32(qs, ml))
+        assert out.tolist() == [-(2**31), 0, -100]
+
+    def test_window_pairs_extreme_negative_probe(self):
+        import sequila_tpu.ops.interval_join as ij
+        from sequila_tpu.ops.oracle import oracle_pairs
+
+        lk = np.zeros(4, np.int32)
+        ls = np.array([-(2**31) + 5, -1000, 0, 500], np.int32)
+        le = np.array([-(2**31) + 600, -500, 100, 600], np.int32)
+        qk = np.zeros(2, np.int32)
+        qs = np.array([-(2**31) + 50, -800], np.int32)
+        qe = np.array([-(2**31) + 60, -600], np.int32)
+        index = build_interval_index(lk, ls, le)
+        b, p, n = ij.materialize_pairs_window(
+            index, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe)
+        )
+        got = sorted(zip(p.tolist(), b.tolist()))
+        want = sorted(zip(*reversed(oracle_pairs(lk, ls, le, qk, qs, qe))))
+        assert got == want
