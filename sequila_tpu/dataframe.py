@@ -165,7 +165,6 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
     produce no output (bedtools `closest -k` flavor)."""
     cols_b = cols_b or cols
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    index = build_interval_index(cb, sb, eb)
     if k == 1:
         # vectorized: the nearest kernel (device) / host nearest — exactly
         # one candidate per a-row, rows with no same-contig b drop out
@@ -174,6 +173,7 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
 
             rows1 = make_host_index(cb, sb, eb).nearest(ca, sa, ea)
         else:
+            index = build_interval_index(cb, sb, eb)
             rows1 = np.asarray(
                 nearest_match(index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea))
             ).astype(np.int64)
@@ -189,6 +189,9 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
         a_idx = a_idx.tolist()
         b_idx = b_idx.tolist()
     else:
+        # host-resident index: closest_k is host-side vectorized numpy, so
+        # a device index would only add TPU round-trip fetches
+        index = build_interval_index(cb, sb, eb, to_device=np.asarray)
         rows, dists = genomic.closest_k(
             index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
         )

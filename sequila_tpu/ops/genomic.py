@@ -572,18 +572,33 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
     comp_e = comp(hk[e_ord], he[e_ord])
     ring = np.arange(k, dtype=np.int64)
 
-    cand_rows, cand_dist, cand_up = [], [], []
+    # Candidate matrix: one composite int64 key ``dist * W + column`` per
+    # slot.  The composite reproduces the (distance, upstream-first,
+    # smallest build row) order exactly: at equal distance ties can only
+    # arise within one ring (downstream and overlap distances never match
+    # upstream's, and overlaps are the only dist-0 source), and inside
+    # each ring a lower column index is provably the smaller build row;
+    # upstream columns precede downstream columns, giving upstream-first
+    # across rings.  Keys are written ring-by-ring into two preallocated
+    # matrices (no [m, W] temporaries beyond these), and top-k runs as an
+    # O(W) argpartition instead of a 3-key lexsort.
+    W = (2 + index.num_levels) * k
+    INVALID = (np.int64(1) << 40) * W  # any key >= this marks a missing slot
+    ckey = np.empty((mc, W), np.int64)
+    crows = np.empty((mc, W), np.int32)
+
+    def put(col0, valid, rows_i32, dist64):
+        cols = np.arange(col0, col0 + k, dtype=np.int64)
+        ckey[:, col0:col0 + k] = np.where(valid, dist64 * W, INVALID) + cols
+        crows[:, col0:col0 + k] = np.where(valid, rows_i32, -1)
 
     # upstream ring: k predecessors by end within the key segment
     lb_e = np.searchsorted(comp_e, comp(cqk, cqs), side="left")
     seg_lo = np.searchsorted(comp_e, cqk.astype(np.int64) << 32, side="left")
     li = lb_e[:, None] - 1 - ring[None, :]
     lv = li >= seg_lo[:, None]
-    lrow = e_ord[np.clip(li, 0, n - 1)]
-    ld = np.where(lv, cqs[:, None].astype(np.int64) - he[lrow], _D_INVALID)
-    cand_rows.append(np.where(lv, lrow, -1))
-    cand_dist.append(ld)
-    cand_up.append(np.ones_like(ld))
+    lrow = e_ord[np.clip(li, 0, n - 1)].astype(np.int32)
+    put(0, lv, lrow, cqs[:, None].astype(np.int64) - he[lrow])
 
     # downstream ring: k successors by start within the key segment
     ub_s = np.searchsorted(comp_s, comp(cqk, cqe), side="right")
@@ -592,17 +607,15 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
     )
     ri = ub_s[:, None] + ring[None, :]
     rv = ri < seg_hi[:, None]
-    rrow = s_ord[np.clip(ri, 0, n - 1)]
-    rd = np.where(rv, hs[rrow].astype(np.int64) - cqe[:, None], _D_INVALID)
-    cand_rows.append(np.where(rv, rrow, -1))
-    cand_dist.append(rd)
-    cand_up.append(np.zeros_like(rd))
+    rrow = s_ord[np.clip(ri, 0, n - 1)].astype(np.int32)
+    put(k, rv, rrow, hs[rrow].astype(np.int64) - cqe[:, None])
 
-    # overlap rings: first k of each level's contiguous run
+    # overlap rings: first k of each level's contiguous run (distance 0)
     K = np.asarray(index.keys)
     S = np.asarray(index.starts)
     E = np.asarray(index.ends)
     P = np.asarray(index.pos)
+    zero = np.int64(0)
     for lvl in range(index.num_levels):
         off = index.level_offsets[lvl]
         pad = index.level_pad[lvl]
@@ -613,21 +626,19 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
         lb = np.searchsorted(comp_lE, comp(cqk, cqs), side="left")
         oi = lb[:, None] + ring[None, :]
         ov = oi < ub[:, None]
-        orow = P[off + np.clip(oi, 0, pad - 1)]
-        cand_rows.append(np.where(ov, orow, -1))
-        cand_dist.append(np.where(ov, np.int64(0), _D_INVALID))
-        cand_up.append(np.zeros((mc, k), np.int64))
+        orow = P[off + np.clip(oi, 0, pad - 1)].astype(np.int32)
+        put((2 + lvl) * k, ov, orow, zero)
 
-    crows = np.concatenate(cand_rows, axis=1)
-    cdist = np.concatenate(cand_dist, axis=1)
-    cup = np.concatenate(cand_up, axis=1)
-    # top-k by (distance, upstream-first, build row); lexsort along axis 0
-    order = np.lexsort((crows.T, (1 - cup).T, cdist.T), axis=0)[:k].T
-    picked_d = np.take_along_axis(cdist, order, axis=1)
+    part = np.argpartition(ckey, k - 1, axis=1)[:, :k]
+    ord2 = np.argsort(np.take_along_axis(ckey, part, axis=1), axis=1)
+    order = np.take_along_axis(part, ord2, axis=1)
+    picked_key = np.take_along_axis(ckey, part, axis=1)
+    picked_key = np.take_along_axis(picked_key, ord2, axis=1)
     picked_r = np.take_along_axis(crows, order, axis=1)
-    ok = picked_d < _D_INVALID
+    ok = picked_key < INVALID
     rows[sel] = np.where(ok, picked_r, -1)
-    dists[sel] = np.where(ok, picked_d, -1)
+    # recover distances: key // W strips the column tie-break term
+    dists[sel] = np.where(ok, picked_key // W, -1)
     return rows, dists
 
 
