@@ -48,10 +48,13 @@ class _Bound:
 
 
 class Binder:
-    def __init__(self, catalog, runner=None, views=None):
+    def __init__(self, catalog, runner=None, views=None, view_guard=None):
         self.catalog = catalog
         self.views = views or {}
-        self._view_stack: list[str] = []
+        # view_guard: session-shared in-flight view-name stack, so cycles
+        # through set-operation views (which re-enter via the runner with
+        # a NEW Binder instance) are still detected
+        self._view_stack: list[str] = view_guard if view_guard is not None else []
         # runner: Callable[[ast.Select], Table] — executes an uncorrelated
         # subquery (IN/EXISTS/scalar) at bind time.  DataFusion decorrelates
         # these into joins; the reference exercises none of them, so eager
@@ -154,7 +157,18 @@ class Binder:
                 raise PlanError(f"view '{tref.name}' is recursive")
             self._view_stack.append(key)
             try:
-                sub = self.bind_select(self.views[key])
+                view = self.views[key]
+                if isinstance(view, ast.Select):
+                    sub = self.bind_select(view)
+                else:
+                    # set-operation view (UNION/INTERSECT/EXCEPT chain):
+                    # materialize via the runner and scan the result (set
+                    # ops finish on the host anyway)
+                    if self.runner is None:
+                        raise PlanError(
+                            f"view '{tref.name}' needs a session to execute"
+                        )
+                    sub = ScanExec(tref.name, self.runner(view), None)
             finally:
                 self._view_stack.pop()
             # re-qualify the view's output columns under the view alias so

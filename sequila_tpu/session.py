@@ -62,9 +62,12 @@ class SessionContext:
     def __init__(self, config: SequilaConfig | None = None):
         self.config = config or SequilaConfig()
         self.catalog: dict[str, Table] = {}
-        self.views: dict[str, ast.Select] = {}
+        self.views: dict[str, ast.Select] = {}  # values: Select | Union
         self.datafusion_options: dict[str, str] = {}
         self.last_metrics = None
+        # in-flight view names, shared across Binder instances so cycles
+        # through set-operation views are detected (binder.py _scan)
+        self._view_guard: list[str] = []
 
     # -- embedding API ------------------------------------------------------
     def register_table(self, name: str, table: Table | pa.Table) -> None:
@@ -91,6 +94,25 @@ class SessionContext:
                 result = out
         return result
 
+    def _run_query(self, stmt) -> Table:
+        """Execute a query statement: a plain SELECT or a set-operation
+        chain (UNION/INTERSECT/EXCEPT)."""
+        if isinstance(stmt, ast.Union):
+            return self._run_union(stmt)
+        return self._run_select(stmt)
+
+    def _validate_query(self, stmt) -> None:
+        """Bind a query statement now to surface errors early (results
+        discarded); recurses into set-operation branches."""
+        if isinstance(stmt, ast.Union):
+            for s in stmt.selects:
+                self._validate_query(s)
+            return
+        Binder(
+            self.catalog, runner=self._run_query, views=self.views,
+            view_guard=self._view_guard,
+        ).bind_select(stmt)
+
     def _insert_into(self, stmt: ast.InsertInto) -> None:
         key = stmt.name.lower()
         if key not in self.catalog:
@@ -106,7 +128,7 @@ class SessionContext:
         if len(set(order)) != len(order):
             raise PlanError("duplicate column in INSERT column list")
         if stmt.select is not None:
-            new = self._run_select(stmt.select)
+            new = self._run_query(stmt.select)
             if len(new.column_names) != len(order):
                 raise PlanError(
                     f"INSERT expects {len(order)} columns from SELECT, "
@@ -175,16 +197,14 @@ class SessionContext:
             self.catalog[stmt.name.lower()] = self._values_table(stmt)
             return None
         if isinstance(stmt, ast.CreateTableAsSelect):
-            self.catalog[stmt.name.lower()] = self._run_select(stmt.select)
+            self.catalog[stmt.name.lower()] = self._run_query(stmt.select)
             return None
         if isinstance(stmt, ast.CreateView):
             key = stmt.name.lower()
             if not stmt.or_replace and (key in self.views or key in self.catalog):
                 raise PlanError(f"'{stmt.name}' already exists")
             # bind now to surface errors early (result is discarded)
-            Binder(self.catalog, runner=self._run_select, views=self.views).bind_select(
-                stmt.select
-            )
+            self._validate_query(stmt.select)
             self.views[key] = stmt.select
             return None
         if isinstance(stmt, ast.InsertInto):
@@ -193,7 +213,10 @@ class SessionContext:
         if isinstance(stmt, ast.Describe):
             key = stmt.name.lower()
             if key in self.views:
-                plan = self.create_physical_plan(self.views[key])
+                view = self.views[key]
+                while isinstance(view, ast.Union):
+                    view = view.selects[0]  # set-op output schema = first branch
+                plan = self.create_physical_plan(view)
                 names = [n for _, n in plan.schema()]
                 return Table(pa.table({
                     "column_name": names,
@@ -231,7 +254,7 @@ class SessionContext:
             src = (
                 self.table(stmt.source)
                 if isinstance(stmt.source, str)
-                else self._run_select(stmt.source)
+                else self._run_query(stmt.source)
             )
             write_table(src, stmt.path)
             return Table(pa.table({"count": [src.num_rows]}))
@@ -281,7 +304,8 @@ class SessionContext:
     # -- planning + execution ----------------------------------------------
     def create_physical_plan(self, sel: ast.Select):
         plan = Binder(
-            self.catalog, runner=self._run_select, views=self.views
+            self.catalog, runner=self._run_query, views=self.views,
+            view_guard=self._view_guard,
         ).bind_select(sel)
         plan = PredicatePushdownRule().optimize(plan)
         plan = IntervalJoinRule(self.config).optimize(plan)
@@ -316,41 +340,43 @@ class SessionContext:
         return out
 
     def _run_union(self, u: ast.Union) -> Table:
-        from sequila_tpu.exec.plan import _row_group_codes
-
-        def dedupe(t: Table) -> Table:
-            cols = [t.column_np(i) for i in range(len(t.column_names))]
-            if not cols:
-                return t
-            _, first_idx = _row_group_codes(cols)
-            return t.take(np.sort(first_idx))
-
-        parts = [self._run_select(s) for s in u.selects]
+        parts = [
+            self._run_select(s) if isinstance(s, ast.Select) else self._run_union(s)
+            for s in u.selects
+        ]
         arity = len(parts[0].column_names)
         names = parts[0].column_names
         out = parts[0]
         # left-associative: (A UNION B) UNION ALL C keeps C's duplicates
-        for nxt, is_all in zip(parts[1:], u.alls):
+        for nxt, op in zip(parts[1:], u.ops):
             if len(nxt.column_names) != arity:
-                raise PlanError("UNION inputs must have the same column count")
-            out = Table(
-                pa.concat_tables(
-                    [out.arrow.rename_columns(names), nxt.arrow.rename_columns(names)],
-                    promote_options="permissive",
+                raise PlanError(
+                    "set operation inputs must have the same column count"
                 )
-            )
-            if not is_all:
-                out = dedupe(out)
+            out = _set_op(out, nxt, op, names)
         if u.order_by:
             from sequila_tpu.exec.plan import ScanExec, SortExec
             from sequila_tpu.planner.binder import Binder
 
             scan = ScanExec("__union__", out, None)
-            b = Binder(self.catalog, runner=self._run_select, views=self.views)
+            b = Binder(
+                self.catalog, runner=self._run_query, views=self.views,
+                view_guard=self._view_guard,
+            )
             schema = scan.schema()
             exprs, asc, nfs = [], [], []
             for oi in u.order_by:
-                exprs.append(b._bind_expr(oi.expr, schema).expr)
+                k = Binder._ordinal(oi.expr)
+                if k is not None:  # ORDER BY 1-based output position
+                    if not 1 <= k <= len(schema):
+                        raise PlanError(
+                            f"ORDER BY position {k} is not in the select list"
+                        )
+                    from sequila_tpu.planner import expr as pe
+
+                    exprs.append(pe.Column(schema[k - 1][1], k - 1))
+                else:
+                    exprs.append(b._bind_expr(oi.expr, schema).expr)
                 asc.append(oi.asc)
                 nfs.append(oi.nulls_first)
             out = SortExec(scan, exprs, asc, nfs).execute(
@@ -363,6 +389,10 @@ class SessionContext:
         return out
 
     def _explain(self, stmt: ast.Explain) -> Table:
+        if isinstance(stmt.stmt, ast.Union):
+            text = self._explain_set_op(stmt.stmt, analyze=stmt.analyze)
+            kind = "Plan with Metrics" if stmt.analyze else "physical_plan"
+            return Table(pa.table({"plan_type": [kind], "plan": [text]}))
         plan = self.create_physical_plan(stmt.stmt)
         if stmt.analyze:
             ctx = ExecContext(self.config.copy(), collect_metrics=True)
@@ -373,6 +403,80 @@ class SessionContext:
             )
         text = plan.explain()
         return Table(pa.table({"plan_type": ["physical_plan"], "plan": [text]}))
+
+    def _explain_set_op(self, u: ast.Union, analyze: bool, indent: str = "") -> str:
+        """Textual plan of a set-operation chain: a SetOpExec header with
+        each branch's physical plan indented beneath it."""
+        ops = ", ".join(u.ops)
+        lines = [f"{indent}SetOpExec: ops=[{ops}]"]
+        for s in u.selects:
+            if isinstance(s, ast.Union):
+                lines.append(self._explain_set_op(s, analyze, indent + "  "))
+                continue
+            plan = self.create_physical_plan(s)
+            if analyze:
+                ctx = ExecContext(self.config.copy(), collect_metrics=True)
+                plan.execute(ctx)
+                text = plan.explain(metrics=ctx.metrics)
+            else:
+                text = plan.explain()
+            lines.append(
+                "\n".join(indent + "  " + ln for ln in text.splitlines())
+            )
+        return "\n".join(lines)
+
+
+def _set_op(a: Table, b: Table, op: str, names) -> Table:
+    """One SQL set-operation step (DataFusion/standard semantics).
+
+    Rows compare with NULLs equal (grouping semantics, like GROUP BY and
+    IS NOT DISTINCT FROM) and types coerce permissively, as in UNION.
+    Multiplicities: UNION ALL concatenates; UNION dedups; INTERSECT [ALL]
+    keeps min(count_a, count_b) (1 row without ALL); EXCEPT [ALL] keeps
+    max(count_a - count_b, 0) (at most 1 without ALL).  Output rows come
+    from the LEFT input in its original order."""
+    from sequila_tpu.exec.plan import _row_group_codes
+
+    combined = Table(
+        pa.concat_tables(
+            [a.arrow.rename_columns(names), b.arrow.rename_columns(names)],
+            promote_options="permissive",
+        )
+    )
+    if op == "union all":
+        return combined
+    cols = [combined.column_np(i) for i in range(len(names))]
+    if not cols:
+        return combined
+    codes, first_idx = _row_group_codes(cols)
+    if op == "union":
+        return combined.take(np.sort(first_idx))
+    na = a.num_rows
+    codes_a, codes_b = codes[:na], codes[na:]
+    ngroups = int(codes.max()) + 1 if len(codes) else 0
+    ca = np.bincount(codes_a, minlength=ngroups)
+    cb = np.bincount(codes_b, minlength=ngroups)
+    if op == "intersect":
+        allowed = np.minimum(np.minimum(ca, cb), 1)
+    elif op == "intersect all":
+        allowed = np.minimum(ca, cb)
+    elif op == "except":
+        allowed = np.where(cb > 0, 0, np.minimum(ca, 1))
+    elif op == "except all":
+        allowed = np.maximum(ca - cb, 0)
+    else:
+        raise PlanError(f"unknown set operation '{op}'")
+    if na == 0 or ngroups == 0:
+        return Table(combined.arrow.slice(0, na))
+    # per-left-row rank within its group (original row order)
+    order = np.argsort(codes_a, kind="stable")
+    grp_start = np.concatenate(
+        [[0], np.cumsum(np.bincount(codes_a, minlength=ngroups))]
+    )[:-1]
+    ranks = np.empty(na, np.int64)
+    ranks[order] = np.arange(na) - grp_start[codes_a[order]]
+    keep = np.nonzero(ranks < allowed[codes_a])[0]
+    return Table(combined.arrow.slice(0, na)).take(keep)
 
 
 def connect(config: SequilaConfig | None = None) -> SessionContext:

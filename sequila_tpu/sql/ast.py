@@ -165,12 +165,15 @@ class Select:
 
 @dataclasses.dataclass(frozen=True)
 class Union:
-    """UNION chain; ``alls[i]`` is the ALL flag of the link joining
-    selects[i] and selects[i+1] (left-associative, standard SQL).
-    Trailing ORDER BY / LIMIT of the chain apply to the whole result."""
+    """Set-operation chain; ``ops[i]`` ∈ {union, union all, intersect,
+    intersect all, except, except all} joins selects[i] and selects[i+1]
+    (left-associative).  INTERSECT binds tighter than UNION/EXCEPT
+    (standard SQL, as in DataFusion), so an element of ``selects`` may
+    itself be a Union holding an intersect chain.  Trailing ORDER BY /
+    LIMIT of the chain apply to the whole result."""
 
-    selects: tuple  # tuple[Select, ...]
-    alls: tuple  # tuple[bool, ...], len == len(selects) - 1
+    selects: tuple  # tuple[Select | Union, ...]
+    ops: tuple  # tuple[str, ...], len == len(selects) - 1
     order_by: tuple = ()
     limit: Optional[int] = None
     offset: int = 0

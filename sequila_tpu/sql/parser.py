@@ -17,8 +17,20 @@ from sequila_tpu.sql.lexer import Token, tokenize
 _KEYWORDS_STOP = {
     "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "JOIN", "INNER", "LEFT",
     "RIGHT", "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "BY", "ASC",
-    "DESC", "UNION", "HAVING",
+    "DESC", "UNION", "INTERSECT", "EXCEPT", "HAVING",
 }
+
+
+def _strip_trailing(node):
+    """Pull trailing ORDER BY / LIMIT / OFFSET off the right-most branch
+    of a set-operation chain: parse_select consumes them into the LAST
+    Select, but standard SQL applies them to the whole chain.  Returns
+    (node without the clauses, order_by, limit, offset)."""
+    import dataclasses as _dc
+
+    order_by, limit, offset = node.order_by, node.limit, node.offset
+    stripped = _dc.replace(node, order_by=(), limit=None, offset=0)
+    return stripped, order_by, limit, offset
 
 
 class Parser:
@@ -88,7 +100,7 @@ class Parser:
         if self.at_kw("EXPLAIN"):
             self.next()
             analyze = self.eat_kw("ANALYZE")
-            return ast.Explain(self.parse_select(), analyze)
+            return ast.Explain(self.parse_select_or_union(), analyze)
         if self.at_kw("SELECT"):
             return self.parse_select_or_union()
         if self.at_kw("INSERT"):
@@ -113,7 +125,7 @@ class Parser:
                 return ast.InsertInto(name, tuple(rows), columns=columns)
             if self.at_kw("SELECT"):
                 return ast.InsertInto(
-                    name, (), self.parse_select(), columns=columns
+                    name, (), self.parse_select_or_union(), columns=columns
                 )
             raise PlanError("expected VALUES or SELECT after INSERT INTO")
         if self.at_kw("DESCRIBE") or self.at_kw("DESC"):
@@ -126,7 +138,7 @@ class Parser:
         if self.at_kw("COPY"):
             self.next()
             if self.eat("punct", "("):
-                src = self.parse_select()
+                src = self.parse_select_or_union()
                 self.expect("punct", ")")
             else:
                 src = self.parse_object_name()
@@ -173,7 +185,7 @@ class Parser:
         if self.eat_kw("VIEW"):
             name = self.parse_object_name()
             self.expect_kw("AS")
-            return ast.CreateView(name, self.parse_select(), or_replace)
+            return ast.CreateView(name, self.parse_select_or_union(), or_replace)
         external = self.eat_kw("EXTERNAL")
         self.expect_kw("TABLE")
         self.eat_kw("IF")  # IF NOT EXISTS
@@ -215,7 +227,7 @@ class Parser:
                     break
             return ast.CreateTableValues(name, tuple(columns), tuple(rows))
         if self.at_kw("SELECT"):
-            return ast.CreateTableAsSelect(name, self.parse_select())
+            return ast.CreateTableAsSelect(name, self.parse_select_or_union())
         raise PlanError("expected VALUES or SELECT after AS")
 
     def parse_column_defs(self) -> list[ast.ColumnDef]:
@@ -360,22 +372,36 @@ class Parser:
         )
 
     def parse_select_or_union(self) -> "ast.Statement":
-        import dataclasses as _dc
-
-        first = self.parse_select()
-        if not self.at_kw("UNION"):
+        """Set-operation expression: INTERSECT binds tighter than
+        UNION / EXCEPT (standard SQL; DataFusion's sqlparser agrees), all
+        left-associative within a precedence level."""
+        first = self._parse_intersect_chain()
+        if not self.at_kw("UNION", "EXCEPT"):
             return first
         selects = [first]
-        alls = []
-        while self.eat_kw("UNION"):
-            alls.append(self.eat_kw("ALL"))
+        ops = []
+        while True:
+            if self.eat_kw("UNION"):
+                ops.append("union all" if self.eat_kw("ALL") else "union")
+            elif self.eat_kw("EXCEPT"):
+                ops.append("except all" if self.eat_kw("ALL") else "except")
+            else:
+                break
+            selects.append(self._parse_intersect_chain())
+        selects[-1], order_by, limit, offset = _strip_trailing(selects[-1])
+        return ast.Union(tuple(selects), tuple(ops), order_by, limit, offset)
+
+    def _parse_intersect_chain(self) -> "ast.Statement":
+        first = self.parse_select()
+        if not self.at_kw("INTERSECT"):
+            return first
+        selects = [first]
+        ops = []
+        while self.eat_kw("INTERSECT"):
+            ops.append("intersect all" if self.eat_kw("ALL") else "intersect")
             selects.append(self.parse_select())
-        # trailing ORDER BY / LIMIT / OFFSET were consumed into the LAST
-        # branch by parse_select; standard SQL applies them to the union
-        last = selects[-1]
-        order_by, limit, offset = last.order_by, last.limit, last.offset
-        selects[-1] = _dc.replace(last, order_by=(), limit=None, offset=0)
-        return ast.Union(tuple(selects), tuple(alls), order_by, limit, offset)
+        selects[-1], order_by, limit, offset = _strip_trailing(selects[-1])
+        return ast.Union(tuple(selects), tuple(ops), order_by, limit, offset)
 
     def parse_table_ref(self) -> ast.TableRef:
         name = self.parse_object_name()

@@ -280,3 +280,23 @@ class TestSqliteDifferential:
                 ]
             )
             _run_both(ctx, con, sql)
+
+    def test_set_operations(self):
+        """INTERSECT / EXCEPT / UNION [ALL] chains vs sqlite (single-op
+        chains only: sqlite gives all compound operators equal precedence
+        while this engine follows the standard's INTERSECT-binds-tighter,
+        so mixed chains legitimately differ).  NULLs compare equal in set
+        ops in both engines."""
+        rng = random.Random(1000)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES):
+            op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            cols = rng.choice(["g", "g, x", "x, s"])
+            branches = [
+                f"SELECT {cols} FROM t WHERE {_rand_pred(rng)}"
+                for _ in range(rng.choice([2, 2, 3]))
+            ]
+            ncols = cols.count(",") + 1
+            order = ", ".join(f"{i + 1} NULLS LAST" for i in range(ncols))
+            sql = f" {op} ".join(branches) + f" ORDER BY {order}"
+            _run_both(ctx, con, sql)

@@ -312,3 +312,100 @@ class TestFromlessSelect:
 
         with _pytest.raises(PlanError, match="FROM"):
             SessionContext().sql("SELECT *")
+
+
+class TestSetOperations:
+    """INTERSECT / EXCEPT [ALL] — DataFusion-surface set operations with
+    standard precedence (INTERSECT binds tighter) and bag semantics for
+    the ALL variants.  Plain INTERSECT/EXCEPT are sqlite-fuzz-verified in
+    test_fuzz_sqlite.py; sqlite has no ALL variants, so they are pinned
+    here."""
+
+    def _ctx(self):
+        import pyarrow as pa
+
+        c = SessionContext()
+        c.register_table("a", pa.table({"x": [1, 1, 1, 2, 3, None]}))
+        c.register_table("b", pa.table({"x": [1, 1, 2, 2, None, None]}))
+        return c
+
+    @staticmethod
+    def _xs(t):
+        return sorted(
+            (r["x"] for r in t.to_pylist()),
+            key=lambda v: (v is None, v),
+        )
+
+    def test_intersect_all_min_multiplicity(self):
+        c = self._ctx()
+        out = c.sql("SELECT x FROM a INTERSECT ALL SELECT x FROM b")
+        assert self._xs(out) == [1, 1, 2, None]  # min(3,2), min(1,2), min(1,2)
+
+    def test_except_all_difference_multiplicity(self):
+        c = self._ctx()
+        out = c.sql("SELECT x FROM a EXCEPT ALL SELECT x FROM b")
+        assert self._xs(out) == [1, 3]  # 3-2 ones, 1-2 twos -> 0, 1 three
+
+    def test_except_rows_keep_left_order(self):
+        c = self._ctx()
+        out = c.sql("SELECT x FROM a EXCEPT ALL SELECT x FROM b")
+        assert [r["x"] for r in out.to_pylist()] == [1, 3]
+
+    def test_intersect_binds_tighter_than_union(self):
+        c = self._ctx()
+        # a UNION (b INTERSECT {2}) -- NOT (a UNION b) INTERSECT {2}
+        out = c.sql(
+            "SELECT x FROM a UNION SELECT x FROM b INTERSECT SELECT 2 AS x"
+        )
+        assert self._xs(out) == [1, 2, 3, None]
+
+    def test_set_op_arity_mismatch_raises(self):
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        with pytest.raises(PlanError, match="column count"):
+            c.sql("SELECT x FROM a INTERSECT SELECT x, x FROM b")
+
+    def test_view_over_set_op(self):
+        c = self._ctx()
+        c.sql("CREATE VIEW v AS SELECT x FROM a INTERSECT SELECT x FROM b")
+        out = c.sql("SELECT x FROM v WHERE x IS NOT NULL ORDER BY x")
+        assert [r["x"] for r in out.to_pylist()] == [1, 2]
+
+    def test_ctas_and_insert_from_set_op(self):
+        c = self._ctx()
+        c.sql("CREATE TABLE t AS SELECT x FROM a EXCEPT SELECT x FROM b")
+        assert self._xs(c.table("t")) == [3]
+        c.sql("INSERT INTO t SELECT x FROM a INTERSECT ALL SELECT x FROM b")
+        assert self._xs(c.table("t")) == [1, 1, 2, 3, None]
+
+    def test_explain_set_op(self):
+        c = self._ctx()
+        plan = c.sql(
+            "EXPLAIN SELECT x FROM a INTERSECT SELECT x FROM b"
+        ).to_pylist()[0]["plan"]
+        assert "SetOpExec: ops=[intersect]" in plan
+        assert plan.count("ScanExec") == 2
+
+    def test_order_by_ordinal_and_limit_apply_to_chain(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT x FROM a INTERSECT ALL SELECT x FROM b "
+            "ORDER BY 1 DESC NULLS LAST LIMIT 2"
+        )
+        assert [r["x"] for r in out.to_pylist()] == [2, 1]
+
+    def test_recursive_set_op_view_detected(self):
+        import pyarrow as pa
+
+        from sequila_tpu.errors import PlanError
+
+        c = SessionContext()
+        c.register_table("a", pa.table({"x": [1]}))
+        c.sql("CREATE VIEW v AS SELECT x FROM a")
+        c.sql(
+            "CREATE OR REPLACE VIEW v AS "
+            "SELECT x FROM v UNION SELECT x FROM a"
+        )
+        with pytest.raises(PlanError, match="recursive"):
+            c.sql("SELECT * FROM v")
