@@ -150,7 +150,30 @@ class Binder:
         return plan
 
     # -- FROM / joins ---------------------------------------------------
+    def _requalify(self, sub: ExecPlan, qual: str) -> ExecPlan:
+        """Re-qualify a subplan's output columns under an alias so
+        `alias.col` resolves (the inner plan keeps its own structure)."""
+        schema = sub.schema()
+        return ProjectExec(
+            sub,
+            [pe.Column(n, i) for i, (_, n) in enumerate(schema)],
+            [n for _, n in schema],
+            [qual] * len(schema),
+        )
+
     def _scan(self, tref: ast.TableRef) -> ExecPlan:
+        if tref.subquery is not None:
+            # derived table: FROM ( SELECT ... ) alias
+            q = tref.subquery
+            if isinstance(q, ast.Select):
+                sub = self.bind_select(q)
+            else:  # set-operation chain: materialize via the runner
+                if self.runner is None:
+                    raise PlanError(
+                        "set-operation derived tables need a session"
+                    )
+                sub = ScanExec(tref.alias or tref.name, self.runner(q), None)
+            return self._requalify(sub, tref.alias or tref.name)
         key = tref.name.lower()
         if key in self.views:
             if key in self._view_stack:
@@ -171,16 +194,7 @@ class Binder:
                     sub = ScanExec(tref.name, self.runner(view), None)
             finally:
                 self._view_stack.pop()
-            # re-qualify the view's output columns under the view alias so
-            # `v.col` resolves (the inner plan keeps its own structure)
-            qual = tref.alias or tref.name
-            schema = sub.schema()
-            return ProjectExec(
-                sub,
-                [pe.Column(n, i) for i, (_, n) in enumerate(schema)],
-                [n for _, n in schema],
-                [qual] * len(schema),
-            )
+            return self._requalify(sub, tref.alias or tref.name)
         if key not in self.catalog:
             raise PlanError(f"table '{tref.name}' not found")
         return ScanExec(tref.name, self.catalog[key], tref.alias or tref.name)

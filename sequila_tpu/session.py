@@ -15,6 +15,7 @@ mapped onto this engine's knobs where they have an analog.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import numpy as np
 import pyarrow as pa
@@ -95,11 +96,42 @@ class SessionContext:
         return result
 
     def _run_query(self, stmt) -> Table:
-        """Execute a query statement: a plain SELECT or a set-operation
-        chain (UNION/INTERSECT/EXCEPT)."""
+        """Execute a query statement: a plain SELECT, a set-operation
+        chain (UNION/INTERSECT/EXCEPT), or a WITH-wrapped query."""
+        if isinstance(stmt, ast.With):
+            with self._cte_scope(stmt.ctes):
+                return self._run_query(stmt.body)
         if isinstance(stmt, ast.Union):
             return self._run_union(stmt)
         return self._run_select(stmt)
+
+    @contextmanager
+    def _cte_scope(self, ctes):
+        """Materialize CTEs as session tables for the scope's duration
+        (each may reference earlier ones); shadowed tables/views are
+        restored on exit.  DataFusion inlines CTE plans instead — eager
+        materialization is result-equivalent for the non-recursive CTEs
+        accepted here and lets every lookup path (joins, subqueries,
+        EXPLAIN) resolve them with no special cases."""
+        saved_tables: dict[str, Table] = {}
+        saved_views: dict = {}
+        added: list[str] = []
+        try:
+            for name, q in ctes:
+                key = name.lower()
+                if key in self.views and key not in saved_views:
+                    saved_views[key] = self.views.pop(key)
+                if key in self.catalog and key not in saved_tables:
+                    saved_tables[key] = self.catalog[key]
+                else:
+                    added.append(key)
+                self.catalog[key] = self._run_query(q)
+            yield
+        finally:
+            for key in added:
+                self.catalog.pop(key, None)
+            self.catalog.update(saved_tables)
+            self.views.update(saved_views)
 
     def _validate_query(self, stmt) -> None:
         """Bind a query statement now to surface errors early (results
@@ -244,10 +276,8 @@ class SessionContext:
             return None
         if isinstance(stmt, ast.Explain):
             return self._explain(stmt)
-        if isinstance(stmt, ast.Select):
-            return self._run_select(stmt)
-        if isinstance(stmt, ast.Union):
-            return self._run_union(stmt)
+        if isinstance(stmt, (ast.Select, ast.Union, ast.With)):
+            return self._run_query(stmt)
         if isinstance(stmt, ast.CopyTo):
             from sequila_tpu.io.readers import write_table
 
@@ -389,8 +419,12 @@ class SessionContext:
         return out
 
     def _explain(self, stmt: ast.Explain) -> Table:
-        if isinstance(stmt.stmt, ast.Union):
-            text = self._explain_set_op(stmt.stmt, analyze=stmt.analyze)
+        target = stmt.stmt
+        if isinstance(target, ast.With):
+            with self._cte_scope(target.ctes):
+                return self._explain(ast.Explain(target.body, stmt.analyze))
+        if isinstance(target, ast.Union):
+            text = self._explain_set_op(target, analyze=stmt.analyze)
             kind = "Plan with Metrics" if stmt.analyze else "physical_plan"
             return Table(pa.table({"plan_type": [kind], "plan": [text]}))
         plan = self.create_physical_plan(stmt.stmt)

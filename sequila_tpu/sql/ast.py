@@ -133,6 +133,18 @@ class SelectItem:
 class TableRef:
     name: str
     alias: Optional[str]
+    # derived table: FROM (SELECT ...) alias — a Select or Union; when
+    # set, ``name`` is the placeholder "__derived__"
+    subquery: Optional[object] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class With:
+    """WITH name AS (query), ... <body>: non-recursive CTEs.  Each cte
+    query may reference earlier CTEs; the body is a Select or Union."""
+
+    ctes: tuple  # tuple[(name, Select | Union), ...]
+    body: object  # Select | Union
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,9 +100,11 @@ class Parser:
         if self.at_kw("EXPLAIN"):
             self.next()
             analyze = self.eat_kw("ANALYZE")
-            return ast.Explain(self.parse_select_or_union(), analyze)
+            return ast.Explain(self.parse_query(), analyze)
         if self.at_kw("SELECT"):
             return self.parse_select_or_union()
+        if self.at_kw("WITH"):
+            return self.parse_query()
         if self.at_kw("INSERT"):
             self.next()
             self.expect_kw("INTO")
@@ -371,6 +373,31 @@ class Parser:
             offset=offset,
         )
 
+    def parse_query(self) -> "ast.Statement":
+        """[WITH ctes] select-or-set-op-chain."""
+        if not self.eat_kw("WITH"):
+            return self.parse_select_or_union()
+        if self.at_kw("RECURSIVE"):
+            raise PlanError("WITH RECURSIVE is not supported")
+        ctes = []
+        seen = set()
+        while True:
+            tok = self.next()
+            if tok.kind not in ("ident", "qident"):
+                raise PlanError(f"expected CTE name, got {tok.value!r}")
+            name = tok.value
+            if name.lower() in seen:
+                raise PlanError(f"duplicate CTE name '{name}'")
+            seen.add(name.lower())
+            self.expect_kw("AS")
+            self.expect("punct", "(")
+            q = self.parse_query()  # a CTE body may itself start with WITH
+            self.expect("punct", ")")
+            ctes.append((name, q))
+            if not self.eat("punct", ","):
+                break
+        return ast.With(tuple(ctes), self.parse_select_or_union())
+
     def parse_select_or_union(self) -> "ast.Statement":
         """Set-operation expression: INTERSECT binds tighter than
         UNION / EXCEPT (standard SQL; DataFusion's sqlparser agrees), all
@@ -404,13 +431,20 @@ class Parser:
         return ast.Union(tuple(selects), tuple(ops), order_by, limit, offset)
 
     def parse_table_ref(self) -> ast.TableRef:
+        if self.at("punct", "("):  # derived table: ( SELECT ... ) [AS] alias
+            self.next()
+            sub = self.parse_select_or_union()
+            self.expect("punct", ")")
+            return ast.TableRef("__derived__", self._parse_alias(), subquery=sub)
         name = self.parse_object_name()
-        alias = None
+        return ast.TableRef(name, self._parse_alias())
+
+    def _parse_alias(self):
         if self.eat_kw("AS"):
-            alias = self.next().value
-        elif self.peek().kind == "ident" and self.peek().upper not in _KEYWORDS_STOP:
-            alias = self.next().value
-        return ast.TableRef(name, alias)
+            return self.next().value
+        if self.peek().kind == "ident" and self.peek().upper not in _KEYWORDS_STOP:
+            return self.next().value
+        return None
 
     def parse_select_item(self) -> ast.SelectItem:
         if self.at("punct", "*"):

@@ -300,3 +300,46 @@ class TestSqliteDifferential:
             order = ", ".join(f"{i + 1} NULLS LAST" for i in range(ncols))
             sql = f" {op} ".join(branches) + f" ORDER BY {order}"
             _run_both(ctx, con, sql)
+
+    def test_derived_tables_and_ctes(self):
+        """FROM (SELECT ...) and WITH ... AS chains vs sqlite."""
+        rng = random.Random(1100)
+        ctx, con = _setup(rng)
+
+        def outer(rng):
+            # the derived projections expose only (id, x): outer
+            # predicates must not reference the other base columns
+            return rng.choice([
+                f"x {rng.choice(['<', '<=', '>', '>='])} {rng.randint(-3, 15)}",
+                f"id % {rng.randint(2, 5)} = 0",
+                "x IS NOT NULL",
+                f"x BETWEEN {rng.randint(-2, 5)} AND {rng.randint(6, 15)}",
+            ])
+
+        for _ in range(N_QUERIES):
+            inner_pred = _rand_pred(rng)
+            outer_pred = outer(rng)
+            shape = rng.randrange(4)
+            if shape == 0:
+                sql = (
+                    f"SELECT id, x FROM (SELECT id, x FROM t WHERE {inner_pred}) s "
+                    f"WHERE {outer_pred} ORDER BY id NULLS LAST"
+                )
+            elif shape == 1:
+                sql = (
+                    f"WITH w AS (SELECT id, g, x FROM t WHERE {inner_pred}) "
+                    f"SELECT id, x FROM w WHERE {outer_pred} ORDER BY id NULLS LAST"
+                )
+            elif shape == 2:
+                sql = (
+                    f"WITH w AS (SELECT id, x FROM t WHERE {inner_pred}), "
+                    "w2 AS (SELECT id, x + 1 AS x1 FROM w) "
+                    "SELECT id, x1 FROM w2 ORDER BY id NULLS LAST"
+                )
+            else:
+                sql = (
+                    "SELECT g, count(*), sum(x) FROM "
+                    f"(SELECT g, x FROM t WHERE {inner_pred}) s "
+                    "GROUP BY g ORDER BY g NULLS LAST"
+                )
+            _run_both(ctx, con, sql)

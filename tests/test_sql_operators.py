@@ -409,3 +409,84 @@ class TestSetOperations:
         )
         with pytest.raises(PlanError, match="recursive"):
             c.sql("SELECT * FROM v")
+
+
+class TestDerivedTablesAndCTEs:
+    """FROM (SELECT ...) alias and WITH ... AS (non-recursive), the two
+    DataFusion query shapes the parser previously rejected.  Randomized
+    parity vs sqlite lives in test_fuzz_sqlite.py; structural corners are
+    pinned here."""
+
+    def _ctx(self):
+        import pyarrow as pa
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"x": [1, 2, 3], "g": ["a", "b", "a"]}))
+        return c
+
+    def test_derived_requires_its_alias_for_qualified_refs(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT s.x FROM (SELECT x FROM t) s JOIN t ON s.x = t.x ORDER BY 1"
+        )
+        assert [r["x"] for r in out.to_pylist()] == [1, 2, 3]
+
+    def test_derived_set_op_body(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT count(*) FROM (SELECT g FROM t INTERSECT SELECT 'a' AS g) s"
+        )
+        assert out.to_pylist() == [{"count(*)": 1}]
+
+    def test_cte_chain_references_earlier_cte(self):
+        c = self._ctx()
+        out = c.sql(
+            "WITH w AS (SELECT x FROM t), w2 AS (SELECT x + 10 AS y FROM w) "
+            "SELECT * FROM w2 ORDER BY y"
+        )
+        assert [r["y"] for r in out.to_pylist()] == [11, 12, 13]
+
+    def test_cte_shadows_table_and_restores(self):
+        import pyarrow as pa
+
+        c = self._ctx()
+        c.register_table("w", pa.table({"x": [99]}))
+        out = c.sql("WITH w AS (SELECT x FROM t WHERE x = 1) SELECT * FROM w")
+        assert out.to_pylist() == [{"x": 1}]
+        assert c.sql("SELECT * FROM w").to_pylist() == [{"x": 99}]
+
+    def test_cte_visible_in_scalar_subquery(self):
+        c = self._ctx()
+        out = c.sql(
+            "WITH w AS (SELECT max(x) AS mx FROM t) "
+            "SELECT x FROM t WHERE x = (SELECT mx FROM w)"
+        )
+        assert out.to_pylist() == [{"x": 3}]
+
+    def test_cte_leaves_no_catalog_residue_after_error(self):
+        c = self._ctx()
+        with pytest.raises(Exception):
+            c.sql("WITH w AS (SELECT x FROM t) SELECT nope FROM w")
+        assert sorted(c.catalog) == ["t"]
+
+    def test_duplicate_cte_name_rejected(self):
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        with pytest.raises(PlanError, match="duplicate"):
+            c.sql("WITH w AS (SELECT 1 AS a), w AS (SELECT 2 AS a) SELECT * FROM w")
+
+    def test_with_recursive_rejected(self):
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        with pytest.raises(PlanError, match="RECURSIVE"):
+            c.sql("WITH RECURSIVE w AS (SELECT 1 AS a) SELECT * FROM w")
+
+    def test_explain_with_cte(self):
+        c = self._ctx()
+        plan = c.sql(
+            "EXPLAIN WITH w AS (SELECT x FROM t) SELECT * FROM w"
+        ).to_pylist()[0]["plan"]
+        assert "ScanExec" in plan
+        assert sorted(c.catalog) == ["t"]
