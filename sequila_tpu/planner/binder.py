@@ -35,6 +35,29 @@ from sequila_tpu.exec.plan import (
 from sequila_tpu.planner import expr as pe
 from sequila_tpu.sql import ast
 
+
+def _values_scan(rows: tuple):
+    """Materialize a VALUES table expression: columns named
+    column1..columnN (DataFusion's convention), types inferred by arrow."""
+    import pyarrow as _pa
+
+    from sequila_tpu.models.table import Table as _Table
+
+    ncols = len(rows[0]) if rows else 0
+    for i, r in enumerate(rows):
+        if len(r) != ncols:
+            raise PlanError(
+                f"VALUES row {i + 1} has {len(r)} values, expected {ncols}"
+            )
+    if ncols == 0:
+        raise PlanError("VALUES requires at least one column")
+    return _Table(
+        _pa.Table.from_arrays(
+            [_pa.array([row[i] for row in rows]) for i in range(ncols)],
+            names=[f"column{i + 1}" for i in range(ncols)],
+        )
+    )
+
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
 
 
@@ -150,30 +173,42 @@ class Binder:
         return plan
 
     # -- FROM / joins ---------------------------------------------------
-    def _requalify(self, sub: ExecPlan, qual: str) -> ExecPlan:
-        """Re-qualify a subplan's output columns under an alias so
-        `alias.col` resolves (the inner plan keeps its own structure)."""
+    def _requalify(self, sub: ExecPlan, qual: str, names=None) -> ExecPlan:
+        """Re-qualify a subplan's output columns under an alias (with an
+        optional rename) so `alias.col` resolves (the inner plan keeps
+        its own structure)."""
         schema = sub.schema()
+        if names is not None and len(names) != len(schema):
+            raise PlanError(
+                f"alias column list has {len(names)} names for "
+                f"{len(schema)} columns"
+            )
         return ProjectExec(
             sub,
             [pe.Column(n, i) for i, (_, n) in enumerate(schema)],
-            [n for _, n in schema],
+            list(names) if names is not None else [n for _, n in schema],
             [qual] * len(schema),
         )
 
     def _scan(self, tref: ast.TableRef) -> ExecPlan:
         if tref.subquery is not None:
-            # derived table: FROM ( SELECT ... ) alias
+            # derived table: FROM ( SELECT ... | VALUES ... ) alias
             q = tref.subquery
             if isinstance(q, ast.Select):
                 sub = self.bind_select(q)
+            elif isinstance(q, ast.Values):
+                sub = ScanExec(
+                    tref.alias or "values", _values_scan(q.rows), None
+                )
             else:  # set-operation chain: materialize via the runner
                 if self.runner is None:
                     raise PlanError(
                         "set-operation derived tables need a session"
                     )
                 sub = ScanExec(tref.alias or tref.name, self.runner(q), None)
-            return self._requalify(sub, tref.alias or tref.name)
+            return self._requalify(
+                sub, tref.alias or tref.name, tref.col_aliases
+            )
         key = tref.name.lower()
         if key in self.views:
             if key in self._view_stack:
@@ -230,7 +265,9 @@ class Binder:
 
         for jc in sel.joins:
             right = self._scan(jc.table)
-            if jc.join_type == "cross" or jc.on is None:
+            if jc.using:
+                plan = self._make_using_join(plan, right, jc.using, jc.join_type)
+            elif jc.join_type == "cross" or jc.on is None:
                 plan = NestedLoopJoinExec(plan, right, None, "inner")
             else:
                 plan = self._make_join(plan, right, jc.on, jc.join_type)
@@ -728,6 +765,60 @@ class Binder:
         if on_pairs:
             return HashJoinExec(left, right, on_pairs, jf, join_type)
         return NestedLoopJoinExec(left, right, jf, join_type)
+
+    def _make_using_join(
+        self, left: ExecPlan, right: ExecPlan, cols: tuple, join_type: str
+    ) -> ExecPlan:
+        """JOIN ... USING (c1, ...): equi-join on the named columns with
+        the duplicate copies projected away, so each USING column appears
+        ONCE in the output (SELECT * shows one copy; unqualified
+        references are unambiguous).  The surviving copy sits at the left
+        column's position under the left qualifier; its VALUES come from
+        the left side (the right side for RIGHT joins, COALESCE of both
+        for FULL joins, where either side can be NULL-extended)."""
+        lschema, rschema = left.schema(), right.schema()
+        nleft = len(lschema)
+        on_pairs = []
+        l_idx: list[int] = []
+        r_idx: list[int] = []
+        for col in cols:
+            li = [i for i, (_, n) in enumerate(lschema) if n.lower() == col.lower()]
+            ri = [i for i, (_, n) in enumerate(rschema) if n.lower() == col.lower()]
+            if len(li) != 1 or len(ri) != 1:
+                raise PlanError(
+                    f"USING column '{col}' must appear exactly once on each side"
+                )
+            on_pairs.append(
+                (pe.Column(lschema[li[0]][1], li[0]),
+                 pe.Column(rschema[ri[0]][1], ri[0]))
+            )
+            l_idx.append(li[0])
+            r_idx.append(ri[0])
+        plan = HashJoinExec(left, right, on_pairs, None, join_type)
+        if join_type in ("leftsemi", "leftanti", "rightsemi", "rightanti"):
+            return plan  # single-sided output: nothing to dedup
+        exprs, names, quals = [], [], []
+        for i, (q, n) in enumerate(lschema):
+            if i in l_idx:
+                k = l_idx.index(i)
+                rcol = pe.Column(rschema[r_idx[k]][1], nleft + r_idx[k])
+                if join_type == "full":
+                    exprs.append(pe.ScalarFuncExpr("coalesce", (pe.Column(n, i), rcol)))
+                elif join_type == "right":
+                    exprs.append(rcol)
+                else:
+                    exprs.append(pe.Column(n, i))
+            else:
+                exprs.append(pe.Column(n, i))
+            names.append(n)
+            quals.append(q)
+        for j, (q, n) in enumerate(rschema):
+            if j in r_idx:
+                continue
+            exprs.append(pe.Column(n, nleft + j))
+            names.append(n)
+            quals.append(q)
+        return ProjectExec(plan, exprs, names, quals)
 
     def _make_join_from_where(
         self, left: ExecPlan, right: ExecPlan, conjuncts: list[ast.SqlExpr]

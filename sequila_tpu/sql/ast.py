@@ -130,12 +130,22 @@ class SelectItem:
 
 
 @dataclasses.dataclass(frozen=True)
+class Values:
+    """VALUES (...), (...) used as a table expression; column names
+    default to column1..columnN (DataFusion's convention) unless the
+    table alias carries a column list."""
+
+    rows: tuple  # tuple[tuple[literal, ...], ...]
+
+
+@dataclasses.dataclass(frozen=True)
 class TableRef:
     name: str
     alias: Optional[str]
-    # derived table: FROM (SELECT ...) alias — a Select or Union; when
-    # set, ``name`` is the placeholder "__derived__"
+    # derived table: FROM (SELECT ...) alias — a Select, Union or Values;
+    # when set, ``name`` is the placeholder "__derived__"
     subquery: Optional[object] = None
+    col_aliases: Optional[tuple] = None  # alias(c1, c2, ...) renames
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,6 +162,7 @@ class JoinClause:
     table: TableRef
     on: Optional[SqlExpr]
     join_type: str = "inner"  # inner | left | right | full | cross
+    using: tuple = ()  # JOIN ... USING (c1, ...): shared equi-columns
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,7 @@ from sequila_tpu.sql.lexer import Token, tokenize
 _KEYWORDS_STOP = {
     "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "JOIN", "INNER", "LEFT",
     "RIGHT", "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "BY", "ASC",
-    "DESC", "UNION", "INTERSECT", "EXCEPT", "HAVING",
+    "DESC", "UNION", "INTERSECT", "EXCEPT", "HAVING", "USING",
 }
 
 
@@ -330,10 +330,16 @@ class Parser:
                     break
                 tref = self.parse_table_ref()
                 on = None
+                using: tuple = ()
                 if jt != "cross":
-                    self.expect_kw("ON")
-                    on = self.parse_expr()
-                joins.append(ast.JoinClause(tref, on, jt))
+                    if self.eat_kw("USING"):
+                        using = tuple(self.parse_column_names())
+                        if not using:
+                            raise PlanError("USING requires at least one column")
+                    else:
+                        self.expect_kw("ON")
+                        on = self.parse_expr()
+                joins.append(ast.JoinClause(tref, on, jt, using))
 
         where = self.parse_expr() if self.eat_kw("WHERE") else None
         group_by: list[ast.SqlExpr] = []
@@ -431,20 +437,44 @@ class Parser:
         return ast.Union(tuple(selects), tuple(ops), order_by, limit, offset)
 
     def parse_table_ref(self) -> ast.TableRef:
-        if self.at("punct", "("):  # derived table: ( SELECT ... ) [AS] alias
+        if self.at("punct", "("):  # derived table: ( SELECT|VALUES ... ) [AS] alias
             self.next()
-            sub = self.parse_select_or_union()
+            if self.at_kw("VALUES"):
+                self.next()
+                rows = []
+                while True:
+                    self.expect("punct", "(")
+                    row = []
+                    while not self.at("punct", ")"):
+                        row.append(self.parse_literal_value())
+                        self.eat("punct", ",")
+                    self.expect("punct", ")")
+                    rows.append(tuple(row))
+                    if not self.eat("punct", ","):
+                        break
+                sub = ast.Values(tuple(rows))
+            else:
+                sub = self.parse_select_or_union()
             self.expect("punct", ")")
-            return ast.TableRef("__derived__", self._parse_alias(), subquery=sub)
+            alias, col_aliases = self._parse_alias(allow_columns=True)
+            return ast.TableRef(
+                "__derived__", alias, subquery=sub, col_aliases=col_aliases
+            )
         name = self.parse_object_name()
-        return ast.TableRef(name, self._parse_alias())
+        alias, col_aliases = self._parse_alias(allow_columns=True)
+        if col_aliases is not None:
+            raise PlanError("column aliases are only valid on derived tables")
+        return ast.TableRef(name, alias)
 
-    def _parse_alias(self):
+    def _parse_alias(self, allow_columns: bool = False):
+        alias = None
         if self.eat_kw("AS"):
-            return self.next().value
-        if self.peek().kind == "ident" and self.peek().upper not in _KEYWORDS_STOP:
-            return self.next().value
-        return None
+            alias = self.next().value
+        elif self.peek().kind == "ident" and self.peek().upper not in _KEYWORDS_STOP:
+            alias = self.next().value
+        if allow_columns and alias is not None and self.at("punct", "("):
+            return alias, tuple(self.parse_column_names())
+        return (alias, None) if allow_columns else alias
 
     def parse_select_item(self) -> ast.SelectItem:
         if self.at("punct", "*"):

@@ -343,3 +343,50 @@ class TestSqliteDifferential:
                     "GROUP BY g ORDER BY g NULLS LAST"
                 )
             _run_both(ctx, con, sql)
+
+    def test_join_using_and_values(self):
+        """JOIN ... USING and VALUES table expressions vs sqlite (both
+        dedup the USING column in * expansion)."""
+        rng = random.Random(1200)
+        ctx, con = _setup(rng)
+        # a second table sharing column names x (join key) and g
+        ids2 = list(range(0, N_ROWS, 2))
+        xs2 = [rng.choice([None, *range(-2, 12)]) for _ in ids2]
+        hs2 = [rng.choice(["p", "q", None]) for _ in ids2]
+        import pyarrow as _pa
+
+        ctx.register_table("t2", _pa.table({
+            "id2": _pa.array(ids2, type=_pa.int64()),
+            "x": _pa.array(xs2, type=_pa.int64()),
+            "h": _pa.array(hs2),
+        }))
+        con.execute("CREATE TABLE t2 (id2 INTEGER, x INTEGER, h TEXT)")
+        con.executemany("INSERT INTO t2 VALUES (?,?,?)", list(zip(ids2, xs2, hs2)))
+        for _ in range(N_QUERIES):
+            shape = rng.randrange(3)
+            if shape == 0:
+                jt = rng.choice(["JOIN", "LEFT JOIN"])
+                sql = (
+                    f"SELECT id, x, h FROM t {jt} t2 USING (x) "
+                    f"WHERE {_rand_pred(rng)} "
+                    "ORDER BY id NULLS LAST, h NULLS LAST"
+                )
+            elif shape == 1:
+                # sqlite has no alias column lists (AS v(n, s)); both
+                # engines name VALUES columns column1.. so alias inside
+                vals = ", ".join(
+                    f"({rng.randint(-2, 12)}, '{rng.choice('abc')}')"
+                    for _ in range(3)
+                )
+                sql = (
+                    f"SELECT column1, column2 FROM (VALUES {vals}) v "
+                    "ORDER BY column1, column2"
+                )
+            else:
+                vals = ", ".join(f"({rng.randint(-2, 12)})" for _ in range(4))
+                sql = (
+                    "SELECT t.id FROM t JOIN "
+                    f"(SELECT column1 AS n FROM (VALUES {vals}) w) v "
+                    "ON t.x = v.n ORDER BY t.id NULLS LAST"
+                )
+            _run_both(ctx, con, sql)

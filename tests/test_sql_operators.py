@@ -490,3 +490,73 @@ class TestDerivedTablesAndCTEs:
         ).to_pylist()[0]["plan"]
         assert "ScanExec" in plan
         assert sorted(c.catalog) == ["t"]
+
+
+class TestJoinUsingAndValues:
+    """JOIN ... USING (dedup'd shared column) and VALUES table
+    expressions; randomized parity vs sqlite in test_fuzz_sqlite.py."""
+
+    def _ctx(self):
+        import pyarrow as pa
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"x": [1, 2, 3], "g": ["a", "b", "a"]}))
+        c.register_table("u", pa.table({"x": [2, 3, 4], "h": ["p", "q", "r"]}))
+        return c
+
+    def test_star_shows_using_column_once(self):
+        c = self._ctx()
+        out = c.sql("SELECT * FROM t JOIN u USING (x) ORDER BY x").to_pylist()
+        assert out == [
+            {"x": 2, "g": "b", "h": "p"},
+            {"x": 3, "g": "a", "h": "q"},
+        ]
+
+    def test_right_join_using_takes_right_values(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT x, h FROM t RIGHT JOIN u USING (x) ORDER BY x NULLS LAST"
+        ).to_pylist()
+        assert [r["x"] for r in out] == [2, 3, 4]
+
+    def test_full_join_using_coalesces(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT x FROM t FULL JOIN u USING (x) ORDER BY x"
+        ).to_pylist()
+        assert [int(r["x"]) for r in out] == [1, 2, 3, 4]
+
+    def test_using_column_missing_raises(self):
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        with pytest.raises(PlanError, match="USING"):
+            c.sql("SELECT * FROM t JOIN u USING (nope)")
+
+    def test_values_default_names_and_alias_list(self):
+        c = self._ctx()
+        got = c.sql(
+            "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) v ORDER BY 1"
+        ).to_pylist()
+        assert got == [
+            {"column1": 1, "column2": "a"},
+            {"column1": 2, "column2": "b"},
+        ]
+        got = c.sql(
+            "SELECT s, n FROM (VALUES (1, 'a')) AS v(n, s)"
+        ).to_pylist()
+        assert got == [{"s": "a", "n": 1}]
+
+    def test_alias_list_arity_mismatch_raises(self):
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        with pytest.raises(PlanError, match="names"):
+            c.sql("SELECT * FROM (VALUES (1, 2)) AS v(a)")
+
+    def test_ragged_values_rejected(self):
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        with pytest.raises(PlanError, match="VALUES row"):
+            c.sql("SELECT * FROM (VALUES (1, 2), (3)) v")
