@@ -14,6 +14,7 @@ import dataclasses
 from typing import Any
 
 import numpy as np
+from pyarrow import types as pa_types
 
 from sequila_tpu.errors import ExecutionError, PlanError
 
@@ -90,6 +91,50 @@ def _kleene(x) -> np.ndarray:
     return x.astype(np.float64)
 
 
+_ARROW_CMP = {
+    "=": "equal", "!=": "not_equal", "<": "less", "<=": "less_equal",
+    ">": "greater", ">=": "greater_equal",
+}
+
+
+def _arrow_str_col(cols, e):
+    """The arrow ChunkedArray behind a plain string Column expr (decoded
+    if dictionary-encoded), or None when the fast path doesn't apply.
+
+    Comparing / pattern-matching through arrow compute keeps 500k-row
+    string filters in C++ (~2 ms) instead of numpy object arrays with
+    per-element rich compares (~90 ms measured on the q1-lapper bench
+    config); UTF-8 byte order equals code-point order, so ordered
+    comparisons agree with the Python-str fallback."""
+    t = getattr(cols, "_t", None)
+    if t is None or not isinstance(e, Column):
+        return None
+    try:
+        col = t.column(e.index)
+    except Exception:
+        return None
+    typ = col.type
+    if pa_types.is_dictionary(typ):
+        try:
+            col = col.cast(typ.value_type)
+        except Exception:
+            return None
+        typ = col.type
+    if not (pa_types.is_string(typ) or pa_types.is_large_string(typ)):
+        return None
+    return col
+
+
+def _arrow_bool_mask(res) -> np.ndarray:
+    """Arrow boolean array -> engine mask: plain bool when NULL-free,
+    Kleene float (1/0/NaN) when NULLs (UNKNOWN) are present."""
+    import pyarrow as pa
+
+    if res.null_count == 0:
+        return res.to_numpy(zero_copy_only=False).astype(bool, copy=False)
+    return res.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
 _OP_FUNCS = {
     "+": np.add,
     "-": np.subtract,
@@ -112,6 +157,10 @@ class BinaryExpr(PhysicalExpr):
     right: PhysicalExpr
 
     def eval(self, cols, num_rows):
+        if self.op in _ARROW_CMP:
+            fast = self._arrow_compare(cols)
+            if fast is not None:
+                return fast
         l = self.left.eval(cols, num_rows)
         r = self.right.eval(cols, num_rows)
         op = self.op
@@ -194,6 +243,26 @@ class BinaryExpr(PhysicalExpr):
                 return np.where(nn, np.nan, out.astype(np.float64))
             return out
         return fn(l, r)
+
+    def _arrow_compare(self, cols):
+        """String Column-vs-Literal comparison via arrow compute (C++),
+        or None when this isn't that shape.  See _arrow_str_col."""
+        l, r, op = self.left, self.right, self.op
+        if isinstance(l, Literal) and isinstance(r, Column):
+            l, r = r, l
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+        if not (
+            isinstance(l, Column)
+            and isinstance(r, Literal)
+            and isinstance(r.value, str)
+        ):
+            return None
+        col = _arrow_str_col(cols, l)
+        if col is None:
+            return None
+        import pyarrow.compute as pc
+
+        return _arrow_bool_mask(getattr(pc, _ARROW_CMP[op])(col, r.value))
 
     @staticmethod
     def _object_arith(l_arr, r_arr, op):
@@ -701,8 +770,11 @@ def _like_regex(pattern: str, case_insensitive: bool):
         else:
             out.append(re.escape(ch))
         i += 1
+    # \A..\Z + DOTALL, not ^..$: SQL LIKE wildcards match newlines and a
+    # trailing newline is NOT ignored (sqlite- and arrow-verified)
     return re.compile(
-        "^" + "".join(out) + "$", re.IGNORECASE if case_insensitive else 0
+        r"\A" + "".join(out) + r"\Z",
+        re.DOTALL | (re.IGNORECASE if case_insensitive else 0),
     )
 
 
@@ -718,6 +790,27 @@ class LikeExpr(PhysicalExpr):
     case_insensitive: bool = False
 
     def eval(self, cols, num_rows):
+        if isinstance(self.pattern, Literal) and isinstance(
+            self.pattern.value, str
+        ):
+            col = _arrow_str_col(cols, self.child)
+            if col is not None:
+                # arrow's match_like (RE2) agrees with the Python-regex
+                # fallback incl. newline cases (sqlite-verified)
+                import pyarrow.compute as pc
+
+                out = _arrow_bool_mask(
+                    pc.match_like(
+                        col,
+                        self.pattern.value,
+                        ignore_case=self.case_insensitive,
+                    )
+                )
+                if not self.negated:
+                    return out
+                return (
+                    np.logical_not(out) if out.dtype == bool else 1.0 - out
+                )
         a = np.asarray(self.child.eval(cols, num_rows))
         p = np.asarray(self.pattern.eval(cols, num_rows))
         nulls = _null_mask(a)

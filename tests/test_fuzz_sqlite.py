@@ -30,7 +30,10 @@ def _dataset(rng: random.Random):
         rng.choice([None, round(rng.uniform(-3, 3), 2)]) for _ in ids
     ]
     ss = [
-        rng.choice(["chr1", "chr2", "chrX", "other", "", None]) for _ in ids
+        # newline values exercise SQL LIKE's wildcards-match-newlines /
+        # trailing-newline-is-significant semantics (both eval paths)
+        rng.choice(["chr1", "chr2", "chrX", "other", "", None, "chr\n1", "chr1\n"])
+        for _ in ids
     ]
     return ids, gs, xs, ys, ss
 
@@ -65,6 +68,9 @@ def _rand_pred(rng: random.Random) -> str:
         lambda: f"y {rng.choice(['<', '>'])} {round(rng.uniform(-2, 2), 2)}",
         lambda: f"g = '{rng.choice(['a', 'b', 'c'])}'",
         lambda: f"s LIKE '{rng.choice(['chr%', '%1', 'chr_', '%th%'])}'",
+        # ordered string compares ride the arrow fast path (NULLs -> Kleene)
+        lambda: f"s {rng.choice(['<', '<=', '>', '>=', '=', '!='])} 'chr1'",
+        lambda: f"'chr2' {rng.choice(['<', '>', '='])} s",
         lambda: f"s NOT LIKE '{rng.choice(['chr%', '%2'])}'",
         lambda: f"x IN ({', '.join(str(rng.randint(0, 12)) for _ in range(3))})",
         lambda: rng.choice(["x IS NULL", "x IS NOT NULL", "g IS NULL", "s IS NOT NULL"]),

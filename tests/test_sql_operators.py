@@ -560,3 +560,68 @@ class TestJoinUsingAndValues:
         c = self._ctx()
         with pytest.raises(PlanError, match="VALUES row"):
             c.sql("SELECT * FROM (VALUES (1, 2), (3)) v")
+
+
+class TestArrowStringFastPath:
+    """String filters ride arrow compute (planner/expr._arrow_str_col);
+    semantics must match the numpy object-array fallback exactly,
+    including Kleene NULLs and dictionary-encoded columns."""
+
+    def _ctx(self, arr):
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table(
+            "t", pa.table({"i": list(range(len(arr))), "s": arr})
+        )
+        return c
+
+    def test_string_compare_with_nulls_is_kleene(self):
+        import pyarrow as pa
+
+        arr = pa.array(["chr1", None, "chr2", "apple"])
+        c = self._ctx(arr)
+        got = c.sql("SELECT i FROM t WHERE s >= 'chr1' ORDER BY i").to_pylist()
+        assert got == [{"i": 0}, {"i": 2}]
+        got = c.sql("SELECT i FROM t WHERE NOT (s >= 'chr1') ORDER BY i").to_pylist()
+        assert got == [{"i": 3}]  # NULL stays UNKNOWN under NOT
+
+    def test_dictionary_encoded_column(self):
+        import pyarrow as pa
+
+        arr = pa.array(["b", "a", None, "b"]).dictionary_encode()
+        c = self._ctx(arr)
+        got = c.sql("SELECT i FROM t WHERE s = 'b' ORDER BY i").to_pylist()
+        assert got == [{"i": 0}, {"i": 3}]
+
+    def test_literal_on_left_flips_operator(self):
+        import pyarrow as pa
+
+        arr = pa.array(["a", "b", "c"])
+        c = self._ctx(arr)
+        got = c.sql("SELECT i FROM t WHERE 'b' < s ORDER BY i").to_pylist()
+        assert got == [{"i": 2}]
+
+    def test_like_newline_semantics(self):
+        """SQL LIKE: % and _ match newlines; a trailing newline is NOT
+        ignored (sqlite-verified; both eval paths agree)."""
+        import pyarrow as pa
+
+        arr = pa.array(["a\nc", "abc\n", "abc"])
+        c = self._ctx(arr)
+        got = c.sql("SELECT i FROM t WHERE s LIKE 'a%c' ORDER BY i").to_pylist()
+        assert got == [{"i": 0}, {"i": 2}]
+        got = c.sql("SELECT i FROM t WHERE s LIKE 'abc' ORDER BY i").to_pylist()
+        assert got == [{"i": 2}]
+        got = c.sql("SELECT i FROM t WHERE s LIKE 'a_c' ORDER BY i").to_pylist()
+        assert got == [{"i": 0}, {"i": 2}]
+
+    def test_not_like_with_nulls(self):
+        import pyarrow as pa
+
+        arr = pa.array(["chr1", None, "other"])
+        c = self._ctx(arr)
+        got = c.sql("SELECT i FROM t WHERE s NOT LIKE 'chr%' ORDER BY i").to_pylist()
+        assert got == [{"i": 2}]  # NULL excluded, not flipped to TRUE
