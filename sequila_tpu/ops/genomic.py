@@ -589,12 +589,35 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
 
     def put(col0, valid, rows_i32, dist64):
         cols = np.arange(col0, col0 + k, dtype=np.int64)
-        ckey[:, col0:col0 + k] = np.where(valid, dist64 * W, INVALID) + cols
-        crows[:, col0:col0 + k] = np.where(valid, rows_i32, -1)
+        kslot = ckey[:, col0:col0 + k]
+        kslot[...] = INVALID
+        np.multiply(dist64, W, out=kslot, where=valid)
+        kslot += cols
+        rslot = crows[:, col0:col0 + k]
+        rslot[...] = -1
+        np.copyto(rslot, rows_i32, where=valid)
+
+    # per-key segment offsets in O(n) (hk[e_ord] / hk[s_ord] are
+    # key-sorted, so one bincount+cumsum replaces binary searches);
+    # negative build keys (NULL sentinels) can't be bincounted — they
+    # route through the searchsorted fallback
+    use_offs = n > 0 and int(hk.min()) >= 0
+    if use_offs:
+        nkeys = int(hk.max()) + 1
+        key_offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(hk, minlength=nkeys))]
+        )
+        cq_in = (cqk >= 0) & (cqk < nkeys)
+        cqk_c = np.clip(cqk, 0, nkeys - 1)
 
     # upstream ring: k predecessors by end within the key segment
     lb_e = np.searchsorted(comp_e, comp(cqk, cqs), side="left")
-    seg_lo = np.searchsorted(comp_e, cqk.astype(np.int64) << 32, side="left")
+    if use_offs:
+        # out-of-range probe keys fall back to lb_e, which makes every
+        # ring slot invalid (empty segment)
+        seg_lo = np.where(cq_in, key_offs[cqk_c], lb_e)
+    else:
+        seg_lo = np.searchsorted(comp_e, cqk.astype(np.int64) << 32, side="left")
     li = lb_e[:, None] - 1 - ring[None, :]
     lv = li >= seg_lo[:, None]
     lrow = e_ord[np.clip(li, 0, n - 1)].astype(np.int32)
@@ -602,9 +625,12 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
 
     # downstream ring: k successors by start within the key segment
     ub_s = np.searchsorted(comp_s, comp(cqk, cqe), side="right")
-    seg_hi = np.searchsorted(
-        comp_s, (cqk.astype(np.int64) + 1) << 32, side="left"
-    )
+    if use_offs:
+        seg_hi = np.where(cq_in, key_offs[cqk_c + 1], ub_s)
+    else:
+        seg_hi = np.searchsorted(
+            comp_s, (cqk.astype(np.int64) + 1) << 32, side="left"
+        )
     ri = ub_s[:, None] + ring[None, :]
     rv = ri < seg_hi[:, None]
     rrow = s_ord[np.clip(ri, 0, n - 1)].astype(np.int32)
@@ -629,12 +655,20 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
         orow = P[off + np.clip(oi, 0, pad - 1)].astype(np.int32)
         put((2 + lvl) * k, ov, orow, zero)
 
-    part = np.argpartition(ckey, k - 1, axis=1)[:, :k]
-    ord2 = np.argsort(np.take_along_axis(ckey, part, axis=1), axis=1)
-    order = np.take_along_axis(part, ord2, axis=1)
-    picked_key = np.take_along_axis(ckey, part, axis=1)
-    picked_key = np.take_along_axis(picked_key, ord2, axis=1)
-    picked_r = np.take_along_axis(crows, order, axis=1)
+    # Top-k by k argmin sweeps: per-row introselect (argpartition) costs
+    # ~8 µs/row on tiny W-wide rows, while k full-matrix argmin passes
+    # are pure C column scans (~20x faster at 500k x 27).  Keys embed the
+    # column index, so ties are impossible and each sweep's winner is
+    # unique; masking it to INT64_MAX keeps later sweeps sorted ascending.
+    ii = np.arange(mc)
+    picked_key = np.empty((mc, k), np.int64)
+    picked_r = np.empty((mc, k), np.int32)
+    for j in range(k):
+        c = np.argmin(ckey, axis=1)
+        picked_key[:, j] = ckey[ii, c]
+        picked_r[:, j] = crows[ii, c]
+        if j + 1 < k:
+            ckey[ii, c] = np.iinfo(np.int64).max
     ok = picked_key < INVALID
     rows[sel] = np.where(ok, picked_r, -1)
     # recover distances: key // W strips the column tie-break term
