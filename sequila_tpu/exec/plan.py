@@ -291,21 +291,73 @@ class LimitExec(ExecPlan):
         return LimitExec(children[0], self.limit, self.offset)
 
 
+def _unbox(x):
+    """numpy scalar -> Python scalar (pa.array-friendly)."""
+    return x.item() if hasattr(x, "item") else x
+
+
+def _sql_text(x) -> str:
+    """SQL text rendering for string_agg/group_concat elements."""
+    if isinstance(x, str):
+        return x
+    if isinstance(x, (bool, np.bool_)):
+        return "true" if x else "false"
+    if isinstance(x, (float, np.floating)):
+        f = float(x)
+        return str(int(f)) if f.is_integer() and abs(f) < 2**53 else str(f)
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    return str(x)
+
+
+def _dedupe_group_values(codes, a):
+    """Unique (group, value) pairs — the DISTINCT pre-step for
+    sum/avg/count/median/stddev (NULLs must already be removed)."""
+    if len(codes) == 0:
+        return codes, a
+    if a.dtype == object:
+        uniq, inv = np.unique(a, return_inverse=True)
+        key = codes.astype(np.int64) * max(len(uniq), 1) + inv
+        _, ui = np.unique(key, return_index=True)
+        return codes[ui], a[ui]
+    order = np.lexsort((a, codes))
+    cs, vs = codes[order], a[order]
+    first = np.ones(len(cs), bool)
+    first[1:] = (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])
+    return cs[first], vs[first]
+
+
+def _group_segments(codes, ngroups):
+    """(stable order, per-group segment starts, per-group counts)."""
+    order = np.argsort(codes, kind="stable")
+    counts = np.bincount(codes, minlength=ngroups).astype(np.int64)
+    seg_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    return order, seg_starts, counts
+
+
 class AggregateExec(ExecPlan):
-    """Hash/group aggregate: group-by codes via np.unique + segmented reduce."""
+    """Hash/group aggregate: group-by codes via np.unique + segmented
+    reduce.  ``grouping_sets`` (ROLLUP/CUBE/GROUPING SETS expansion from
+    the binder) runs the same segmented aggregation once per index set
+    over one evaluation of the child, NULL-filling excluded group
+    columns.  Each spec is (func, arg, distinct, out_name, filter):
+    ``arg`` is None for count(*), a PhysicalExpr, or a tuple of two for
+    the two-argument aggregates; ``filter`` is the bound
+    FILTER (WHERE ...) predicate or None."""
 
     def __init__(
         self,
         child: ExecPlan,
         group_exprs: list[PhysicalExpr],
         group_names: list[str],
-        agg_specs: list[tuple[str, PhysicalExpr | None, bool, str]],
-        # (func, arg_expr|None for count(*), distinct, out_name)
+        agg_specs: list[tuple],
+        grouping_sets: list[tuple] | None = None,
     ):
         self.children = [child]
         self.group_exprs = group_exprs
         self.group_names = group_names
         self.agg_specs = agg_specs
+        self.grouping_sets = grouping_sets
 
     def schema(self):
         return [(None, n) for n in self.group_names] + [
@@ -316,115 +368,335 @@ class AggregateExec(ExecPlan):
         t = self.children[0].execute(ctx)
         n = t.num_rows
         cols = _LazyCols(t)
-
-        if self.group_exprs:
-            gvals = [np.asarray(e.eval(cols, n)) for e in self.group_exprs]
-            codes, first_idx = _row_group_codes(gvals)
-            ngroups = len(first_idx)
-            group_cols = [g[first_idx] for g in gvals]
+        gvals = [np.asarray(e.eval(cols, n)) for e in self.group_exprs]
+        sets = self.grouping_sets
+        if sets is None:
+            sets = [tuple(range(len(gvals)))]
+        pieces = [self._agg_one_set(cols, n, gvals, gset) for gset in sets]
+        if len(pieces) == 1:
+            out = Table(pieces[0])
         else:
-            codes = np.zeros(n, dtype=np.int64)
-            ngroups = 1
-            group_cols = []
-
-        order = np.argsort(codes, kind="stable")
-        codes_s = codes[order]
-        seg_starts = np.searchsorted(codes_s, np.arange(ngroups), side="left")
-
-        arrays = [pa.array(g) for g in group_cols]
-        names = list(self.group_names)
-        from sequila_tpu.planner.expr import _null_mask
-
-        for func, arg, distinct, out_name in self.agg_specs:
-            if func == "count" and arg is None and not distinct:
-                vals = np.bincount(codes, minlength=ngroups).astype(np.int64)
-            else:
-                a = np.asarray(arg.eval(cols, n))
-                nulls = _null_mask(a)
-                a_s = a[order]
-                null_s = nulls[order]
-                if func == "count":
-                    # SQL: count(col) / count(DISTINCT col) skip NULLs
-                    if distinct:
-                        vals = np.array(
-                            [
-                                len(np.unique(
-                                    a_s[seg_starts[g]:(seg_starts[g + 1] if g + 1 < ngroups else n)][
-                                        ~null_s[seg_starts[g]:(seg_starts[g + 1] if g + 1 < ngroups else n)]
-                                    ]
-                                ))
-                                for g in range(ngroups)
-                            ],
-                            dtype=np.int64,
-                        )
-                    else:
-                        vals = np.bincount(
-                            codes[~nulls], minlength=ngroups
-                        ).astype(np.int64)
-                elif func in ("min", "max") and a.dtype == object:
-                    # strings (or mixed objects): ordinal-encode the
-                    # non-null values, reduce on codes, map back
-                    if n == 0:
-                        vals = pa.array([None] * ngroups, type=pa.string())
-                    else:
-                        nn = ~nulls
-                        uniq, inv = (
-                            np.unique(a[nn], return_inverse=True)
-                            if nn.any()
-                            else (np.array([], dtype=object), np.array([], np.int64))
-                        )
-                        codes_o = np.full(n, len(uniq) if func == "min" else -1,
-                                          np.int64)
-                        codes_o[nn] = inv
-                        red = np.minimum if func == "min" else np.maximum
-                        agg = red.reduceat(codes_o[order], seg_starts)
-                        nn_cnt = np.bincount(codes[nn], minlength=ngroups)
-                        vals = pa.array(
-                            [
-                                None
-                                if nn_cnt[gidx] == 0
-                                else uniq[agg[gidx]]
-                                for gidx in range(ngroups)
-                            ]
-                        )
-                elif func in ("sum", "min", "max", "avg"):
-                    red = {"sum": np.add, "min": np.minimum, "max": np.maximum, "avg": np.add}[func]
-                    if n == 0:
-                        # SQL: sum/min/max/avg over zero rows is NULL, not 0
-                        vals = pa.array([None] * ngroups, type=pa.float64())
-                    elif nulls.any():
-                        # SQL aggregates skip NULLs; all-NULL groups are NULL
-                        fill = {"sum": 0.0, "avg": 0.0,
-                                "min": np.inf, "max": -np.inf}[func]
-                        af = a_s.astype(np.float64)
-                        af[null_s] = fill
-                        agg = red.reduceat(af, seg_starts)
-                        nn_cnt = np.bincount(codes[~nulls], minlength=ngroups)
-                        if func == "avg":
-                            agg = agg / np.maximum(nn_cnt, 1)
-                        vals = pa.array(agg, mask=nn_cnt == 0)
-                    else:
-                        vals = red.reduceat(a_s, seg_starts)
-                        if func == "avg":
-                            cnt = np.bincount(codes, minlength=ngroups)
-                            vals = vals / np.maximum(cnt, 1)
-                else:
-                    raise ExecutionError(f"unsupported aggregate: {func}")
-            arrays.append(vals if isinstance(vals, pa.Array) else pa.array(vals))
-            names.append(out_name)
-        out = Table(pa.Table.from_arrays(arrays, names=names))
+            # NULL-filled group columns are typed null; permissive
+            # promotion unifies them with the typed pieces
+            out = Table(
+                pa.concat_tables(pieces, promote_options="permissive")
+            )
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 
+    def _agg_one_set(self, cols, n, gvals, gset) -> pa.Table:
+        sel_vals = [gvals[i] for i in gset]
+        if sel_vals:
+            codes, first_idx = _row_group_codes(sel_vals)
+            ngroups = len(first_idx)
+        else:
+            codes = np.zeros(n, dtype=np.int64)
+            ngroups = 1
+            first_idx = None
+
+        arrays, names = [], []
+        for i, g in enumerate(gvals):
+            if i in gset:
+                arrays.append(pa.array(g[first_idx]))
+            else:
+                arrays.append(pa.nulls(ngroups))
+            names.append(self.group_names[i])
+
+        # shared (unfiltered) segment layout, computed lazily once
+        base_seg = None
+        from sequila_tpu.planner.expr import _null_mask, truth
+
+        for spec in self.agg_specs:
+            func, arg, distinct, out_name, *rest = spec
+            filt = rest[0] if rest else None
+            if func == "grouping":
+                flag = self._grouping_flag(arg, gset)
+                arrays.append(pa.array(np.full(ngroups, flag, np.int64)))
+                names.append(out_name)
+                continue
+            if filt is not None:
+                mask = truth(np.asarray(filt.eval(cols, n)))
+                codes_e = codes[mask]
+                seg = _group_segments(codes_e, ngroups)
+            else:
+                mask = None
+                codes_e = codes
+                if base_seg is None:
+                    base_seg = _group_segments(codes, ngroups)
+                seg = base_seg
+            vals = self._compute_agg(
+                func, arg, distinct, cols, n, mask, codes_e, ngroups, seg
+            )
+            arrays.append(vals if isinstance(vals, pa.Array) else pa.array(vals))
+            names.append(out_name)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def _grouping_flag(self, arg, gset) -> int:
+        """GROUPING(col): 0 when the column is part of this grouping set,
+        1 when it is aggregated away."""
+        for i, ge in enumerate(self.group_exprs):
+            if ge == arg:
+                return 0 if i in gset else 1
+        raise ExecutionError(
+            "GROUPING() argument must be a GROUP BY expression"
+        )
+
+    def _compute_agg(
+        self, func, arg, distinct, cols, n, mask, codes, ngroups, seg
+    ):
+        """One aggregate column over one grouping set.  ``codes`` /
+        ``seg`` are already restricted to FILTER-passing rows."""
+        from sequila_tpu.planner.expr import _null_mask
+
+        order, seg_starts, seg_counts = seg
+        nrows = len(codes)
+
+        def eval_arg(e):
+            a = np.asarray(e.eval(cols, n))
+            return a[mask] if mask is not None else a
+
+        if func == "count" and arg is None and not distinct:
+            return np.bincount(codes, minlength=ngroups).astype(np.int64)
+
+        # -- two-argument aggregates ------------------------------------
+        if func in ("corr", "covar", "covar_samp", "covar_pop"):
+            ax, ay = (eval_arg(e) for e in arg)
+            nulls = _null_mask(ax) | _null_mask(ay)
+            nn = ~nulls
+            c = codes[nn]
+            x = ax[nn].astype(np.float64)
+            y = ay[nn].astype(np.float64)
+            cnt = np.bincount(c, minlength=ngroups)
+            sx = np.bincount(c, weights=x, minlength=ngroups)
+            sy = np.bincount(c, weights=y, minlength=ngroups)
+            cnt_safe = np.maximum(cnt, 1)
+            mx, my = sx / cnt_safe, sy / cnt_safe
+            dxy = np.bincount(
+                c, weights=(x - mx[c]) * (y - my[c]), minlength=ngroups
+            )
+            if func == "covar_pop":
+                return pa.array(dxy / cnt_safe, mask=cnt == 0)
+            if func in ("covar", "covar_samp"):
+                return pa.array(
+                    dxy / np.maximum(cnt - 1, 1), mask=cnt < 2
+                )
+            # corr: NULL when < 2 rows or either variance is zero
+            dxx = np.bincount(c, weights=(x - mx[c]) ** 2, minlength=ngroups)
+            dyy = np.bincount(c, weights=(y - my[c]) ** 2, minlength=ngroups)
+            denom = np.sqrt(dxx * dyy)
+            bad = (cnt < 2) | (denom == 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = dxy / np.where(bad, 1.0, denom)
+            return pa.array(r, mask=bad)
+
+        if func in ("string_agg", "group_concat"):
+            if isinstance(arg, tuple):
+                val_expr, sep_expr = arg
+                from sequila_tpu.planner.expr import Literal as PLiteral
+
+                if not isinstance(sep_expr, PLiteral):
+                    raise ExecutionError(
+                        f"{func} separator must be a literal"
+                    )
+                sep = "" if sep_expr.value is None else str(sep_expr.value)
+            else:
+                val_expr, sep = arg, ","
+            a = eval_arg(val_expr)
+            nulls = _null_mask(a)
+            nn = ~nulls
+            c, v = codes[nn], a[nn]
+            if distinct:
+                c, v = _dedupe_group_values(c, v)
+                o = np.argsort(c, kind="stable")
+            else:
+                o = np.lexsort((np.arange(len(c)), c))  # input order
+            cs, vs = c[o], v[o]
+            cnt = np.bincount(cs, minlength=ngroups)
+            groups = np.split(vs, np.cumsum(cnt)[:-1]) if ngroups else []
+            return pa.array(
+                [
+                    sep.join(_sql_text(x) for x in g) if len(g) else None
+                    for g in groups
+                ],
+                type=pa.string(),
+            )
+
+        if func == "array_agg":
+            a = eval_arg(arg)
+            if distinct:
+                nulls = _null_mask(a)
+                c, v = _dedupe_group_values(codes[~nulls], a[~nulls])
+                o = np.argsort(c, kind="stable")
+            else:
+                # array_agg keeps NULL elements (Postgres semantics)
+                c, v = codes, a
+                o = order
+            cs, vs = c[o], v[o]
+            cnt = np.bincount(cs, minlength=ngroups)
+            groups = np.split(vs, np.cumsum(cnt)[:-1]) if ngroups else []
+            pylists = [
+                [None if x != x or x is None else _unbox(x) for x in g]
+                if len(g)
+                else None
+                for g in groups
+            ]
+            return pa.array(pylists)
+
+        if func in ("first_value", "last_value"):
+            a = eval_arg(arg)
+            a_s = a[order]
+            res = []
+            for g in range(ngroups):
+                if seg_counts[g] == 0:
+                    res.append(None)
+                else:
+                    pos = (
+                        seg_starts[g]
+                        if func == "first_value"
+                        else seg_starts[g] + seg_counts[g] - 1
+                    )
+                    x = a_s[pos]
+                    res.append(None if x is None or x != x else _unbox(x))
+            return pa.array(res)
+
+        # -- single-argument aggregates ---------------------------------
+        a = eval_arg(arg)
+        nulls = _null_mask(a)
+
+        if func == "count" and not distinct:
+            return np.bincount(codes[~nulls], minlength=ngroups).astype(
+                np.int64
+            )
+        if func in ("count", "approx_distinct"):
+            c, _ = _dedupe_group_values(codes[~nulls], a[~nulls])
+            return np.bincount(c, minlength=ngroups).astype(np.int64)
+
+        if func in ("bool_and", "bool_or"):
+            nn = ~nulls
+            c = codes[nn]
+            v = np.asarray(a[nn], np.float64) != 0
+            cnt = np.bincount(c, minlength=ngroups)
+            hits = np.bincount(c[v], minlength=ngroups)
+            res = hits == cnt if func == "bool_and" else hits > 0
+            return pa.array(res, mask=cnt == 0)
+
+        if distinct and func not in ("min", "max"):
+            # DISTINCT changes sum/avg/median/stddev...: reduce to unique
+            # (group, value) pairs first
+            c, v = _dedupe_group_values(codes[~nulls], a[~nulls])
+            codes = c
+            a = v
+            nulls = np.zeros(len(v), bool)
+            order, seg_starts, seg_counts = _group_segments(codes, ngroups)
+            nrows = len(codes)
+
+        if func in (
+            "stddev", "stddev_samp", "stddev_pop",
+            "var", "var_samp", "var_pop", "variance",
+        ):
+            nn = ~nulls
+            c = codes[nn]
+            v = a[nn].astype(np.float64)
+            cnt = np.bincount(c, minlength=ngroups)
+            s1 = np.bincount(c, weights=v, minlength=ngroups)
+            mean = s1 / np.maximum(cnt, 1)
+            m2 = np.bincount(c, weights=(v - mean[c]) ** 2, minlength=ngroups)
+            pop = func in ("stddev_pop", "var_pop")
+            denom = cnt if pop else np.maximum(cnt - 1, 1)
+            bad = (cnt == 0) if pop else (cnt < 2)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                res = m2 / np.where(bad, 1.0, denom)
+            if func.startswith("stddev"):
+                res = np.sqrt(res)
+            return pa.array(res, mask=bad)
+
+        if func in ("median", "approx_median"):
+            nn = ~nulls
+            c = codes[nn]
+            v = a[nn].astype(np.float64)
+            o = np.lexsort((v, c))
+            cs, vs = c[o], v[o]
+            cnt = np.bincount(cs, minlength=ngroups)
+            offs = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+            res = np.full(ngroups, np.nan)
+            ne = cnt > 0
+            if ne.any():
+                lo = vs[offs[ne] + (cnt[ne] - 1) // 2]
+                hi = vs[offs[ne] + cnt[ne] // 2]
+                res[ne] = (lo + hi) / 2.0
+            return pa.array(res, mask=cnt == 0)
+
+        if func in ("min", "max") and a.dtype == object:
+            # strings (or mixed objects): ordinal-encode the non-null
+            # values, reduce on codes, map back
+            if nrows == 0:
+                return pa.array([None] * ngroups, type=pa.string())
+            nn = ~nulls
+            uniq, inv = (
+                np.unique(a[nn], return_inverse=True)
+                if nn.any()
+                else (np.array([], dtype=object), np.array([], np.int64))
+            )
+            codes_o = np.full(nrows, len(uniq) if func == "min" else -1,
+                              np.int64)
+            codes_o[nn] = inv
+            red = np.minimum if func == "min" else np.maximum
+            # clamp: FILTERed/grouping-set groups can be empty, and
+            # reduceat rejects start == len (result is masked out below)
+            starts = np.minimum(seg_starts, max(nrows - 1, 0))
+            agg = red.reduceat(codes_o[order], starts)
+            nn_cnt = np.bincount(codes[nn], minlength=ngroups)
+            return pa.array(
+                [
+                    None if nn_cnt[g] == 0 or seg_counts[g] == 0
+                    else uniq[agg[g]]
+                    for g in range(ngroups)
+                ]
+            )
+
+        if func in ("sum", "min", "max", "avg"):
+            red = {"sum": np.add, "min": np.minimum,
+                   "max": np.maximum, "avg": np.add}[func]
+            if nrows == 0:
+                # SQL: sum/min/max/avg over zero rows is NULL, not 0
+                return pa.array([None] * ngroups, type=pa.float64())
+            a_s = a[order]
+            null_s = nulls[order]
+            empty = seg_counts == 0
+            # reduceat misbehaves on empty segments (it reads the next
+            # segment's first element); clamp starts and NULL them out
+            starts = np.minimum(seg_starts, max(nrows - 1, 0))
+            if nulls.any() or empty.any():
+                # SQL aggregates skip NULLs; all-NULL groups are NULL
+                fill = {"sum": 0.0, "avg": 0.0,
+                        "min": np.inf, "max": -np.inf}[func]
+                af = a_s.astype(np.float64)
+                af[null_s] = fill
+                agg = red.reduceat(af, starts)
+                nn_cnt = np.bincount(codes[~nulls], minlength=ngroups)
+                if func == "avg":
+                    agg = agg / np.maximum(nn_cnt, 1)
+                return pa.array(agg, mask=(nn_cnt == 0) | empty)
+            vals = red.reduceat(a_s, starts)
+            if func == "avg":
+                vals = vals / np.maximum(seg_counts, 1)
+            return vals
+
+        raise ExecutionError(f"unsupported aggregate: {func}")
+
     def display_line(self):
         aggs = ", ".join(s[3] for s in self.agg_specs)
-        if self.group_exprs:
-            gb = ", ".join(e.display() for e in self.group_exprs)
-            return f"AggregateExec: groupBy=[{gb}], aggr=[{aggs}]"
-        return f"AggregateExec: groupBy=[], aggr=[{aggs}]"
+        gb = ", ".join(e.display() for e in self.group_exprs)
+        line = f"AggregateExec: groupBy=[{gb}], aggr=[{aggs}]"
+        if self.grouping_sets is not None:
+            line += f", grouping_sets={len(self.grouping_sets)}"
+        return line
 
     def with_children(self, children):
-        return AggregateExec(children[0], self.group_exprs, self.group_names, self.agg_specs)
+        return AggregateExec(
+            children[0], self.group_exprs, self.group_names,
+            self.agg_specs, self.grouping_sets,
+        )
 
 
 _WINDOW_FUNCS = {

@@ -58,7 +58,24 @@ def _values_scan(rows: tuple):
         )
     )
 
-_AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+_AGG_FUNCS = {
+    "count", "sum", "min", "max", "avg",
+    # statistical (DataFusion's aggregate library; approx_* are computed
+    # exactly here — documented deviation, results are a superset)
+    "stddev", "stddev_samp", "stddev_pop",
+    "var", "var_samp", "var_pop", "variance",
+    "median", "approx_median", "approx_distinct",
+    "corr", "covar", "covar_samp", "covar_pop",
+    "bool_and", "bool_or",
+    # value collectors
+    "string_agg", "group_concat", "array_agg",
+    "first_value", "last_value",
+    # grouping-sets indicator
+    "grouping",
+}
+
+# aggregates taking (value, second-arg) pairs
+_AGG_TWO_ARG = {"string_agg", "corr", "covar", "covar_samp", "covar_pop"}
 
 
 @dataclasses.dataclass
@@ -307,6 +324,10 @@ class Binder:
                     raise PlanError(f"unsupported window function: {fn.name}")
                 if fn.distinct:
                     raise PlanError("DISTINCT window aggregates are not supported")
+                if fn.filter_where is not None:
+                    raise PlanError(
+                        "FILTER on window functions is not supported"
+                    )
                 args = []
                 for i, a in enumerate(fn.args):
                     if (fn.name in ("lag", "lead") and i >= 1) or fn.name == "ntile":
@@ -1089,10 +1110,15 @@ class Binder:
             return e.name
         if isinstance(e, ast.Func):
             if e.star:
-                return f"{e.name}(*)"
-            args = ",".join(self._display_name(a) for a in e.args)
-            inner = f"DISTINCT {args}" if e.distinct else args
-            return f"{e.name}({inner})"
+                base = f"{e.name}(*)"
+            else:
+                args = ",".join(self._display_name(a) for a in e.args)
+                inner = f"DISTINCT {args}" if e.distinct else args
+                base = f"{e.name}({inner})"
+            if e.filter_where is not None:
+                # distinct filters must not dedupe to one spec
+                base += f" FILTER (WHERE {self._display_name(e.filter_where)})"
+            return base
         if isinstance(e, ast.Lit):
             return str(e.value)
         if isinstance(e, ast.Binary):
@@ -1258,13 +1284,63 @@ class Binder:
     def _bind_aggregate(self, plan: ExecPlan, sel: ast.Select) -> ExecPlan:
         schema = plan.schema()
         items = self._effective_items(sel, schema)
-        group_exprs, group_names, group_targets = [], [], []
+        # -- expand ROLLUP / CUBE / GROUPING SETS into index sets --------
+        import itertools as _it
+
+        plain_items: list = []
+        families: list[list[tuple]] = []
         for g in sel.group_by:
-            target, disp = self._resolve_item_ref(g, sel, schema, alias_wins=False)
+            if isinstance(g, ast.GroupingSets):
+                families.append([tuple(s) for s in g.sets])
+            elif (
+                isinstance(g, ast.Func)
+                and not g.star
+                and g.name in ("rollup", "cube")
+            ):
+                if g.name == "rollup":
+                    fam = [
+                        tuple(g.args[:i])
+                        for i in range(len(g.args), -1, -1)
+                    ]
+                else:
+                    fam = [
+                        tuple(c)
+                        for r in range(len(g.args), -1, -1)
+                        for c in _it.combinations(g.args, r)
+                    ]
+                families.append(fam)
+            else:
+                plain_items.append(g)
+
+        group_exprs, group_names, group_targets = [], [], []
+        uniq_targets: list = []
+
+        def ensure_group(g) -> int:
+            target, disp = self._resolve_item_ref(
+                g, sel, schema, alias_wins=False
+            )
+            for i, t in enumerate(uniq_targets):
+                if t == target:
+                    return i
+            uniq_targets.append(target)
             b = self._bind_expr(target, schema)
             group_exprs.append(b.expr)
             group_names.append(disp)
             group_targets.append(target)
+            return len(uniq_targets) - 1
+
+        plain_idx = [ensure_group(g) for g in plain_items]
+        if families:
+            fam_idx = [
+                [tuple(ensure_group(g) for g in s) for s in fam]
+                for fam in families
+            ]
+            grouping_sets = [
+                tuple(dict.fromkeys(plain_idx + [i for s in combo for i in s]))
+                for combo in _it.product(*fam_idx)
+            ]
+        else:
+            grouping_sets = None
 
         agg_specs = []
         existing: set = set()
@@ -1283,11 +1359,27 @@ class Binder:
                 # count(<non-null literal>) == count(*); count(NULL) is 0
                 # and must keep its argument so NULL-skipping applies
                 arg = None
+            elif f.name in _AGG_TWO_ARG and len(f.args) == 2:
+                arg = tuple(
+                    self._bind_expr(a, schema).expr for a in f.args
+                )
+            elif f.name == "group_concat" and len(f.args) == 2:
+                # group_concat(x, sep) — sqlite/MySQL form of string_agg
+                arg = tuple(
+                    self._bind_expr(a, schema).expr for a in f.args
+                )
             elif len(f.args) == 1:
                 arg = self._bind_expr(f.args[0], schema).expr
+            elif f.name in _AGG_TWO_ARG:
+                raise PlanError(f"{f.name} takes two arguments")
             else:
                 raise PlanError(f"{f.name} takes one argument")
-            agg_specs.append((f.name, arg, f.distinct, disp))
+            filt = (
+                self._bind_expr(f.filter_where, schema).expr
+                if f.filter_where is not None
+                else None
+            )
+            agg_specs.append((f.name, arg, f.distinct, disp, filt))
             existing.add(disp)
             return disp
 
@@ -1337,7 +1429,9 @@ class Binder:
             for f in self._collect_agg_funcs(sel.having):
                 ensure_spec(f)
 
-        agg = AggregateExec(plan, group_exprs, group_names, agg_specs)
+        agg = AggregateExec(
+            plan, group_exprs, group_names, agg_specs, grouping_sets
+        )
         plan_after = agg
         if sel.having is not None:
             plan_after = FilterExec(

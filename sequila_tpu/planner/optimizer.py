@@ -252,10 +252,12 @@ class CountFastPathRule:
             and not node.children[0].algorithm.is_nearest
         ):
             return node
-        func, arg, distinct, out_name = node.agg_specs[0]
+        func, arg, distinct, out_name, *rest = node.agg_specs[0]
         if not (
             func == "count"
             and not distinct
+            and not (rest and rest[0] is not None)  # no FILTER clause
+            and node.grouping_sets is None
             and (
                 arg is None
                 or (isinstance(arg, Literal) and arg.value is not None)

@@ -46,6 +46,16 @@ class Func(SqlExpr):
     args: tuple[SqlExpr, ...]
     distinct: bool = False
     star: bool = False  # count(*)
+    filter_where: Optional[SqlExpr] = None  # agg(x) FILTER (WHERE ...)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupingSets(SqlExpr):
+    """GROUP BY GROUPING SETS ((a, b), (a), ()) — appears only inside a
+    Select's group_by list (ROLLUP/CUBE parse as Func and are expanded
+    by the binder)."""
+
+    sets: tuple  # tuple[tuple[SqlExpr, ...], ...]
 
 
 @dataclasses.dataclass(frozen=True)

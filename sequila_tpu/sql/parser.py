@@ -345,9 +345,9 @@ class Parser:
         group_by: list[ast.SqlExpr] = []
         if self.eat_kw("GROUP"):
             self.expect_kw("BY")
-            group_by.append(self.parse_expr())
+            group_by.append(self._parse_group_item())
             while self.eat("punct", ","):
-                group_by.append(self.parse_expr())
+                group_by.append(self._parse_group_item())
         having = self.parse_expr() if self.eat_kw("HAVING") else None
         order_by: list[ast.OrderItem] = []
         if self.eat_kw("ORDER"):
@@ -435,6 +435,49 @@ class Parser:
             selects.append(self.parse_select())
         selects[-1], order_by, limit, offset = _strip_trailing(selects[-1])
         return ast.Union(tuple(selects), tuple(ops), order_by, limit, offset)
+
+    def _maybe_filter_clause(self, fn: ast.Func) -> ast.Func:
+        """agg(...) FILTER (WHERE <pred>) — standard aggregate filter."""
+        if not (
+            self.at_kw("FILTER")
+            and self.peek(1).kind == "punct"
+            and self.peek(1).value == "("
+        ):
+            return fn
+        self.next()  # FILTER
+        self.expect("punct", "(")
+        self.expect_kw("WHERE")
+        pred = self.parse_expr()
+        self.expect("punct", ")")
+        import dataclasses as _dc
+
+        return _dc.replace(fn, filter_where=pred)
+
+    def _parse_group_item(self) -> ast.SqlExpr:
+        """One GROUP BY item; GROUPING SETS ((a, b), (a), ()) is special
+        syntax (ROLLUP(...)/CUBE(...) parse as ordinary Func calls and
+        are expanded by the binder)."""
+        if self.at_kw("GROUPING") and self.peek(1).upper == "SETS":
+            self.next()
+            self.next()
+            self.expect("punct", "(")
+            sets = []
+            while True:
+                exprs: list = []
+                if self.eat("punct", "("):
+                    while not self.at("punct", ")"):
+                        exprs.append(self.parse_expr())
+                        if not self.eat("punct", ","):
+                            break
+                    self.expect("punct", ")")
+                else:  # bare expr counts as a singleton set
+                    exprs.append(self.parse_expr())
+                sets.append(tuple(exprs))
+                if not self.eat("punct", ","):
+                    break
+            self.expect("punct", ")")
+            return ast.GroupingSets(tuple(sets))
+        return self.parse_expr()
 
     def parse_table_ref(self) -> ast.TableRef:
         if self.at("punct", "("):  # derived table: ( SELECT|VALUES ... ) [AS] alias
@@ -719,6 +762,7 @@ class Parser:
                 if self.eat("punct", "*"):
                     self.expect("punct", ")")
                     fn = ast.Func(fname, (), star=True)
+                    fn = self._maybe_filter_clause(fn)
                     if self.at_kw("OVER"):
                         return self.parse_over(fn)
                     return fn
@@ -729,6 +773,7 @@ class Parser:
                         args.append(self.parse_expr())
                 self.expect("punct", ")")
                 fn = ast.Func(fname, tuple(args), distinct=distinct)
+                fn = self._maybe_filter_clause(fn)
                 if self.at_kw("OVER"):
                     return self.parse_over(fn)
                 return fn

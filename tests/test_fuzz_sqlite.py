@@ -153,7 +153,12 @@ class TestSqliteDifferential:
         for _ in range(N_QUERIES):
             aggs = rng.sample(
                 ["count(*)", "count(x)", "sum(x)", "avg(y)", "min(x)",
-                 "max(y)", "count(DISTINCT g)"],
+                 "max(y)", "count(DISTINCT g)",
+                 "sum(DISTINCT x)", "avg(DISTINCT x)",
+                 "group_concat(x)", "group_concat(g, '-')",
+                 "count(x) FILTER (WHERE g = 'a')",
+                 "sum(x) FILTER (WHERE x > 2)",
+                 "max(x) FILTER (WHERE g IS NOT NULL)"],
                 k=3,
             )
             sql = (

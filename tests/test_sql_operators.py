@@ -625,3 +625,161 @@ class TestArrowStringFastPath:
         c = self._ctx(arr)
         got = c.sql("SELECT i FROM t WHERE s NOT LIKE 'chr%' ORDER BY i").to_pylist()
         assert got == [{"i": 2}]  # NULL excluded, not flipped to TRUE
+
+
+class TestExtendedAggregates:
+    """Statistical aggregates, FILTER, DISTINCT-for-all-aggs, and
+    ROLLUP/CUBE/GROUPING SETS (DataFusion's aggregate surface; values
+    hand-checked, sqlite cross-checks live in test_fuzz_sqlite)."""
+
+    def _ctx(self):
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table(
+            "t",
+            pa.table(
+                {
+                    "g": ["a", "a", "b", "b", "b", None],
+                    "x": [1, 1, 2, 3, 3, 4],
+                    "y": [1.5, 2.5, None, 4.0, 4.0, 5.0],
+                }
+            ),
+        )
+        return c
+
+    def test_sum_avg_distinct(self):
+        c = self._ctx()
+        r = c.sql("SELECT sum(DISTINCT x) s, avg(DISTINCT x) a FROM t").to_pylist()
+        assert r == [{"s": 10, "a": 2.5}]
+
+    def test_variance_family(self):
+        import math
+
+        c = self._ctx()
+        r = c.sql(
+            "SELECT var_pop(x) vp, var_samp(x) vs, stddev(x) sd FROM t"
+        ).to_pylist()[0]
+        assert abs(r["vp"] - 11 / 9) < 1e-12
+        assert abs(r["vs"] - 22 / 15) < 1e-12
+        assert abs(r["sd"] - math.sqrt(22 / 15)) < 1e-12
+
+    def test_variance_small_groups_null(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT g, stddev(x) sd, stddev_pop(x) sp FROM t "
+            "WHERE g = 'a' AND x = 1 GROUP BY g"
+        ).to_pylist()
+        # two equal values: samp = 0; one value after DISTINCT-like cases
+        assert r == [{"g": "a", "sd": 0.0, "sp": 0.0}]
+        r = c.sql("SELECT stddev(x) sd FROM t WHERE x = 4").to_pylist()
+        assert r == [{"sd": None}]  # n=1: sample stddev undefined
+
+    def test_median_and_corr(self):
+        c = self._ctx()
+        r = c.sql("SELECT median(x) m FROM t").to_pylist()
+        assert r == [{"m": 2.5}]
+        r = c.sql("SELECT covar_samp(x, y) cs, covar_pop(x, y) cp FROM t").to_pylist()[0]
+        assert abs(r["cs"] - 1.8) < 1e-12 and abs(r["cp"] - 1.44) < 1e-12
+
+    def test_corr_zero_variance_is_null(self):
+        c = self._ctx()
+        r = c.sql("SELECT corr(x, y) r FROM t WHERE x = 3").to_pylist()
+        assert r == [{"r": None}]  # y constant -> zero variance
+
+    def test_string_agg_and_array_agg(self):
+        c = self._ctx()
+        r = c.sql("SELECT string_agg(g, '-') s FROM t").to_pylist()
+        assert r == [{"s": "a-a-b-b-b"}]
+        r = c.sql("SELECT g, array_agg(y) a FROM t GROUP BY g ORDER BY g").to_pylist()
+        assert r[0] == {"g": "a", "a": [1.5, 2.5]}
+        assert r[1] == {"g": "b", "a": [None, 4.0, 4.0]}  # NULLs kept
+
+    def test_filter_clause(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT count(*) FILTER (WHERE g = 'b') cb, "
+            "sum(x) FILTER (WHERE g = 'a') sa, count(*) n FROM t"
+        ).to_pylist()
+        assert r == [{"cb": 3, "sa": 2, "n": 6}]
+
+    def test_filter_all_rows_excluded(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT g, min(x) FILTER (WHERE x > 100) m FROM t "
+            "GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert [row["m"] for row in r] == [None, None, None]
+
+    def test_bool_and_or(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT g, bool_and(x < 3) ba, bool_or(x > 2) bo FROM t "
+            "GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert r[0] == {"g": "a", "ba": True, "bo": False}
+        assert r[1] == {"g": "b", "ba": False, "bo": True}
+
+    def test_rollup(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT g, sum(x) s FROM t GROUP BY ROLLUP(g) ORDER BY s"
+        ).to_pylist()
+        assert r == [
+            {"g": "a", "s": 2},
+            {"g": None, "s": 4},
+            {"g": "b", "s": 8},
+            {"g": None, "s": 14},  # grand total
+        ]
+
+    def test_cube_set_count(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT g, x, count(*) n FROM t GROUP BY CUBE(g, x)"
+        ).to_pylist()
+        # (g,x): 4 combos; (g): 3; (x): 4; (): 1
+        assert len(r) == 12
+        total = [row for row in r if row["g"] is None and row["x"] is None]
+        assert {"g": None, "x": None, "n": 6} in total
+
+    def test_grouping_sets_with_grouping_fn(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT g, sum(x) s, grouping(g) gr FROM t "
+            "GROUP BY GROUPING SETS ((g), ()) ORDER BY gr, g"
+        ).to_pylist()
+        assert r[-1] == {"g": None, "s": 14, "gr": 1}
+        assert {"g": "b", "s": 8, "gr": 0} in r
+
+    def test_having_over_grouping_sets(self):
+        c = self._ctx()
+        r = c.sql(
+            "SELECT g, sum(x) s FROM t GROUP BY ROLLUP(g) "
+            "HAVING sum(x) > 5 ORDER BY s"
+        ).to_pylist()
+        assert r == [{"g": "b", "s": 8}, {"g": None, "s": 14}]
+
+    def test_first_last_value_aggregates(self):
+        c = self._ctx()
+        r = c.sql("SELECT first_value(x) f, last_value(x) l FROM t").to_pylist()
+        assert r == [{"f": 1, "l": 4}]
+
+    def test_count_fast_path_not_taken_with_filter(self):
+        """count(*) FILTER must NOT ride the interval-join count fast
+        path (which counts all join rows)."""
+        import pyarrow as pa
+
+        c = self._ctx()
+        c.register_table(
+            "r", pa.table({"c": ["c1", "c1"], "s": [1, 5], "e": [3, 9]})
+        )
+        c.register_table(
+            "q", pa.table({"c": ["c1"], "s": [2], "e": [6]})
+        )
+        r = c.sql(
+            "SELECT count(*) FILTER (WHERE r.s > 2) n FROM r JOIN q "
+            "ON r.c = q.c AND r.s <= q.e AND r.e >= q.s"
+        ).to_pylist()
+        assert r == [{"n": 1}]
