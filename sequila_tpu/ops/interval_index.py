@@ -183,6 +183,7 @@ class IntervalIndex:
                 starts=d(np.full(total, PAD_VAL, np.int32)),
                 ends=d(np.full(total, PAD_VAL, np.int32)),
                 pos=d(np.full(total, -1, np.int32)),
+                pos_host=np.full(total, -1, np.int32),
             )
             return
 
@@ -242,6 +243,7 @@ class IntervalIndex:
             level_offsets=level_offsets,
             max_lens=tuple(max_lens),
             levels=d(L), keys=d(K), starts=d(S), ends=d(E), pos=d(P),
+            pos_host=P,
         )
 
     def _lvl_get(self, name):
@@ -257,6 +259,10 @@ class IntervalIndex:
     starts = property(lambda self: self._lvl_get("starts"))
     ends = property(lambda self: self._lvl_get("ends"))
     pos = property(lambda self: self._lvl_get("pos"))
+    # host copy of the level-view position map (built anyway during index
+    # construction) — lets emission expand device bounds host-side without
+    # transferring the full pair list over the slow device link
+    pos_host = property(lambda self: self._lvl_get("pos_host"))
 
     @property
     def num_levels(self) -> int:

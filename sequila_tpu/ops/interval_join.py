@@ -391,47 +391,72 @@ def materialize_pairs_window(index: IntervalIndex, qk, qs, qe):
     return b, p, len(b)
 
 
+def _expand_bounds_host(index: IntervalIndex, lbh, ubh, total: int):
+    """Expand per-(probe,level) contiguous runs into build rows, host-side.
+
+    Probe-major, level-minor, ascending within each run — the exact order
+    ``emit_pairs`` produces — so the two emission strategies are
+    interchangeable bit-for-bit."""
+    # All-int32 arithmetic: total < 2^31 (caller guard) bounds the cumsum,
+    # and g0 - run_start stays within int32 before the arange restores the
+    # true non-negative index.  Empty (probe,level) cells (most of them —
+    # [L, m] is mostly zeros) are filtered before the expensive repeats.
+    offs = np.asarray(index.level_offsets, dtype=np.int32)
+    cnts_flat = np.maximum(ubh - lbh, 0).T.ravel()
+    nz = cnts_flat.nonzero()[0]
+    cnts_nz = cnts_flat[nz]
+    g0 = (lbh + offs[:, None]).T.ravel()[nz]  # global run start per cell
+    run_end = np.cumsum(cnts_nz, dtype=np.int32)
+    g = np.repeat(g0 - run_end + cnts_nz, cnts_nz)
+    g += np.arange(total, dtype=np.int32)
+    return index.pos_host[g]
+
+
 def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     """Full exact join: returns host-visible (build_rows, probe_rows) arrays.
 
-    One device->host sync fetches the total match count; emission then runs
-    with a bucketed static capacity (power of two) so repeated queries of
-    similar size reuse the compiled kernel.
+    One device->host sync fetches the per-probe counts; the probe side is
+    then RLE-reconstructed on the host (np.repeat — the reference's emit
+    likewise expands the probe side host-side, interval_join.rs:1593-1617).
+    For the build side, whichever representation is smaller crosses the
+    device link: the [L, m] per-level bounds (expanded to rows host-side
+    via ``pos_host``) or the materialized row list from ``emit_pairs``.
+    At genome scale total >> L*m, so large joins ship bounds, not rows —
+    the device link (25-33 ms RTT, ~30 MB/s through the tunnel) is the
+    bottleneck, not host expansion.
     """
     if method == "window":
         return materialize_pairs_window(index, qk, qs, qe)
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
-    total64 = int(
-        np.asarray(counts_from_bounds(lb, ub)).astype(np.int64).sum()
-    )
+    counts = np.asarray(counts_from_bounds(lb, ub))
+    total64 = int(counts.astype(np.int64).sum())
     if total64 >= _EMIT_LIMIT:
         raise ExecutionError(
             f"probe chunk would materialize {total64} pairs (>= 2^31); "
             "enable sequila.interval_join_low_memory or reduce the batch"
         )
-    offsets, lb_pm = pair_offsets(lb, ub)
-    total = int(offsets[-1])
+    total = total64
     if total == 0:
         return (
             np.empty(0, np.int32),
             np.empty(0, np.int32),
             0,
         )
-    capacity = _bucket(total, minimum=1024)
-    build_rows, probe_rows, valid = emit_pairs(
-        offsets,
-        lb_pm,
-        index.pos,
-        capacity=capacity,
-        num_levels=index.num_levels,
-        level_offsets=index.level_offsets,
-    )
-    # Fetch build rows + per-probe counts and RECONSTRUCT probe rows on
-    # the host (np.repeat over counts) — pairs are probe-major, so this
-    # halves the device->host transfer (the reference's emit likewise
-    # RLE-expands the probe side, interval_join.rs:1593-1617).
-    b = np.asarray(build_rows[:total])
-    counts = np.asarray(counts_from_bounds(lb, ub))
+    L, m_pad = lb.shape
+    if 2 * L * m_pad < total:
+        b = _expand_bounds_host(index, np.asarray(lb), np.asarray(ub), total)
+    else:
+        offsets, lb_pm = pair_offsets(lb, ub)
+        capacity = _bucket(total, minimum=1024)
+        build_rows, probe_rows, valid = emit_pairs(
+            offsets,
+            lb_pm,
+            index.pos,
+            capacity=capacity,
+            num_levels=index.num_levels,
+            level_offsets=index.level_offsets,
+        )
+        b = np.asarray(build_rows[:total])
     p = np.repeat(
         np.arange(len(counts), dtype=np.int32), counts.astype(np.int64)
     )

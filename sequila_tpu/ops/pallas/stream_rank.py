@@ -90,7 +90,7 @@ def _stream_rank_sorted(a2, c_lo, n_chunks, q_keys, q_vals, *, strict):
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # a2 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # a2 stays in HBM
             pl.BlockSpec((1, BLOCK), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
         ],

@@ -149,6 +149,31 @@ class TestPairs:
         want = sorted(zip(op.tolist(), ob.tolist()))
         assert got == want
 
+    def test_dense_pairs_bounds_expansion(self, rng, method):
+        # Dense overlaps: total matches >> 2*L*m, which flips
+        # materialize_pairs onto the host bounds-expansion path (the
+        # sparse tests above stay on emit_pairs) — both must agree with
+        # the oracle bit-for-bit.
+        n, m = 400, 100
+        bk = (np.arange(n, dtype=np.int32) % 2).astype(np.int32)
+        bs = rng.integers(0, 50, n).astype(np.int32)
+        be = bs + rng.integers(0, 400, n).astype(np.int32)
+        qk = (np.arange(m, dtype=np.int32) % 2).astype(np.int32)
+        qs = rng.integers(0, 100, m).astype(np.int32)
+        qe = qs + rng.integers(0, 200, m).astype(np.int32)
+        idx = build_interval_index(bk, bs, be)
+        b_rows, p_rows, total = materialize_pairs(
+            idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), method
+        )
+        ob, op = oracle_pairs(bk, bs, be, qk, qs, qe)
+        assert total == len(ob)
+        if method != "window":
+            # confirm the dense case really crossed the threshold
+            assert total > 2 * idx.num_levels * len(qk)
+        got = sorted(zip(p_rows.tolist(), b_rows.tolist()))
+        want = sorted(zip(op.tolist(), ob.tolist()))
+        assert got == want
+
     def test_no_matches(self, rng, method):
         bk = np.zeros(10, np.int32)
         bs = np.arange(10, dtype=np.int32) * 100
