@@ -391,25 +391,59 @@ def materialize_pairs_window(index: IntervalIndex, qk, qs, qe):
     return b, p, len(b)
 
 
-def _expand_bounds_host(index: IntervalIndex, lbh, ubh, total: int):
-    """Expand per-(probe,level) contiguous runs into build rows, host-side.
+def _expand_runs_host(pos_host, g0, cnts, total: int):
+    """Expand contiguous runs (global start, length) into build rows.
 
-    Probe-major, level-minor, ascending within each run — the exact order
-    ``emit_pairs`` produces — so the two emission strategies are
-    interchangeable bit-for-bit."""
-    # All-int32 arithmetic: total < 2^31 (caller guard) bounds the cumsum,
-    # and g0 - run_start stays within int32 before the arange restores the
-    # true non-negative index.  Empty (probe,level) cells (most of them —
-    # [L, m] is mostly zeros) are filtered before the expensive repeats.
+    Runs arrive probe-major, level-minor; elements ascend within each run —
+    the exact order ``emit_pairs`` produces — so the emission strategies
+    are interchangeable bit-for-bit.  All-int32 arithmetic: total < 2^31
+    (caller guard) bounds the cumsum, and g0 - run_start stays within
+    int32 before the arange restores the true non-negative index."""
+    run_end = np.cumsum(cnts, dtype=np.int32)
+    g = np.repeat(g0 - run_end + cnts, cnts)
+    g += np.arange(total, dtype=np.int32)
+    return pos_host[g]
+
+
+def _expand_bounds_host(index: IntervalIndex, lbh, ubh, total: int):
+    """Expand per-(probe,level) [L, m] bounds into build rows, host-side.
+
+    Empty (probe,level) cells (most of them — [L, m] is mostly zeros) are
+    filtered before the expensive repeats."""
     offs = np.asarray(index.level_offsets, dtype=np.int32)
     cnts_flat = np.maximum(ubh - lbh, 0).T.ravel()
     nz = cnts_flat.nonzero()[0]
-    cnts_nz = cnts_flat[nz]
     g0 = (lbh + offs[:, None]).T.ravel()[nz]  # global run start per cell
-    run_end = np.cumsum(cnts_nz, dtype=np.int32)
-    g = np.repeat(g0 - run_end + cnts_nz, cnts_nz)
-    g += np.arange(total, dtype=np.int32)
-    return index.pos_host[g]
+    return _expand_runs_host(index.pos_host, g0, cnts_flat[nz], total)
+
+
+@jax.jit
+def _counts_and_nnz(lb, ub):
+    """Per-probe counts with the nonzero-cell count appended — one packed
+    array so the operator's sizing decision costs a single fetch."""
+    c = jnp.maximum(ub - lb, 0)
+    counts = jnp.sum(c, axis=0).astype(jnp.int32)
+    nnz = jnp.sum(c > 0).astype(jnp.int32)
+    return jnp.concatenate([counts, nnz[None]])
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "level_offsets"))
+def _compact_runs(lb, ub, *, capacity: int, level_offsets):
+    """Compact the nonzero (probe,level) cells of [L, m] bounds into dense
+    (global run start, run length) arrays, probe-major order preserved.
+
+    Output transfer is 2*nnz ints instead of 2*L*m — the device link is
+    the materialization bottleneck, so empty cells must not cross it."""
+    offs = jnp.asarray(level_offsets, dtype=jnp.int32)[:, None]
+    cnts = jnp.maximum(ub - lb, 0)
+    cnts_pm = cnts.T.reshape(-1)
+    g0_pm = (lb + offs).T.reshape(-1)
+    nz = cnts_pm > 0
+    pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    idx = jnp.where(nz, pos, capacity)  # empties scatter out of bounds
+    out_g = jnp.zeros((capacity,), jnp.int32).at[idx].set(g0_pm, mode="drop")
+    out_c = jnp.zeros((capacity,), jnp.int32).at[idx].set(cnts_pm, mode="drop")
+    return out_g, out_c
 
 
 def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
@@ -428,7 +462,8 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     if method == "window":
         return materialize_pairs_window(index, qk, qs, qe)
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
-    counts = np.asarray(counts_from_bounds(lb, ub))
+    packed = np.asarray(_counts_and_nnz(lb, ub))
+    counts, nnz = packed[:-1], int(packed[-1])
     total64 = int(counts.astype(np.int64).sum())
     if total64 >= _EMIT_LIMIT:
         raise ExecutionError(
@@ -443,7 +478,15 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
             0,
         )
     L, m_pad = lb.shape
-    if 2 * L * m_pad < total:
+    if 2 * nnz < min(total, 2 * L * m_pad):
+        cap = _bucket(max(nnz, 1), minimum=1024)
+        g0, cnt = _compact_runs(
+            lb, ub, capacity=cap, level_offsets=index.level_offsets
+        )
+        b = _expand_runs_host(
+            index.pos_host, np.asarray(g0)[:nnz], np.asarray(cnt)[:nnz], total
+        )
+    elif 2 * L * m_pad < total:
         b = _expand_bounds_host(index, np.asarray(lb), np.asarray(ub), total)
     else:
         offsets, lb_pm = pair_offsets(lb, ub)

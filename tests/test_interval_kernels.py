@@ -174,6 +174,27 @@ class TestPairs:
         want = sorted(zip(op.tolist(), ob.tolist()))
         assert got == want
 
+    def test_single_level_long_runs_bounds_path(self, rng, method):
+        # One level (starts AND ends ascending), every probe hits a run of
+        # ~11 intervals: nnz == m so 2*nnz >= 2*L*m, while 2*L*m < total —
+        # exercises the raw [L,m] bounds-expansion branch.
+        n, m = 600, 100
+        bk = np.zeros(n, np.int32)
+        bs = np.arange(n, dtype=np.int32)
+        be = bs + 10
+        qk = np.zeros(m, np.int32)
+        qs = rng.integers(0, n - 20, m).astype(np.int32)
+        qe = qs + 5
+        idx = build_interval_index(bk, bs, be)
+        b_rows, p_rows, total = materialize_pairs(
+            idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), method
+        )
+        ob, op = oracle_pairs(bk, bs, be, qk, qs, qe)
+        assert total == len(ob)
+        got = sorted(zip(p_rows.tolist(), b_rows.tolist()))
+        want = sorted(zip(op.tolist(), ob.tolist()))
+        assert got == want
+
     def test_no_matches(self, rng, method):
         bk = np.zeros(10, np.int32)
         bs = np.arange(10, dtype=np.int32) * 100
