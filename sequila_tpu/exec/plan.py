@@ -167,7 +167,7 @@ class ProjectExec(ExecPlan):
         return list(zip(self.qualifiers, self.names))
 
     def execute(self, ctx):
-        from sequila_tpu.planner.expr import Column
+        from sequila_tpu.planner.expr import Column, to_output_array
 
         t = self.children[0].execute(ctx)
         cols = _LazyCols(t)
@@ -177,7 +177,7 @@ class ProjectExec(ExecPlan):
                 # zero-copy passthrough: no numpy round trip
                 arrays.append(t.arrow.column(e.index))
             else:
-                arrays.append(pa.array(e.eval(cols, t.num_rows)))
+                arrays.append(to_output_array(e, cols, e.eval(cols, t.num_rows)))
         out = Table(pa.Table.from_arrays(arrays, names=self.names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
@@ -395,16 +395,23 @@ class AggregateExec(ExecPlan):
             first_idx = None
 
         arrays, names = [], []
+        from sequila_tpu.planner.expr import (
+            _null_mask, to_output_array, truth,
+        )
+
         for i, g in enumerate(gvals):
             if i in gset:
-                arrays.append(pa.array(g[first_idx]))
+                # group-key expressions carry the engine NULL encodings;
+                # restore real nulls and the inferred type in the output
+                arrays.append(
+                    to_output_array(self.group_exprs[i], cols, g[first_idx])
+                )
             else:
                 arrays.append(pa.nulls(ngroups))
             names.append(self.group_names[i])
 
         # shared (unfiltered) segment layout, computed lazily once
         base_seg = None
-        from sequila_tpu.planner.expr import _null_mask, truth
 
         for spec in self.agg_specs:
             func, arg, distinct, out_name, *rest = spec
@@ -427,7 +434,16 @@ class AggregateExec(ExecPlan):
             vals = self._compute_agg(
                 func, arg, distinct, cols, n, mask, codes_e, ngroups, seg
             )
-            arrays.append(vals if isinstance(vals, pa.Array) else pa.array(vals))
+            # integer-typed sum/min/max/... keep Int64 in the output (the
+            # engine computes them in float to carry NULLs as NaN)
+            type_expr = (
+                arg
+                if func in ("sum", "min", "max", "first_value", "last_value")
+                and arg is not None
+                and not isinstance(arg, tuple)
+                else None
+            )
+            arrays.append(to_output_array(type_expr, cols, vals))
             names.append(out_name)
         return pa.Table.from_arrays(arrays, names=names)
 
@@ -578,6 +594,20 @@ class AggregateExec(ExecPlan):
             cnt = np.bincount(c, minlength=ngroups)
             hits = np.bincount(c[v], minlength=ngroups)
             res = hits == cnt if func == "bool_and" else hits > 0
+            return pa.array(res, mask=cnt == 0)
+
+        if func in ("bit_and", "bit_or", "bit_xor"):
+            nn = ~nulls
+            c = codes[nn]
+            v = np.asarray(a[nn], np.float64).astype(np.int64)
+            cnt = np.bincount(c, minlength=ngroups)
+            ufunc, init = {
+                "bit_and": (np.bitwise_and, -1),
+                "bit_or": (np.bitwise_or, 0),
+                "bit_xor": (np.bitwise_xor, 0),
+            }[func]
+            res = np.full(ngroups, init, np.int64)
+            ufunc.at(res, c, v)
             return pa.array(res, mask=cnt == 0)
 
         if distinct and func not in ("min", "max"):

@@ -67,6 +67,7 @@ _AGG_FUNCS = {
     "median", "approx_median", "approx_distinct",
     "corr", "covar", "covar_samp", "covar_pop",
     "bool_and", "bool_or",
+    "bit_and", "bit_or", "bit_xor",
     # value collectors
     "string_agg", "group_concat", "array_agg",
     "first_value", "last_value",

@@ -206,6 +206,12 @@ class BinaryExpr(PhysicalExpr):
                 with np.errstate(divide="ignore", invalid="ignore"):
                     return np.fix(l_arr / r_arr)
             return l_arr / r_arr
+        if op == "||":
+            # string concatenation, NULL-propagating (unlike concat());
+            # operands render via the engine-wide CAST-to-text rules
+            return _elementwise(
+                lambda a, b: _sql_str(a) + _sql_str(b), [l, r], num_rows
+            )
         fn = _OP_FUNCS.get(op)
         if fn is None:
             raise ExecutionError(f"unsupported operator {op}")
@@ -369,6 +375,73 @@ def _expr_is_integer(expr, cols) -> bool:
         return False
 
     return rec(expr)
+
+
+def _expr_is_boolean(expr) -> bool:
+    """Static SQL-type check: does this expression have BOOLEAN type?
+    Kleene logic rides as float 1/0/NaN arrays once NULLs appear; output
+    assembly uses this to restore the arrow Boolean type."""
+    if isinstance(expr, Literal):
+        return isinstance(expr.value, bool)
+    if isinstance(expr, BinaryExpr):
+        return expr.op in (
+            "=", "!=", "<", "<=", ">", ">=", "AND", "OR"
+        )
+    if isinstance(expr, (NotExpr, LikeExpr, InListExpr, DistinctFromExpr)):
+        return True
+    if isinstance(expr, ScalarFuncExpr):
+        return expr.name in (
+            "isnull", "starts_with", "ends_with", "regexp_like",
+        )
+    if isinstance(expr, CastExpr):
+        return expr.type_name in ("BOOL", "BOOLEAN")
+    return False
+
+
+def to_output_array(expr, cols, vals):
+    """Expression result -> arrow array for query output.
+
+    Restores the engine-wide NULL representation (NaN in numeric arrays,
+    None in object arrays) to real arrow nulls, and applies the
+    statically inferred SQL type: INT expressions that rode as float
+    (NaN = NULL) come back as Int64, Kleene 1/0/NaN logic as Boolean —
+    matching what DataFusion's typed engine returns for the same query."""
+    import pyarrow as pa
+
+    if isinstance(vals, pa.Array):
+        if (
+            expr is not None
+            and pa.types.is_floating(vals.type)
+            and _expr_is_integer(expr, cols)
+        ):
+            try:
+                return vals.cast(pa.int64())
+            except pa.ArrowInvalid:
+                return vals
+        return vals
+    a = np.asarray(vals)
+    if a.dtype == object:
+        if any(isinstance(v, float) and v != v for v in a):
+            a = np.array(
+                [
+                    None
+                    if (v is None or (isinstance(v, float) and v != v))
+                    else v
+                    for v in a
+                ],
+                dtype=object,
+            )
+        return pa.array(a)
+    if np.issubdtype(a.dtype, np.floating):
+        nulls = np.isnan(a)
+        mask = nulls if nulls.any() else None
+        if expr is not None and _expr_is_boolean(expr):
+            return pa.array(a != 0, mask=mask)
+        if expr is not None and _expr_is_integer(expr, cols):
+            safe = np.where(nulls, 0, a) if mask is not None else a
+            return pa.array(safe.astype(np.int64), mask=mask)
+        return pa.array(a, mask=mask)
+    return pa.array(a)
 
 
 def _null_mask(a: np.ndarray) -> np.ndarray:
@@ -566,16 +639,83 @@ _NUMERIC_FUNCS = {
     "tan": np.tan,
 }
 
+def _initcap(s_):
+    import re as _re
+
+    return _re.sub(
+        r"[A-Za-z0-9]+", lambda m: m.group(0).capitalize(), str(s_)
+    )
+
+
 _STRING_FUNCS = {
     "upper": lambda s_: str(s_).upper(),
     "lower": lambda s_: str(s_).lower(),
     "length": lambda s_: len(str(s_)),
     "char_length": lambda s_: len(str(s_)),
-    "trim": lambda s_: str(s_).strip(),
-    "ltrim": lambda s_: str(s_).lstrip(),
-    "rtrim": lambda s_: str(s_).rstrip(),
+    "character_length": lambda s_: len(str(s_)),
+    "octet_length": lambda s_: len(str(s_).encode("utf-8")),
     "reverse": lambda s_: str(s_)[::-1],
+    "initcap": _initcap,
+    "ascii": lambda s_: ord(str(s_)[0]) if str(s_) else 0,
+    "md5": lambda s_: __import__("hashlib").md5(
+        str(s_).encode("utf-8")
+    ).hexdigest(),
 }
+
+
+def _sql_pad(s_, n, fill=" ", left=True):
+    s_, n, fill = str(s_), int(n), str(fill)
+    if n <= 0:
+        return ""
+    if len(s_) >= n:
+        return s_[:n]
+    if not fill:
+        return s_
+    pad = (fill * -(-(n - len(s_)) // len(fill)))[: n - len(s_)]
+    return pad + s_ if left else s_ + pad
+
+
+def _sql_split_part(s_, sep, n):
+    s_, sep, n = str(s_), str(sep), int(n)
+    if not sep:
+        raise ExecutionError("split_part: empty delimiter")
+    parts = s_.split(sep)
+    if n < 0:
+        n += len(parts) + 1
+    return parts[n - 1] if 1 <= n <= len(parts) else ""
+
+
+def _sql_left(s_, n):
+    s_, n = str(s_), int(n)
+    if n >= 0:
+        return s_[:n]
+    return s_[:n] if n > -len(s_) else ""
+
+
+def _sql_right(s_, n):
+    s_, n = str(s_), int(n)
+    if n > 0:
+        return s_[-n:]
+    return s_[-n:] if n != 0 else ""
+
+
+def _regex_flags(flags: str) -> int:
+    import re as _re
+
+    f = 0
+    for ch in str(flags):
+        if ch == "i":
+            f |= _re.IGNORECASE
+        elif ch == "s":
+            f |= _re.DOTALL
+        elif ch == "m":
+            f |= _re.MULTILINE
+        elif ch == "x":
+            f |= _re.VERBOSE
+        elif ch != "g":  # 'g' handled by the caller (global replace)
+            raise ExecutionError(f"unsupported regexp flag: {ch!r}")
+    return f
+
 
 # (min_args, max_args or None for variadic)
 SCALAR_FUNC_ARITY = {
@@ -586,17 +726,16 @@ SCALAR_FUNC_ARITY = {
     "replace": (3, 3), "starts_with": (2, 2), "ends_with": (2, 2),
     "coalesce": (1, None), "nullif": (2, 2), "ifnull": (2, 2),
     "nvl": (2, 2), "greatest": (1, None), "least": (1, None),
+    "trim": (1, 2), "ltrim": (1, 2), "rtrim": (1, 2), "btrim": (1, 2),
+    "lpad": (2, 3), "rpad": (2, 3), "split_part": (3, 3),
+    "translate": (3, 3), "repeat": (2, 2), "left": (2, 2),
+    "right": (2, 2), "strpos": (2, 2), "instr": (2, 2),
+    "concat_ws": (2, None), "chr": (1, 1), "to_hex": (1, 1),
+    "regexp_like": (2, 3), "regexp_replace": (3, 4), "regexp_count": (2, 3),
+    "arrow_typeof": (1, 1),
 }
 
-SCALAR_FUNCS = (
-    set(_NUMERIC_FUNCS)
-    | set(_STRING_FUNCS)
-    | {
-        "isnull", "round", "power", "pow", "substr", "substring", "concat",
-        "replace", "starts_with", "ends_with", "coalesce", "nullif",
-        "ifnull", "nvl", "greatest", "least",
-    }
-)
+SCALAR_FUNCS = set(SCALAR_FUNC_ARITY)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -675,6 +814,117 @@ class ScalarFuncExpr(PhysicalExpr):
                 return pick(vv) if vv else None
 
             return _elementwise(gl, vals, num_rows, skip_null=False)
+        if name in ("trim", "ltrim", "rtrim", "btrim"):
+            strip = {
+                "trim": str.strip, "btrim": str.strip,
+                "ltrim": str.lstrip, "rtrim": str.rstrip,
+            }[name]
+            return _elementwise(
+                lambda s_, chars=None: strip(
+                    str(s_), None if chars is None else str(chars)
+                ),
+                vals, num_rows,
+            )
+        if name in ("lpad", "rpad"):
+            return _elementwise(
+                lambda s_, n, fill=" ": _sql_pad(
+                    s_, n, fill, left=(name == "lpad")
+                ),
+                vals, num_rows,
+            )
+        if name == "split_part":
+            return _elementwise(_sql_split_part, vals, num_rows)
+        if name == "translate":
+            def tr(s_, frm, to):
+                frm, to = str(frm), str(to)
+                table = {
+                    ord(c): (to[i] if i < len(to) else None)
+                    for i, c in enumerate(frm)
+                }
+                return str(s_).translate(table)
+
+            return _elementwise(tr, vals, num_rows)
+        if name == "repeat":
+            return _elementwise(
+                lambda s_, n: str(s_) * max(int(n), 0), vals, num_rows
+            )
+        if name == "left":
+            return _elementwise(_sql_left, vals, num_rows)
+        if name == "right":
+            return _elementwise(_sql_right, vals, num_rows)
+        if name in ("strpos", "instr"):
+            return _elementwise(
+                lambda s_, sub: str(s_).find(str(sub)) + 1, vals, num_rows
+            )
+        if name == "concat_ws":
+            # NULL separator -> NULL; NULL pieces are skipped (Postgres)
+            def cw(sep, *row):
+                if sep is None or sep != sep:
+                    return None
+                return str(sep).join(
+                    str(v) for v in row if v is not None and v == v
+                )
+
+            return _elementwise(cw, vals, num_rows, skip_null=False)
+        if name == "chr":
+            return _elementwise(lambda n: chr(int(n)), vals, num_rows)
+        if name == "to_hex":
+            return _elementwise(lambda n: format(int(n), "x"), vals, num_rows)
+        if name == "regexp_like":
+            import re as _re
+
+            return _elementwise(
+                lambda s_, pat, flags="": bool(
+                    _re.search(str(pat), str(s_), _regex_flags(flags))
+                ),
+                vals, num_rows,
+            )
+        if name == "regexp_count":
+            import re as _re
+
+            return _elementwise(
+                lambda s_, pat, flags="": len(
+                    _re.findall(str(pat), str(s_), _regex_flags(flags))
+                ),
+                vals, num_rows,
+            )
+        if name == "regexp_replace":
+            import re as _re
+
+            def rr(s_, pat, rep, flags=""):
+                count = 0 if "g" in str(flags) else 1
+                return _re.sub(
+                    str(pat), str(rep), str(s_),
+                    count=count, flags=_regex_flags(flags),
+                )
+
+            return _elementwise(rr, vals, num_rows)
+        if name == "arrow_typeof":
+            # debugging aid: report the evaluated numpy dtype as the
+            # closest arrow type name (the engine's columns are arrow-
+            # backed but expression temporaries are numpy)
+            a = np.asarray(vals[0])
+            if a.dtype == object:
+                nn = [v for v in a.ravel() if v is not None and v == v]
+                t = (
+                    "Utf8" if all(isinstance(v, str) for v in nn) and nn
+                    else "Null" if not nn else "Utf8"
+                )
+            elif a.dtype == bool:
+                t = "Boolean"
+            elif np.issubdtype(a.dtype, np.integer):
+                t = "Int64"
+            elif np.issubdtype(a.dtype, np.floating):
+                # INT columns ride as float once NULLs appear; report the
+                # statically inferred type, not the runtime representation
+                t = (
+                    "Int64"
+                    if _expr_is_integer(self.args[0], cols)
+                    else "Float64"
+                )
+            else:
+                t = str(a.dtype)
+            return np.full(num_rows, t, dtype=object)
         raise ExecutionError(f"unsupported scalar function: {name}")
 
     def columns(self):

@@ -630,17 +630,17 @@ class Parser:
         return self.parse_comparison()
 
     def parse_comparison(self) -> ast.SqlExpr:
-        left = self.parse_additive()
+        left = self.parse_concat()
         t = self.peek()
         if t.kind == "op" and t.value in ("=", "!=", "<>", "<", "<=", ">", ">="):
             self.next()
             op = "!=" if t.value == "<>" else t.value
-            return ast.Binary(left, op, self.parse_additive())
+            return ast.Binary(left, op, self.parse_concat())
         if self.at_kw("BETWEEN"):
             self.next()
-            lo = self.parse_additive()
+            lo = self.parse_concat()
             self.expect_kw("AND")
-            hi = self.parse_additive()
+            hi = self.parse_concat()
             return ast.Binary(
                 ast.Binary(left, ">=", lo), "AND", ast.Binary(left, "<=", hi)
             )
@@ -649,7 +649,7 @@ class Parser:
             neg = self.eat_kw("NOT")
             if self.eat_kw("DISTINCT"):
                 self.expect_kw("FROM")
-                return ast.DistinctFrom(left, self.parse_additive(), negated=neg)
+                return ast.DistinctFrom(left, self.parse_concat(), negated=neg)
             self.expect_kw("NULL")
             node = ast.Func("isnull", (left,))
             return ast.Unary("NOT", node) if neg else node
@@ -659,7 +659,7 @@ class Parser:
             negated = self.eat_kw("NOT")
             ci = self.peek().upper == "ILIKE"
             self.next()
-            return ast.Like(left, self.parse_additive(), negated, ci)
+            return ast.Like(left, self.parse_concat(), negated, ci)
         if self.at_kw("IN") or (self.at_kw("NOT") and self.peek(1).upper == "IN"):
             negated = self.eat_kw("NOT")
             self.expect_kw("IN")
@@ -668,11 +668,19 @@ class Parser:
                 sub = self.parse_select()
                 self.expect("punct", ")")
                 return ast.InSubquery(left, sub, negated=negated)
-            items = [self.parse_additive()]
+            items = [self.parse_concat()]
             while self.eat("punct", ","):
-                items.append(self.parse_additive())
+                items.append(self.parse_concat())
             self.expect("punct", ")")
             return ast.InList(left, tuple(items), negated=negated)
+        return left
+
+    def parse_concat(self) -> ast.SqlExpr:
+        # || binds looser than +/- but tighter than comparisons (Postgres)
+        left = self.parse_additive()
+        while self.at("op", "||"):
+            self.next()
+            left = ast.Binary(left, "||", self.parse_additive())
         return left
 
     def parse_additive(self) -> ast.SqlExpr:
@@ -694,7 +702,14 @@ class Parser:
             return ast.Unary("-", self.parse_unary())
         if self.eat("punct", "+"):
             return self.parse_unary()
-        return self.parse_primary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> ast.SqlExpr:
+        e = self.parse_primary()
+        while self.at("op", "::"):  # expr::TYPE cast shorthand
+            self.next()
+            e = ast.Cast(e, self.next().value.upper())
+        return e
 
     def parse_primary(self) -> ast.SqlExpr:
         t = self.peek()
@@ -758,6 +773,18 @@ class Parser:
             if self.peek(1).kind == "punct" and self.peek(1).value == "(":
                 fname = self.next().value.lower()
                 self.next()  # (
+                if fname == "position" and not self.at("punct", ")"):
+                    # position(substr IN str) -> strpos(str, substr)
+                    sub = self.parse_concat()
+                    if self.eat_kw("IN"):
+                        s = self.parse_expr()
+                        self.expect("punct", ")")
+                        return ast.Func("strpos", (s, sub))
+                    args = [sub]
+                    while self.eat("punct", ","):
+                        args.append(self.parse_expr())
+                    self.expect("punct", ")")
+                    return ast.Func("strpos", tuple(reversed(args)))
                 distinct = self.eat_kw("DISTINCT")
                 if self.eat("punct", "*"):
                     self.expect("punct", ")")

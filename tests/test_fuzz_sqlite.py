@@ -103,6 +103,14 @@ def _rand_scalar_item(rng: random.Random) -> str:
         "nullif(g, 'a')",
         "CASE WHEN x < 5 THEN 'lo' WHEN x < 12 THEN 'mid' ELSE 'hi' END",
         "CASE g WHEN 'a' THEN 1 WHEN 'b' THEN 2 ELSE 0 END",
+        # string operator/function surface shared with sqlite
+        "s || '_t'",
+        "g || s",
+        "trim(s, 'a')",
+        "ltrim(s, 'ab')",
+        "rtrim(s, 'ab')",
+        "replace(s, 'a', 'Z')",
+        "instr(s, 'b')",
     ]
     return rng.choice(items)
 

@@ -300,3 +300,132 @@ def test_constant_items_with_aggregates():
     assert [r["t2"] for r in got2] == ["tag", "tag"]
     with pytest.raises(PlanError, match="GROUP BY"):
         c.sql("SELECT x, count(*) FROM t")
+
+
+class TestStringFuncPack:
+    """The wider DataFusion string-function surface added in round 2."""
+
+    def test_concat_operator_null_propagates(self, ctx):
+        got = ctx.sql("SELECT s || '!' FROM t").to_pylist_column(0)
+        assert got == ["Hello!", None, "world!"]
+
+    def test_concat_operator_renders_ints(self, ctx):
+        got = ctx.sql(
+            "SELECT g || v FROM t ORDER BY g"
+        ).to_pylist_column(0)
+        assert got == ["a1", None, "b-3"]
+
+    def test_double_colon_cast(self, ctx):
+        got = ctx.sql("SELECT '7'::INT + v FROM t WHERE v = 1")
+        assert got.to_pylist_column(0) == [8]
+
+    def test_pads(self, ctx):
+        got = ctx.sql(
+            "SELECT lpad('x', 4, 'ab'), rpad('x', 4, 'ab'), lpad('long', 2)"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["abax", "xaba", "lo"]
+
+    def test_split_part(self, ctx):
+        got = ctx.sql(
+            "SELECT split_part('a,b,c', ',', 2), split_part('a,b,c', ',', -1),"
+            " split_part('a,b,c', ',', 9)"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["b", "c", ""]
+
+    def test_translate_repeat_left_right(self, ctx):
+        got = ctx.sql(
+            "SELECT translate('abcd', 'bd', 'x'), repeat('ab', 2),"
+            " left('abcdef', -2), right('abcdef', -2)"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["axc", "abab", "abcd", "cdef"]
+
+    def test_strpos_and_position(self, ctx):
+        got = ctx.sql(
+            "SELECT strpos('hello', 'll') AS a, position('ll' IN 'hello')"
+            " AS b, instr('hello', 'zz') AS c"
+        ).to_pylist()[0]
+        assert list(got.values()) == [3, 3, 0]
+
+    def test_concat_ws(self, ctx):
+        got = ctx.sql(
+            "SELECT concat_ws('-', 'a', NULL, 'b'), concat_ws(NULL, 'a', 'b')"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["a-b", None]
+
+    def test_trim_chars(self, ctx):
+        got = ctx.sql(
+            "SELECT trim('xxaxx', 'x'), ltrim('xxa', 'x'), rtrim('axx', 'x'),"
+            " btrim('xxaxx', 'x')"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["a", "a", "a", "a"]
+
+    def test_regexp_funcs(self, ctx):
+        got = ctx.sql(
+            "SELECT regexp_like('Hello', '^h', 'i'),"
+            " regexp_replace('aaa', 'a', 'b'),"
+            " regexp_replace('aaa', 'a', 'b', 'g'),"
+            " regexp_count('banana', 'an')"
+        ).to_pylist()[0]
+        assert list(got.values()) == [True, "baa", "bbb", 2]
+
+    def test_misc(self, ctx):
+        got = ctx.sql(
+            "SELECT chr(65), to_hex(255), md5('abc'), initcap('hi wORLD'),"
+            " ascii('A'), octet_length('héllo'), character_length('ab')"
+        ).to_pylist()[0]
+        assert list(got.values()) == [
+            "A", "ff", "900150983cd24fb0d6963f7d28e17f72", "Hi World",
+            65, 6, 2,
+        ]
+
+    def test_arrow_typeof(self, ctx):
+        got = ctx.sql(
+            "SELECT arrow_typeof(v), arrow_typeof(s), arrow_typeof(v + 0.5)"
+            " FROM t LIMIT 1"
+        ).to_pylist()[0]
+        assert list(got.values()) == ["Int64", "Utf8", "Float64"]
+
+
+class TestTypedNullOutputs:
+    """Computed nullable expressions come back as typed arrow arrays with
+    real nulls — not NaN doubles (the engine's internal NULL encoding)."""
+
+    def test_int_arith_keeps_int64(self, ctx):
+        arr = ctx.sql("SELECT v + 1 AS o FROM t").arrow.column("o")
+        assert str(arr.type) == "int64"
+        assert arr.to_pylist() == [2, None, -2]
+
+    def test_comparison_returns_bool_with_null(self, ctx):
+        arr = ctx.sql("SELECT v > 0 AS o FROM t").arrow.column("o")
+        assert str(arr.type) == "bool"
+        assert arr.to_pylist() == [True, None, False]
+
+    def test_sum_of_int_is_int(self, ctx):
+        arr = ctx.sql(
+            "SELECT g, sum(v) AS o FROM t GROUP BY g ORDER BY g"
+        ).arrow
+        assert str(arr.column("o").type) == "int64"
+        assert arr.column("o").to_pylist() == [1, -3]
+
+    def test_null_group_key_is_null(self, ctx):
+        c = SessionContext()
+        c.register_table("q", pa.table({"k": [1, 1, None], "v": [1, 2, 3]}))
+        out = c.sql(
+            "SELECT k + 0, sum(v) FROM q GROUP BY 1 ORDER BY 1 NULLS LAST"
+        ).to_pylist()
+        assert [list(r.values()) for r in out] == [[1, 3], [None, 3]]
+
+
+class TestBitAggregates:
+    def test_bit_aggs(self, ctx):
+        c = SessionContext()
+        c.register_table(
+            "q", pa.table({"g": ["a", "a", "b"], "v": [6, 3, None]})
+        )
+        out = c.sql(
+            "SELECT g, bit_and(v), bit_or(v), bit_xor(v) FROM q"
+            " GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert [list(r.values()) for r in out] == [
+            ["a", 2, 7, 5], ["b", None, None, None],
+        ]
