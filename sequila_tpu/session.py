@@ -26,7 +26,7 @@ from sequila_tpu._jaxcache import setup_jax_compilation_cache
 setup_jax_compilation_cache()
 
 from sequila_tpu.config import SequilaConfig
-from sequila_tpu.errors import PlanError
+from sequila_tpu.errors import ExecutionError, PlanError
 from sequila_tpu.exec.context import ExecContext
 from sequila_tpu.io.readers import read_table
 from sequila_tpu.models.table import Table, pretty_format
@@ -42,6 +42,55 @@ from sequila_tpu.sql.parser import parse_sql
 from sequila_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
+
+
+def _stmt_references(node, key: str) -> bool:
+    """Does this AST subtree contain a table reference to ``key``?
+    Generic dataclass walk — subqueries, joins and nested WITHs are all
+    dataclass fields holding tuples of dataclasses."""
+    import dataclasses as _dc
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, (tuple, list)):
+            stack.extend(n)
+            continue
+        if _dc.is_dataclass(n) and not isinstance(n, type):
+            if isinstance(n, ast.TableRef) and (
+                n.name or ""
+            ).lower() == key:
+                return True
+            stack.extend(getattr(n, f.name) for f in _dc.fields(n))
+    return False
+
+
+def _rename_columns(t: Table, names) -> Table:
+    names = list(names)
+    if len(names) != len(t.column_names):
+        raise PlanError(
+            f"CTE column list has {len(names)} names for "
+            f"{len(t.column_names)} columns"
+        )
+    if names == list(t.column_names):
+        return t
+    return Table(t.arrow.rename_columns(names))
+
+
+def _distinct_rows(t: Table, seen: set) -> tuple[Table, set]:
+    """Keep the first occurrence of each row not already in ``seen``
+    (UNION-recursion dedup); returns the filtered table and updated set."""
+    cols = [t.arrow.column(i).to_pylist() for i in range(t.arrow.num_columns)]
+    keep = []
+    for i, row in enumerate(zip(*cols)) if cols else ():
+        if row not in seen:
+            seen.add(row)
+            keep.append(i)
+    if not cols:
+        return t, seen
+    if len(keep) == t.num_rows:
+        return t, seen
+    return Table(t.arrow.take(pa.array(keep, type=pa.int64()))), seen
 
 _SQL_TYPES = {
     "VARCHAR": pa.string(),
@@ -99,25 +148,26 @@ class SessionContext:
         """Execute a query statement: a plain SELECT, a set-operation
         chain (UNION/INTERSECT/EXCEPT), or a WITH-wrapped query."""
         if isinstance(stmt, ast.With):
-            with self._cte_scope(stmt.ctes):
+            with self._cte_scope(stmt.ctes, recursive=stmt.recursive):
                 return self._run_query(stmt.body)
         if isinstance(stmt, ast.Union):
             return self._run_union(stmt)
         return self._run_select(stmt)
 
     @contextmanager
-    def _cte_scope(self, ctes):
+    def _cte_scope(self, ctes, recursive: bool = False):
         """Materialize CTEs as session tables for the scope's duration
         (each may reference earlier ones); shadowed tables/views are
         restored on exit.  DataFusion inlines CTE plans instead — eager
-        materialization is result-equivalent for the non-recursive CTEs
-        accepted here and lets every lookup path (joins, subqueries,
-        EXPLAIN) resolve them with no special cases."""
+        materialization is result-equivalent for the CTEs accepted here
+        and lets every lookup path (joins, subqueries, EXPLAIN) resolve
+        them with no special cases.  Under WITH RECURSIVE, each
+        self-referencing cte iterates to a fixpoint before registration."""
         saved_tables: dict[str, Table] = {}
         saved_views: dict = {}
         added: list[str] = []
         try:
-            for name, q in ctes:
+            for name, cols, q in ctes:
                 key = name.lower()
                 if key in self.views and key not in saved_views:
                     saved_views[key] = self.views.pop(key)
@@ -125,13 +175,80 @@ class SessionContext:
                     saved_tables[key] = self.catalog[key]
                 else:
                     added.append(key)
-                self.catalog[key] = self._run_query(q)
+                if recursive and _stmt_references(q, key):
+                    out = self._run_recursive_cte(key, cols, q)
+                else:
+                    out = self._run_query(q)
+                    if cols is not None:
+                        out = _rename_columns(out, cols)
+                self.catalog[key] = out
             yield
         finally:
             for key in added:
                 self.catalog.pop(key, None)
             self.catalog.update(saved_tables)
             self.views.update(saved_views)
+
+    def _run_recursive_cte(self, key: str, cols, q) -> Table:
+        """Iterate <base> UNION [ALL] <step> to a fixpoint (Postgres
+        semantics: the step sees only the PREVIOUS iteration's rows;
+        UNION dedups against every row produced so far and the loop
+        stops when an iteration adds nothing new)."""
+        if not isinstance(q, ast.Union) or len(q.selects) < 2:
+            raise PlanError(
+                f"recursive CTE '{key}' must be <base> UNION [ALL] "
+                "<recursive term>"
+            )
+        if q.order_by or q.limit is not None or q.offset:
+            raise PlanError(
+                "ORDER BY / LIMIT are not allowed in a recursive CTE body"
+            )
+        step_term = q.selects[-1]
+        dedup = q.ops[-1] == "union"
+        for s in q.selects[:-1]:
+            if _stmt_references(s, key):
+                raise PlanError(
+                    f"recursive reference to '{key}' is only allowed in "
+                    "the final UNION branch"
+                )
+        if len(q.selects) == 2:
+            base = self._run_query(q.selects[0])
+        else:
+            base = self._run_union(
+                ast.Union(q.selects[:-1], q.ops[:-1], None, None, None)
+            )
+        if cols is not None:
+            base = _rename_columns(base, cols)
+        names = base.column_names
+        seen: set | None = None
+        if dedup:
+            base, seen = _distinct_rows(base, set())
+        max_iters = int(os.environ.get("SEQUILA_RECURSION_LIMIT", "10000"))
+        pieces = [base.arrow]
+        working = base
+        iters = 0
+        while working.num_rows:
+            iters += 1
+            if iters > max_iters:
+                raise ExecutionError(
+                    f"recursive CTE '{key}' exceeded "
+                    f"{max_iters} iterations (SEQUILA_RECURSION_LIMIT)"
+                )
+            self.catalog[key] = working
+            step = self._run_query(step_term)
+            if len(step.column_names) != len(names):
+                raise PlanError(
+                    f"recursive CTE '{key}': step returns "
+                    f"{len(step.column_names)} columns, expected {len(names)}"
+                )
+            step = _rename_columns(step, names)
+            if dedup:
+                step, seen = _distinct_rows(step, seen)
+            if step.num_rows == 0:
+                break
+            pieces.append(step.arrow)
+            working = step
+        return Table(pa.concat_tables(pieces, promote_options="permissive"))
 
     def _validate_query(self, stmt) -> None:
         """Bind a query statement now to surface errors early (results
@@ -421,7 +538,7 @@ class SessionContext:
     def _explain(self, stmt: ast.Explain) -> Table:
         target = stmt.stmt
         if isinstance(target, ast.With):
-            with self._cte_scope(target.ctes):
+            with self._cte_scope(target.ctes, recursive=target.recursive):
                 return self._explain(ast.Explain(target.body, stmt.analyze))
         if isinstance(target, ast.Union):
             text = self._explain_set_op(target, analyze=stmt.analyze)

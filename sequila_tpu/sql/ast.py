@@ -160,11 +160,18 @@ class TableRef:
 
 @dataclasses.dataclass(frozen=True)
 class With:
-    """WITH name AS (query), ... <body>: non-recursive CTEs.  Each cte
-    query may reference earlier CTEs; the body is a Select or Union."""
+    """WITH [RECURSIVE] name [(cols)] AS (query), ... <body>.
 
-    ctes: tuple  # tuple[(name, Select | Union), ...]
+    Each cte query may reference earlier CTEs; under RECURSIVE a cte
+    whose body is <base> UNION [ALL] <step> may reference itself in the
+    final step term (Postgres/DataFusion iteration-to-fixpoint
+    semantics; the reference operator's reset_state exists for exactly
+    this re-execution, interval_join.rs:559-575).  The body is a Select
+    or Union."""
+
+    ctes: tuple  # tuple[(name, cols | None, Select | Union), ...]
     body: object  # Select | Union
+    recursive: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -383,8 +383,7 @@ class Parser:
         """[WITH ctes] select-or-set-op-chain."""
         if not self.eat_kw("WITH"):
             return self.parse_select_or_union()
-        if self.at_kw("RECURSIVE"):
-            raise PlanError("WITH RECURSIVE is not supported")
+        recursive = self.eat_kw("RECURSIVE")
         ctes = []
         seen = set()
         while True:
@@ -395,14 +394,19 @@ class Parser:
             if name.lower() in seen:
                 raise PlanError(f"duplicate CTE name '{name}'")
             seen.add(name.lower())
+            cols = (
+                tuple(self.parse_column_names())
+                if self.at("punct", "(")
+                else None
+            )
             self.expect_kw("AS")
             self.expect("punct", "(")
             q = self.parse_query()  # a CTE body may itself start with WITH
             self.expect("punct", ")")
-            ctes.append((name, q))
+            ctes.append((name, cols, q))
             if not self.eat("punct", ","):
                 break
-        return ast.With(tuple(ctes), self.parse_select_or_union())
+        return ast.With(tuple(ctes), self.parse_select_or_union(), recursive)
 
     def parse_select_or_union(self) -> "ast.Statement":
         """Set-operation expression: INTERSECT binds tighter than

@@ -409,3 +409,41 @@ class TestSqliteDifferential:
                     "ON t.x = v.n ORDER BY t.id NULLS LAST"
                 )
             _run_both(ctx, con, sql)
+
+
+class TestRecursiveCte:
+    """WITH RECURSIVE verified against sqlite3 (same iteration-to-
+    fixpoint semantics as Postgres/DataFusion)."""
+
+    QUERIES = [
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r"
+        " WHERE n < 50) SELECT n FROM r ORDER BY n",
+        "WITH RECURSIVE f(a, b) AS (SELECT 0, 1 UNION ALL SELECT b, a+b"
+        " FROM f WHERE b < 1000) SELECT a, b FROM f ORDER BY a",
+        # UNION (distinct) termination on a cyclic graph
+        "WITH RECURSIVE reach(node) AS (SELECT 1 UNION SELECT g.dst"
+        " FROM g JOIN reach ON g.src = reach.node)"
+        " SELECT node FROM reach ORDER BY node",
+        # aggregate over the fixpoint + a non-recursive sibling CTE
+        "WITH RECURSIVE base(v) AS (SELECT 5),"
+        " r(n) AS (SELECT v FROM base UNION ALL SELECT n*2 FROM r"
+        " WHERE n < 100) SELECT count(*), sum(n), max(n) FROM r",
+        # string accumulation
+        "WITH RECURSIVE s(x, p) AS (SELECT 'a', 1 UNION ALL"
+        " SELECT x || 'b', p + 1 FROM s WHERE p < 4)"
+        " SELECT x FROM s ORDER BY p",
+    ]
+
+    def test_recursive_vs_sqlite(self):
+        ctx = SessionContext()
+        con = sqlite3.connect(":memory:")
+        ctx.register_table(
+            "g", pa.table({"src": [1, 2, 3, 1], "dst": [2, 3, 1, 3]})
+        )
+        con.execute("CREATE TABLE g (src INTEGER, dst INTEGER)")
+        con.executemany(
+            "INSERT INTO g VALUES (?, ?)",
+            [(1, 2), (2, 3), (3, 1), (1, 3)],
+        )
+        for sql in self.QUERIES:
+            _run_both(ctx, con, sql)

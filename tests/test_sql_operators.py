@@ -476,12 +476,17 @@ class TestDerivedTablesAndCTEs:
         with pytest.raises(PlanError, match="duplicate"):
             c.sql("WITH w AS (SELECT 1 AS a), w AS (SELECT 2 AS a) SELECT * FROM w")
 
-    def test_with_recursive_rejected(self):
-        from sequila_tpu.errors import PlanError
-
+    def test_with_recursive(self):
         c = self._ctx()
-        with pytest.raises(PlanError, match="RECURSIVE"):
-            c.sql("WITH RECURSIVE w AS (SELECT 1 AS a) SELECT * FROM w")
+        # non-self-referencing cte under RECURSIVE runs as a plain cte
+        assert c.sql(
+            "WITH RECURSIVE w AS (SELECT 1 AS a) SELECT * FROM w"
+        ).to_pylist_column(0) == [1]
+        got = c.sql(
+            "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1"
+            " FROM r WHERE n < 4) SELECT n FROM r ORDER BY n"
+        ).to_pylist_column(0)
+        assert got == [1, 2, 3, 4]
 
     def test_explain_with_cte(self):
         c = self._ctx()
