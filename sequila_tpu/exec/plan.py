@@ -73,6 +73,11 @@ def _row_group_codes(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
             null = np.array([v is None or v != v for v in arr], dtype=bool) if len(arr) else np.zeros(0, bool)
         elif np.issubdtype(arr.dtype, np.floating):
             null = np.isnan(arr)
+        elif np.issubdtype(arr.dtype, np.datetime64):
+            # NaT != NaT, so np.unique would split NULLs into singleton
+            # groups; view as int64 (NaT = INT64_MIN) and mask explicitly
+            null = np.isnat(arr)
+            arr = arr.view(np.int64)
         else:
             null = np.zeros(len(arr), bool)
         col_codes = np.zeros(len(arr), np.int64)
@@ -226,6 +231,10 @@ class SortExec(ExecPlan):
         ):
             k = np.asarray(e.eval(cols, t.num_rows))
             nulls = _null_mask(k)
+            if np.issubdtype(k.dtype, np.datetime64):
+                # int64 view: NaT (INT64_MIN) is dominated by the null
+                # placement key below, and DESC negation needs a number
+                k = k.view(np.int64)
             if k.dtype == object and nulls.any():
                 # np.unique can't mix None with values; rank non-nulls
                 ranks = np.zeros(len(k), np.int64)
@@ -683,6 +692,26 @@ class AggregateExec(ExecPlan):
                     for g in range(ngroups)
                 ]
             )
+
+        if np.issubdtype(a.dtype, np.datetime64) and func in (
+            "sum", "min", "max", "avg"
+        ):
+            if func in ("sum", "avg"):
+                raise ExecutionError(
+                    f"{func}() over date/timestamp values is not supported"
+                )
+            nn = ~nulls
+            c = codes[nn]
+            v = a.view(np.int64)[nn]
+            cnt = np.bincount(c, minlength=ngroups)
+            red = np.minimum if func == "min" else np.maximum
+            init = (
+                np.iinfo(np.int64).max if func == "min"
+                else np.iinfo(np.int64).min
+            )
+            res = np.full(ngroups, init, np.int64)
+            red.at(res, c, v)
+            return pa.array(res.view(a.dtype), mask=cnt == 0)
 
         if func in ("sum", "min", "max", "avg"):
             red = {"sum": np.add, "min": np.minimum,

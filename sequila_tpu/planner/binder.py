@@ -58,6 +58,56 @@ def _values_scan(rows: tuple):
         )
     )
 
+_INTERVAL_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def _parse_interval(value: str, unit: str | None):
+    """INTERVAL literal -> np.timedelta64[us].  Accepts a bare number
+    with a unit token (INTERVAL '1' DAY) or '<n> <unit>' pairs inside
+    the string (INTERVAL '1 day 2 hours').  Calendar units (month/year)
+    have no fixed length and are rejected, as numpy timedeltas require
+    (DataFusion stores them separately in IntervalMonthDayNano)."""
+    toks = value.strip().split()
+    if unit is not None:
+        if len(toks) != 1:
+            raise PlanError(f"malformed INTERVAL literal: {value!r}")
+        pairs = [(toks[0], unit)]
+    elif len(toks) == 1:
+        pairs = [(toks[0], "second")]
+    elif len(toks) % 2 == 0:
+        pairs = list(zip(toks[::2], toks[1::2]))
+    else:
+        raise PlanError(f"malformed INTERVAL literal: {value!r}")
+    total = 0
+    for num, u in pairs:
+        key = u.lower().rstrip("s")
+        mult = _INTERVAL_US.get(key)
+        if mult is None:
+            if key in ("month", "year"):
+                raise PlanError(
+                    f"INTERVAL {key} is calendar-dependent and not "
+                    "supported; use day/time units"
+                )
+            raise PlanError(f"unknown INTERVAL unit: {u!r}")
+        try:
+            total += int(round(float(num) * mult))
+        except ValueError as exc:
+            raise PlanError(
+                f"malformed INTERVAL literal: {value!r}"
+            ) from exc
+    import numpy as _np
+
+    return _np.timedelta64(total, "us")
+
+
 _AGG_FUNCS = {
     "count", "sum", "min", "max", "avg",
     # statistical (DataFusion's aggregate library; approx_* are computed
@@ -970,6 +1020,8 @@ class Binder:
         def go(node: ast.SqlExpr) -> pe.PhysicalExpr:
             if isinstance(node, ast.Lit):
                 return pe.Literal(node.value)
+            if isinstance(node, ast.Interval):
+                return pe.Literal(_parse_interval(node.value, node.unit))
             if isinstance(node, ast.ColRef):
                 idx = self._resolve_column(node, schema)
                 cols.append(idx)

@@ -226,6 +226,16 @@ class BinaryExpr(PhysicalExpr):
             # NOT/AND/OR propagate it; truth() at filter boundaries maps
             # UNKNOWN -> excluded.  NULL-free inputs stay boolean.
             l_arr, r_arr = np.asarray(l), np.asarray(r)
+            l_dt = np.issubdtype(l_arr.dtype, np.datetime64)
+            r_dt = np.issubdtype(r_arr.dtype, np.datetime64)
+            if l_dt != r_dt:
+                # date/timestamp vs string literal: coerce the string side
+                # (DataFusion's implicit Utf8 -> Date/Timestamp coercion)
+                dt = l_arr.dtype if l_dt else r_arr.dtype
+                if l_dt:
+                    r_arr = _coerce_datetime(r_arr, dt)
+                else:
+                    l_arr = _coerce_datetime(l_arr, dt)
             if l_arr.dtype == object or r_arr.dtype == object:
                 # vectorized rich-compare over the object arrays (one C
                 # loop) instead of a per-element ufunc call — ~100x on
@@ -372,6 +382,9 @@ def _expr_is_integer(expr, cols) -> bool:
             )
         if isinstance(e, IfNullExpr):
             return rec(e.child) and isinstance(e.default, int)
+        if isinstance(e, ScalarFuncExpr) and e.name == "date_part":
+            f = e.args[0]
+            return isinstance(f, Literal) and str(f.value).lower() != "epoch"
         return False
 
     return rec(expr)
@@ -444,13 +457,38 @@ def to_output_array(expr, cols, vals):
     return pa.array(a)
 
 
+def _coerce_datetime(a: np.ndarray, dt) -> np.ndarray:
+    """Coerce a string/object array to the given datetime64 dtype
+    (NULL -> NaT); raises ExecutionError on unparseable values."""
+    a = np.asarray(a)
+    try:
+        if a.dtype == object:
+            return np.array(
+                [
+                    np.datetime64("NaT")
+                    if (v is None or (isinstance(v, float) and v != v))
+                    else np.datetime64(str(v))
+                    for v in a.ravel()
+                ],
+                dtype=dt,
+            ).reshape(a.shape)
+        return a.astype(dt)
+    except ValueError as exc:
+        raise ExecutionError(f"cannot coerce value to {dt}: {exc}") from exc
+
+
 def _null_mask(a: np.ndarray) -> np.ndarray:
-    """Elementwise NULL mask (NaN for floats, None for object arrays)."""
+    """Elementwise NULL mask (NaN for floats, None for object arrays,
+    NaT for datetime64/timedelta64)."""
     a = np.asarray(a)
     if a.dtype == object:
         return np.array([v is None for v in a], dtype=bool)
     if np.issubdtype(a.dtype, np.floating):
         return np.isnan(a)
+    if np.issubdtype(a.dtype, np.datetime64) or np.issubdtype(
+        a.dtype, np.timedelta64
+    ):
+        return np.isnat(a)
     return np.zeros(a.shape, dtype=bool)
 
 
@@ -475,6 +513,14 @@ class CastExpr(PhysicalExpr):
 
     def eval(self, cols, num_rows):
         a = np.asarray(self.child.eval(cols, num_rows))
+        if self.type_name in ("DATE", "TIMESTAMP", "DATETIME"):
+            dt = np.dtype(
+                "datetime64[D]" if self.type_name == "DATE"
+                else "datetime64[us]"
+            )
+            if np.issubdtype(a.dtype, np.datetime64):
+                return a.astype(dt)
+            return _coerce_datetime(a, dt)
         target = _CAST_NUMPY.get(self.type_name)
         if target is None:
             raise ExecutionError(f"unsupported CAST type: {self.type_name}")
@@ -733,9 +779,102 @@ SCALAR_FUNC_ARITY = {
     "concat_ws": (2, None), "chr": (1, 1), "to_hex": (1, 1),
     "regexp_like": (2, 3), "regexp_replace": (3, 4), "regexp_count": (2, 3),
     "arrow_typeof": (1, 1),
+    # temporal (DataFusion's datetime library subset)
+    "now": (0, 0), "current_timestamp": (0, 0), "current_date": (0, 0),
+    "to_timestamp": (1, 1), "to_date": (1, 1),
+    "date_part": (2, 2), "date_trunc": (2, 2),
 }
 
 SCALAR_FUNCS = set(SCALAR_FUNC_ARITY)
+
+
+def _date_part_vec(field: str, a: np.ndarray) -> np.ndarray:
+    """Vectorized date_part over a datetime64 array; NULL (NaT) -> NaN.
+    Fields follow Postgres/DataFusion names."""
+    f = str(field).lower()
+    a = np.asarray(a)
+    if not np.issubdtype(a.dtype, np.datetime64):
+        a = _coerce_datetime(a, np.dtype("datetime64[us]"))
+    a = a.astype("datetime64[us]")
+    nat = np.isnat(a)
+    safe = np.where(nat, np.datetime64(0, "us"), a)
+    Y = safe.astype("datetime64[Y]")
+    M = safe.astype("datetime64[M]")
+    D = safe.astype("datetime64[D]")
+    if f in ("year", "years"):
+        out = Y.astype(np.int64) + 1970
+    elif f in ("quarter",):
+        out = ((M - Y).astype(np.int64)) // 3 + 1
+    elif f in ("month", "months"):
+        out = (M - Y).astype(np.int64) + 1
+    elif f in ("day", "days"):
+        out = (D - M).astype(np.int64) + 1
+    elif f in ("hour", "hours"):
+        out = (safe.astype("datetime64[h]") - D).astype(np.int64)
+    elif f in ("minute", "minutes"):
+        out = (
+            safe.astype("datetime64[m]") - safe.astype("datetime64[h]")
+        ).astype(np.int64)
+    elif f in ("second", "seconds"):
+        out = (
+            safe.astype("datetime64[s]") - safe.astype("datetime64[m]")
+        ).astype(np.int64)
+    elif f in ("millisecond", "milliseconds"):
+        out = (
+            (safe - safe.astype("datetime64[m]")).astype(np.int64) // 1000
+        )
+    elif f in ("microsecond", "microseconds"):
+        out = (safe - safe.astype("datetime64[m]")).astype(np.int64)
+    elif f in ("dow",):  # Sunday = 0 (Postgres)
+        out = (D.astype(np.int64) + 4) % 7
+    elif f in ("doy",):
+        out = (D - Y).astype(np.int64) + 1
+    elif f in ("week",):  # ISO week of the year
+        thu = D - ((D.astype(np.int64) + 3) % 7 - 3).astype("timedelta64[D]")
+        thu_year = thu.astype("datetime64[Y]")
+        out = (thu - thu_year).astype(np.int64) // 7 + 1
+    elif f in ("epoch",):
+        out = safe.astype(np.int64) / 1e6
+        return np.where(nat, np.nan, out)
+    elif f in ("decade",):
+        out = (Y.astype(np.int64) + 1970) // 10
+    elif f in ("century",):
+        out = (Y.astype(np.int64) + 1970 + 99) // 100
+    else:
+        raise ExecutionError(f"unsupported date_part field: {field!r}")
+    return np.where(nat, np.nan, out.astype(np.float64))
+
+
+def _date_trunc_vec(field: str, a: np.ndarray) -> np.ndarray:
+    f = str(field).lower()
+    a = np.asarray(a)
+    if not np.issubdtype(a.dtype, np.datetime64):
+        a = _coerce_datetime(a, np.dtype("datetime64[us]"))
+    a = a.astype("datetime64[us]")
+    nat = np.isnat(a)
+    safe = np.where(nat, np.datetime64(0, "us"), a)
+    unit = {
+        "year": "Y", "month": "M", "day": "D",
+        "hour": "h", "minute": "m", "second": "s",
+        "millisecond": "ms", "microsecond": "us",
+    }.get(f)
+    if unit is not None:
+        out = safe.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+    elif f == "week":  # truncate to Monday (ISO)
+        D = safe.astype("datetime64[D]")
+        out = (
+            D - ((D.astype(np.int64) + 3) % 7).astype("timedelta64[D]")
+        ).astype("datetime64[us]")
+    elif f == "quarter":
+        Y = safe.astype("datetime64[Y]")
+        M = safe.astype("datetime64[M]")
+        q0 = Y.astype("datetime64[M]") + (
+            ((M - Y).astype(np.int64) // 3) * 3
+        ).astype("timedelta64[M]")
+        out = q0.astype("datetime64[us]")
+    else:
+        raise ExecutionError(f"unsupported date_trunc field: {field!r}")
+    return np.where(nat, np.datetime64("NaT", "us"), out)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -899,6 +1038,35 @@ class ScalarFuncExpr(PhysicalExpr):
                 )
 
             return _elementwise(rr, vals, num_rows)
+        if name in ("now", "current_timestamp"):
+            return np.full(num_rows, np.datetime64("now", "us"))
+        if name == "current_date":
+            return np.full(
+                num_rows, np.datetime64("now", "us").astype("datetime64[D]")
+            )
+        if name == "to_timestamp":
+            a = np.asarray(vals[0])
+            if np.issubdtype(a.dtype, np.number):
+                nulls = _null_mask(a)
+                out = (
+                    np.where(nulls, 0, a).astype(np.float64) * 1e6
+                ).astype("datetime64[us]")
+                return np.where(nulls, np.datetime64("NaT", "us"), out)
+            return _coerce_datetime(a, np.dtype("datetime64[us]"))
+        if name == "to_date":
+            return _coerce_datetime(
+                np.asarray(vals[0]), np.dtype("datetime64[D]")
+            )
+        if name == "date_part":
+            f = self.args[0]
+            if not isinstance(f, Literal):
+                raise ExecutionError("date_part field must be a literal")
+            return _date_part_vec(f.value, vals[1])
+        if name == "date_trunc":
+            f = self.args[0]
+            if not isinstance(f, Literal):
+                raise ExecutionError("date_trunc field must be a literal")
+            return _date_trunc_vec(f.value, vals[1])
         if name == "arrow_typeof":
             # debugging aid: report the evaluated numpy dtype as the
             # closest arrow type name (the engine's columns are arrow-

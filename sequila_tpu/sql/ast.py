@@ -28,6 +28,14 @@ class Lit(SqlExpr):
 
 
 @dataclasses.dataclass(frozen=True)
+class Interval(SqlExpr):
+    """INTERVAL '<value>' [unit] literal (day/time units)."""
+
+    value: str
+    unit: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
 class Binary(SqlExpr):
     left: SqlExpr
     op: str  # + - * / % = != < <= > >= AND OR

@@ -773,6 +773,41 @@ class Parser:
                 type_name = self.next().value.upper()
                 self.expect("punct", ")")
                 return ast.Cast(e, type_name)
+            if (
+                t.upper in ("DATE", "TIMESTAMP")
+                and self.peek(1).kind == "string"
+            ):
+                # typed literal: DATE '2024-01-01' -> CAST('...' AS DATE)
+                self.next()
+                return ast.Cast(ast.Lit(self.next().value), t.upper)
+            if t.upper == "INTERVAL" and self.peek(1).kind == "string":
+                self.next()
+                value = self.next().value
+                unit = None
+                if self.peek().kind in ("ident", "qident") and (
+                    self.peek().upper.rstrip("S") in _INTERVAL_UNITS
+                ):
+                    unit = self.next().value
+                return ast.Interval(value, unit)
+            if t.upper in ("CURRENT_DATE", "CURRENT_TIMESTAMP") and not (
+                self.peek(1).kind == "punct" and self.peek(1).value == "("
+            ):
+                self.next()
+                return ast.Func(t.value.lower(), ())
+            if (
+                t.upper == "EXTRACT"
+                and self.peek(1).kind == "punct"
+                and self.peek(1).value == "("
+            ):
+                self.next()
+                self.next()  # (
+                field = self.next().value
+                self.expect_kw("FROM")
+                e = self.parse_expr()
+                self.expect("punct", ")")
+                return ast.Func(
+                    "date_part", (ast.Lit(field.lower()), e)
+                )
             # function call?
             if self.peek(1).kind == "punct" and self.peek(1).value == "(":
                 fname = self.next().value.lower()
@@ -816,6 +851,12 @@ class Parser:
                 return ast.ColRef(name, col)
             return ast.ColRef(None, name)
         raise PlanError(f"unexpected token in expression: {t.value!r}")
+
+
+_INTERVAL_UNITS = {
+    "MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY",
+    "WEEK", "MONTH", "YEAR",
+}
 
 
 def parse_sql(sql: str) -> list[ast.Statement]:
