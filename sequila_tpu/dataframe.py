@@ -346,14 +346,21 @@ def depth(a: Table, cols: tuple = DEFAULT_COLS) -> Table:
 
 
 def _code_decoder(table: Table, key_col, codes: np.ndarray):
-    """Map int key codes back to their original column values."""
-    vals = table.column(key_col).to_pylist()
-    rep = {}
-    for c, v in zip(codes, vals):
-        rep.setdefault(int(c), v)
+    """Map int key codes back to their original column values.
+
+    Vectorized: unique codes -> first-occurrence rows (one small arrow
+    take), then each decode is a dense-LUT gather + one arrow take —
+    no per-row Python."""
+    codes = np.asarray(codes, dtype=np.int64)
+    uniq, first = np.unique(codes, return_index=True)
+    col = table.column(key_col)
+    vals = col.take(pa.array(first)).combine_chunks()
+    lut = np.zeros(int(uniq[-1]) + 1 if len(uniq) else 1, np.int64)
+    lut[uniq] = np.arange(len(uniq))
 
     def decode(code_arr: np.ndarray) -> pa.Array:
-        return pa.array([rep[int(c)] for c in code_arr])
+        idx = lut[np.asarray(code_arr, dtype=np.int64)]
+        return vals.take(pa.array(idx))
 
     return decode
 

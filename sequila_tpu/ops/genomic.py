@@ -330,6 +330,24 @@ def slop(keys, starts, ends, left: int, right: int, key_sizes=None):
     return keys, s.astype(np.int32), np.maximum(e, s).astype(np.int32)
 
 
+def _coverage_ranks4(ks, ss, ke, ee, qk_d, qs_d, qe_d):
+    """The four coverage ranks as SEPARATE device programs.
+
+    Measured on the v5e: one fused jnp.stack program runs ~5x slower
+    than four independent rank programs (XLA schedules the four co-sorts
+    far worse inside one computation), so independent dispatch — which
+    also overlaps compute with the serialized fetches — wins despite the
+    extra round trips."""
+    from sequila_tpu.ops.ranks import rank_lex_sort
+
+    return (
+        rank_lex_sort((ks, ss), (qk_d, qe_d), side="right"),
+        rank_lex_sort((ke, ee), (qk_d, qs_d), side="left"),
+        rank_lex_sort((ke, ee), (qk_d, qe_d), side="right"),
+        rank_lex_sort((ks, ss), (qk_d, qs_d), side="left"),
+    )
+
+
 def coverage(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     """Per query: (count, sum(min(end_i,qe) - max(start_i,qs))) over all
     overlapping build intervals — superintervals.rs:802-822 exactly.
@@ -363,11 +381,11 @@ def coverage(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         qk_d = jnp.asarray(qk)
         qs_d = jnp.asarray(qs)
         qe_d = jnp.asarray(qe)
+
         # total matches (BITS) and the two in-range splits
-        ub_t = rank_lex_sort((ks, ss), (qk_d, qe_d), side="right")
-        lb_t = rank_lex_sort((ke, ee), (qk_d, qs_d), side="left")
-        a_hi = rank_lex_sort((ke, ee), (qk_d, qe_d), side="right")
-        b_lo = rank_lex_sort((ks, ss), (qk_d, qs_d), side="left")
+        ub_t, lb_t, a_hi, b_lo = _coverage_ranks4(
+            ks, ss, ke, ee, qk_d, qs_d, qe_d
+        )
         ub_h = np.asarray(ub_t).astype(np.int64)
         lb_h = np.asarray(lb_t).astype(np.int64)
         a_hi_h = np.asarray(a_hi).astype(np.int64)
