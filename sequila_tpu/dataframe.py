@@ -15,6 +15,8 @@ end-inclusive i32, as everywhere in the engine.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pyarrow as pa
 
@@ -49,14 +51,80 @@ def _prep(table: Table, cols):
     return keys, starts, ends
 
 
-def _encode_pair(a: Table, b: Table, cols_a, cols_b):
+_PAIR_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
+_PAIR_CACHE_MAX = 4  # entries kept per probe table
+
+
+def _pair_cache_entry(a: Table, b: Table, cols_a, cols_b) -> dict:
+    """Per-(a, b, cols) memo of encoded keys and the build index.
+
+    Arrow tables are immutable, so repeated dataframe verbs over the
+    same pair (coverage then closest then count_overlaps ...) reuse the
+    dictionary encoding and the level index instead of rebuilding them
+    per call.  Weak-keyed on the probe table; the build table is
+    held via weakref and checked by identity (id() alone could be a
+    reused address)."""
+    global _PAIR_CACHE
+    if _PAIR_CACHE is None:
+        _PAIR_CACHE = weakref.WeakKeyDictionary()
+    per_a = _PAIR_CACHE.setdefault(a, {})
+    key = (id(b), tuple(cols_a), tuple(cols_b))
+    hit = per_a.get(key)
+    if hit is not None and hit["b_ref"]() is b:
+        return hit
     ka, sa, ea = _prep(a, cols_a)
     kb, sb, eb = _prep(b, cols_b)
     ca, cb, _ = encode_join_keys([ka], [kb])
-    return ca, sa, ea, cb, sb, eb
+    entry = {
+        "b_ref": weakref.ref(b),
+        "ca": ca, "sa": sa, "ea": ea,
+        "cb": cb, "sb": sb, "eb": eb,
+        "index": None,
+    }
+    if len(per_a) >= _PAIR_CACHE_MAX:
+        per_a.pop(next(iter(per_a)))
+    per_a[key] = entry
+    return entry
 
 
-def _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions):
+def _pair_host_index(entry: dict):
+    """The (lazily built, cached) host index over the entry's build side."""
+    if entry.get("hidx") is None:
+        from sequila_tpu.ops.host_join import make_host_index
+
+        entry["hidx"] = make_host_index(
+            entry["cb"], entry["sb"], entry["eb"]
+        )
+    return entry["hidx"]
+
+
+def _pair_index(entry: dict, to_device=None):
+    """The (lazily built, cached) IntervalIndex over the entry's build
+    side; ``to_device=np.asarray`` callers get a separately cached
+    host-resident variant (their arrays must stay NumPy)."""
+    if to_device is np.asarray:
+        if entry.get("index_host") is None:
+            entry["index_host"] = build_interval_index(
+                entry["cb"], entry["sb"], entry["eb"], to_device=np.asarray
+            )
+        return entry["index_host"]
+    if to_device is not None:
+        return build_interval_index(
+            entry["cb"], entry["sb"], entry["eb"], to_device=to_device
+        )
+    if entry["index"] is None:
+        entry["index"] = build_interval_index(
+            entry["cb"], entry["sb"], entry["eb"]
+        )
+    return entry["index"]
+
+
+def _encode_pair(a: Table, b: Table, cols_a, cols_b):
+    e = _pair_cache_entry(a, b, cols_a, cols_b)
+    return e["ca"], e["sa"], e["ea"], e["cb"], e["sb"], e["eb"]
+
+
+def _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry=None):
     """All matching (b_row, a_row) index pairs, dispatched over the
     mesh / host-index / device paths (shared by every pair-materializing
     verb).  Mesh results are normalized to (probe asc, build asc) order;
@@ -72,10 +140,15 @@ def _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions):
         order = np.lexsort((b_rows, p_rows))
         return b_rows[order], p_rows[order]
     if _use_host(a, b):
+        if entry is not None:
+            return _pair_host_index(entry).pairs(ca, sa, ea)
         from sequila_tpu.ops.host_join import make_host_index
 
         return make_host_index(cb, sb, eb).pairs(ca, sa, ea)
-    index = build_interval_index(cb, sb, eb)
+    if entry is not None:
+        index = _pair_index(entry)
+    else:
+        index = build_interval_index(cb, sb, eb)
     b_rows, p_rows, _total = materialize_pairs(
         index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea)
     )
@@ -90,8 +163,9 @@ def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
 
     ``partitions > 1`` executes SPMD over a device mesh."""
     cols_b = cols_b or cols
+    entry = _pair_cache_entry(a, b, cols, cols_b)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions)
+    b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry)
     at = a.take(p_rows.astype(np.int64))
     bt = b.take(b_rows.astype(np.int64))
     arrays = list(at.arrow.columns) + list(bt.arrow.columns)
@@ -108,6 +182,7 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     ``partitions > 1`` executes SPMD over a device mesh (the engine's
     Partitioned mode; shrinks to the available devices)."""
     cols_b = cols_b or cols
+    entry = _pair_cache_entry(a, b, cols, cols_b)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
     mesh = _mesh(partitions)
     if mesh is not None:
@@ -118,11 +193,9 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
             ca, np.asarray(sa), np.asarray(ea),
         )
     elif _use_host(a, b):
-        from sequila_tpu.ops.host_join import make_host_index
-
-        counts = np.asarray(make_host_index(cb, sb, eb).counts(ca, sa, ea))
+        counts = np.asarray(_pair_host_index(entry).counts(ca, sa, ea))
     else:
-        index = build_interval_index(cb, sb, eb)
+        index = _pair_index(entry)
         deg = bool((sa > ea).any())
         b_inv = bool((np.asarray(eb) < np.asarray(sb)).any())
         counts = np.asarray(
@@ -139,13 +212,12 @@ def nearest(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Tabl
     NULL b-side when a's contig is absent from b (the reference's
     CoitreesNearest semantics with build/probe sides swapped to 'enrich a')."""
     cols_b = cols_b or cols
+    entry = _pair_cache_entry(a, b, cols, cols_b)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
     if _use_host(a, b):
-        from sequila_tpu.ops.host_join import make_host_index
-
-        rows = make_host_index(cb, sb, eb).nearest(ca, sa, ea).astype(np.int64)
+        rows = _pair_host_index(entry).nearest(ca, sa, ea).astype(np.int64)
     else:
-        index = build_interval_index(cb, sb, eb)
+        index = _pair_index(entry)
         rows = np.asarray(
             nearest_match(index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea))
         ).astype(np.int64)
@@ -164,16 +236,15 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
     first), with a distance column; rows with no same-contig b interval
     produce no output (bedtools `closest -k` flavor)."""
     cols_b = cols_b or cols
+    entry = _pair_cache_entry(a, b, cols, cols_b)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
     if k == 1:
         # vectorized: the nearest kernel (device) / host nearest — exactly
         # one candidate per a-row, rows with no same-contig b drop out
         if _use_host(a, b):
-            from sequila_tpu.ops.host_join import make_host_index
-
-            rows1 = make_host_index(cb, sb, eb).nearest(ca, sa, ea)
+            rows1 = _pair_host_index(entry).nearest(ca, sa, ea)
         else:
-            index = build_interval_index(cb, sb, eb)
+            index = _pair_index(entry)
             rows1 = np.asarray(
                 nearest_match(index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea))
             ).astype(np.int64)
@@ -191,7 +262,7 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
     else:
         # host-resident index: closest_k is host-side vectorized numpy, so
         # a device index would only add TPU round-trip fetches
-        index = build_interval_index(cb, sb, eb, to_device=np.asarray)
+        index = _pair_index(entry, to_device=np.asarray)
         rows, dists = genomic.closest_k(
             index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
         )
@@ -222,6 +293,7 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
 
     ``partitions > 1`` executes SPMD over a device mesh."""
     cols_b = cols_b or cols
+    entry = _pair_cache_entry(a, b, cols, cols_b)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
     mesh = _mesh(partitions)
     if mesh is not None:
@@ -232,15 +304,13 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
             ca, np.asarray(sa), np.asarray(ea),
         )
     elif _use_host(a, b):
-        from sequila_tpu.ops.host_join import make_host_index
-
-        hidx = make_host_index(cb, sb, eb)
+        hidx = _pair_host_index(entry)
         if hasattr(hidx, "coverage"):
             counts, bases = hidx.coverage(ca, sa, ea)
         else:  # NumPy fallback host index has no coverage; use kernels
             counts, bases = genomic.coverage(build_interval_index(cb, sb, eb), ca, sa, ea)
     else:
-        index = build_interval_index(cb, sb, eb)
+        index = _pair_index(entry)
         counts, bases = genomic.coverage(index, ca, sa, ea)
     t = a.arrow.append_column("count", pa.array(counts))
     t = t.append_column("bases", pa.array(bases))
@@ -266,8 +336,9 @@ def map_overlaps(a: Table, b: Table, column: str, ops=("mean",),
     count/sum/mean/min/max/median/collapse/distinct; empty groups yield
     NULL (count 0).  Output columns are named ``<column>_<op>``."""
     cols_b = cols_b or cols
+    entry = _pair_cache_entry(a, b, cols, cols_b)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
-    b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions)
+    b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry)
     vals = b.column_np(column)[np.asarray(b_rows, np.int64)]
     agg = genomic.map_aggregate(p_rows, vals, a.num_rows, ops)
     t = a.arrow
