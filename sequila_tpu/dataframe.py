@@ -367,14 +367,16 @@ def complement(a: Table, chrom_sizes: dict, cols: tuple = DEFAULT_COLS) -> Table
     ``chrom_sizes[name] = (lo, hi)`` (or ``name: hi`` meaning (0, hi))."""
     keys, starts, ends = _prep(a, cols)
     codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
-    name_of = {}
-    kv = keys.to_pylist()
-    for c, name in zip(codes, kv):
-        name_of.setdefault(int(c), name)
-    code_of = {v: k for k, v in name_of.items()}
+    codes64 = np.asarray(codes, np.int64)
+    # code <-> name maps via unique-codes + one small arrow take (no
+    # per-row Python)
+    uniq, first = np.unique(codes64, return_index=True)
+    kcol = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    uniq_names = kcol.take(pa.array(first)).to_pylist() if len(uniq) else []
+    name_of = dict(zip((int(c) for c in uniq), uniq_names))
+    code_of = {n: c for c, n in name_of.items()}
     key_sizes = {}
     extra = []
-    next_code = int(codes.max()) + 1 if len(codes) else 0
     for name, span in chrom_sizes.items():
         lo, hi = span if isinstance(span, (tuple, list)) else (0, span)
         if name in code_of:
@@ -391,7 +393,7 @@ def complement(a: Table, chrom_sizes: dict, cols: tuple = DEFAULT_COLS) -> Table
         rows_e.append(hi)
     return Table(
         pa.Table.from_arrays(
-            [pa.array(names_out), pa.array(rows_s, pa.int64()), pa.array(rows_e, pa.int64())],
+            [pa.array(names_out, pa.string()), pa.array(rows_s, pa.int64()), pa.array(rows_e, pa.int64())],
             names=list(cols),
         )
     )

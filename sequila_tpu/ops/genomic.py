@@ -138,14 +138,77 @@ def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int
 
     ``key_sizes[k] = (lo, hi)`` gives each key's domain (chromosome span,
     end-inclusive).  Keys present in key_sizes but absent from the data
-    yield their full span.  Implemented as subtract(domains, intervals) —
-    one vectorized pass, no per-key loop."""
+    yield their full span.  Direct gap scan over the merged runs (they
+    are disjoint and (key, start)-sorted): each gap is the stretch
+    between consecutive same-key runs, plus the head/tail pieces against
+    the domain bounds — one vectorized pass, no per-key loop."""
     items = sorted(key_sizes.items())
-    ak = np.asarray([k for k, _ in items], np.int32)
-    as_ = np.asarray([lo for _, (lo, _) in items], np.int32)
-    ae = np.asarray([hi for _, (_, hi) in items], np.int32)
-    keep = ae >= as_
-    return subtract_intervals(ak[keep], as_[keep], ae[keep], keys, starts, ends)
+    dk = np.asarray([k for k, _ in items], np.int64)
+    dlo = np.asarray([lo for _, (lo, _) in items], np.int64)
+    dhi = np.asarray([hi for _, (_, hi) in items], np.int64)
+    keep = dhi >= dlo
+    dk, dlo, dhi = dk[keep], dlo[keep], dhi[keep]
+    if len(dk) == 0:
+        z = np.empty(0, np.int32)
+        return z, z, z
+    mk, ms, me = merge_intervals(
+        np.asarray(keys), np.asarray(starts), np.asarray(ends)
+    )
+    # restrict runs to keys with a domain, clipped to the domain span
+    pos = np.searchsorted(dk, mk.astype(np.int64))
+    in_dom = (pos < len(dk)) & (dk[np.minimum(pos, len(dk) - 1)] == mk)
+    mk, ms64, me64, pos = (
+        mk[in_dom],
+        ms[in_dom].astype(np.int64),
+        me[in_dom].astype(np.int64),
+        pos[in_dom],
+    )
+    ms64 = np.maximum(ms64, dlo[pos])
+    me64 = np.minimum(me64, dhi[pos])
+    live = ms64 <= me64
+    mk, ms64, me64, pos = mk[live], ms64[live], me64[live], pos[live]
+
+    out_k, out_s, out_e = [], [], []
+    # head piece per domain: [lo, first_start-1]; tail: [last_end+1, hi];
+    # inner gaps between consecutive same-key runs
+    first = np.ones(len(mk), bool)
+    first[1:] = mk[1:] != mk[:-1]
+    lastm = np.ones(len(mk), bool)
+    lastm[:-1] = mk[:-1] != mk[1:]
+    # inner gaps
+    gap_ok = np.zeros(len(mk), bool)
+    gap_ok[:-1] = ~lastm[:-1] & (ms64[1:] > me64[:-1] + 1)
+    gi = np.nonzero(gap_ok)[0]
+    out_k.append(mk[gi])
+    out_s.append(me64[gi] + 1)
+    out_e.append(ms64[gi + 1] - 1)
+    # head pieces
+    hi_ = np.nonzero(first & (ms64 > dlo[pos]))[0]
+    out_k.append(mk[hi_])
+    out_s.append(dlo[pos[hi_]])
+    out_e.append(ms64[hi_] - 1)
+    # tail pieces
+    ti = np.nonzero(lastm & (me64 < dhi[pos]))[0]
+    out_k.append(mk[ti])
+    out_s.append(me64[ti] + 1)
+    out_e.append(dhi[pos[ti]])
+    # domains with no runs at all: full span
+    covered = np.zeros(len(dk), bool)
+    covered[pos] = True
+    ei = np.nonzero(~covered)[0]
+    out_k.append(dk[ei].astype(np.int32))
+    out_s.append(dlo[ei])
+    out_e.append(dhi[ei])
+
+    ok = np.concatenate(out_k).astype(np.int64)
+    os_ = np.concatenate(out_s)
+    oe = np.concatenate(out_e)
+    order = np.lexsort((os_, ok))
+    return (
+        ok[order].astype(np.int32),
+        os_[order].astype(np.int32),
+        oe[order].astype(np.int32),
+    )
 
 
 # ---------------------------------------------------------------------------
