@@ -781,6 +781,7 @@ SCALAR_FUNC_ARITY = {
     "arrow_typeof": (1, 1),
     # temporal (DataFusion's datetime library subset)
     "now": (0, 0), "current_timestamp": (0, 0), "current_date": (0, 0),
+    "version": (0, 0),
     "to_timestamp": (1, 1), "to_date": (1, 1),
     "date_part": (2, 2), "date_trunc": (2, 2),
 }
@@ -1038,6 +1039,12 @@ class ScalarFuncExpr(PhysicalExpr):
                 )
 
             return _elementwise(rr, vals, num_rows)
+        if name == "version":
+            from sequila_tpu import __version__
+
+            return np.full(
+                num_rows, f"sequila-tpu {__version__}", dtype=object
+            )
         if name in ("now", "current_timestamp"):
             return np.full(num_rows, np.datetime64("now", "us"))
         if name == "current_date":

@@ -408,7 +408,54 @@ class SessionContext:
         if isinstance(stmt, ast.ShowTables):
             names = sorted(self.catalog)
             return Table(pa.table({"table_name": names}))
+        if isinstance(stmt, ast.ShowColumns):
+            return self._execute_statement(ast.Describe(stmt.name))
+        if isinstance(stmt, ast.ShowConfig):
+            return self._show_config(stmt.key)
         raise PlanError(f"unsupported statement: {stmt}")
+
+    def _show_config(self, key: str | None) -> Table:
+        """SHOW ALL / SHOW <var> — name/value rows like DataFusion's
+        information_schema-backed SHOW."""
+        cfg = self.config
+        pairs = {
+            "sequila.prefer_interval_join": cfg.prefer_interval_join,
+            "sequila.interval_join_algorithm": str(
+                cfg.interval_join_algorithm
+            ),
+            "sequila.interval_join_low_memory": cfg.interval_join_low_memory,
+            "sequila.partitioned_skew": cfg.partitioned_skew,
+            "sequila.max_output_batch_size": cfg.max_output_batch_size,
+            "datafusion.execution.target_partitions": cfg.target_partitions,
+            "datafusion.execution.batch_size": cfg.batch_size,
+        }
+        for k, v in self.datafusion_options.items():
+            pairs.setdefault(k, v)
+        if key is not None:
+            kl = key.lower()
+            if kl in pairs:
+                pairs = {kl: pairs[kl]}
+            else:  # suffix match: SHOW target_partitions
+                cands = {
+                    k: v for k, v in pairs.items() if k.endswith("." + kl)
+                }
+                if not cands:
+                    raise PlanError(f"unknown configuration option: {key}")
+                pairs = cands
+        names = sorted(pairs)
+        return Table(
+            pa.table(
+                {
+                    "name": names,
+                    "value": [
+                        str(pairs[n]).lower()
+                        if isinstance(pairs[n], bool)
+                        else str(pairs[n])
+                        for n in names
+                    ],
+                }
+            )
+        )
 
     def _handle_set(self, stmt: ast.SetStmt) -> None:
         key = stmt.key.lower()

@@ -310,6 +310,18 @@ class ShowTables(Statement):
 
 
 @dataclasses.dataclass(frozen=True)
+class ShowColumns(Statement):
+    name: str
+
+
+@dataclasses.dataclass(frozen=True)
+class ShowConfig(Statement):
+    """SHOW ALL (key None) or SHOW <dotted config var>."""
+
+    key: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
 class CopyTo(Statement):
     """COPY <table | (select)> TO 'path' — format from the extension."""
 

@@ -135,8 +135,18 @@ class Parser:
             return ast.Describe(self.parse_object_name())
         if self.at_kw("SHOW"):
             self.next()
-            self.expect_kw("TABLES")
-            return ast.ShowTables()
+            if self.eat_kw("TABLES"):
+                return ast.ShowTables()
+            if self.at_kw("COLUMNS"):
+                self.next()
+                self.eat_kw("IN") or self.expect_kw("FROM")
+                return ast.ShowColumns(self.parse_object_name())
+            if self.eat_kw("ALL"):
+                return ast.ShowConfig(None)
+            key = self.next().value  # full dotted config key
+            while self.eat("punct", "."):
+                key += "." + self.next().value
+            return ast.ShowConfig(key)
         if self.at_kw("COPY"):
             self.next()
             if self.eat("punct", "("):

@@ -201,3 +201,47 @@ class TestIntervalMapArchive:
         m.save(p)
         with np.load(p + ".npz", allow_pickle=True) as z:
             assert z.files == ["starts", "ends", "data"]
+
+
+class TestShowStatements:
+    """SHOW COLUMNS / SHOW ALL / SHOW <var> (DataFusion's SHOW surface)."""
+
+    def _ctx(self):
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("t", pa.table({"a": [1], "b": ["x"]}))
+        return c
+
+    def test_show_columns(self):
+        out = self._ctx().sql("SHOW COLUMNS FROM t").to_pylist()
+        assert [r["column_name"] for r in out] == ["a", "b"]
+
+    def test_show_all_has_engine_knobs(self):
+        rows = {r["name"]: r["value"] for r in self._ctx().sql("SHOW ALL").to_pylist()}
+        assert rows["sequila.prefer_interval_join"] == "true"
+        assert rows["datafusion.execution.target_partitions"] == "1"
+
+    def test_show_one_and_suffix_match(self):
+        c = self._ctx()
+        c.sql("SET sequila.interval_join_algorithm = lapper")
+        out = c.sql("SHOW sequila.interval_join_algorithm").to_pylist()
+        assert out == [
+            {"name": "sequila.interval_join_algorithm", "value": "Lapper"}
+        ]
+        out = c.sql("SHOW target_partitions").to_pylist()
+        assert out[0]["name"] == "datafusion.execution.target_partitions"
+
+    def test_show_unknown_raises(self):
+        import pytest
+
+        from sequila_tpu.errors import PlanError
+
+        with pytest.raises(PlanError, match="bogus"):
+            self._ctx().sql("SHOW bogus.option")
+
+    def test_version_function(self):
+        out = self._ctx().sql("SELECT version()").to_pylist_column(0)
+        assert out[0].startswith("sequila-tpu ")
