@@ -197,6 +197,46 @@ class ProjectExec(ExecPlan):
         return ProjectExec(children[0], self.exprs, self.names, self.qualifiers)
 
 
+class UnnestExec(ExecPlan):
+    """Expand one list-typed output column into rows (DataFusion's
+    projection-level unnest): each element produces a row with the other
+    columns repeated; NULL and empty arrays produce no row.  Scalar
+    (non-list) columns pass through unchanged."""
+
+    def __init__(self, child: ExecPlan, col: int):
+        self.children = [child]
+        self.col = col
+
+    def schema(self):
+        return self.children[0].schema()
+
+    def execute(self, ctx):
+        import pyarrow.compute as pc
+
+        t = self.children[0].execute(ctx)
+        arr = t.arrow.column(self.col)
+        if not (
+            pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+        ):
+            return t
+        arr = arr.combine_chunks()
+        parent = pc.list_parent_indices(arr)
+        flat = arr.flatten()
+        arrays = [
+            flat if i == self.col else c.take(parent)
+            for i, c in enumerate(t.arrow.columns)
+        ]
+        out = Table(pa.Table.from_arrays(arrays, names=t.column_names))
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def display_line(self):
+        return f"UnnestExec: column={self.col}"
+
+    def with_children(self, children):
+        return UnnestExec(children[0], self.col)
+
+
 class SortExec(ExecPlan):
     def __init__(
         self,

@@ -31,6 +31,7 @@ from sequila_tpu.exec.plan import (
     ProjectExec,
     ScanExec,
     SortExec,
+    UnnestExec,
 )
 from sequila_tpu.planner import expr as pe
 from sequila_tpu.sql import ast
@@ -166,6 +167,60 @@ class Binder:
 
     # ------------------------------------------------------------------
     def bind_select(self, sel: ast.Select) -> ExecPlan:
+        unnest_cols = [
+            i
+            for i, it in enumerate(sel.items)
+            if isinstance(it.expr, ast.Func)
+            and it.expr.name == "unnest"
+            and not it.expr.star
+        ]
+        if unnest_cols:
+            # SELECT unnest(arr), ... — bind the inner expression, then
+            # expand the produced rows (DataFusion's projection-level
+            # unnest; one unnest per select list)
+            if len(unnest_cols) > 1:
+                raise PlanError("only one unnest(...) per SELECT list")
+            i = unnest_cols[0]
+            it = sel.items[i]
+            if len(it.expr.args) != 1:
+                raise PlanError("unnest() takes exactly one argument")
+            inner = dataclasses.replace(
+                it,
+                expr=it.expr.args[0],
+                alias=it.alias or self._display_name(it.expr),
+            )
+            items = list(sel.items)
+            items[i] = inner
+            # ORDER BY / LIMIT apply to the EXPANDED rows (Postgres SRF
+            # semantics), so both move above the UnnestExec
+            sub = dataclasses.replace(
+                sel, items=tuple(items), limit=None, offset=0, order_by=()
+            )
+            plan = UnnestExec(self.bind_select(sub), i)
+            if sel.order_by:
+                oschema = plan.schema()
+                names = [n for _, n in oschema]
+                exprs, asc, nfs = [], [], []
+                for oi in sel.order_by:
+                    k = self._ordinal(oi.expr)
+                    if k is not None:
+                        if not 1 <= k <= len(names):
+                            raise PlanError(
+                                f"ORDER BY position {k} is not in the select list"
+                            )
+                        exprs.append(pe.Column(names[k - 1], k - 1))
+                    else:
+                        disp = self._display_name(oi.expr)
+                        if disp in names:
+                            exprs.append(pe.Column(disp, names.index(disp)))
+                        else:
+                            exprs.append(self._bind_expr(oi.expr, oschema).expr)
+                    asc.append(oi.asc)
+                    nfs.append(oi.nulls_first)
+                plan = SortExec(plan, exprs, asc, nfs)
+            if sel.limit is not None or sel.offset:
+                plan = LimitExec(plan, sel.limit, sel.offset)
+            return plan
         plan, where = self._bind_from(sel)
         plan, where = self._decorrelate_where(plan, where)
         schema = plan.schema()

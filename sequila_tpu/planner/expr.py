@@ -645,7 +645,7 @@ def _str_args(arrs, n):
     return out
 
 
-def _elementwise(fn, arrs, n, skip_null=True):
+def _elementwise(fn, arrs, n, skip_null=True, boxed=False):
     cols = _str_args(arrs, n)
     res = []
     for row in zip(*cols):
@@ -655,6 +655,13 @@ def _elementwise(fn, arrs, n, skip_null=True):
             res.append(None)
         else:
             res.append(fn(*row))
+    if boxed:
+        # list-valued results: assign per element so numpy can't collapse
+        # equal-length lists into a 2-D array
+        out = np.empty(len(res), dtype=object)
+        for i, v in enumerate(res):
+            out[i] = v
+        return out
     return np.array(res, dtype=object)
 
 
@@ -784,7 +791,32 @@ SCALAR_FUNC_ARITY = {
     "version": (0, 0),
     "to_timestamp": (1, 1), "to_date": (1, 1),
     "date_part": (2, 2), "date_trunc": (2, 2),
+    # arrays (DataFusion's array library subset; values are python lists
+    # in object arrays, arrow list columns at the boundaries)
+    "make_array": (0, None), "array": (0, None),
+    "array_length": (1, 1), "cardinality": (1, 1),
+    "array_element": (2, 2), "list_element": (2, 2),
+    "array_contains": (2, 2), "array_has": (2, 2),
+    "array_position": (2, 2),
+    "array_to_string": (2, 3), "string_to_array": (2, 3),
 }
+
+
+def _unbox_py(v):
+    """numpy scalar -> python scalar (arrow list inference friendly)."""
+    return v.item() if isinstance(v, np.generic) else v
+
+
+def _as_list(v):
+    """Normalize a cell to a python list (arrow list columns surface as
+    numpy arrays or lists); None for NULL/non-sequence."""
+    if v is None or isinstance(v, (str, bytes)):
+        return None
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    return None
 
 SCALAR_FUNCS = set(SCALAR_FUNC_ARITY)
 
@@ -1039,6 +1071,76 @@ class ScalarFuncExpr(PhysicalExpr):
                 )
 
             return _elementwise(rr, vals, num_rows)
+        if name in ("make_array", "array"):
+            if not vals:
+                out = np.empty(num_rows, dtype=object)
+                for i in range(num_rows):
+                    out[i] = []
+                return out
+            return _elementwise(
+                lambda *row: [
+                    None if (isinstance(v, float) and v != v) else _unbox_py(v)
+                    for v in row
+                ],
+                vals, num_rows, skip_null=False, boxed=True,
+            )
+        if name in ("array_length", "cardinality"):
+            def alen(v):
+                lst = _as_list(v)
+                return None if lst is None else len(lst)
+
+            return _elementwise(alen, vals, num_rows, skip_null=False)
+        if name in ("array_element", "list_element"):
+            def elem(v, i):
+                lst = _as_list(v)
+                if lst is None or i is None or (
+                    isinstance(i, float) and i != i
+                ):
+                    return None
+                i = int(i)
+                if i < 0:  # negative indexes count from the end (DataFusion)
+                    i += len(lst) + 1
+                return lst[i - 1] if 1 <= i <= len(lst) else None
+
+            return _elementwise(elem, vals, num_rows, skip_null=False)
+        if name in ("array_contains", "array_has"):
+            def has(v, x):
+                lst = _as_list(v)
+                return None if lst is None else _unbox_py(x) in lst
+
+            return _elementwise(has, vals, num_rows)
+        if name == "array_position":
+            def apos(v, x):
+                lst = _as_list(v)
+                if lst is None:
+                    return None
+                x = _unbox_py(x)
+                return lst.index(x) + 1 if x in lst else None
+
+            return _elementwise(apos, vals, num_rows)
+        if name == "array_to_string":
+            def a2s(v, sep, null_str=None):
+                lst = _as_list(v)
+                if lst is None:
+                    return None
+                parts = []
+                for x in lst:
+                    if x is None or (isinstance(x, float) and x != x):
+                        if null_str is not None:
+                            parts.append(str(null_str))
+                    else:
+                        parts.append(_sql_str(x))
+                return str(sep).join(parts)
+
+            return _elementwise(a2s, vals, num_rows)
+        if name == "string_to_array":
+            def s2a(s_, sep, null_str=None):
+                parts = str(s_).split(str(sep)) if str(sep) else [str(s_)]
+                if null_str is not None:
+                    return [None if p == str(null_str) else p for p in parts]
+                return parts
+
+            return _elementwise(s2a, vals, num_rows, boxed=True)
         if name == "version":
             from sequila_tpu import __version__
 

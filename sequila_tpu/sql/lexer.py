@@ -20,7 +20,7 @@ TOKEN_RE = re.compile(
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op><>|!=|<=|>=|<|>|=|\|\||::)
-  | (?P<punct>[(),.;*+\-/%])
+  | (?P<punct>[(),.;*+\-/%\[\]])
     """,
     re.VERBOSE,
 )

@@ -720,10 +720,17 @@ class Parser:
 
     def parse_postfix(self) -> ast.SqlExpr:
         e = self.parse_primary()
-        while self.at("op", "::"):  # expr::TYPE cast shorthand
-            self.next()
-            e = ast.Cast(e, self.next().value.upper())
-        return e
+        while True:
+            if self.at("op", "::"):  # expr::TYPE cast shorthand
+                self.next()
+                e = ast.Cast(e, self.next().value.upper())
+            elif self.at("punct", "["):  # arr[i] element access (1-based)
+                self.next()
+                idx = self.parse_expr()
+                self.expect("punct", "]")
+                e = ast.Func("array_element", (e, idx))
+            else:
+                return e
 
     def parse_primary(self) -> ast.SqlExpr:
         t = self.peek()
@@ -742,6 +749,14 @@ class Parser:
             e = self.parse_expr()
             self.expect("punct", ")")
             return e
+        if self.eat("punct", "["):  # [a, b, ...] array literal
+            items = []
+            if not self.at("punct", "]"):
+                items.append(self.parse_expr())
+                while self.eat("punct", ","):
+                    items.append(self.parse_expr())
+            self.expect("punct", "]")
+            return ast.Func("make_array", tuple(items))
         if t.kind in ("ident", "qident"):
             if t.upper == "NULL":
                 self.next()

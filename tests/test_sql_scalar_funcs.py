@@ -429,3 +429,86 @@ class TestBitAggregates:
         assert [list(r.values()) for r in out] == [
             ["a", 2, 7, 5], ["b", None, None, None],
         ]
+
+
+class TestArraysAndUnnest:
+    """DataFusion's array-library subset + projection-level unnest."""
+
+    def _ctx(self):
+        c = SessionContext()
+        c.register_table(
+            "t", pa.table({"g": ["a", "a", "b"], "v": [1, 2, 3]})
+        )
+        return c
+
+    def test_literals_and_make_array(self):
+        out = self._ctx().sql("SELECT [1, 2, 3] AS a, make_array('x') AS b").to_pylist()[0]
+        assert out == {"a": [1, 2, 3], "b": ["x"]}
+
+    def test_length_element_indexing(self):
+        out = self._ctx().sql(
+            "SELECT array_length([1,2,3]) AS n, [10,20,30][2] AS e,"
+            " array_element([10,20], -1) AS neg, [1][5] AS oob"
+        ).to_pylist()[0]
+        assert out == {"n": 3, "e": 20, "neg": 20, "oob": None}
+
+    def test_contains_position_to_string(self):
+        out = self._ctx().sql(
+            "SELECT array_contains([1,2], 2) AS c,"
+            " array_position(['a','b'], 'b') AS p,"
+            " array_position([1], 9) AS miss,"
+            " array_to_string([1, NULL, 3], '-') AS s1,"
+            " array_to_string([1, NULL, 3], '-', 'x') AS s2"
+        ).to_pylist()[0]
+        assert out == {"c": True, "p": 2, "miss": None, "s1": "1-3", "s2": "1-x-3"}
+
+    def test_string_to_array_roundtrip(self):
+        out = self._ctx().sql(
+            "SELECT array_to_string(string_to_array('a,b,c', ','), '|') AS r,"
+            " string_to_array('a,,c', ',', '') AS withnull"
+        ).to_pylist()[0]
+        assert out == {"r": "a|b|c", "withnull": ["a", None, "c"]}
+
+    def test_unnest_literal_and_limit(self):
+        c = self._ctx()
+        assert c.sql("SELECT unnest([1,2,3])").to_pylist_column(0) == [1, 2, 3]
+        assert c.sql("SELECT unnest([1,2,3]) LIMIT 2").to_pylist_column(0) == [1, 2]
+        assert c.sql("SELECT unnest([])").num_rows == 0
+
+    def test_unnest_repeats_other_columns(self):
+        out = self._ctx().sql(
+            "SELECT unnest(string_to_array('x;y', ';')) AS part, v"
+            " FROM t WHERE v < 3"
+        ).to_pylist()
+        assert [list(r.values()) for r in out] == [
+            ["x", 1], ["y", 1], ["x", 2], ["y", 2],
+        ]
+
+    def test_unnest_of_array_agg(self):
+        out = self._ctx().sql(
+            "SELECT g, unnest(array_agg(v)) AS v FROM t GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert [list(r.values()) for r in out] == [
+            ["a", 1], ["a", 2], ["b", 3],
+        ]
+
+    def test_unnest_scalar_passthrough(self):
+        assert self._ctx().sql(
+            "SELECT unnest(v) FROM t"
+        ).to_pylist_column(0) == [1, 2, 3]
+
+    def test_two_unnests_rejected(self):
+        with pytest.raises(PlanError, match="one unnest"):
+            self._ctx().sql("SELECT unnest([1]), unnest([2])")
+
+    def test_array_length_of_agg(self):
+        assert self._ctx().sql(
+            "SELECT array_length(array_agg(v)) FROM t"
+        ).to_pylist_column(0) == [3]
+
+    def test_unnest_order_by_applies_after_expansion(self):
+        out = self._ctx().sql(
+            "SELECT g, unnest(array_agg(v)) AS v FROM t GROUP BY g"
+            " ORDER BY 2 DESC"
+        ).to_pylist()
+        assert [r["v"] for r in out] == [3, 2, 1]
