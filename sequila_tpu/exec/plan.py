@@ -720,10 +720,15 @@ class AggregateExec(ExecPlan):
                               np.int64)
             codes_o[nn] = inv
             red = np.minimum if func == "min" else np.maximum
-            # clamp: FILTERed/grouping-set groups can be empty, and
-            # reduceat rejects start == len (result is masked out below)
-            starts = np.minimum(seg_starts, max(nrows - 1, 0))
-            agg = red.reduceat(codes_o[order], starts)
+            # FILTERed/grouping-set groups can be empty with seg_start ==
+            # nrows; pad with the reduction identity so that is a valid
+            # reduceat boundary (clamping it would TRUNCATE the previous
+            # group's segment — the clamp-to-nrows-1 bug)
+            sentinel = len(uniq) if func == "min" else -1
+            padded = np.concatenate(
+                [codes_o[order], np.array([sentinel], np.int64)]
+            )
+            agg = red.reduceat(padded, seg_starts)
             nn_cnt = np.bincount(codes[nn], minlength=ngroups)
             return pa.array(
                 [
@@ -762,21 +767,24 @@ class AggregateExec(ExecPlan):
             a_s = a[order]
             null_s = nulls[order]
             empty = seg_counts == 0
-            # reduceat misbehaves on empty segments (it reads the next
-            # segment's first element); clamp starts and NULL them out
-            starts = np.minimum(seg_starts, max(nrows - 1, 0))
             if nulls.any() or empty.any():
-                # SQL aggregates skip NULLs; all-NULL groups are NULL
+                # SQL aggregates skip NULLs; all-NULL groups are NULL.
+                # Empty groups (FILTER / grouping sets) can have
+                # seg_start == nrows: pad with the reduction identity so
+                # that is a valid reduceat boundary — clamping instead
+                # would TRUNCATE the previous group's segment
                 fill = {"sum": 0.0, "avg": 0.0,
                         "min": np.inf, "max": -np.inf}[func]
-                af = a_s.astype(np.float64)
-                af[null_s] = fill
-                agg = red.reduceat(af, starts)
+                af = np.concatenate(
+                    [a_s.astype(np.float64), np.array([fill])]
+                )
+                af[:-1][null_s] = fill
+                agg = red.reduceat(af, seg_starts)
                 nn_cnt = np.bincount(codes[~nulls], minlength=ngroups)
                 if func == "avg":
                     agg = agg / np.maximum(nn_cnt, 1)
                 return pa.array(agg, mask=(nn_cnt == 0) | empty)
-            vals = red.reduceat(a_s, starts)
+            vals = red.reduceat(a_s, seg_starts)
             if func == "avg":
                 vals = vals / np.maximum(seg_counts, 1)
             return vals

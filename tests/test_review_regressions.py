@@ -823,3 +823,39 @@ class TestSatSubI32:
         got = sorted(zip(p.tolist(), b.tolist()))
         want = sorted(zip(*reversed(oracle_pairs(lk, ls, le, qk, qs, qe))))
         assert got == want
+
+
+class TestReduceatEmptyGroupTruncation:
+    """An empty group whose segment start == nrows must not truncate the
+    PRECEDING group's reduceat segment (the clamp-to-nrows-1 bug, found
+    by the sqlite differential soak: sum(x) FILTER over a group layout
+    where the last group is emptied by the filter)."""
+
+    def test_filter_empties_last_group(self):
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        # group d sorts last and is fully removed by the FILTER; group c
+        # (the preceding group) must keep BOTH of its rows
+        c.register_table(
+            "t",
+            pa.table(
+                {
+                    "g": ["c", "d", "c", "a"],
+                    "x": pa.array([6, 1, 3, 4], type=pa.int64()),
+                    "s": ["p", "p", "q", "p"],
+                }
+            ),
+        )
+        out = c.sql(
+            "SELECT g, sum(x) FILTER (WHERE x > 2), min(x) FILTER (WHERE x > 2),"
+            " max(s) FILTER (WHERE x > 2), avg(x) FILTER (WHERE x > 2)"
+            " FROM t GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert [list(r.values()) for r in out] == [
+            ["a", 4, 4, "p", 4.0],
+            ["c", 9, 3, "q", 4.5],
+            ["d", None, None, None, None],
+        ]
