@@ -670,13 +670,11 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
 
     def put(col0, valid, rows_i32, dist64):
         cols = np.arange(col0, col0 + k, dtype=np.int64)
-        kslot = ckey[:, col0:col0 + k]
-        kslot[...] = INVALID
-        np.multiply(dist64, W, out=kslot, where=valid)
-        kslot += cols
-        rslot = crows[:, col0:col0 + k]
-        rslot[...] = -1
-        np.copyto(rslot, rows_i32, where=valid)
+        # one fused where per matrix beats three masked passes
+        ckey[:, col0:col0 + k] = np.where(
+            valid, dist64 * np.int64(W) + cols, INVALID
+        )
+        crows[:, col0:col0 + k] = np.where(valid, rows_i32, -1)
 
     # per-key segment offsets in O(n) (hk[e_ord] / hk[s_ord] are
     # key-sorted, so one bincount+cumsum replaces binary searches);
@@ -723,14 +721,16 @@ def closest_k(index: IntervalIndex, qk, qs, qe, k: int = 1, method: str = "sort"
     E = np.asarray(index.ends)
     P = np.asarray(index.pos)
     zero = np.int64(0)
+    q_e = comp(cqk, cqe)
+    q_s = comp(cqk, cqs)
     for lvl in range(index.num_levels):
         off = index.level_offsets[lvl]
         pad = index.level_pad[lvl]
         sl = slice(off, off + pad)
         comp_lS = comp(K[sl], S[sl])
         comp_lE = comp(K[sl], E[sl])
-        ub = np.searchsorted(comp_lS, comp(cqk, cqe), side="right")
-        lb = np.searchsorted(comp_lE, comp(cqk, cqs), side="left")
+        ub = np.searchsorted(comp_lS, q_e, side="right")
+        lb = np.searchsorted(comp_lE, q_s, side="left")
         oi = lb[:, None] + ring[None, :]
         ov = oi < ub[:, None]
         orow = P[off + np.clip(oi, 0, pad - 1)].astype(np.int32)
