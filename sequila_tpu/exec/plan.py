@@ -554,6 +554,42 @@ class AggregateExec(ExecPlan):
                 r = dxy / np.where(bad, 1.0, denom)
             return pa.array(r, mask=bad)
 
+        if func == "approx_percentile_cont":
+            # exact linear-interpolated percentile (superset of
+            # DataFusion's t-digest approximation, like approx_median)
+            from sequila_tpu.planner.expr import Literal as PLiteral
+
+            val_expr, p_expr = arg
+            if not isinstance(p_expr, PLiteral):
+                raise ExecutionError(
+                    "approx_percentile_cont fraction must be a literal"
+                )
+            p = float(p_expr.value)
+            if not 0.0 <= p <= 1.0:
+                raise ExecutionError(
+                    "percentile fraction must be between 0 and 1"
+                )
+            a = eval_arg(val_expr)
+            nulls = _null_mask(a)
+            nn = ~nulls
+            c = codes[nn]
+            v = a[nn].astype(np.float64)
+            o = np.lexsort((v, c))
+            cs, vs = c[o], v[o]
+            cnt = np.bincount(cs, minlength=ngroups)
+            offs = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+            res = np.full(ngroups, np.nan)
+            ne = cnt > 0
+            if ne.any():
+                tgt = (cnt[ne] - 1) * p
+                lo_i = np.floor(tgt).astype(np.int64)
+                hi_i = np.ceil(tgt).astype(np.int64)
+                frac = tgt - lo_i
+                lo_v = vs[offs[ne] + lo_i]
+                hi_v = vs[offs[ne] + hi_i]
+                res[ne] = lo_v + (hi_v - lo_v) * frac
+            return pa.array(res, mask=cnt == 0)
+
         if func in ("string_agg", "group_concat"):
             if isinstance(arg, tuple):
                 val_expr, sep_expr = arg
@@ -807,9 +843,10 @@ class AggregateExec(ExecPlan):
 
 
 _WINDOW_FUNCS = {
-    "row_number", "rank", "dense_rank", "lag", "lead",
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "lag", "lead",
     "sum", "count", "avg", "min", "max", "first_value", "last_value",
-    "ntile",
+    "nth_value", "ntile",
 }
 
 
@@ -916,6 +953,41 @@ class WindowExec(ExecPlan):
             seg_len = np.append(seg_first[1:], n) - seg_first
             sl = seg_len[seg_id]
             vals = (idx_in_seg * k // np.maximum(sl, 1) + 1).astype(np.int64)
+        elif func == "percent_rank":
+            # (rank - 1) / (partition rows - 1); one-row partition -> 0
+            rank = (peer_first[peer_id] - seg_first[seg_id]).astype(np.float64)
+            seg_len = (np.append(seg_first[1:], n) - seg_first)[seg_id]
+            vals = np.where(
+                seg_len > 1, rank / np.maximum(seg_len - 1, 1), 0.0
+            )
+        elif func == "cume_dist":
+            # rows with peers <= current / partition rows
+            through = (
+                peer_last[peer_id] - seg_first[seg_id] + 1
+            ).astype(np.float64)
+            seg_len = (np.append(seg_first[1:], n) - seg_first)[seg_id]
+            vals = through / np.maximum(seg_len, 1)
+        elif func == "nth_value":
+            a = np.asarray(args[0].eval(cols, n))[order]
+            k = int(args[1])
+            target = seg_first[seg_id] + (k - 1)
+            # default frame: partition start .. current peer-group end
+            limit = (
+                peer_last[peer_id]
+                if ocodes
+                else (np.append(seg_first[1:], n) - 1)[seg_id]
+            )
+            ok = (k >= 1) & (target <= limit)
+            vals = np.empty(n, dtype=object)
+            vals[:] = None
+            picked = a[np.clip(target, 0, n - 1)]
+            for i in np.nonzero(ok)[0]:
+                v = picked[i]
+                vals[i] = (
+                    None
+                    if v is None or (isinstance(v, float) and v != v)
+                    else (v.item() if isinstance(v, np.generic) else v)
+                )
         elif func in ("lag", "lead"):
             a = np.asarray(args[0].eval(cols, n))[order]
             k = int(args[1]) if len(args) > 1 else 1

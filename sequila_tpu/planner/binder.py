@@ -116,6 +116,7 @@ _AGG_FUNCS = {
     "stddev", "stddev_samp", "stddev_pop",
     "var", "var_samp", "var_pop", "variance",
     "median", "approx_median", "approx_distinct",
+    "approx_percentile_cont",
     "corr", "covar", "covar_samp", "covar_pop",
     "bool_and", "bool_or",
     "bit_and", "bit_or", "bit_xor",
@@ -127,7 +128,10 @@ _AGG_FUNCS = {
 }
 
 # aggregates taking (value, second-arg) pairs
-_AGG_TWO_ARG = {"string_agg", "corr", "covar", "covar_samp", "covar_pop"}
+_AGG_TWO_ARG = {
+    "string_agg", "corr", "covar", "covar_samp", "covar_pop",
+    "approx_percentile_cont",
+}
 
 
 @dataclasses.dataclass
@@ -436,7 +440,11 @@ class Binder:
                     )
                 args = []
                 for i, a in enumerate(fn.args):
-                    if (fn.name in ("lag", "lead") and i >= 1) or fn.name == "ntile":
+                    if (
+                        (fn.name in ("lag", "lead") and i >= 1)
+                        or (fn.name == "nth_value" and i == 1)
+                        or fn.name == "ntile"
+                    ):
                         lit = a
                         neg = False
                         while isinstance(lit, ast.Unary) and lit.op == "-":
@@ -463,7 +471,10 @@ class Binder:
                 ]
                 ascs = [oi.asc for oi in e.order_by]
                 nfs = [oi.nulls_first for oi in e.order_by]
-                if fn.name in ("row_number", "rank", "dense_rank") and not orders:
+                if fn.name in (
+                    "row_number", "rank", "dense_rank",
+                    "percent_rank", "cume_dist",
+                ) and not orders:
                     raise PlanError(f"{fn.name}() requires ORDER BY in OVER()")
                 if e.frame is not None:
                     if fn.name not in ("sum", "count", "avg", "min", "max"):

@@ -233,6 +233,10 @@ class TestSqliteDifferential:
                     "count(*) OVER (PARTITION BY g ORDER BY id RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)",
                     "max(s) OVER (PARTITION BY g)",
                     "min(s) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+                    "percent_rank() OVER (PARTITION BY g ORDER BY x NULLS LAST)",
+                    "cume_dist() OVER (ORDER BY x NULLS LAST)",
+                    "nth_value(x, 2) OVER (PARTITION BY g ORDER BY id)",
+                    "nth_value(s, 3) OVER (ORDER BY id)",
                 ]
             )
             sql = f"SELECT id, {fn} FROM t ORDER BY id NULLS LAST"

@@ -169,7 +169,21 @@ class TestWindowMisc:
 
     def test_unsupported_window_function(self, ctx):
         with pytest.raises(PlanError, match="window function"):
-            ctx.sql("SELECT percent_rank() OVER (ORDER BY x) FROM t")
+            ctx.sql("SELECT made_up_fn() OVER (ORDER BY x) FROM t")
+
+    def test_percent_rank_cume_dist_nth_value(self, ctx):
+        out = ctx.sql(
+            "SELECT x, percent_rank() OVER (ORDER BY x) AS p,"
+            " cume_dist() OVER (ORDER BY x) AS c,"
+            " nth_value(x, 2) OVER (ORDER BY x) AS nv"
+            " FROM (VALUES (1), (2), (2), (4)) v(x) ORDER BY x"
+        ).to_pylist()
+        assert [list(r.values()) for r in out] == [
+            [1, 0.0, 0.25, None],
+            [2, 1 / 3, 0.75, 2],
+            [2, 1 / 3, 0.75, 2],
+            [4, 1.0, 1.0, 2],
+        ]
 
     def test_window_over_aggregate_rejected(self, ctx):
         with pytest.raises(PlanError, match="aggregated"):
@@ -330,3 +344,37 @@ class TestRangeFrames:
                 "SELECT sum(v) OVER (ORDER BY contig, pos RANGE BETWEEN "
                 "1 PRECEDING AND CURRENT ROW) FROM d"
             )
+
+
+class TestPercentileAggregate:
+    def test_approx_percentile_cont(self):
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table(
+            "q",
+            pa.table({"g": ["a"] * 4 + ["b"],
+                      "x": pa.array([1, 2, 3, 10, None], type=pa.int64())}),
+        )
+        out = c.sql(
+            "SELECT g, approx_percentile_cont(x, 0.5) AS med,"
+            " approx_percentile_cont(x, 0.25) AS q1"
+            " FROM q GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert [list(r.values()) for r in out] == [
+            ["a", 2.5, 1.75], ["b", None, None],
+        ]
+
+    def test_bad_fraction(self):
+        import pyarrow as pa
+        import pytest
+
+        from sequila_tpu.errors import ExecutionError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("q", pa.table({"x": [1]}))
+        with pytest.raises(ExecutionError, match="between 0 and 1"):
+            c.sql("SELECT approx_percentile_cont(x, 1.5) FROM q")
