@@ -240,6 +240,20 @@ def run_full(iters):
         ),
         results=artifact["pairings"],
     )
+    print("== materialization at scale (SELECT *, 20k x 300k -> ~15M rows) ==",
+          file=sys.stderr)
+    run_pair(
+        "materialize 15M rows",
+        gen_chain_table(20_000, 13),
+        gen_chain_table(300_000, 14),
+        max(3, iters // 2),
+        query=(
+            "SELECT * FROM s1 a JOIN s2 b "
+            "ON a.contig = b.contig AND a.pos_end >= b.pos_start "
+            "AND a.pos_start <= b.pos_end"
+        ),
+        results=artifact["pairings"],
+    )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), FULL_ARTIFACT)
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
