@@ -85,8 +85,40 @@ def load():
         lib.si_coverage.argtypes = [
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p, i64p,
         ]
+        lib.si_expand_runs.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p]
+        lib.si_repeat_counts.argtypes = [i32p, ctypes.c_int64, i32p]
         _LIB = lib
         return _LIB
+
+
+def expand_runs(g0, cnt, pos, total: int):
+    """C expansion of (run start, length) pairs into pos-gathered rows;
+    None when the native lib is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty(total, np.int32)
+    lib.si_expand_runs(
+        np.ascontiguousarray(g0, np.int32),
+        np.ascontiguousarray(cnt, np.int32),
+        len(g0),
+        np.ascontiguousarray(pos, np.int32),
+        out,
+    )
+    return out
+
+
+def repeat_counts(counts, total: int):
+    """C RLE expansion of per-probe counts into probe row ids; None when
+    the native lib is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty(total, np.int32)
+    lib.si_repeat_counts(
+        np.ascontiguousarray(counts, np.int32), len(counts), out
+    )
+    return out
 
 
 class NativeIntervalIndex:

@@ -225,6 +225,33 @@ void si_coverage(void* h, const int32_t* qk, const int32_t* qs,
   }
 }
 
-int64_t si_version() { return 1; }
+// Expand contiguous index runs into build rows: for each run i,
+// out[j..j+cnt[i]) = pos[g0[i] .. g0[i]+cnt[i]) — the host half of the
+// device join's run-compacted emission (ops/interval_join.py ships
+// (run start, length) pairs over the device link and expands here).
+// One linear memcpy-like pass; ~5x numpy's repeat/arange/gather chain.
+void si_expand_runs(const int32_t* g0, const int32_t* cnt, int64_t nruns,
+                    const int32_t* pos, int32_t* out) {
+  int64_t j = 0;
+  for (int64_t i = 0; i < nruns; ++i) {
+    const int32_t c = cnt[i];
+    const int32_t* p = pos + g0[i];
+    std::memcpy(out + j, p, size_t(c) * sizeof(int32_t));
+    j += c;
+  }
+}
+
+// RLE-expand per-probe match counts into probe row ids (probe-major
+// pair order): out[j] = i repeated counts[i] times.
+void si_repeat_counts(const int32_t* counts, int64_t m, int32_t* out) {
+  int64_t j = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t c = counts[i];
+    for (int64_t r = 0; r < c; ++r) out[j + r] = int32_t(i);
+    j += c;
+  }
+}
+
+int64_t si_version() { return 2; }
 
 }  // extern "C"

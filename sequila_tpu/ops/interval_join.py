@@ -396,9 +396,15 @@ def _expand_runs_host(pos_host, g0, cnts, total: int):
 
     Runs arrive probe-major, level-minor; elements ascend within each run —
     the exact order ``emit_pairs`` produces — so the emission strategies
-    are interchangeable bit-for-bit.  All-int32 arithmetic: total < 2^31
-    (caller guard) bounds the cumsum, and g0 - run_start stays within
-    int32 before the arange restores the true non-negative index."""
+    are interchangeable bit-for-bit.  The C path is one linear pass of
+    memcpys; the NumPy fallback stays all-int32 (total < 2^31 by the
+    caller guard bounds the cumsum, and g0 - run_start stays within
+    int32 before the arange restores the true non-negative index)."""
+    from sequila_tpu.native.loader import expand_runs
+
+    out = expand_runs(g0, cnts, pos_host, total)
+    if out is not None:
+        return out
     run_end = np.cumsum(cnts, dtype=np.int32)
     g = np.repeat(g0 - run_end + cnts, cnts)
     g += np.arange(total, dtype=np.int32)
@@ -500,9 +506,13 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
             level_offsets=index.level_offsets,
         )
         b = np.asarray(build_rows[:total])
-    p = np.repeat(
-        np.arange(len(counts), dtype=np.int32), counts.astype(np.int64)
-    )
+    from sequila_tpu.native.loader import repeat_counts
+
+    p = repeat_counts(counts, total)
+    if p is None:
+        p = np.repeat(
+            np.arange(len(counts), dtype=np.int32), counts.astype(np.int64)
+        )
     return b, p, total
 
 
