@@ -682,14 +682,26 @@ _NUMERIC_FUNCS = {
     "ceil": np.ceil,
     "ceiling": np.ceil,
     "sqrt": np.sqrt,
+    "cbrt": np.cbrt,
     "exp": np.exp,
     "ln": np.log,
     "log10": np.log10,
     "log2": np.log2,
     "sign": np.sign,
+    "signum": np.sign,
     "sin": np.sin,
     "cos": np.cos,
     "tan": np.tan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "atan": np.arctan,
+    "sinh": np.sinh,
+    "cosh": np.cosh,
+    "tanh": np.tanh,
+    "degrees": np.degrees,
+    "radians": np.radians,
+    "trunc": np.trunc,
+    "cot": lambda a: 1.0 / np.tan(a),
 }
 
 def _initcap(s_):
@@ -791,6 +803,9 @@ SCALAR_FUNC_ARITY = {
     "version": (0, 0),
     "to_timestamp": (1, 1), "to_date": (1, 1),
     "date_part": (2, 2), "date_trunc": (2, 2),
+    "atan2": (2, 2), "log": (1, 2), "pi": (0, 0),
+    "factorial": (1, 1), "gcd": (2, 2), "lcm": (2, 2),
+    "isnan": (1, 1), "iszero": (1, 1), "nanvl": (2, 2),
     # arrays (DataFusion's array library subset; values are python lists
     # in object arrays, arrow list columns at the boundaries)
     "make_array": (0, None), "array": (0, None),
@@ -1071,6 +1086,53 @@ class ScalarFuncExpr(PhysicalExpr):
                 )
 
             return _elementwise(rr, vals, num_rows)
+        if name == "atan2":
+            with np.errstate(invalid="ignore"):
+                return np.arctan2(
+                    np.asarray(vals[0], np.float64),
+                    np.asarray(vals[1], np.float64),
+                )
+        if name == "log":
+            # log(x) = log10(x); log(base, x) = log(x)/log(base) (DataFusion)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if len(vals) == 1:
+                    return np.log10(np.asarray(vals[0], np.float64))
+                return np.log(np.asarray(vals[1], np.float64)) / np.log(
+                    np.asarray(vals[0], np.float64)
+                )
+        if name == "pi":
+            return np.full(num_rows, np.pi)
+        if name == "factorial":
+            import math as _math
+
+            return _elementwise(
+                lambda v: _math.factorial(int(v)), vals, num_rows
+            )
+        if name in ("gcd", "lcm"):
+            import math as _math
+
+            f = _math.gcd if name == "gcd" else _math.lcm
+            return _elementwise(
+                lambda a, b2: f(int(a), int(b2)), vals, num_rows
+            )
+        if name == "isnan":
+            # engine NaN means NULL, so isnan(NULL-bearing) is NULL-prop;
+            # true NaN can only arrive via float columns holding inf-inf
+            # etc. — report False for real values (matches our NULL model)
+            a = np.asarray(vals[0])
+            nulls = _null_mask(a)
+            out = np.zeros(a.shape, dtype=object)
+            out[...] = False
+            out[nulls] = None
+            return out
+        if name == "iszero":
+            return _elementwise(lambda v: float(v) == 0.0, vals, num_rows)
+        if name == "nanvl":
+            # NaN (engine NULL) in x -> y
+            def nv(a, b2):
+                return b2 if a is None or a != a else a
+
+            return _elementwise(nv, vals, num_rows, skip_null=False)
         if name in ("make_array", "array"):
             if not vals:
                 out = np.empty(num_rows, dtype=object)

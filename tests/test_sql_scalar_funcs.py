@@ -512,3 +512,31 @@ class TestArraysAndUnnest:
             " ORDER BY 2 DESC"
         ).to_pylist()
         assert [r["v"] for r in out] == [3, 2, 1]
+
+
+class TestMathFuncPack:
+    def test_trig_and_misc(self, ctx):
+        import math
+
+        out = ctx.sql(
+            "SELECT atan2(1, 1) AS a, log(100) AS l1, log(2, 8) AS l2,"
+            " pi() AS p, factorial(5) AS f, gcd(12, 8) AS g, lcm(12, 4) AS l,"
+            " cbrt(27) AS cb, degrees(pi()) AS dg, radians(180.0) AS rd,"
+            " trunc(-2.7) AS tr, signum(-5) AS sg"
+        ).to_pylist()[0]
+        assert out["a"] == math.atan2(1, 1)
+        assert out["l1"] == 2.0 and out["l2"] == 3.0
+        assert out["p"] == math.pi and out["f"] == 120
+        assert out["g"] == 4 and out["l"] == 12
+        assert out["cb"] == 3.0 and out["dg"] == 180.0
+        assert out["rd"] == math.pi and out["tr"] == -2.0 and out["sg"] == -1.0
+
+    def test_nanvl_iszero_isnan(self, ctx):
+        out = ctx.sql(
+            "SELECT nanvl(v, 0) AS nv, iszero(v - 1) AS z, isnan(v) AS n"
+            " FROM t ORDER BY g, v"
+        ).to_pylist()
+        # v = [1, None, -3]; NULL rides as NaN -> nanvl substitutes
+        assert [r["nv"] for r in out] == [1, 0, -3]
+        assert [r["z"] for r in out] == [True, None, False]
+        assert [r["n"] for r in out] == [False, None, False]
