@@ -384,6 +384,42 @@ def _group_segments(codes, ngroups):
     return order, seg_starts, counts
 
 
+def _agg_order_perm(ord_spec, cols, n, mask):
+    """Stable row permutation realizing aggregate-internal ORDER BY
+    (array_agg(x ORDER BY y)).  NULLS LAST default, matching the
+    engine's SortExec; ties keep input order (lexsort is stable)."""
+    from sequila_tpu.planner.expr import _null_mask
+
+    keys = []
+    for oe, asc, nulls_first in reversed(ord_spec):
+        a = np.asarray(oe.eval(cols, n))
+        if mask is not None:
+            a = a[mask]
+        nulls = _null_mask(a)
+        if a.dtype == object:
+            safe = np.array(
+                ["" if (v is None or v != v) else str(v) for v in a],
+                dtype=object,
+            )
+            r = np.unique(safe, return_inverse=True)[1].astype(np.float64)
+        elif np.issubdtype(a.dtype, np.datetime64) or np.issubdtype(
+            a.dtype, np.timedelta64
+        ):
+            r = a.astype(np.int64).astype(np.float64)
+            r[nulls] = 0.0
+        else:
+            r = np.where(nulls, 0, a).astype(np.float64)
+        if not asc:
+            r = -r
+        nf = bool(nulls_first) if nulls_first is not None else False
+        nkey = (~nulls if nf else nulls).astype(np.int8)
+        # value key first, null-partition key second: lexsort treats
+        # later entries as more significant
+        keys.append(r)
+        keys.append(nkey)
+    return np.lexsort(tuple(keys))
+
+
 class AggregateExec(ExecPlan):
     """Hash/group aggregate: group-by codes via np.unique + segmented
     reduce.  ``grouping_sets`` (ROLLUP/CUBE/GROUPING SETS expansion from
@@ -465,6 +501,7 @@ class AggregateExec(ExecPlan):
         for spec in self.agg_specs:
             func, arg, distinct, out_name, *rest = spec
             filt = rest[0] if rest else None
+            ord_spec = rest[1] if len(rest) > 1 else None
             if func == "grouping":
                 flag = self._grouping_flag(arg, gset)
                 arrays.append(pa.array(np.full(ngroups, flag, np.int64)))
@@ -481,7 +518,8 @@ class AggregateExec(ExecPlan):
                     base_seg = _group_segments(codes, ngroups)
                 seg = base_seg
             vals = self._compute_agg(
-                func, arg, distinct, cols, n, mask, codes_e, ngroups, seg
+                func, arg, distinct, cols, n, mask, codes_e, ngroups, seg,
+                ord_spec,
             )
             # integer-typed sum/min/max/... keep Int64 in the output (the
             # engine computes them in float to carry NULLs as NaN)
@@ -507,23 +545,80 @@ class AggregateExec(ExecPlan):
         )
 
     def _compute_agg(
-        self, func, arg, distinct, cols, n, mask, codes, ngroups, seg
+        self, func, arg, distinct, cols, n, mask, codes, ngroups, seg,
+        ord_spec=None,
     ):
         """One aggregate column over one grouping set.  ``codes`` /
-        ``seg`` are already restricted to FILTER-passing rows."""
+        ``seg`` are already restricted to FILTER-passing rows.
+        ``ord_spec`` (agg-internal ORDER BY — array_agg(x ORDER BY y))
+        permutes the rows before the order-sensitive collectors run."""
         from sequila_tpu.planner.expr import _null_mask
 
+        perm = None
+        if ord_spec is not None:
+            perm = _agg_order_perm(ord_spec, cols, n, mask)
+            codes = codes[perm]
+            seg = _group_segments(codes, ngroups)
         order, seg_starts, seg_counts = seg
         nrows = len(codes)
 
         def eval_arg(e):
             a = np.asarray(e.eval(cols, n))
-            return a[mask] if mask is not None else a
+            if mask is not None:
+                a = a[mask]
+            if perm is not None:
+                a = a[perm]
+            return a
 
         if func == "count" and arg is None and not distinct:
             return np.bincount(codes, minlength=ngroups).astype(np.int64)
 
         # -- two-argument aggregates ------------------------------------
+        if func.startswith("regr_"):
+            # Postgres/DataFusion regr_*(Y, X): dependent variable first;
+            # rows where either side is NULL are excluded
+            ey, ex = arg
+            ay_, ax_ = eval_arg(ey), eval_arg(ex)
+            nulls = _null_mask(ax_) | _null_mask(ay_)
+            nn = ~nulls
+            c = codes[nn]
+            x = ax_[nn].astype(np.float64)
+            y = ay_[nn].astype(np.float64)
+            cnt = np.bincount(c, minlength=ngroups)
+            if func == "regr_count":
+                return cnt.astype(np.int64)
+            cnt_safe = np.maximum(cnt, 1)
+            mx = np.bincount(c, weights=x, minlength=ngroups) / cnt_safe
+            my = np.bincount(c, weights=y, minlength=ngroups) / cnt_safe
+            if func == "regr_avgx":
+                return pa.array(mx, mask=cnt == 0)
+            if func == "regr_avgy":
+                return pa.array(my, mask=cnt == 0)
+            sxx = np.bincount(c, weights=(x - mx[c]) ** 2, minlength=ngroups)
+            if func == "regr_sxx":
+                return pa.array(sxx, mask=cnt == 0)
+            syy = np.bincount(c, weights=(y - my[c]) ** 2, minlength=ngroups)
+            if func == "regr_syy":
+                return pa.array(syy, mask=cnt == 0)
+            sxy = np.bincount(
+                c, weights=(x - mx[c]) * (y - my[c]), minlength=ngroups
+            )
+            if func == "regr_sxy":
+                return pa.array(sxy, mask=cnt == 0)
+            bad = (cnt == 0) | (sxx == 0)  # vertical line: undefined fit
+            sxx_safe = np.where(bad, 1.0, sxx)
+            slope = sxy / sxx_safe
+            if func == "regr_slope":
+                return pa.array(slope, mask=bad)
+            if func == "regr_intercept":
+                return pa.array(my - slope * mx, mask=bad)
+            # regr_r2: NULL when sxx = 0; 1 when syy = 0 (perfect fit)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r2 = np.where(
+                    syy == 0, 1.0, sxy * sxy / (sxx_safe * np.where(syy == 0, 1.0, syy))
+                )
+            return pa.array(r2, mask=bad)
+
         if func in ("corr", "covar", "covar_samp", "covar_pop"):
             ax, ay = (eval_arg(e) for e in arg)
             nulls = _null_mask(ax) | _null_mask(ay)
@@ -1294,3 +1389,35 @@ class DistinctExec(ExecPlan):
 
     def with_children(self, children):
         return DistinctExec(children[0])
+
+
+class DistinctOnExec(ExecPlan):
+    """SELECT DISTINCT ON (keys): the first row of each key combination
+    in the child's current row order — the binder sorts first, so
+    Postgres's 'first row under ORDER BY per group' semantics hold."""
+
+    def __init__(self, child: ExecPlan, key_exprs: list[PhysicalExpr]):
+        self.children = [child]
+        self.key_exprs = key_exprs
+
+    def schema(self):
+        return self.children[0].schema()
+
+    def execute(self, ctx):
+        t = self.children[0].execute(ctx)
+        if t.num_rows == 0:
+            return t
+        keys = [
+            np.asarray(_eval_on_table(e, t)) for e in self.key_exprs
+        ]
+        _, idx = _row_group_codes(keys)
+        out = t.take(np.sort(idx))
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        return out
+
+    def display_line(self):
+        keys = ", ".join(e.display() for e in self.key_exprs)
+        return f"DistinctOnExec: on=[{keys}]"
+
+    def with_children(self, children):
+        return DistinctOnExec(children[0], self.key_exprs)

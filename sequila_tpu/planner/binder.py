@@ -25,6 +25,7 @@ from sequila_tpu.exec.joins.nl_join import NestedLoopJoinExec
 from sequila_tpu.exec.plan import (
     AggregateExec,
     DistinctExec,
+    DistinctOnExec,
     ExecPlan,
     FilterExec,
     LimitExec,
@@ -118,6 +119,9 @@ _AGG_FUNCS = {
     "median", "approx_median", "approx_distinct",
     "approx_percentile_cont",
     "corr", "covar", "covar_samp", "covar_pop",
+    # linear-regression family (Postgres/DataFusion: regr_*(Y, X))
+    "regr_count", "regr_avgx", "regr_avgy", "regr_slope",
+    "regr_intercept", "regr_r2", "regr_sxx", "regr_syy", "regr_sxy",
     "bool_and", "bool_or",
     "bit_and", "bit_or", "bit_xor",
     # value collectors
@@ -131,6 +135,8 @@ _AGG_FUNCS = {
 _AGG_TWO_ARG = {
     "string_agg", "corr", "covar", "covar_samp", "covar_pop",
     "approx_percentile_cont",
+    "regr_count", "regr_avgx", "regr_avgy", "regr_slope",
+    "regr_intercept", "regr_r2", "regr_sxx", "regr_syy", "regr_sxy",
 }
 
 
@@ -171,6 +177,20 @@ class Binder:
 
     # ------------------------------------------------------------------
     def bind_select(self, sel: ast.Select) -> ExecPlan:
+        if sel.windows:
+            # WINDOW w AS (spec): inline each OVER w reference, then bind
+            # as if the spec had been written at the call site
+            wmap = dict(sel.windows)
+            sel = dataclasses.replace(
+                sel,
+                items=tuple(
+                    dataclasses.replace(
+                        it, expr=self._resolve_window_refs(it.expr, wmap)
+                    )
+                    for it in sel.items
+                ),
+                windows=(),
+            )
         unnest_cols = [
             i
             for i, it in enumerate(sel.items)
@@ -257,6 +277,14 @@ class Binder:
                     asc.append(oi.asc)
                     nfs.append(oi.nulls_first)
                 plan = SortExec(plan, exprs, asc, nfs)
+            if sel.distinct_on:
+                keys = []
+                for e in sel.distinct_on:
+                    target, _ = self._resolve_item_ref(
+                        e, sel, schema, alias_wins=True
+                    )
+                    keys.append(self._bind_expr(target, schema).expr)
+                plan = DistinctOnExec(plan, keys)
             plan = self._bind_projection(plan, sel)
             if sel.distinct:
                 plan = DistinctExec(plan)
@@ -265,18 +293,25 @@ class Binder:
                 raise PlanError(
                     "window functions over aggregated output are not supported"
                 )
+            if sel.distinct_on:
+                raise PlanError(
+                    "DISTINCT ON with aggregates is not supported"
+                )
             if where is not None:
                 plan = FilterExec(plan, self._bind_expr(where, schema).expr)
             plan = self._bind_aggregate(plan, sel)
             if sel.order_by:
                 aschema = plan.schema()
                 names = [n for _, n in aschema]
+                n_vis = len(names) - sum(
+                    1 for n in names if n.startswith("__sort_")
+                )
                 exprs, asc, nfs = [], [], []
-                for oi in sel.order_by:
+                for i, oi in enumerate(sel.order_by):
                     target = oi.expr
                     k = self._ordinal(target)
                     if k is not None:
-                        if not 1 <= k <= len(aschema):
+                        if not 1 <= k <= n_vis:
                             raise PlanError(
                                 f"ORDER/GROUP BY position {k} is not in the select list"
                             )
@@ -285,15 +320,26 @@ class Binder:
                         nfs.append(oi.nulls_first)
                         continue
                     # ORDER BY count(*) / other aggregate expressions
-                    # resolve by display name in the aggregate output
+                    # resolve by display name in the aggregate output, or
+                    # by the hidden __sort_<i> column _bind_aggregate
+                    # emitted for aggregates outside the SELECT list
                     disp = self._display_name(oi.expr)
                     if self._contains_agg(oi.expr) and disp in names:
                         exprs.append(pe.Column(disp, names.index(disp)))
+                    elif f"__sort_{i}" in names:
+                        j = names.index(f"__sort_{i}")
+                        exprs.append(pe.Column(names[j], j))
                     else:
                         exprs.append(self._bind_expr(oi.expr, aschema).expr)
                     asc.append(oi.asc)
                     nfs.append(oi.nulls_first)
                 plan = SortExec(plan, exprs, asc, nfs)
+                if n_vis < len(names):  # strip hidden sort columns
+                    plan = ProjectExec(
+                        plan,
+                        [pe.Column(names[j], j) for j in range(n_vis)],
+                        names[:n_vis],
+                    )
 
         if sel.limit is not None or sel.offset:
             plan = LimitExec(plan, sel.limit, sel.offset)
@@ -318,6 +364,15 @@ class Binder:
         )
 
     def _scan(self, tref: ast.TableRef) -> ExecPlan:
+        if tref.table_func is not None:
+            sub = ScanExec(
+                tref.alias or tref.table_func[0],
+                self._table_function(tref.table_func),
+                None,
+            )
+            return self._requalify(
+                sub, tref.alias or tref.table_func[0], tref.col_aliases
+            )
         if tref.subquery is not None:
             # derived table: FROM ( SELECT ... | VALUES ... ) alias
             q = tref.subquery
@@ -361,6 +416,47 @@ class Binder:
             raise PlanError(f"table '{tref.name}' not found")
         return ScanExec(tref.name, self.catalog[key], tref.alias or tref.name)
 
+    def _table_function(self, tf):
+        """FROM-clause table functions: DataFusion's ``generate_series`` /
+        ``range`` (datafusion/functions-table — part of the SQL surface the
+        reference inherits).  Integer series; generate_series includes the
+        stop bound, range excludes it; like DataFusion, a default step that
+        cannot reach the bound is an error rather than an infinite series."""
+        import numpy as _np
+        import pyarrow as _pa
+
+        from sequila_tpu.models.table import Table as _Table
+
+        fname, args = tf
+        if fname not in ("generate_series", "range"):
+            raise PlanError(f"unknown table function '{fname}'")
+        if not 1 <= len(args) <= 3:
+            raise PlanError(f"{fname} takes 1 to 3 arguments")
+        consts = []
+        for a in args:
+            b = self._bind_expr(a, [])
+            v = _np.asarray(b.expr.eval({}, 1)).ravel()[0]
+            if v is None or (isinstance(v, float) and v != v):
+                raise PlanError(f"{fname} arguments must not be NULL")
+            consts.append(int(v))
+        if len(consts) == 1:
+            start, stop, step = 0, consts[0], 1
+        elif len(consts) == 2:
+            (start, stop), step = consts, 1
+        else:
+            start, stop, step = consts
+        if step == 0:
+            raise PlanError(f"{fname} step cannot be zero")
+        if (step > 0 and start > stop) or (step < 0 and start < stop):
+            raise PlanError(
+                f"{fname}: start {start} cannot reach stop {stop} "
+                f"with step {step}"
+            )
+        incl = 1 if fname == "generate_series" else 0
+        bound = stop + incl if step > 0 else stop - incl
+        vals = _np.arange(start, bound, step, dtype=_np.int64)
+        return _Table(_pa.table({"value": _pa.array(vals, type=_pa.int64())}))
+
     def _bind_from(self, sel: ast.Select):
         """Returns (plan, remaining_where): a comma cross-join consumes the
         WHERE clause into pushed-down filters / join conditions."""
@@ -392,7 +488,22 @@ class Binder:
 
         for jc in sel.joins:
             right = self._scan(jc.table)
-            if jc.using:
+            if jc.natural:
+                # NATURAL JOIN: USING(every shared bare column name), in
+                # left-schema order; no shared names degrades to a cross
+                # product (Postgres semantics)
+                rnames = {n for _, n in right.schema()}
+                shared = [
+                    n for _, n in plan.schema() if n in rnames
+                ]
+                shared = list(dict.fromkeys(shared))
+                if shared:
+                    plan = self._make_using_join(
+                        plan, right, tuple(shared), jc.join_type
+                    )
+                else:
+                    plan = NestedLoopJoinExec(plan, right, None, "inner")
+            elif jc.using:
                 plan = self._make_using_join(plan, right, jc.using, jc.join_type)
             elif jc.join_type == "cross" or jc.on is None:
                 plan = NestedLoopJoinExec(plan, right, None, "inner")
@@ -404,6 +515,34 @@ class Binder:
         return plan, where
 
     # -- window functions -----------------------------------------------
+    def _resolve_window_refs(self, e, wmap):
+        """Replace OVER <name> references with the WINDOW-clause spec."""
+        if isinstance(e, ast.WindowFunc):
+            if e.ref is not None:
+                t = wmap.get(e.ref)
+                if t is None:
+                    raise PlanError(f"window '{e.ref}' is not defined")
+                return dataclasses.replace(t, func=e.func, ref=None)
+            return e
+        if isinstance(e, ast.Binary):
+            return dataclasses.replace(
+                e,
+                left=self._resolve_window_refs(e.left, wmap),
+                right=self._resolve_window_refs(e.right, wmap),
+            )
+        if isinstance(e, (ast.Unary, ast.Cast)):
+            return dataclasses.replace(
+                e, child=self._resolve_window_refs(e.child, wmap)
+            )
+        if isinstance(e, ast.Func):
+            return dataclasses.replace(
+                e,
+                args=tuple(
+                    self._resolve_window_refs(a, wmap) for a in e.args
+                ),
+            )
+        return e
+
     def _contains_window(self, e) -> bool:
         if isinstance(e, ast.WindowFunc):
             return True
@@ -429,6 +568,8 @@ class Binder:
 
         def replace(e):
             if isinstance(e, ast.WindowFunc):
+                if e.ref is not None:
+                    raise PlanError(f"window '{e.ref}' is not defined")
                 fn = e.func
                 if fn.name not in _WINDOW_FUNCS:
                     raise PlanError(f"unsupported window function: {fn.name}")
@@ -1234,6 +1375,13 @@ class Binder:
                 args = ",".join(self._display_name(a) for a in e.args)
                 inner = f"DISTINCT {args}" if e.distinct else args
                 base = f"{e.name}({inner})"
+            if e.order_by:
+                # differently-ordered collectors must not dedupe either
+                keys = ",".join(
+                    self._display_name(oi.expr) + ("" if oi.asc else " DESC")
+                    for oi in e.order_by
+                )
+                base = base[:-1] + f" ORDER BY {keys})"
             if e.filter_where is not None:
                 # distinct filters must not dedupe to one spec
                 base += f" FILTER (WHERE {self._display_name(e.filter_where)})"
@@ -1408,7 +1556,15 @@ class Binder:
 
         plain_items: list = []
         families: list[list[tuple]] = []
-        for g in sel.group_by:
+        gb_items = sel.group_by
+        if len(gb_items) == 1 and isinstance(gb_items[0], ast.GroupByAll):
+            # GROUP BY ALL: every non-aggregate select item is a key
+            if any(isinstance(it.expr, ast.Star) for it in items):
+                raise PlanError("GROUP BY ALL cannot be used with SELECT *")
+            gb_items = tuple(
+                it.expr for it in items if not self._contains_agg(it.expr)
+            )
+        for g in gb_items:
             if isinstance(g, ast.GroupingSets):
                 families.append([tuple(s) for s in g.sets])
             elif (
@@ -1498,7 +1654,26 @@ class Binder:
                 if f.filter_where is not None
                 else None
             )
-            agg_specs.append((f.name, arg, f.distinct, disp, filt))
+            ord_spec = None
+            if f.order_by:
+                if f.name not in (
+                    "array_agg", "string_agg", "group_concat",
+                    "first_value", "last_value",
+                ):
+                    raise PlanError(
+                        f"ORDER BY inside {f.name}() is not supported"
+                    )
+                if f.distinct:
+                    raise PlanError(
+                        f"{f.name}(DISTINCT ... ORDER BY ...) is not "
+                        "supported"
+                    )
+                ord_spec = tuple(
+                    (self._bind_expr(oi.expr, schema).expr, oi.asc,
+                     oi.nulls_first)
+                    for oi in f.order_by
+                )
+            agg_specs.append((f.name, arg, f.distinct, disp, filt, ord_spec))
             existing.add(disp)
             return disp
 
@@ -1547,6 +1722,26 @@ class Binder:
         if sel.having is not None:
             for f in self._collect_agg_funcs(sel.having):
                 ensure_spec(f)
+        # ORDER BY may likewise reference aggregates not in the SELECT
+        # list (ORDER BY count(*) DESC): compute hidden specs and emit
+        # __sort_<i> columns; bind_select sorts on them and strips them.
+        order_hidden: dict[int, object] = {}
+        for i, oi in enumerate(sel.order_by or ()):
+            if self._ordinal(oi.expr) is not None:
+                continue
+            if not self._contains_agg(oi.expr):
+                continue
+            disp = self._display_name(oi.expr)
+            visible = any(
+                (it[0] == "agg" and it[1] == disp)
+                or (len(it) == 3 and it[2] == disp)
+                for it in out_items
+            )
+            if visible:
+                continue
+            for f in self._collect_agg_funcs(oi.expr):
+                ensure_spec(f)
+            order_hidden[i] = oi.expr
 
         agg = AggregateExec(
             plan, group_exprs, group_names, agg_specs, grouping_sets
@@ -1570,11 +1765,15 @@ class Binder:
                 )
                 exprs.append(pe.Column(aschema[idx][1], idx))
             names.append(out_name)
+        for i, e in order_hidden.items():
+            exprs.append(self._bind_agg_value_expr(e, aschema))
+            names.append(f"__sort_{i}")
         has_expr_items = any(it[0] == "expr" for it in out_items)
         if (
             names == [n for _, n in aschema]
             and plan_after is agg
             and not has_expr_items
+            and not order_hidden
         ):
             return agg
         return ProjectExec(plan_after, exprs, names)

@@ -695,6 +695,9 @@ _NUMERIC_FUNCS = {
     "asin": np.arcsin,
     "acos": np.arccos,
     "atan": np.arctan,
+    "asinh": np.arcsinh,
+    "acosh": np.arccosh,
+    "atanh": np.arctanh,
     "sinh": np.sinh,
     "cosh": np.cosh,
     "tanh": np.tanh,
@@ -722,10 +725,51 @@ _STRING_FUNCS = {
     "reverse": lambda s_: str(s_)[::-1],
     "initcap": _initcap,
     "ascii": lambda s_: ord(str(s_)[0]) if str(s_) else 0,
+    "bit_length": lambda s_: 8 * len(str(s_).encode("utf-8")),
     "md5": lambda s_: __import__("hashlib").md5(
         str(s_).encode("utf-8")
     ).hexdigest(),
+    "sha224": lambda s_: __import__("hashlib").sha224(
+        str(s_).encode("utf-8")
+    ).hexdigest(),
+    "sha256": lambda s_: __import__("hashlib").sha256(
+        str(s_).encode("utf-8")
+    ).hexdigest(),
+    "sha384": lambda s_: __import__("hashlib").sha384(
+        str(s_).encode("utf-8")
+    ).hexdigest(),
+    "sha512": lambda s_: __import__("hashlib").sha512(
+        str(s_).encode("utf-8")
+    ).hexdigest(),
 }
+
+
+def _levenshtein(a, b2):
+    """Classic two-row DP edit distance (DataFusion's levenshtein)."""
+    a, b2 = str(a), str(b2)
+    if len(a) < len(b2):
+        a, b2 = b2, a
+    prev = list(range(len(b2) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b2, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _substr_index(s_, delim, n):
+    """MySQL/DataFusion substr_index: everything before the nth
+    occurrence of delim (after the nth-from-last when n < 0)."""
+    s_, delim, n = str(s_), str(delim), int(n)
+    if n == 0 or not delim:
+        return ""
+    parts = s_.split(delim)
+    if n > 0:
+        return delim.join(parts[:n])
+    return delim.join(parts[n:])
 
 
 def _sql_pad(s_, n, fill=" ", left=True):
@@ -806,6 +850,15 @@ SCALAR_FUNC_ARITY = {
     "atan2": (2, 2), "log": (1, 2), "pi": (0, 0),
     "factorial": (1, 1), "gcd": (2, 2), "lcm": (2, 2),
     "isnan": (1, 1), "iszero": (1, 1), "nanvl": (2, 2),
+    "random": (0, 0), "uuid": (0, 0), "nvl2": (3, 3), "mod": (2, 2),
+    "contains": (2, 2), "find_in_set": (2, 2), "levenshtein": (2, 2),
+    "substr_index": (3, 3), "regexp_match": (2, 3),
+    "current_time": (0, 0), "today": (0, 0),
+    "datepart": (2, 2), "datetrunc": (2, 2),
+    "from_unixtime": (1, 1), "to_unixtime": (1, 1),
+    "make_date": (3, 3), "to_char": (2, 2), "date_format": (2, 2),
+    "to_local_time": (1, 1), "date_bin": (2, 3),
+    "digest": (2, 2), "encode": (2, 2), "decode": (2, 2),
     # arrays (DataFusion's array library subset; values are python lists
     # in object arrays, arrow list columns at the boundaries)
     "make_array": (0, None), "array": (0, None),
@@ -1211,9 +1264,17 @@ class ScalarFuncExpr(PhysicalExpr):
             )
         if name in ("now", "current_timestamp"):
             return np.full(num_rows, np.datetime64("now", "us"))
-        if name == "current_date":
+        if name in ("current_date", "today"):
             return np.full(
                 num_rows, np.datetime64("now", "us").astype("datetime64[D]")
+            )
+        if name == "current_time":
+            import datetime as _dt
+
+            return np.full(
+                num_rows,
+                _dt.datetime.now(_dt.timezone.utc).strftime("%H:%M:%S"),
+                dtype=object,
             )
         if name == "to_timestamp":
             a = np.asarray(vals[0])
@@ -1228,16 +1289,195 @@ class ScalarFuncExpr(PhysicalExpr):
             return _coerce_datetime(
                 np.asarray(vals[0]), np.dtype("datetime64[D]")
             )
-        if name == "date_part":
+        if name in ("date_part", "datepart"):
             f = self.args[0]
             if not isinstance(f, Literal):
                 raise ExecutionError("date_part field must be a literal")
             return _date_part_vec(f.value, vals[1])
-        if name == "date_trunc":
+        if name in ("date_trunc", "datetrunc"):
             f = self.args[0]
             if not isinstance(f, Literal):
                 raise ExecutionError("date_trunc field must be a literal")
             return _date_trunc_vec(f.value, vals[1])
+        if name == "random":
+            return np.random.random(num_rows)
+        if name == "mod":
+            # sign follows the dividend (C fmod — sqlite/DataFusion mod);
+            # mod-by-zero is NaN, i.e. SQL NULL
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.fmod(
+                    np.asarray(vals[0], np.float64),
+                    np.asarray(vals[1], np.float64),
+                )
+        if name == "uuid":
+            import uuid as _uuid
+
+            return np.array(
+                [str(_uuid.uuid4()) for _ in range(num_rows)], dtype=object
+            )
+        if name == "nvl2":
+            def n2(a, b2, c):
+                return c if (a is None or a != a) else b2
+
+            return _elementwise(n2, vals, num_rows, skip_null=False)
+        if name == "contains":
+            return _elementwise(
+                lambda s_, sub: str(sub) in str(s_), vals, num_rows
+            )
+        if name == "find_in_set":
+            def fis(s_, lst):
+                s_ = str(s_)
+                if "," in s_:  # MySQL: needle containing a comma -> 0
+                    return 0
+                parts = str(lst).split(",")
+                return parts.index(s_) + 1 if s_ in parts else 0
+
+            return _elementwise(fis, vals, num_rows)
+        if name == "levenshtein":
+            return _elementwise(_levenshtein, vals, num_rows)
+        if name == "substr_index":
+            return _elementwise(_substr_index, vals, num_rows)
+        if name == "regexp_match":
+            import re as _re
+
+            def rm(s_, pat, flags=""):
+                m = _re.search(str(pat), str(s_), _regex_flags(flags))
+                if m is None:
+                    return None
+                return list(m.groups()) if m.groups() else [m.group(0)]
+
+            return _elementwise(rm, vals, num_rows, boxed=True)
+        if name == "from_unixtime":
+            a = np.asarray(vals[0])
+            nulls = _null_mask(a)
+            out = (
+                np.where(nulls, 0, a).astype(np.float64) * 1e6
+            ).astype("datetime64[us]")
+            return np.where(nulls, np.datetime64("NaT", "us"), out)
+        if name == "to_unixtime":
+            a = np.asarray(vals[0])
+            if not np.issubdtype(a.dtype, np.datetime64):
+                a = _coerce_datetime(a, np.dtype("datetime64[us]"))
+            a = a.astype("datetime64[us]")
+            nat = np.isnat(a)
+            secs = (
+                np.where(nat, 0, a.astype(np.int64)) // 1_000_000
+            ).astype(np.float64)
+            return np.where(nat, np.nan, secs)
+        if name == "to_local_time":
+            # the engine is timezone-naive (UTC) end to end: identity
+            a = np.asarray(vals[0])
+            if np.issubdtype(a.dtype, np.datetime64):
+                return a
+            return _coerce_datetime(a, np.dtype("datetime64[us]"))
+        if name == "make_date":
+            import datetime as _dt
+
+            def md(y, m, d):
+                try:
+                    return _dt.date(int(y), int(m), int(d)).isoformat()
+                except ValueError as exc:
+                    raise ExecutionError(f"make_date: {exc}") from exc
+
+            out = _elementwise(md, vals, num_rows)
+            return np.array(
+                [np.datetime64("NaT", "D") if v is None else np.datetime64(v)
+                 for v in out],
+                dtype="datetime64[D]",
+            )
+        if name in ("to_char", "date_format"):
+            def tc(v, fmt):
+                if isinstance(v, np.datetime64):
+                    if np.isnat(v):
+                        return None
+                    return v.astype("datetime64[us]").item().strftime(str(fmt))
+                if isinstance(v, np.timedelta64):
+                    return str(v)
+                try:
+                    return (
+                        np.datetime64(str(v), "us").item().strftime(str(fmt))
+                    )
+                except ValueError as exc:
+                    raise ExecutionError(
+                        f"to_char: cannot format {v!r}: {exc}"
+                    ) from exc
+
+            return _elementwise(tc, vals, num_rows)
+        if name == "date_bin":
+            stride = np.asarray(vals[0])
+            if not np.issubdtype(stride.dtype, np.timedelta64):
+                raise ExecutionError("date_bin stride must be an INTERVAL")
+            sv = int(stride.ravel()[0].astype("timedelta64[us]").astype(np.int64))
+            if sv == 0:
+                raise ExecutionError("date_bin stride cannot be zero")
+            src = np.asarray(vals[1])
+            if not np.issubdtype(src.dtype, np.datetime64):
+                src = _coerce_datetime(src, np.dtype("datetime64[us]"))
+            src = src.astype("datetime64[us]")
+            if len(vals) > 2:
+                origin = np.asarray(vals[2])
+                if not np.issubdtype(origin.dtype, np.datetime64):
+                    origin = _coerce_datetime(
+                        origin, np.dtype("datetime64[us]")
+                    )
+                o64 = int(origin.astype("datetime64[us]").ravel()[0].astype(np.int64))
+            else:
+                o64 = 0
+            nat = np.isnat(src)
+            s64 = np.where(nat, np.datetime64(0, "us"), src).astype(np.int64)
+            binned = ((s64 - o64) // sv) * sv + o64  # floor handles pre-origin
+            out = binned.astype("datetime64[us]")
+            return np.where(nat, np.datetime64("NaT", "us"), out)
+        if name == "digest":
+            import hashlib as _hl
+
+            def dg(s_, algo):
+                a = str(algo).lower()
+                try:
+                    return _hl.new(a, str(s_).encode("utf-8")).hexdigest()
+                except ValueError as exc:
+                    raise ExecutionError(
+                        f"digest: unsupported algorithm {algo!r}"
+                    ) from exc
+
+            return _elementwise(dg, vals, num_rows)
+        if name == "encode":
+            import base64 as _b64
+
+            def enc(s_, fmt):
+                b = (
+                    s_.encode("utf-8") if isinstance(s_, str)
+                    else bytes(s_) if isinstance(s_, (bytes, bytearray))
+                    else str(s_).encode("utf-8")
+                )
+                f = str(fmt).lower()
+                if f == "hex":
+                    return b.hex()
+                if f == "base64":  # DataFusion uses unpadded standard base64
+                    return _b64.b64encode(b).decode("ascii").rstrip("=")
+                raise ExecutionError(f"encode: unsupported format {fmt!r}")
+
+            return _elementwise(enc, vals, num_rows)
+        if name == "decode":
+            import base64 as _b64
+
+            def dec(s_, fmt):
+                f = str(fmt).lower()
+                try:
+                    if f == "hex":
+                        b = bytes.fromhex(str(s_))
+                    elif f == "base64":
+                        t = str(s_)
+                        b = _b64.b64decode(t + "=" * (-len(t) % 4))
+                    else:
+                        raise ExecutionError(
+                            f"decode: unsupported format {fmt!r}"
+                        )
+                except (ValueError, _b64.binascii.Error) as exc:
+                    raise ExecutionError(f"decode: {exc}") from exc
+                return b.decode("utf-8", "replace")
+
+            return _elementwise(dec, vals, num_rows)
         if name == "arrow_typeof":
             # debugging aid: report the evaluated numpy dtype as the
             # closest arrow type name (the engine's columns are arrow-

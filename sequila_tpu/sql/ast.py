@@ -55,6 +55,7 @@ class Func(SqlExpr):
     distinct: bool = False
     star: bool = False  # count(*)
     filter_where: Optional[SqlExpr] = None  # agg(x) FILTER (WHERE ...)
+    order_by: tuple = ()  # array_agg(x ORDER BY y): OrderItem tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +130,7 @@ class WindowFunc(SqlExpr):
     # unbounded; -k = k PRECEDING, +k = k FOLLOWING
     frame: Optional[tuple] = None
     frame_kind: str = "rows"
+    ref: Optional[str] = None  # OVER w — resolved via the WINDOW clause
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,6 +166,8 @@ class TableRef:
     # when set, ``name`` is the placeholder "__derived__"
     subquery: Optional[object] = None
     col_aliases: Optional[tuple] = None  # alias(c1, c2, ...) renames
+    # table function: FROM generate_series(1, 10) t — (fname, arg exprs)
+    table_func: Optional[tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,6 +192,12 @@ class JoinClause:
     on: Optional[SqlExpr]
     join_type: str = "inner"  # inner | left | right | full | cross
     using: tuple = ()  # JOIN ... USING (c1, ...): shared equi-columns
+    natural: bool = False  # NATURAL JOIN: USING(all shared names)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupByAll(SqlExpr):
+    """GROUP BY ALL — every non-aggregate select item becomes a key."""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +219,12 @@ class Select:
     distinct: bool = False
     having: Optional[SqlExpr] = None
     offset: int = 0
+    # WINDOW w AS (PARTITION BY ... ORDER BY ...): name -> WindowFunc
+    # template (func=None); OVER w references resolve against it
+    windows: tuple = ()
+    # SELECT DISTINCT ON (exprs): keep the first row per key under the
+    # query's ORDER BY (Postgres/DataFusion)
+    distinct_on: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

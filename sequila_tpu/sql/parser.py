@@ -17,7 +17,8 @@ from sequila_tpu.sql.lexer import Token, tokenize
 _KEYWORDS_STOP = {
     "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "JOIN", "INNER", "LEFT",
     "RIGHT", "FULL", "CROSS", "ON", "AS", "AND", "OR", "NOT", "BY", "ASC",
-    "DESC", "UNION", "INTERSECT", "EXCEPT", "HAVING", "USING",
+    "DESC", "UNION", "INTERSECT", "EXCEPT", "HAVING", "USING", "NATURAL",
+    "WINDOW",
 }
 
 
@@ -296,6 +297,15 @@ class Parser:
     def parse_select(self) -> ast.Select:
         self.expect_kw("SELECT")
         distinct = self.eat_kw("DISTINCT")
+        distinct_on: list = []
+        if distinct and self.eat_kw("ON"):
+            # Postgres DISTINCT ON (exprs): first row per key
+            self.expect("punct", "(")
+            distinct_on.append(self.parse_expr())
+            while self.eat("punct", ","):
+                distinct_on.append(self.parse_expr())
+            self.expect("punct", ")")
+            distinct = False
         items = [self.parse_select_item()]
         while self.eat("punct", ","):
             items.append(self.parse_select_item())
@@ -309,6 +319,7 @@ class Parser:
                     from_tables.append(self.parse_table_ref())
                     continue
                 jt = None
+                natural = self.eat_kw("NATURAL")
                 if self.at_kw("JOIN"):
                     self.next()
                     jt = "inner"
@@ -337,11 +348,15 @@ class Parser:
                 elif self.at_kw("CROSS"):
                     self.next(); self.expect_kw("JOIN"); jt = "cross"
                 if jt is None:
+                    if natural:
+                        raise PlanError("NATURAL must precede a JOIN")
                     break
+                if natural and jt == "cross":
+                    raise PlanError("NATURAL CROSS JOIN is not valid")
                 tref = self.parse_table_ref()
                 on = None
                 using: tuple = ()
-                if jt != "cross":
+                if jt != "cross" and not natural:
                     if self.eat_kw("USING"):
                         using = tuple(self.parse_column_names())
                         if not using:
@@ -349,16 +364,36 @@ class Parser:
                     else:
                         self.expect_kw("ON")
                         on = self.parse_expr()
-                joins.append(ast.JoinClause(tref, on, jt, using))
+                joins.append(ast.JoinClause(tref, on, jt, using, natural))
 
         where = self.parse_expr() if self.eat_kw("WHERE") else None
         group_by: list[ast.SqlExpr] = []
         if self.eat_kw("GROUP"):
             self.expect_kw("BY")
-            group_by.append(self._parse_group_item())
-            while self.eat("punct", ","):
+            if self.eat_kw("ALL"):  # DataFusion: group by every
+                group_by.append(ast.GroupByAll())  # non-aggregate item
+            else:
                 group_by.append(self._parse_group_item())
+                while self.eat("punct", ","):
+                    group_by.append(self._parse_group_item())
         having = self.parse_expr() if self.eat_kw("HAVING") else None
+        windows: list = []
+        if self.eat_kw("WINDOW"):  # WINDOW w AS (spec) [, w2 AS (spec)]
+            while True:
+                wname = self.next().value.lower()
+                self.expect_kw("AS")
+                part, order_w, frame, fk = self._parse_window_spec()
+                windows.append(
+                    (
+                        wname,
+                        ast.WindowFunc(
+                            None, tuple(part), tuple(order_w), frame,
+                            fk or "rows",
+                        ),
+                    )
+                )
+                if not self.eat("punct", ","):
+                    break
         order_by: list[ast.OrderItem] = []
         if self.eat_kw("ORDER"):
             self.expect_kw("BY")
@@ -386,7 +421,8 @@ class Parser:
         return ast.Select(
             tuple(items), tuple(from_tables), tuple(joins), where,
             tuple(group_by), tuple(order_by), limit, distinct, having,
-            offset=offset,
+            offset=offset, windows=tuple(windows),
+            distinct_on=tuple(distinct_on),
         )
 
     def parse_query(self) -> "ast.Statement":
@@ -518,6 +554,19 @@ class Parser:
                 "__derived__", alias, subquery=sub, col_aliases=col_aliases
             )
         name = self.parse_object_name()
+        if self.at("punct", "("):  # table function: generate_series(1, 10)
+            self.next()
+            args = []
+            if not self.at("punct", ")"):
+                args.append(self.parse_expr())
+                while self.eat("punct", ","):
+                    args.append(self.parse_expr())
+            self.expect("punct", ")")
+            alias, col_aliases = self._parse_alias(allow_columns=True)
+            return ast.TableRef(
+                "__tablefunc__", alias, col_aliases=col_aliases,
+                table_func=(name.lower(), tuple(args)),
+            )
         alias, col_aliases = self._parse_alias(allow_columns=True)
         if col_aliases is not None:
             raise PlanError("column aliases are only valid on derived tables")
@@ -559,8 +608,19 @@ class Parser:
 
     # -- expressions (precedence climbing) ----------------------------------
     def parse_over(self, fn: ast.Func) -> ast.SqlExpr:
-        """OVER ([PARTITION BY e, ..] [ORDER BY e [ASC|DESC], ..])."""
+        """OVER (window spec) or OVER window_name (WINDOW clause ref)."""
         self.expect_kw("OVER")
+        if self.peek().kind in ("ident", "qident") and not self.at(
+            "punct", "("
+        ):
+            return ast.WindowFunc(fn, ref=self.next().value.lower())
+        partition, order, frame, frame_kind = self._parse_window_spec()
+        return ast.WindowFunc(
+            fn, tuple(partition), tuple(order), frame, frame_kind or "rows"
+        )
+
+    def _parse_window_spec(self):
+        """Parenthesized window spec shared by OVER (...) and WINDOW w AS."""
         self.expect("punct", "(")
         partition = []
         if self.eat_kw("PARTITION"):
@@ -611,9 +671,7 @@ class Parser:
             hi = bound(False)
             frame = (lo, hi)
         self.expect("punct", ")")
-        return ast.WindowFunc(
-            fn, tuple(partition), tuple(order), frame, frame_kind or "rows"
-        )
+        return partition, order, frame, frame_kind
 
     def parse_expr(self) -> ast.SqlExpr:
         return self.parse_or()
@@ -814,7 +872,9 @@ class Parser:
                 ):
                     unit = self.next().value
                 return ast.Interval(value, unit)
-            if t.upper in ("CURRENT_DATE", "CURRENT_TIMESTAMP") and not (
+            if t.upper in (
+                "CURRENT_DATE", "CURRENT_TIMESTAMP", "CURRENT_TIME"
+            ) and not (
                 self.peek(1).kind == "punct" and self.peek(1).value == "("
             ):
                 self.next()
@@ -862,8 +922,29 @@ class Parser:
                     args.append(self.parse_expr())
                     while self.eat("punct", ","):
                         args.append(self.parse_expr())
+                agg_order: list = []
+                if self.eat_kw("ORDER"):  # array_agg(x ORDER BY y [DESC])
+                    self.expect_kw("BY")
+                    while True:
+                        e = self.parse_expr()
+                        asc = True
+                        if self.eat_kw("DESC"):
+                            asc = False
+                        else:
+                            self.eat_kw("ASC")
+                        nf = None
+                        if self.eat_kw("NULLS"):
+                            nf = self.eat_kw("FIRST")
+                            if not nf:
+                                self.expect_kw("LAST")
+                        agg_order.append(ast.OrderItem(e, asc, nf))
+                        if not self.eat("punct", ","):
+                            break
                 self.expect("punct", ")")
-                fn = ast.Func(fname, tuple(args), distinct=distinct)
+                fn = ast.Func(
+                    fname, tuple(args), distinct=distinct,
+                    order_by=tuple(agg_order),
+                )
                 fn = self._maybe_filter_clause(fn)
                 if self.at_kw("OVER"):
                     return self.parse_over(fn)

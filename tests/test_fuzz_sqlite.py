@@ -451,3 +451,42 @@ class TestRecursiveCte:
         )
         for sql in self.QUERIES:
             _run_both(ctx, con, sql)
+
+
+MATH_ITEMS = [
+    # domain-guarded so numpy (±inf) and sqlite (NULL on domain error)
+    # can't diverge; the harness already maps NaN -> NULL
+    "sin(x)", "cos(x)", "tan(y)", "atan(x)",
+    "sinh(y)", "cosh(y)", "tanh(x)",
+    "asin(1.0 / (abs(x) + 2))", "acos(1.0 / (abs(x) + 2))",
+    "asinh(x)", "acosh(abs(x) + 1)", "atanh(1.0 / (abs(x) + 2))",
+    "atan2(y, x)", "exp(x / 10.0)",
+    "ln(abs(x) + 1)", "log10(abs(x) + 1)", "log2(abs(x) + 1)",
+    "log(2, abs(x) + 1)", "log(abs(x) + 1)",
+    "sqrt(abs(x))", "pow(2, x)", "power(abs(y), 2)",
+    "floor(y)", "ceil(y)", "ceiling(y)", "sign(x)",
+    "degrees(y)", "radians(x)", "trunc(y)", "pi()",
+    "mod(x, 7)",
+]
+
+
+class TestSqliteMathFuncs:
+    def test_math_function_pack(self):
+        """sqlite >= 3.35 ships the same C math library semantics
+        DataFusion uses; every guarded expression must agree."""
+        rng = random.Random(4200)
+        ctx, con = _setup(rng)
+        for item in MATH_ITEMS:
+            sql = f"SELECT id, {item} FROM t ORDER BY id NULLS LAST"
+            _run_both(ctx, con, sql)
+
+    def test_math_in_predicates(self):
+        rng = random.Random(4300)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 2):
+            item = rng.choice(MATH_ITEMS)
+            sql = (
+                f"SELECT id, {item} FROM t "
+                f"WHERE {_rand_pred(rng)} ORDER BY id NULLS LAST"
+            )
+            _run_both(ctx, con, sql)

@@ -4,6 +4,7 @@ limit, expressions — the engine surface beyond joins."""
 import numpy as np
 import pytest
 
+from sequila_tpu.errors import PlanError
 from sequila_tpu.session import SessionContext
 
 
@@ -788,3 +789,187 @@ class TestExtendedAggregates:
             "ON r.c = q.c AND r.s <= q.e AND r.e >= q.s"
         ).to_pylist()
         assert r == [{"n": 1}]
+
+
+class TestRegrAggregates:
+    """Postgres/DataFusion linear-regression aggregate family —
+    regr_*(Y, X), rows with a NULL on either side excluded."""
+
+    def _ctx(self):
+        import pyarrow as pa
+
+        c = SessionContext()
+        c.register_table(
+            "p",
+            pa.table(
+                {
+                    "g": ["a", "a", "a", "b", "b", "c"],
+                    "x": pa.array([1, 2, 3, 1, 1, None], type=pa.int64()),
+                    "y": [2.0, 4.1, 5.9, 1.0, 3.0, 5.0],
+                }
+            ),
+        )
+        return c
+
+    def test_slope_intercept_vs_polyfit(self):
+        import numpy as np
+
+        out = self._ctx().sql(
+            "SELECT regr_slope(y, x) m, regr_intercept(y, x) b,"
+            " regr_count(y, x) n FROM p WHERE g = 'a'"
+        ).to_pylist()[0]
+        m, b = np.polyfit([1, 2, 3], [2.0, 4.1, 5.9], 1)
+        assert abs(out["m"] - m) < 1e-9 and abs(out["b"] - b) < 1e-9
+        assert out["n"] == 3
+
+    def test_moments_and_r2(self):
+        out = self._ctx().sql(
+            "SELECT regr_avgx(y, x) ax, regr_avgy(y, x) ay,"
+            " regr_sxx(y, x) sxx, regr_syy(y, x) syy, regr_sxy(y, x) sxy,"
+            " regr_r2(y, x) r2 FROM p WHERE g = 'a'"
+        ).to_pylist()[0]
+        assert out["ax"] == 2.0 and out["ay"] == 4.0
+        assert abs(out["sxx"] - 2.0) < 1e-12
+        assert abs(out["syy"] - 7.62) < 1e-12
+        assert abs(out["sxy"] - 3.9) < 1e-12
+        assert abs(out["r2"] - 3.9**2 / (2.0 * 7.62)) < 1e-12
+
+    def test_degenerate_groups(self):
+        out = self._ctx().sql(
+            "SELECT g, regr_count(y, x) n, regr_slope(y, x) m,"
+            " regr_r2(y, x) r2, regr_avgx(y, x) ax"
+            " FROM p GROUP BY g ORDER BY g"
+        ).to_pylist()
+        # b: vertical line (sxx = 0) -> slope/r2 NULL; c: all-NULL x
+        assert [r["n"] for r in out] == [3, 2, 0]
+        assert out[1]["m"] is None and out[1]["r2"] is None
+        assert out[2]["m"] is None and out[2]["ax"] is None
+
+    def test_perfect_fit_r2_and_filter(self):
+        out = self._ctx().sql(
+            "SELECT regr_r2(y, x) r2,"
+            " regr_count(y, x) FILTER (WHERE g = 'a') nf"
+            " FROM p WHERE g = 'b'"
+        ).to_pylist()[0]
+        # constant x -> NULL r2 even though syy > 0
+        assert out["r2"] is None and out["nf"] == 0
+
+
+class TestSqlSurfacePack3:
+    """GROUP BY ALL, ORDER BY <aggregate>, agg-internal ORDER BY,
+    NATURAL JOIN, WINDOW clause, DISTINCT ON — the DataFusion surface
+    the round-2 probe found missing."""
+
+    def _ctx(self):
+        import pyarrow as pa
+
+        c = SessionContext()
+        c.register_table(
+            "t",
+            pa.table(
+                {
+                    "g": ["a", "a", "b", "c", "b", "b"],
+                    "v": [1, 3, 2, 9, 5, 1],
+                    "s": ["x", "w", None, "q", "z", "m"],
+                }
+            ),
+        )
+        return c
+
+    def test_order_by_aggregate_not_in_select(self):
+        c = self._ctx()
+        got = c.sql(
+            "SELECT g FROM t GROUP BY g ORDER BY count(*) DESC, g"
+        )
+        assert got.to_pylist_column(0) == ["b", "a", "c"]
+        assert got.column_names == ["g"]
+        got = c.sql(
+            "SELECT g FROM t GROUP BY g ORDER BY sum(v) * -1, min(s)"
+        ).to_pylist_column(0)
+        assert got == ["c", "b", "a"]
+
+    def test_order_by_aggregate_present_in_select(self):
+        c = self._ctx()
+        got = c.sql(
+            "SELECT g, count(*) AS n FROM t GROUP BY g"
+            " ORDER BY count(*) DESC, g"
+        )
+        assert got.column_names == ["g", "n"]
+        assert got.to_pylist_column(1) == [3, 2, 1]
+
+    def test_group_by_all(self):
+        c = self._ctx()
+        got = c.sql(
+            "SELECT g, sum(v) AS sv FROM t GROUP BY ALL ORDER BY g"
+        ).to_pylist()
+        assert [(r["g"], r["sv"]) for r in got] == [
+            ("a", 4), ("b", 8), ("c", 9),
+        ]
+        got = c.sql(
+            "SELECT v % 2 AS p, count(*) FROM t GROUP BY ALL ORDER BY p"
+        ).to_pylist()
+        assert [r["p"] for r in got] == [0, 1]
+
+    def test_agg_internal_order_by(self):
+        c = self._ctx()
+        got = c.sql(
+            "SELECT g, array_agg(v ORDER BY v DESC) a FROM t"
+            " GROUP BY g ORDER BY g"
+        ).to_pylist()
+        assert [list(r["a"]) for r in got] == [[3, 1], [5, 2, 1], [9]]
+        got = c.sql(
+            "SELECT string_agg(s, '-' ORDER BY v) x FROM t WHERE g = 'b'"
+        ).to_pylist_column(0)
+        assert got == ["m-z"]  # NULL s dropped; v order 1,2,5
+        got = c.sql(
+            "SELECT first_value(s ORDER BY v DESC) f,"
+            " last_value(v ORDER BY s NULLS FIRST) l FROM t WHERE g = 'b'"
+        ).to_pylist()[0]
+        assert got["f"] == "z" and got["l"] == 5
+
+    def test_agg_order_by_rejected_for_plain_aggs(self):
+        c = self._ctx()
+        with pytest.raises(PlanError):
+            c.sql("SELECT sum(v ORDER BY v) FROM t")
+
+    def test_natural_join(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE a AS SELECT value AS k, value * 10 AS x"
+              " FROM generate_series(1, 3)")
+        c.sql("CREATE TABLE b AS SELECT value AS k, value * 100 AS y"
+              " FROM generate_series(2, 4)")
+        got = c.sql("SELECT * FROM a NATURAL JOIN b ORDER BY k")
+        assert got.column_names == ["k", "x", "y"]
+        assert got.to_pylist() == [
+            {"k": 2, "x": 20, "y": 200},
+            {"k": 3, "x": 30, "y": 300},
+        ]
+        got = c.sql("SELECT * FROM a NATURAL LEFT JOIN b ORDER BY k")
+        assert got.to_pylist_column(0) == [1, 2, 3]
+        assert got.to_pylist()[0]["y"] is None
+
+    def test_window_clause(self):
+        c = self._ctx()
+        got = c.sql(
+            "SELECT g, v, sum(v) OVER w AS rs, row_number() OVER w AS rn"
+            " FROM t WINDOW w AS (PARTITION BY g ORDER BY v)"
+            " ORDER BY g, v"
+        ).to_pylist()
+        assert [r["rs"] for r in got] == [1, 4, 1, 3, 8, 9]
+        assert [r["rn"] for r in got] == [1, 2, 1, 2, 3, 1]
+        with pytest.raises(PlanError):
+            c.sql("SELECT sum(v) OVER nope FROM t")
+
+    def test_distinct_on(self):
+        c = self._ctx()
+        got = c.sql(
+            "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC"
+        ).to_pylist()
+        assert got == [
+            {"g": "a", "v": 3}, {"g": "b", "v": 5}, {"g": "c", "v": 9},
+        ]
+        # no ORDER BY: first row per key in input order
+        got = c.sql("SELECT DISTINCT ON (g) g, v FROM t").to_pylist()
+        assert sorted((r["g"], r["v"]) for r in got) == [
+            ("a", 1), ("b", 2), ("c", 9),
+        ]

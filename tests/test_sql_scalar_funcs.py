@@ -540,3 +540,113 @@ class TestMathFuncPack:
         assert [r["nv"] for r in out] == [1, 0, -3]
         assert [r["z"] for r in out] == [True, None, False]
         assert [r["n"] for r in out] == [False, None, False]
+
+
+class TestScalarFuncPack2:
+    """The long tail of DataFusion's scalar library (math/string/hash/
+    binary-encoding families)."""
+
+    def test_inverse_hyperbolic_and_random(self, ctx):
+        import math
+
+        out = ctx.sql(
+            "SELECT acosh(1.0) AS ac, asinh(1.0) AS asn, atanh(0.5) AS at,"
+            " random() AS r, uuid() AS u"
+        ).to_pylist()[0]
+        assert out["ac"] == 0.0
+        assert out["asn"] == pytest.approx(math.asinh(1.0))
+        assert out["at"] == pytest.approx(math.atanh(0.5))
+        assert 0.0 <= out["r"] < 1.0
+        assert len(out["u"]) == 36 and out["u"].count("-") == 4
+
+    def test_nvl2(self, ctx):
+        out = ctx.sql(
+            "SELECT nvl2(v, 'has', 'null') AS x FROM t ORDER BY g, v"
+        ).to_pylist_column(0)
+        assert out == ["has", "null", "has"]
+
+    def test_string_pack(self, ctx):
+        out = ctx.sql(
+            "SELECT contains('alphabet', 'pha') AS c,"
+            " find_in_set('b', 'a,b,c') AS f,"
+            " levenshtein('kitten', 'sitting') AS lv,"
+            " substr_index('www.apache.org', '.', 2) AS s1,"
+            " substr_index('www.apache.org', '.', -1) AS s2,"
+            " bit_length('abc') AS bl"
+        ).to_pylist()[0]
+        assert list(out.values()) == [
+            True, 2, 3, "www.apache", "org", 24,
+        ]
+
+    def test_hashes_and_encode_decode(self, ctx):
+        import hashlib
+
+        out = ctx.sql(
+            "SELECT sha256('x') AS h, digest('x', 'sha1') AS d,"
+            " encode('hi', 'hex') AS eh, decode('6869', 'hex') AS dh,"
+            " decode(encode('hi', 'base64'), 'base64') AS rt"
+        ).to_pylist()[0]
+        assert out["h"] == hashlib.sha256(b"x").hexdigest()
+        assert out["d"] == hashlib.sha1(b"x").hexdigest()
+        assert out["eh"] == "6869" and out["dh"] == "hi" and out["rt"] == "hi"
+
+    def test_regexp_match(self, ctx):
+        got = ctx.sql(
+            "SELECT regexp_match('aBc', '(b)', 'i') AS m,"
+            " regexp_match('abc', 'z') AS n"
+        ).to_pylist()[0]
+        assert list(got["m"]) == ["B"]
+        assert got["n"] is None
+
+    def test_null_propagation(self, ctx):
+        out = ctx.sql(
+            "SELECT levenshtein(s, 'x') AS lv, contains(s, 'o') AS c"
+            " FROM t WHERE s IS NULL"
+        ).to_pylist()[0]
+        assert out["lv"] is None and out["c"] is None
+
+
+class TestTableFunctions:
+    """FROM-clause table functions (DataFusion functions-table)."""
+
+    def test_generate_series_inclusive(self):
+        c = SessionContext()
+        assert c.sql(
+            "SELECT * FROM generate_series(1, 5)"
+        ).to_pylist_column(0) == [1, 2, 3, 4, 5]
+        assert c.sql(
+            "SELECT * FROM generate_series(4)"
+        ).to_pylist_column(0) == [0, 1, 2, 3, 4]
+
+    def test_range_exclusive_and_step(self):
+        c = SessionContext()
+        assert c.sql("SELECT * FROM range(1, 5)").to_pylist_column(0) == [
+            1, 2, 3, 4,
+        ]
+        assert c.sql(
+            "SELECT * FROM generate_series(10, 2, -3) t"
+        ).to_pylist_column(0) == [10, 7, 4]
+
+    def test_alias_join_and_aggregate(self):
+        c = SessionContext()
+        assert c.sql(
+            "SELECT sum(g.value) FROM generate_series(1, 100) g"
+        ).to_pylist_column(0) == [5050]
+        out = c.sql(
+            "SELECT a.value, b.value FROM range(0, 2) a"
+            " JOIN range(0, 2) b ON a.value = b.value ORDER BY 1"
+        )
+        assert out.column_np(0).tolist() == [0, 1]
+        assert out.column_np(1).tolist() == [0, 1]
+        assert c.sql(
+            "SELECT n FROM generate_series(1, 3) t(n) WHERE n > 1 ORDER BY n"
+        ).to_pylist_column(0) == [2, 3]
+
+    def test_errors(self):
+        c = SessionContext()
+        with pytest.raises(PlanError):
+            c.sql("SELECT * FROM generate_series(5, 1)")
+        with pytest.raises(PlanError):
+            c.sql("SELECT * FROM range(1, 5, 0)")
+        with pytest.raises(PlanError):
+            c.sql("SELECT * FROM nosuch_table_func(1)")

@@ -181,3 +181,73 @@ class TestIntervalArithmetic:
     def test_calendar_units_rejected(self, ctx):
         with pytest.raises(PlanError, match="calendar"):
             ctx.sql("SELECT ts + INTERVAL '1' MONTH FROM t")
+
+
+class TestTemporalPack2:
+    """from_unixtime/to_unixtime/make_date/to_char/date_bin — the rest of
+    DataFusion's datetime library."""
+
+    def test_unixtime_roundtrip(self):
+        c = SessionContext()
+        out = c.sql(
+            "SELECT from_unixtime(0) AS f,"
+            " to_unixtime(to_timestamp('2001-09-09 01:46:40')) AS u"
+        ).to_pylist()[0]
+        assert str(out["f"]).startswith("1970-01-01")
+        assert out["u"] == 1_000_000_000
+
+    def test_make_date_and_to_char(self):
+        c = SessionContext()
+        out = c.sql(
+            "SELECT make_date(2024, 2, 29) AS d,"
+            " to_char(make_date(2023, 3, 1), '%d-%m-%Y') AS s,"
+            " date_format(to_timestamp('2023-03-01 12:34:56'), '%H:%M') AS f"
+        ).to_pylist()[0]
+        assert str(out["d"]) == "2024-02-29"
+        assert out["s"] == "01-03-2023"
+        assert out["f"] == "12:34"
+
+    def test_make_date_invalid(self):
+        c = SessionContext()
+        with pytest.raises(ExecutionError):
+            c.sql("SELECT make_date(2023, 2, 30)")
+
+    def test_date_bin(self):
+        c = SessionContext()
+        out = c.sql(
+            "SELECT date_bin(INTERVAL '15 minutes',"
+            " to_timestamp('2023-01-01 12:37:21')) AS b,"
+            " date_bin(INTERVAL '1 hour',"
+            " to_timestamp('2023-01-01 12:37:00'),"
+            " to_timestamp('2023-01-01 00:30:00')) AS o"
+        ).to_pylist()[0]
+        assert str(out["b"]) == "2023-01-01 12:30:00"
+        assert str(out["o"]) == "2023-01-01 12:30:00"
+
+    def test_date_bin_groups(self):
+        c = SessionContext()
+        c.sql(
+            "CREATE TABLE ev AS SELECT"
+            " to_timestamp('2023-01-01 00:00:00')"
+            " + value * INTERVAL '20 minutes' AS ts,"
+            " value AS v FROM generate_series(0, 5)"
+        )
+        out = c.sql(
+            "SELECT date_bin(INTERVAL '1 hour', ts) AS h, count(*) AS n"
+            " FROM ev GROUP BY 1 ORDER BY 1"
+        ).to_pylist()
+        assert [r["n"] for r in out] == [3, 3]
+
+    def test_aliases_and_local_time(self):
+        c = SessionContext()
+        out = c.sql(
+            "SELECT datepart('month', to_date('2023-03-15')) AS m,"
+            " datetrunc('year', to_date('2023-03-15')) AS y,"
+            " to_local_time(to_timestamp('2023-01-01 05:00:00')) AS lt,"
+            " today() AS td, current_time AS ct"
+        ).to_pylist()[0]
+        assert out["m"] == 3
+        assert str(out["y"]).startswith("2023-01-01")
+        assert str(out["lt"]) == "2023-01-01 05:00:00"
+        assert str(out["td"]) == str(out["td"])[:10]
+        assert len(str(out["ct"]).split(":")) == 3
