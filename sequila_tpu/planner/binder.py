@@ -1227,6 +1227,11 @@ class Binder:
         def go(node: ast.SqlExpr) -> pe.PhysicalExpr:
             if isinstance(node, ast.Lit):
                 return pe.Literal(node.value)
+            if isinstance(node, ast.Param):
+                raise PlanError(
+                    f"parameter ${node.index} is unbound; run via "
+                    "PREPARE ... / EXECUTE name(values)"
+                )
             if isinstance(node, ast.Interval):
                 return pe.Literal(_parse_interval(node.value, node.unit))
             if isinstance(node, ast.ColRef):
@@ -1309,6 +1314,33 @@ class Binder:
                     raise PlanError(
                         f"aggregate function {node.name} not allowed in this context"
                     )
+                if node.name == "arrow_cast":
+                    # arrow_cast(expr, 'Type') — DataFusion's typed cast;
+                    # arrow type names map onto the engine's SQL casts
+                    if len(node.args) != 2 or not (
+                        isinstance(node.args[1], ast.Lit)
+                        and isinstance(node.args[1].value, str)
+                    ):
+                        raise PlanError(
+                            "arrow_cast takes (expr, 'ArrowType' literal)"
+                        )
+                    t = node.args[1].value.strip()
+                    base = t.split("(", 1)[0].lower()
+                    mapped = {
+                        "int8": "INT", "int16": "INT", "int32": "INT",
+                        "int64": "INT", "uint8": "INT", "uint16": "INT",
+                        "uint32": "INT", "uint64": "INT",
+                        "float16": "FLOAT", "float32": "FLOAT",
+                        "float64": "FLOAT",
+                        "utf8": "VARCHAR", "largeutf8": "VARCHAR",
+                        "utf8view": "VARCHAR",
+                        "boolean": "BOOLEAN",
+                        "date32": "DATE", "date64": "DATE",
+                        "timestamp": "TIMESTAMP",
+                    }.get(base)
+                    if mapped is None:
+                        raise PlanError(f"arrow_cast: unsupported type {t!r}")
+                    return pe.CastExpr(go(node.args[0]), mapped)
                 if node.name in pe.SCALAR_FUNCS:
                     if node.star or node.distinct:
                         raise PlanError(
@@ -1355,12 +1387,22 @@ class Binder:
 
     def _expand_star(self, item: ast.SelectItem, schema):
         star: ast.Star = item.expr
+        excl = {e.lower() for e in star.exclude}
+        matched = set()
         out = []
         for i, (qual, name) in enumerate(schema):
             if star.qualifier is None or (
                 qual is not None and qual.lower() == star.qualifier.lower()
             ):
+                if name.lower() in excl:
+                    matched.add(name.lower())
+                    continue
                 out.append((pe.Column(name, i), name, qual))
+        missing = excl - matched
+        if missing:
+            raise PlanError(
+                f"EXCLUDE column(s) not found: {', '.join(sorted(missing))}"
+            )
         if not out:
             raise PlanError(f"no columns match {star.qualifier}.*")
         return out
@@ -1405,7 +1447,7 @@ class Binder:
                     exprs.append(col_expr)
                     names.append(name)
                     quals.append(qual)
-                if item.expr.qualifier is not None:
+                if item.expr.qualifier is not None or item.expr.exclude:
                     all_star = False
             else:
                 all_star = False

@@ -867,6 +867,10 @@ SCALAR_FUNC_ARITY = {
     "array_contains": (2, 2), "array_has": (2, 2),
     "array_position": (2, 2),
     "array_to_string": (2, 3), "string_to_array": (2, 3),
+    # structs (DataFusion's struct library; cells are python dicts in
+    # object arrays, arrow struct columns at the boundaries)
+    "struct": (1, None), "named_struct": (2, None), "row": (1, None),
+    "get_field": (2, 2),
 }
 
 
@@ -1207,6 +1211,8 @@ class ScalarFuncExpr(PhysicalExpr):
             return _elementwise(alen, vals, num_rows, skip_null=False)
         if name in ("array_element", "list_element"):
             def elem(v, i):
+                if isinstance(v, dict):  # struct['field'] access
+                    return v.get(str(i))
                 lst = _as_list(v)
                 if lst is None or i is None or (
                     isinstance(i, float) and i != i
@@ -1478,6 +1484,47 @@ class ScalarFuncExpr(PhysicalExpr):
                 return b.decode("utf-8", "replace")
 
             return _elementwise(dec, vals, num_rows)
+        if name in ("struct", "row"):
+            # positional fields are named c0..cN (DataFusion convention)
+            def mk(*row):
+                return {
+                    f"c{i}": (
+                        None if (isinstance(v, float) and v != v)
+                        else _unbox_py(v)
+                    )
+                    for i, v in enumerate(row)
+                }
+
+            return _elementwise(mk, vals, num_rows, skip_null=False, boxed=True)
+        if name == "named_struct":
+            if len(vals) % 2 != 0:
+                raise ExecutionError(
+                    "named_struct takes (name, value) pairs"
+                )
+            for a in self.args[0::2]:
+                if not (isinstance(a, Literal) and isinstance(a.value, str)):
+                    raise ExecutionError(
+                        "named_struct field names must be string literals"
+                    )
+
+            def mkn(*row):
+                return {
+                    str(row[i]): (
+                        None
+                        if (isinstance(row[i + 1], float) and row[i + 1] != row[i + 1])
+                        else _unbox_py(row[i + 1])
+                    )
+                    for i in range(0, len(row), 2)
+                }
+
+            return _elementwise(mkn, vals, num_rows, skip_null=False, boxed=True)
+        if name == "get_field":
+            def gf(v, k):
+                if not isinstance(v, dict):
+                    return None
+                return v.get(str(k))
+
+            return _elementwise(gf, vals, num_rows, skip_null=False, boxed=True)
         if name == "arrow_typeof":
             # debugging aid: report the evaluated numpy dtype as the
             # closest arrow type name (the engine's columns are arrow-

@@ -114,6 +114,7 @@ class SessionContext:
         self.catalog: dict[str, Table] = {}
         self.views: dict[str, ast.Select] = {}  # values: Select | Union
         self.datafusion_options: dict[str, str] = {}
+        self.prepared: dict[str, ast.Prepare] = {}
         self.last_metrics = None
         # in-flight view names, shared across Binder instances so cycles
         # through set-operation views are detected (binder.py _scan)
@@ -322,7 +323,29 @@ class SessionContext:
         if isinstance(stmt, ast.SetStmt):
             self._handle_set(stmt)
             return None
+        if isinstance(stmt, ast.Prepare):
+            self.prepared[stmt.name] = stmt
+            return None
+        if isinstance(stmt, ast.ExecuteStmt):
+            prep = self.prepared.get(stmt.name)
+            if prep is None:
+                raise PlanError(f"prepared statement '{stmt.name}' not found")
+            if prep.types and len(stmt.values) != len(prep.types):
+                raise PlanError(
+                    f"prepared statement '{stmt.name}' expects "
+                    f"{len(prep.types)} parameters, got {len(stmt.values)}"
+                )
+            return self._execute_statement(
+                ast.substitute_params(prep.stmt, stmt.values)
+            )
+        if isinstance(stmt, ast.Deallocate):
+            if stmt.name not in self.prepared:
+                raise PlanError(f"prepared statement '{stmt.name}' not found")
+            del self.prepared[stmt.name]
+            return None
         if isinstance(stmt, ast.CreateExternalTable):
+            if stmt.if_not_exists and stmt.name.lower() in self.catalog:
+                return None
             schema = (
                 pa.schema([pa.field(c.name, _SQL_TYPES.get(c.type_name, pa.string()))
                            for c in stmt.columns])
@@ -343,9 +366,13 @@ class SessionContext:
             self.catalog[stmt.name.lower()] = t
             return None
         if isinstance(stmt, ast.CreateTableValues):
+            if stmt.if_not_exists and stmt.name.lower() in self.catalog:
+                return None
             self.catalog[stmt.name.lower()] = self._values_table(stmt)
             return None
         if isinstance(stmt, ast.CreateTableAsSelect):
+            if stmt.if_not_exists and stmt.name.lower() in self.catalog:
+                return None
             self.catalog[stmt.name.lower()] = self._run_query(stmt.select)
             return None
         if isinstance(stmt, ast.CreateView):

@@ -70,6 +70,7 @@ class GroupingSets(SqlExpr):
 @dataclasses.dataclass(frozen=True)
 class Star(SqlExpr):
     qualifier: Optional[str] = None
+    exclude: tuple = ()  # SELECT * EXCLUDE/EXCEPT (cols) — DataFusion
 
 
 @dataclasses.dataclass(frozen=True)
@@ -270,6 +271,7 @@ class CreateExternalTable(Statement):
     fmt: str  # csv | parquet | bed
     location: str
     options: dict[str, str]
+    if_not_exists: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -277,12 +279,14 @@ class CreateTableValues(Statement):
     name: str
     columns: tuple[ColumnDef, ...]
     rows: tuple[tuple[Any, ...], ...]
+    if_not_exists: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
 class CreateTableAsSelect(Statement):
     name: str
     select: Select
+    if_not_exists: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -343,3 +347,59 @@ class CopyTo(Statement):
 
     source: object  # str table name or Select
     path: str
+
+
+@dataclasses.dataclass(frozen=True)
+class Param(SqlExpr):
+    """$n placeholder — substituted by EXECUTE (DataFusion PREPARE)."""
+
+    index: int  # 1-based
+
+
+@dataclasses.dataclass(frozen=True)
+class Prepare(Statement):
+    name: str
+    types: tuple  # declared parameter type names (informational)
+    stmt: object  # the prepared Statement/Select AST
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecuteStmt(Statement):
+    name: str
+    values: tuple  # literal argument values
+
+
+@dataclasses.dataclass(frozen=True)
+class Deallocate(Statement):
+    name: str
+
+
+def substitute_params(node, values: tuple):
+    """Replace every Param($n) in a statement tree with Lit(values[n-1]).
+
+    Generic frozen-dataclass walker: the whole AST is dataclasses, tuples
+    and scalars, so EXECUTE needs no per-node code (DataFusion does the
+    equivalent substitution on the logical plan)."""
+    if isinstance(node, Param):
+        if not 1 <= node.index <= len(values):
+            from sequila_tpu.errors import PlanError
+
+            raise PlanError(
+                f"no value for parameter ${node.index} "
+                f"({len(values)} supplied)"
+            )
+        return Lit(values[node.index - 1])
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            nv = substitute_params(v, values)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(node, **changes) if changes else node
+    if isinstance(node, tuple):
+        out = tuple(substitute_params(x, values) for x in node)
+        return out if any(a is not b for a, b in zip(out, node)) else node
+    if isinstance(node, list):
+        return [substitute_params(x, values) for x in node]
+    return node

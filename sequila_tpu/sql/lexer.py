@@ -19,6 +19,7 @@ TOKEN_RE = re.compile(
   | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<param>\$\d+)
   | (?P<op><>|!=|<=|>=|<|>|=|\|\||::)
   | (?P<punct>[(),.;*+\-/%\[\]])
     """,

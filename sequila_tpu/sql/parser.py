@@ -22,6 +22,54 @@ _KEYWORDS_STOP = {
 }
 
 
+def _similar_to_regex(p: str) -> str:
+    """SQL SIMILAR TO pattern -> anchored Python regex: % -> .*, _ -> .,
+    the standard's regex operators pass through, everything else is
+    literal (notably '.'); backslash escapes the next character."""
+    import re as _re
+
+    out = []
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if c == "\\" and i + 1 < len(p):
+            out.append(_re.escape(p[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c in "|*+?(){}[]":
+            out.append(c)
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _fold_const_int(e):
+    """Fold a literal integer arithmetic expression; None when not one."""
+    if isinstance(e, ast.Lit) and isinstance(e.value, (int, float)) and not isinstance(e.value, bool):
+        return int(e.value) if float(e.value).is_integer() else None
+    if isinstance(e, ast.Unary) and e.op == "-":
+        v = _fold_const_int(e.child)
+        return None if v is None else -v
+    if isinstance(e, ast.Binary):
+        lv, rv = _fold_const_int(e.left), _fold_const_int(e.right)
+        if lv is None or rv is None:
+            return None
+        if e.op == "+":
+            return lv + rv
+        if e.op == "-":
+            return lv - rv
+        if e.op == "*":
+            return lv * rv
+        if e.op == "/" and rv != 0 and lv % rv == 0:
+            return lv // rv
+    return None
+
+
 def _strip_trailing(node):
     """Pull trailing ORDER BY / LIMIT / OFFSET off the right-most branch
     of a set-operation chain: parse_select consumes them into the LAST
@@ -101,6 +149,11 @@ class Parser:
         if self.at_kw("EXPLAIN"):
             self.next()
             analyze = self.eat_kw("ANALYZE")
+            self.eat_kw("VERBOSE")  # accepted; the plan display is single-level
+            if self.eat_kw("FORMAT"):
+                fmt = self.next().upper
+                if fmt not in ("INDENT", "TREE"):
+                    raise PlanError(f"unsupported EXPLAIN format: {fmt}")
             return ast.Explain(self.parse_query(), analyze)
         if self.at_kw("SELECT"):
             return self.parse_select_or_union()
@@ -158,6 +211,30 @@ class Parser:
             self.expect_kw("TO")
             path = self.expect("string").value
             return ast.CopyTo(src, path)
+        if self.eat_kw("PREPARE"):
+            name = self.next().value.lower()
+            types: list[str] = []
+            if self.at("punct", "("):  # optional declared parameter types
+                self.next()
+                while not self.eat("punct", ")"):
+                    types.append(self.next().value.upper())
+                    self.eat("punct", ",")
+            self.expect_kw("AS")
+            return ast.Prepare(name, tuple(types), self.parse_statement())
+        if self.eat_kw("EXECUTE"):
+            name = self.next().value.lower()
+            values: list = []
+            if self.at("punct", "("):
+                self.next()
+                while not self.eat("punct", ")"):
+                    neg = self.eat("punct", "-")
+                    v = self.parse_literal_value()
+                    values.append(-v if neg else v)
+                    self.eat("punct", ",")
+            return ast.ExecuteStmt(name, tuple(values))
+        if self.eat_kw("DEALLOCATE"):
+            self.eat_kw("PREPARE")
+            return ast.Deallocate(self.next().value.lower())
         raise PlanError(f"unsupported statement start: {self.peek().value!r}")
 
     # -- SET ----------------------------------------------------------------
@@ -176,6 +253,14 @@ class Parser:
         raise PlanError(f"bad SET value: {t.value!r}")
 
     # -- CREATE -------------------------------------------------------------
+    def _parse_const_int(self, what: str) -> int:
+        """LIMIT/OFFSET operand: a constant integer expression
+        (DataFusion folds LIMIT 1+1 the same way)."""
+        v = _fold_const_int(self.parse_expr())
+        if v is None or v < 0:
+            raise PlanError(f"{what} must be a non-negative integer constant")
+        return v
+
     def parse_column_names(self) -> list[str]:
         self.expect("punct", "(")
         out = []
@@ -201,9 +286,11 @@ class Parser:
             return ast.CreateView(name, self.parse_select_or_union(), or_replace)
         external = self.eat_kw("EXTERNAL")
         self.expect_kw("TABLE")
-        self.eat_kw("IF")  # IF NOT EXISTS
-        self.eat_kw("NOT")
-        self.eat_kw("EXISTS")
+        if_not_exists = False
+        if self.eat_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            if_not_exists = True
         name = self.parse_object_name()
         columns: list[ast.ColumnDef] = []
         if self.at("punct", "("):
@@ -224,8 +311,15 @@ class Parser:
                     v = self.next().value
                     options[k.strip("'")] = v
                     self.eat("punct", ",")
-            return ast.CreateExternalTable(name, tuple(columns), fmt, location, options)
+            return ast.CreateExternalTable(
+                name, tuple(columns), fmt, location, options, if_not_exists
+            )
 
+        if columns and not self.at_kw("AS"):
+            # CREATE TABLE t (cols): an empty typed table (DataFusion)
+            return ast.CreateTableValues(
+                name, tuple(columns), (), if_not_exists
+            )
         self.expect_kw("AS")
         if self.eat_kw("VALUES"):
             rows = []
@@ -238,9 +332,13 @@ class Parser:
                 rows.append(tuple(row))
                 if not self.eat("punct", ","):
                     break
-            return ast.CreateTableValues(name, tuple(columns), tuple(rows))
+            return ast.CreateTableValues(
+                name, tuple(columns), tuple(rows), if_not_exists
+            )
         if self.at_kw("SELECT"):
-            return ast.CreateTableAsSelect(name, self.parse_select_or_union())
+            return ast.CreateTableAsSelect(
+                name, self.parse_select_or_union(), if_not_exists
+            )
         raise PlanError("expected VALUES or SELECT after AS")
 
     def parse_column_defs(self) -> list[ast.ColumnDef]:
@@ -297,6 +395,8 @@ class Parser:
     def parse_select(self) -> ast.Select:
         self.expect_kw("SELECT")
         distinct = self.eat_kw("DISTINCT")
+        if not distinct:
+            self.eat_kw("ALL")  # SELECT ALL — the explicit default
         distinct_on: list = []
         if distinct and self.eat_kw("ON"):
             # Postgres DISTINCT ON (exprs): first row per key
@@ -415,9 +515,9 @@ class Parser:
         limit = None
         offset = 0
         if self.eat_kw("LIMIT"):
-            limit = int(self.expect("number").value)
+            limit = self._parse_const_int("LIMIT")
         if self.eat_kw("OFFSET"):
-            offset = int(self.expect("number").value)
+            offset = self._parse_const_int("OFFSET")
         return ast.Select(
             tuple(items), tuple(from_tables), tuple(joins), where,
             tuple(group_by), tuple(order_by), limit, distinct, having,
@@ -582,10 +682,29 @@ class Parser:
             return alias, tuple(self.parse_column_names())
         return (alias, None) if allow_columns else alias
 
+    def _parse_star_modifiers(self) -> tuple:
+        """* EXCLUDE (c1, c2) / * EXCEPT (c1) — DataFusion wildcard
+        options.  EXCEPT followed by ( SELECT stays a set operation."""
+        if (
+            (self.at_kw("EXCLUDE") or self.at_kw("EXCEPT"))
+            and self.peek(1).kind == "punct"
+            and self.peek(1).value == "("
+            and self.peek(2).upper != "SELECT"
+        ):
+            self.next()
+            cols = tuple(self.parse_column_names())
+            if not cols:
+                raise PlanError("EXCLUDE requires at least one column")
+            return cols
+        if self.at_kw("EXCLUDE") and self.peek(1).kind in ("ident", "qident"):
+            self.next()
+            return (self.next().value,)
+        return ()
+
     def parse_select_item(self) -> ast.SelectItem:
         if self.at("punct", "*"):
             self.next()
-            return ast.SelectItem(ast.Star(), None)
+            return ast.SelectItem(ast.Star(exclude=self._parse_star_modifiers()), None)
         # qualified star: ident . *
         if (
             self.peek().kind in ("ident", "qident")
@@ -597,7 +716,9 @@ class Parser:
             q = self.next().value
             self.next()
             self.next()
-            return ast.SelectItem(ast.Star(q), None)
+            return ast.SelectItem(
+                ast.Star(q, exclude=self._parse_star_modifiers()), None
+            )
         expr = self.parse_expr()
         alias = None
         if self.eat_kw("AS"):
@@ -732,6 +853,22 @@ class Parser:
             ci = self.peek().upper == "ILIKE"
             self.next()
             return ast.Like(left, self.parse_concat(), negated, ci)
+        if self.at_kw("SIMILAR") or (
+            self.at_kw("NOT") and self.peek(1).upper == "SIMILAR"
+        ):
+            # [NOT] SIMILAR TO: SQL regex — %/_ wildcards plus the
+            # | * + ? ( ) [ ] { } operators, full-match anchored;
+            # desugars to regexp_like with a translated pattern
+            negated = self.eat_kw("NOT")
+            self.expect_kw("SIMILAR")
+            self.expect_kw("TO")
+            pat = self.parse_concat()
+            if not (isinstance(pat, ast.Lit) and isinstance(pat.value, str)):
+                raise PlanError("SIMILAR TO pattern must be a string literal")
+            node = ast.Func(
+                "regexp_like", (left, ast.Lit(_similar_to_regex(pat.value)))
+            )
+            return ast.Unary("NOT", node) if negated else node
         if self.at_kw("IN") or (self.at_kw("NOT") and self.peek(1).upper == "IN"):
             negated = self.eat_kw("NOT")
             self.expect_kw("IN")
@@ -799,6 +936,9 @@ class Parser:
         if t.kind == "string":
             self.next()
             return ast.Lit(t.value)
+        if t.kind == "param":
+            self.next()
+            return ast.Param(int(t.value[1:]))
         if self.eat("punct", "("):
             if self.at_kw("SELECT"):
                 sub = self.parse_select()

@@ -245,3 +245,42 @@ class TestShowStatements:
     def test_version_function(self):
         out = self._ctx().sql("SELECT version()").to_pylist_column(0)
         assert out[0].startswith("sequila-tpu ")
+
+
+class TestCreateTableDefsAndPrepare:
+    """Empty typed CREATE TABLE, IF NOT EXISTS, PREPARE/EXECUTE."""
+
+    def test_create_empty_typed_table(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE e (x INTEGER, y TEXT)")
+        t = c.sql("SELECT * FROM e")
+        assert t.column_names == ["x", "y"] and t.num_rows == 0
+        c.sql("INSERT INTO e VALUES (1, 'a')")
+        assert c.sql("SELECT count(*) FROM e").to_pylist_column(0) == [1]
+
+    def test_if_not_exists_skips(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE e AS VALUES (1)")
+        c.sql("CREATE TABLE IF NOT EXISTS e (z INTEGER)")
+        c.sql("CREATE TABLE IF NOT EXISTS e AS VALUES (2), (3)")
+        assert c.sql("SELECT count(*) FROM e").to_pylist_column(0) == [1]
+        c.sql("CREATE TABLE IF NOT EXISTS f AS SELECT * FROM e")
+        assert c.sql("SELECT count(*) FROM f").to_pylist_column(0) == [1]
+
+    def test_prepare_execute_deallocate(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES ('a', 1), ('b', 2), ('c', 3)")
+        c.sql("PREPARE q AS SELECT column1 FROM t WHERE column2 > $1"
+              " ORDER BY column1")
+        assert c.sql("EXECUTE q(1)").to_pylist_column(0) == ["b", "c"]
+        assert c.sql("EXECUTE q(2)").to_pylist_column(0) == ["c"]
+        c.sql("PREPARE q2 (INT, TEXT) AS SELECT count(*) FROM t"
+              " WHERE column2 = $1 OR column1 = $2")
+        assert c.sql("EXECUTE q2(1, 'c')").to_pylist_column(0) == [2]
+        c.sql("DEALLOCATE q")
+        with pytest.raises(PlanError):
+            c.sql("EXECUTE q(1)")
+        with pytest.raises(PlanError):
+            c.sql("EXECUTE q2(1)")  # arity mismatch vs declared types
+        with pytest.raises(PlanError):
+            c.sql("SELECT * FROM t WHERE column2 = $1")  # unbound

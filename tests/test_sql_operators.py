@@ -973,3 +973,87 @@ class TestSqlSurfacePack3:
         assert sorted((r["g"], r["v"]) for r in got) == [
             ("a", 1), ("b", 2), ("c", 9),
         ]
+
+
+class TestSqlSurfacePack4:
+    """arrow_cast, struct functions, star EXCLUDE/EXCEPT, SIMILAR TO,
+    LIMIT const-expressions, SELECT ALL, EXPLAIN VERBOSE."""
+
+    def _ctx(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES ('a', 1), ('b', 2), ('c', 3)")
+        return c
+
+    def test_arrow_cast(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT arrow_cast(column2, 'Float64') f,"
+            " arrow_cast('12', 'Int32') + 1 i,"
+            " arrow_cast(column2, 'Utf8') s FROM t LIMIT 1"
+        ).to_pylist()[0]
+        assert out["f"] == 1.0 and out["i"] == 13 and out["s"] == "1"
+        with pytest.raises(PlanError):
+            c.sql("SELECT arrow_cast(column2, 'Decimal256(10,2)') FROM t")
+
+    def test_struct_functions(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT struct(column1, column2) st,"
+            " named_struct('k', column1, 'v', column2) ns,"
+            " named_struct('k', column1, 'v', column2)['k'] kk,"
+            " get_field(struct(column2), 'c0') g FROM t ORDER BY column1"
+        ).to_pylist()
+        assert out[0]["st"] == {"c0": "a", "c1": 1}
+        assert out[1]["ns"] == {"k": "b", "v": 2}
+        assert [r["kk"] for r in out] == ["a", "b", "c"]
+        assert [r["g"] for r in out] == [1, 2, 3]
+        # struct columns round-trip through CTAS (arrow struct type)
+        c.sql("CREATE TABLE s2 AS SELECT named_struct('x', column2) st FROM t")
+        assert c.sql(
+            "SELECT st['x'] * 10 AS v FROM s2 ORDER BY 1"
+        ).to_pylist_column(0) == [10, 20, 30]
+
+    def test_star_exclude(self):
+        c = self._ctx()
+        assert c.sql(
+            "SELECT * EXCLUDE (column2) FROM t"
+        ).column_names == ["column1"]
+        assert c.sql(
+            "SELECT * EXCEPT (column1) FROM t"
+        ).column_names == ["column2"]
+        assert c.sql(
+            "SELECT t.* EXCLUDE column1 FROM t"
+        ).column_names == ["column2"]
+        with pytest.raises(PlanError):
+            c.sql("SELECT * EXCLUDE (nope) FROM t")
+        # set-operation EXCEPT is unaffected
+        got = c.sql(
+            "SELECT column1 FROM t EXCEPT SELECT 'a'"
+        ).to_pylist_column(0)
+        assert sorted(got) == ["b", "c"]
+
+    def test_similar_to(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE p AS VALUES ('abc'), ('a.c'), ('abcd'), ('xbc')")
+        run = lambda pat, neg="": sorted(
+            c.sql(
+                f"SELECT column1 FROM p WHERE column1 {neg}SIMILAR TO '{pat}'"
+            ).to_pylist_column(0)
+        )
+        assert run("ab%") == ["abc", "abcd"]
+        assert run("(a|x)bc") == ["abc", "xbc"]
+        assert run("a.c") == ["a.c"]  # '.' is literal in SIMILAR TO
+        assert run("_bc") == ["abc", "xbc"]
+        assert run("%bc%", neg="NOT ") == ["a.c"]
+
+    def test_limit_expressions_select_all_explain_verbose(self):
+        c = self._ctx()
+        assert c.sql("SELECT * FROM t LIMIT 1+1").num_rows == 2
+        assert c.sql(
+            "SELECT column2 FROM t ORDER BY column2 LIMIT 4/2 OFFSET 3-2"
+        ).to_pylist_column(0) == [2, 3]
+        assert c.sql("SELECT ALL column1 FROM t").num_rows == 3
+        plan = c.sql("EXPLAIN VERBOSE SELECT * FROM t").to_pylist_column(1)
+        assert any("Scan" in p for p in plan)
+        with pytest.raises(PlanError):
+            c.sql("SELECT * FROM t LIMIT column1")
