@@ -55,26 +55,54 @@ _PAIR_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
 _PAIR_CACHE_MAX = 4  # entries kept per probe table
 
 
-def _pair_cache_entry(a: Table, b: Table, cols_a, cols_b) -> dict:
-    """Per-(a, b, cols) memo of encoded keys and the build index.
+def _strand_key(table: Table, col: str, flip: bool = False):
+    """Strand column normalized for key folding.  ``flip`` swaps +/-
+    (opposite-strand matching); every other value ('.', NULL) passes
+    through and compares literally."""
+    import pyarrow.compute as pc
+
+    s = table.column(col)
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    if not flip:
+        return s
+    return pc.if_else(
+        pc.equal(s, "-"),
+        pa.scalar("+"),
+        pc.if_else(pc.equal(s, "+"), pa.scalar("-"), s),
+    )
+
+
+def _pair_cache_entry(a: Table, b: Table, cols_a, cols_b,
+                      strand=None, strand_col="strand") -> dict:
+    """Per-(a, b, cols, strand) memo of encoded keys and the build index.
 
     Arrow tables are immutable, so repeated dataframe verbs over the
     same pair (coverage then closest then count_overlaps ...) reuse the
     dictionary encoding and the level index instead of rebuilding them
     per call.  Weak-keyed on the probe table; the build table is
     held via weakref and checked by identity (id() alone could be a
-    reused address)."""
+    reused address).
+
+    ``strand='same'|'opposite'`` folds the strand column into the join
+    key (bedtools -s / -S): dictionary codes over (contig, strand)
+    tuples, so every kernel runs unchanged."""
+    if strand not in (None, "same", "opposite"):
+        raise ValueError("strand must be None, 'same' or 'opposite'")
     global _PAIR_CACHE
     if _PAIR_CACHE is None:
         _PAIR_CACHE = weakref.WeakKeyDictionary()
     per_a = _PAIR_CACHE.setdefault(a, {})
-    key = (id(b), tuple(cols_a), tuple(cols_b))
+    key = (id(b), tuple(cols_a), tuple(cols_b), strand, strand_col)
     hit = per_a.get(key)
     if hit is not None and hit["b_ref"]() is b:
         return hit
     ka, sa, ea = _prep(a, cols_a)
     kb, sb, eb = _prep(b, cols_b)
-    ca, cb, _ = encode_join_keys([ka], [kb])
+    keys_a, keys_b = [ka], [kb]
+    if strand is not None:
+        keys_a.append(_strand_key(a, strand_col, flip=strand == "opposite"))
+        keys_b.append(_strand_key(b, strand_col))
+    ca, cb, _ = encode_join_keys(keys_a, keys_b)
     entry = {
         "b_ref": weakref.ref(b),
         "ca": ca, "sa": sa, "ea": ea,
@@ -119,8 +147,9 @@ def _pair_index(entry: dict, to_device=None):
     return entry["index"]
 
 
-def _encode_pair(a: Table, b: Table, cols_a, cols_b):
-    e = _pair_cache_entry(a, b, cols_a, cols_b)
+def _encode_pair(a: Table, b: Table, cols_a, cols_b,
+                 strand=None, strand_col="strand"):
+    e = _pair_cache_entry(a, b, cols_a, cols_b, strand, strand_col)
     return e["ca"], e["sa"], e["ea"], e["cb"], e["sb"], e["eb"]
 
 
@@ -156,15 +185,15 @@ def _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry=None):
 
 
 def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
-            partitions: int = 1) -> Table:
+            partitions: int = 1, strand=None, strand_col: str = "strand") -> Table:
     """Inner overlap join: all (a_row ++ b_row) pairs with equal contig and
     end-inclusive range overlap.  b is the build side, a the probe side
     (probe order preserved).
 
     ``partitions > 1`` executes SPMD over a device mesh."""
     cols_b = cols_b or cols
-    entry = _pair_cache_entry(a, b, cols, cols_b)
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry)
     at = a.take(p_rows.astype(np.int64))
     bt = b.take(b_rows.astype(np.int64))
@@ -174,7 +203,8 @@ def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
 
 
 def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
-                   out_col: str = "count", partitions: int = 1) -> Table:
+                   out_col: str = "count", partitions: int = 1,
+                   strand=None, strand_col: str = "strand") -> Table:
     """a with an appended per-row count of overlapping b intervals — the
     intended semantics of the reference's CoitreesCountOverlaps algorithm
     (see SURVEY.md §2 item 9) and of superintervals `count`.
@@ -182,8 +212,8 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     ``partitions > 1`` executes SPMD over a device mesh (the engine's
     Partitioned mode; shrinks to the available devices)."""
     cols_b = cols_b or cols
-    entry = _pair_cache_entry(a, b, cols, cols_b)
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     mesh = _mesh(partitions)
     if mesh is not None:
         from sequila_tpu.parallel.partitioned_join import partitioned_probe_counts
@@ -207,13 +237,14 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     return Table(a.arrow.append_column(out_col, pa.array(counts.astype(np.int64))))
 
 
-def nearest(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
+def nearest(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
+            strand=None, strand_col: str = "strand") -> Table:
     """One row per a-row: first overlapping b interval, else the nearest;
     NULL b-side when a's contig is absent from b (the reference's
     CoitreesNearest semantics with build/probe sides swapped to 'enrich a')."""
     cols_b = cols_b or cols
-    entry = _pair_cache_entry(a, b, cols, cols_b)
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     if _use_host(a, b):
         rows = _pair_host_index(entry).nearest(ca, sa, ea).astype(np.int64)
     else:
@@ -231,13 +262,14 @@ def nearest(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Tabl
 
 
 def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
-            cols_b=None, dist_col: str = "distance") -> Table:
+            cols_b=None, dist_col: str = "distance",
+            strand=None, strand_col: str = "strand") -> Table:
     """k closest b intervals per a row (overlaps first, ties upstream
     first), with a distance column; rows with no same-contig b interval
     produce no output (bedtools `closest -k` flavor)."""
     cols_b = cols_b or cols
-    entry = _pair_cache_entry(a, b, cols, cols_b)
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     if k == 1:
         # vectorized: the nearest kernel (device) / host nearest — exactly
         # one candidate per a-row, rows with no same-contig b drop out
@@ -286,15 +318,15 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
 
 
 def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
-             partitions: int = 1) -> Table:
+             partitions: int = 1, strand=None, strand_col: str = "strand") -> Table:
     """a with appended (count, bases) of b-coverage per a interval —
     superintervals `coverage` semantics (reference superintervals.rs:802:
     bases = sum(min(end_i,qe) - max(start_i,qs))).
 
     ``partitions > 1`` executes SPMD over a device mesh."""
     cols_b = cols_b or cols
-    entry = _pair_cache_entry(a, b, cols, cols_b)
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     mesh = _mesh(partitions)
     if mesh is not None:
         from sequila_tpu.parallel.partitioned_join import partitioned_coverage
@@ -318,26 +350,31 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
 
 
 def cluster(a: Table, min_dist: int = 0, cols: tuple = DEFAULT_COLS,
-            out_col: str = "cluster") -> Table:
+            out_col: str = "cluster", strand: bool = False,
+            strand_col: str = "strand") -> Table:
     """a with an appended dense cluster id per row: rows whose intervals
     chain into one merged run (gaps <= min_dist) share an id (bedtools
-    cluster)."""
+    cluster; ``strand=True`` clusters per (contig, strand) — -s)."""
     keys, starts, ends = _prep(a, cols)
-    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    key_cols = [keys]
+    if strand:
+        key_cols.append(_strand_key(a, strand_col))
+    codes, _, _ = encode_join_keys(key_cols, [k.slice(0, 0) for k in key_cols])
     cids = genomic.cluster_intervals(codes, starts, ends, min_dist)
     return Table(a.arrow.append_column(out_col, pa.array(cids)))
 
 
 def map_overlaps(a: Table, b: Table, column: str, ops=("mean",),
                  cols: tuple = DEFAULT_COLS, cols_b=None,
-                 partitions: int = 1) -> Table:
+                 partitions: int = 1, strand=None,
+                 strand_col: str = "strand") -> Table:
     """a with appended aggregations of b.<column> over the b rows
     overlapping each a interval (bedtools map).  ``ops`` from
     count/sum/mean/min/max/median/collapse/distinct; empty groups yield
     NULL (count 0).  Output columns are named ``<column>_<op>``."""
     cols_b = cols_b or cols
-    entry = _pair_cache_entry(a, b, cols, cols_b)
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b)
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry)
     vals = b.column_np(column)[np.asarray(b_rows, np.int64)]
     agg = genomic.map_aggregate(p_rows, vals, a.num_rows, ops)
@@ -347,17 +384,83 @@ def map_overlaps(a: Table, b: Table, column: str, ops=("mean",),
     return Table(t)
 
 
-def merge(a: Table, min_dist: int = 0, cols: tuple = DEFAULT_COLS) -> Table:
-    """Union of intervals per contig (gaps <= min_dist joined)."""
+def merge(a: Table, min_dist: int = 0, cols: tuple = DEFAULT_COLS,
+          strand: bool = False, strand_col: str = "strand") -> Table:
+    """Union of intervals per contig (gaps <= min_dist joined).
+
+    ``strand=True`` merges per (contig, strand) and keeps the strand
+    column in the output (bedtools merge -s)."""
     keys, starts, ends = _prep(a, cols)
-    codes, _, _ = encode_join_keys([keys], [keys.slice(0, 0)])
+    key_cols = [keys]
+    if strand:
+        key_cols.append(_strand_key(a, strand_col))
+    codes, _, _ = encode_join_keys(key_cols, [k.slice(0, 0) for k in key_cols])
     mk, ms, me = genomic.merge_intervals(codes, starts, ends, min_dist)
     # decode contig codes back to values via first occurrence
     decode = _code_decoder(a, cols[0], codes)
+    arrays = [decode(mk), pa.array(ms.astype(np.int64)), pa.array(me.astype(np.int64))]
+    names = list(cols)
+    if strand:
+        arrays.append(_code_decoder(a, strand_col, codes)(mk))
+        names.append(strand_col)
+    return Table(pa.Table.from_arrays(arrays, names=names))
+
+
+def window(a: Table, b: Table, window: int = 0, left: int | None = None,
+           right: int | None = None, cols: tuple = DEFAULT_COLS,
+           cols_b=None, partitions: int = 1, strand=None,
+           strand_col: str = "strand") -> Table:
+    """bedtools window: all (a_row ++ b_row) pairs where b lies within
+    ``window`` bp of a (or asymmetric ``left``/``right`` margins); the
+    output keeps a's original coordinates — only the match predicate is
+    widened."""
+    cols_b = cols_b or cols
+    lw = window if left is None else left
+    rw = window if right is None else right
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
+    lim = np.int64(2**31)
+    sa2 = np.clip(np.asarray(sa, np.int64) - lw, -lim, lim - 1).astype(np.int32)
+    ea2 = np.clip(np.asarray(ea, np.int64) + rw, -lim, lim - 1).astype(np.int32)
+    b_rows, p_rows = _gather_pairs(a, b, ca, sa2, ea2, cb, sb, eb, partitions, entry)
+    at = a.take(p_rows.astype(np.int64))
+    bt = b.take(b_rows.astype(np.int64))
+    arrays = list(at.arrow.columns) + list(bt.arrow.columns)
+    names = at.column_names + [
+        f"{n}_b" if n in at.column_names else n for n in bt.column_names
+    ]
+    return Table(pa.Table.from_arrays(arrays, names=names))
+
+
+def reldist(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
+            detail: bool = False, out_col: str = "reldist",
+            strand=None, strand_col: str = "strand") -> Table:
+    """bedtools reldist: distribution of relative distances between a's
+    midpoints and their flanking b midpoints.  Default output is the
+    bedtools summary table (reldist bin, count, total, fraction);
+    ``detail=True`` instead appends a per-row ``reldist`` column to a
+    (NULL where undefined — contig absent from b or no flank)."""
+    cols_b = cols_b or cols
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
+    r = genomic.reldist(ca, sa, ea, cb, sb, eb)
+    if detail:
+        return Table(
+            a.arrow.append_column(out_col, pa.array(r, mask=np.isnan(r)))
+        )
+    vals = r[~np.isnan(r)]
+    bins = np.minimum(np.floor(vals * 100).astype(np.int64), 50)
+    counts = np.bincount(bins, minlength=51)
+    nz = counts.nonzero()[0]
+    total = int(len(vals))
     return Table(
         pa.Table.from_arrays(
-            [decode(mk), pa.array(ms.astype(np.int64)), pa.array(me.astype(np.int64))],
-            names=list(cols),
+            [
+                pa.array(nz / 100.0),
+                pa.array(counts[nz].astype(np.int64)),
+                pa.array(np.full(len(nz), total, np.int64)),
+                pa.array(counts[nz] / total if total else counts[nz] * 0.0),
+            ],
+            names=["reldist", "count", "total", "fraction"],
         )
     )
 
@@ -438,12 +541,20 @@ def _code_decoder(table: Table, key_col, codes: np.ndarray):
     return decode
 
 
-def subtract(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None) -> Table:
-    """Sub-ranges of a not covered by any b interval (bedtools subtract)."""
+def subtract(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
+             strand=None, strand_col: str = "strand") -> Table:
+    """Sub-ranges of a not covered by any b interval (bedtools subtract;
+    ``strand='same'|'opposite'`` subtracts only matching-strand b)."""
     cols_b = cols_b or cols
     ka, sa, ea = _prep(a, cols)
     kb, sb, eb = _prep(b, cols_b)
-    ca, cb, _ = encode_join_keys([ka], [kb])
+    keys_a, keys_b = [ka], [kb]
+    if strand is not None:
+        if strand not in ("same", "opposite"):
+            raise ValueError("strand must be None, 'same' or 'opposite'")
+        keys_a.append(_strand_key(a, strand_col, flip=strand == "opposite"))
+        keys_b.append(_strand_key(b, strand_col))
+    ca, cb, _ = encode_join_keys(keys_a, keys_b)
     ok, os_, oe = genomic.subtract_intervals(ca, sa, ea, cb, sb, eb)
     decode = _code_decoder(a, cols[0], ca)
     return Table(

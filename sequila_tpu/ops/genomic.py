@@ -308,6 +308,46 @@ def jaccard(ak, as_, ae, bk, bs, be) -> dict:
     }
 
 
+def reldist(ak, as_, ae, bk, bs, be) -> np.ndarray:
+    """bedtools reldist: per a-row relative distance of its midpoint to
+    the closest flanking b midpoints on the same key:
+    ``min(m - left, right - m) / (right - left)`` for the b midpoints
+    left <= m <= right.  NaN where the a midpoint has no b midpoint on
+    both sides (bedtools skips those rows).
+
+    Fully vectorized: one composite-key sort of the b midpoints + one
+    searchsorted over the a midpoints.  The composite packs
+    (key, mid + 2^31) into int64 — mids span the full int32 range, keys
+    are dense dictionary codes (< 2^30)."""
+    ak = np.asarray(ak, np.int64)
+    bk = np.asarray(bk, np.int64)
+    ma = (np.asarray(as_, np.int64) + np.asarray(ae, np.int64)) // 2
+    mb = (np.asarray(bs, np.int64) + np.asarray(be, np.int64)) // 2
+    out = np.full(len(ak), np.nan)
+    n = len(bk)
+    if n == 0 or len(ak) == 0:
+        return out
+    kb = (bk << 33) + (mb + (1 << 31))
+    kb.sort()
+    kq = (ak << 33) + (ma + (1 << 31))
+    ri = np.searchsorted(kb, kq, side="right")
+    li = ri - 1
+    li_c = np.clip(li, 0, n - 1)
+    ri_c = np.clip(ri, 0, n - 1)
+    mask_mid = (1 << 33) - 1
+    same_l = (li >= 0) & ((kb[li_c] >> 33) == ak)
+    same_r = (ri < n) & ((kb[ri_c] >> 33) == ak)
+    lmid = (kb[li_c] & mask_mid) - (1 << 31)
+    rmid = (kb[ri_c] & mask_mid) - (1 << 31)
+    ok = same_l & same_r
+    denom = rmid - lmid
+    d = np.minimum(ma - lmid, rmid - ma).astype(np.float64)
+    nz = ok & (denom > 0)
+    out[nz] = d[nz] / denom[nz]
+    out[ok & (denom == 0)] = 0.0
+    return out
+
+
 def tile_genome(key_sizes: dict[int, tuple[int, int]], window: int, step: int | None = None):
     """Fixed-size windows per contig (bedtools makewindows): windows of
     ``window`` bases every ``step`` (default: non-overlapping), the last

@@ -528,3 +528,139 @@ class TestClusterAndMap:
         )
         for c in ("score_count", "score_sum", "score_median"):
             np.testing.assert_array_equal(o1.column_np(c), o8.column_np(c))
+
+
+def stranded_table(rng, n, num_keys=3, span=5000, max_len=300):
+    t = random_table(rng, n, num_keys, span, max_len)
+    strands = [["+", "-", "."][int(i)] for i in rng.integers(0, 3, n)]
+    return Table(t.arrow.append_column("strand", pa.array(strands)))
+
+
+class TestStrandAware:
+    """bedtools -s / -S analogs: strand folded into the dictionary key."""
+
+    def _brute_counts(self, a, b, mode):
+        ka, sa, ea = (a.column_np(c) for c in ("contig", "pos_start", "pos_end"))
+        kb, sb, eb = (b.column_np(c) for c in ("contig", "pos_start", "pos_end"))
+        st_a, st_b = a.column_np("strand"), b.column_np("strand")
+        flip = {"+": "-", "-": "+", ".": "."}
+        out = []
+        for i in range(len(ka)):
+            want = flip[st_a[i]] if mode == "opposite" else st_a[i]
+            out.append(
+                sum(
+                    1
+                    for j in range(len(kb))
+                    if kb[j] == ka[i]
+                    and st_b[j] == want
+                    and sb[j] <= ea[i]
+                    and eb[j] >= sa[i]
+                )
+            )
+        return out
+
+    def test_count_overlaps_strand_vs_oracle(self, rng):
+        a = stranded_table(rng, 120)
+        b = stranded_table(rng, 150)
+        for mode in ("same", "opposite"):
+            got = gdf.count_overlaps(a, b, strand=mode).column_np(-1).tolist()
+            assert got == self._brute_counts(a, b, mode), mode
+
+    def test_overlap_pairs_strand(self, rng):
+        a = stranded_table(rng, 60)
+        b = stranded_table(rng, 80)
+        got = gdf.overlap(a, b, strand="same")
+        assert (got.column_np("strand") == got.column_np("strand_b")).all()
+        total = sum(self._brute_counts(a, b, "same"))
+        assert got.num_rows == total
+
+    def test_nearest_and_coverage_strand(self, rng):
+        a = stranded_table(rng, 50)
+        b = stranded_table(rng, 70)
+        nn = gdf.nearest(a, b, strand="same")
+        sb = nn.column_np("strand_b")
+        sa = nn.column_np("strand")
+        mask = np.array([v is not None and v == v for v in sb.tolist()])
+        assert (sb[mask] == sa[mask]).all()
+        cov = gdf.coverage(a, b, strand="same")
+        cnt = gdf.count_overlaps(a, b, strand="same")
+        assert cov.column_np("count").tolist() == cnt.column_np("count").tolist()
+
+    def test_merge_and_cluster_strand(self):
+        a = Table(pa.table({
+            "contig": ["chr1"] * 4,
+            "pos_start": [100, 120, 115, 400],
+            "pos_end": [150, 180, 160, 450],
+            "strand": ["+", "-", "+", "+"],
+        }))
+        m = gdf.merge(a, strand=True)
+        rows = sorted(
+            (r["strand"], r["pos_start"], r["pos_end"]) for r in m.to_pylist()
+        )
+        assert rows == [("+", 100, 160), ("+", 400, 450), ("-", 120, 180)]
+        cl = gdf.cluster(a, strand=True).column_np("cluster")
+        assert cl[0] == cl[2] and cl[0] != cl[1] and cl[0] != cl[3]
+
+    def test_subtract_strand(self):
+        a = Table(pa.table({
+            "contig": ["chr1"], "pos_start": [100], "pos_end": [200],
+            "strand": ["+"],
+        }))
+        b = Table(pa.table({
+            "contig": ["chr1", "chr1"], "pos_start": [120, 150],
+            "pos_end": [130, 160], "strand": ["-", "+"],
+        }))
+        got = sorted(
+            (r["pos_start"], r["pos_end"])
+            for r in gdf.subtract(a, b, strand="same").to_pylist()
+        )
+        assert got == [(100, 149), (161, 200)]  # only the '+' b applies
+        got = sorted(
+            (r["pos_start"], r["pos_end"])
+            for r in gdf.subtract(a, b, strand="opposite").to_pylist()
+        )
+        assert got == [(100, 119), (131, 200)]
+
+
+class TestWindowAndReldist:
+    def test_window_widens_predicate_only(self):
+        a = table_of(["chr1"], [100], [150])
+        b = table_of(["chr1", "chr1", "chr2"], [160, 300, 100], [170, 310, 120])
+        w = gdf.window(a, b, window=20)
+        assert w.num_rows == 1  # b1 within 20bp; b2 not; b3 wrong contig
+        assert w.to_pylist()[0]["pos_start"] == 100  # original coords kept
+        assert gdf.window(a, b, window=200).num_rows == 2
+        # asymmetric: only left margin reaches nothing upstream here
+        assert gdf.window(a, b, left=20, right=0).num_rows == 0
+
+    def test_window_matches_slopped_overlap(self, rng):
+        a = random_table(rng, 80)
+        b = random_table(rng, 100)
+        w = gdf.window(a, b, window=75)
+        slopped = gdf.slop(a, 75, 75)
+        ov = gdf.overlap(slopped, b)
+        assert w.num_rows == ov.num_rows
+
+    def test_reldist_oracle(self):
+        # b midpoints on chr1: 170 and 265; a midpoint 225
+        a = table_of(["chr1", "chr2"], [200, 0], [250, 10])
+        b = table_of(["chr1", "chr1"], [120, 210], [220, 320])
+        det = gdf.reldist(a, b, detail=True).to_pylist_column(-1)
+        assert det[1] is None  # chr2 absent from b
+        assert abs(det[0] - 40 / 95) < 1e-12
+        summary = gdf.reldist(a, b).to_pylist()
+        assert summary == [
+            {"reldist": 0.42, "count": 1, "total": 1, "fraction": 1.0}
+        ]
+
+    def test_reldist_uniform_shape(self, rng):
+        # uniform a vs regular-grid b: reldist mass spreads over [0, .5]
+        n = 4000
+        starts = rng.integers(0, 100000, n)
+        a = table_of(["chr1"] * n, starts, starts + 10)
+        bs = np.arange(0, 100001, 1000)
+        b = table_of(["chr1"] * len(bs), bs, bs + 10)
+        det = gdf.reldist(a, b, detail=True).column_np(-1)
+        vals = det[~np.isnan(det.astype(np.float64))]
+        assert (vals >= 0).all() and (vals <= 0.5).all()
+        assert 0.2 < vals.mean() < 0.3  # ~0.25 for uniform placement
