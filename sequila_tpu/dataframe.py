@@ -184,6 +184,18 @@ def _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry=None):
     return b_rows, p_rows
 
 
+def _pairs_to_table(a: Table, b: Table, p_rows, b_rows) -> Table:
+    """(a_row ++ b_row) output assembly shared by the pair verbs:
+    gather both sides, '_b'-suffix b's name collisions."""
+    at = a.take(np.asarray(p_rows, np.int64))
+    bt = b.take(np.asarray(b_rows, np.int64))
+    arrays = list(at.arrow.columns) + list(bt.arrow.columns)
+    names = at.column_names + [
+        f"{n}_b" if n in at.column_names else n for n in bt.column_names
+    ]
+    return Table(pa.Table.from_arrays(arrays, names=names))
+
+
 def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
             partitions: int = 1, strand=None, strand_col: str = "strand") -> Table:
     """Inner overlap join: all (a_row ++ b_row) pairs with equal contig and
@@ -195,11 +207,7 @@ def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     b_rows, p_rows = _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry)
-    at = a.take(p_rows.astype(np.int64))
-    bt = b.take(b_rows.astype(np.int64))
-    arrays = list(at.arrow.columns) + list(bt.arrow.columns)
-    names = at.column_names + [f"{n}_b" if n in at.column_names else n for n in bt.column_names]
-    return Table(pa.Table.from_arrays(arrays, names=names))
+    return _pairs_to_table(a, b, p_rows, b_rows)
 
 
 def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
@@ -423,13 +431,7 @@ def window(a: Table, b: Table, window: int = 0, left: int | None = None,
     sa2 = np.clip(np.asarray(sa, np.int64) - lw, -lim, lim - 1).astype(np.int32)
     ea2 = np.clip(np.asarray(ea, np.int64) + rw, -lim, lim - 1).astype(np.int32)
     b_rows, p_rows = _gather_pairs(a, b, ca, sa2, ea2, cb, sb, eb, partitions, entry)
-    at = a.take(p_rows.astype(np.int64))
-    bt = b.take(b_rows.astype(np.int64))
-    arrays = list(at.arrow.columns) + list(bt.arrow.columns)
-    names = at.column_names + [
-        f"{n}_b" if n in at.column_names else n for n in bt.column_names
-    ]
-    return Table(pa.Table.from_arrays(arrays, names=names))
+    return _pairs_to_table(a, b, p_rows, b_rows)
 
 
 def reldist(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,

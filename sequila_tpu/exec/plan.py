@@ -259,8 +259,6 @@ class SortExec(ExecPlan):
         t = self.children[0].execute(ctx)
         if t.num_rows == 0:
             return t
-        from sequila_tpu.planner.expr import _null_mask
-
         cols = _LazyCols(t)
         keys = []
         # np.lexsort: last key is primary -> reverse order, invert descending.
@@ -270,36 +268,7 @@ class SortExec(ExecPlan):
             reversed(self.nulls_first),
         ):
             k = np.asarray(e.eval(cols, t.num_rows))
-            nulls = _null_mask(k)
-            if np.issubdtype(k.dtype, np.datetime64):
-                # int64 view: NaT (INT64_MIN) is dominated by the null
-                # placement key below, and DESC negation needs a number
-                k = k.view(np.int64)
-            if k.dtype == object and nulls.any():
-                # np.unique can't mix None with values; rank non-nulls
-                ranks = np.zeros(len(k), np.int64)
-                nn = ~nulls
-                if nn.any():
-                    _, inv = np.unique(k[nn], return_inverse=True)
-                    ranks[nn] = inv
-                k = ranks
-            if not asc:
-                if np.issubdtype(np.asarray(k).dtype, np.number):
-                    k = -np.asarray(k)
-                else:
-                    # lexsort on object arrays cannot negate; rank-invert
-                    _, inv = np.unique(k, return_inverse=True)
-                    k = -inv
-            keys.append(np.asarray(k))
-            if nulls.any():
-                # secondary-to-primary: NULL placement key dominates the
-                # value key (default NULLS LAST)
-                # default NULLS LAST for ASC, FIRST for DESC (DataFusion/
-                # Postgres convention)
-                first = bool(nf) if nf is not None else (not asc)
-                keys.append(
-                    np.where(nulls, 0 if first else 1, 1 if first else 0)
-                )
+            keys.extend(_sort_key_arrays(k, asc, nf))
         order = np.lexsort(keys)
         out = t.take(order)
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
@@ -384,39 +353,55 @@ def _group_segments(codes, ngroups):
     return order, seg_starts, counts
 
 
-def _agg_order_perm(ord_spec, cols, n, mask):
-    """Stable row permutation realizing aggregate-internal ORDER BY
-    (array_agg(x ORDER BY y)).  NULLS LAST default, matching the
-    engine's SortExec; ties keep input order (lexsort is stable)."""
+def _sort_key_arrays(k: np.ndarray, asc: bool, nulls_first) -> list:
+    """np.lexsort keys for ONE sort column: the value key plus (when
+    NULLs are present) a dominating null-placement key.  Default NULL
+    placement is LAST for ASC, FIRST for DESC (DataFusion/Postgres).
+    Shared by SortExec and aggregate-internal ORDER BY so the two can
+    never drift."""
     from sequila_tpu.planner.expr import _null_mask
 
+    k = np.asarray(k)
+    nulls = _null_mask(k)
+    if np.issubdtype(k.dtype, np.datetime64) or np.issubdtype(
+        k.dtype, np.timedelta64
+    ):
+        # int64 view: NaT (INT64_MIN) is dominated by the null key below,
+        # and DESC negation needs a number
+        k = k.view(np.int64)
+    if k.dtype == object and nulls.any():
+        # np.unique can't mix None with values; rank non-nulls
+        ranks = np.zeros(len(k), np.int64)
+        nn = ~nulls
+        if nn.any():
+            _, inv = np.unique(k[nn], return_inverse=True)
+            ranks[nn] = inv
+        k = ranks
+    if not asc:
+        if np.issubdtype(np.asarray(k).dtype, np.number):
+            k = -np.asarray(k)
+        else:
+            # lexsort on object arrays cannot negate; rank-invert
+            _, inv = np.unique(k, return_inverse=True)
+            k = -inv
+    out = [np.asarray(k)]
+    if nulls.any():
+        # appended after the value key -> more significant in lexsort
+        first = bool(nulls_first) if nulls_first is not None else (not asc)
+        out.append(np.where(nulls, 0 if first else 1, 1 if first else 0))
+    return out
+
+
+def _agg_order_perm(ord_spec, cols, n, mask):
+    """Stable row permutation realizing aggregate-internal ORDER BY
+    (array_agg(x ORDER BY y)) — same key construction as SortExec via
+    _sort_key_arrays; ties keep input order (lexsort is stable)."""
     keys = []
     for oe, asc, nulls_first in reversed(ord_spec):
         a = np.asarray(oe.eval(cols, n))
         if mask is not None:
             a = a[mask]
-        nulls = _null_mask(a)
-        if a.dtype == object:
-            safe = np.array(
-                ["" if (v is None or v != v) else str(v) for v in a],
-                dtype=object,
-            )
-            r = np.unique(safe, return_inverse=True)[1].astype(np.float64)
-        elif np.issubdtype(a.dtype, np.datetime64) or np.issubdtype(
-            a.dtype, np.timedelta64
-        ):
-            r = a.astype(np.int64).astype(np.float64)
-            r[nulls] = 0.0
-        else:
-            r = np.where(nulls, 0, a).astype(np.float64)
-        if not asc:
-            r = -r
-        nf = bool(nulls_first) if nulls_first is not None else False
-        nkey = (~nulls if nf else nulls).astype(np.int8)
-        # value key first, null-partition key second: lexsort treats
-        # later entries as more significant
-        keys.append(r)
-        keys.append(nkey)
+        keys.extend(_sort_key_arrays(a, asc, nulls_first))
     return np.lexsort(tuple(keys))
 
 

@@ -502,7 +502,9 @@ class Binder:
                         plan, right, tuple(shared), jc.join_type
                     )
                 else:
-                    plan = NestedLoopJoinExec(plan, right, None, "inner")
+                    # no shared names: NATURAL <type> JOIN == <type> JOIN
+                    # ON TRUE (an outer type keeps its unmatched rows)
+                    plan = NestedLoopJoinExec(plan, right, None, jc.join_type)
             elif jc.using:
                 plan = self._make_using_join(plan, right, jc.using, jc.join_type)
             elif jc.join_type == "cross" or jc.on is None:
@@ -578,6 +580,11 @@ class Binder:
                 if fn.filter_where is not None:
                     raise PlanError(
                         "FILTER on window functions is not supported"
+                    )
+                if fn.order_by:
+                    raise PlanError(
+                        "ORDER BY inside a window aggregate call is not "
+                        "supported; order the OVER clause instead"
                     )
                 args = []
                 for i, a in enumerate(fn.args):
@@ -1346,6 +1353,10 @@ class Binder:
                         raise PlanError(
                             f"invalid arguments for {node.name}()"
                         )
+                    if node.order_by:
+                        raise PlanError(
+                            f"ORDER BY inside {node.name}() is not supported"
+                        )
                     lo_a, hi_a = pe.SCALAR_FUNC_ARITY[node.name]
                     if len(node.args) < lo_a or (
                         hi_a is not None and len(node.args) > hi_a
@@ -1459,61 +1470,68 @@ class Binder:
             return plan  # SELECT * passthrough
         return ProjectExec(plan, exprs, names, quals)
 
-    def _bind_agg_value_expr(self, e: ast.SqlExpr, aschema) -> pe.PhysicalExpr:
+    def _bind_agg_value_expr(
+        self, e: ast.SqlExpr, aschema, alias_map=None
+    ) -> pe.PhysicalExpr:
         """Bind an expression over an aggregate's OUTPUT schema: aggregate
-        calls resolve by display name, plain columns by name (HAVING)."""
+        calls resolve by display name, plain columns by name (HAVING).
+        ``alias_map`` maps canonical aggregate displays to the aliased
+        output column the spec was registered under (count(*) AS n)."""
         names = [n for _, n in aschema]
         if isinstance(e, ast.Func) and e.name in _AGG_FUNCS:
             disp = self._display_name(e)
             if disp in names:
                 return pe.Column(disp, names.index(disp))
+            if alias_map and alias_map.get(disp) in names:
+                d2 = alias_map[disp]
+                return pe.Column(d2, names.index(d2))
             raise PlanError(f"aggregate '{disp}' not available after grouping")
         if isinstance(e, ast.Lit):
             return pe.Literal(e.value)
         if isinstance(e, ast.Binary):
             return pe.BinaryExpr(
-                self._bind_agg_value_expr(e.left, aschema),
+                self._bind_agg_value_expr(e.left, aschema, alias_map),
                 e.op,
-                self._bind_agg_value_expr(e.right, aschema),
+                self._bind_agg_value_expr(e.right, aschema, alias_map),
             )
         if isinstance(e, ast.Unary):
-            child = self._bind_agg_value_expr(e.child, aschema)
+            child = self._bind_agg_value_expr(e.child, aschema, alias_map)
             return pe.NotExpr(child) if e.op == "NOT" else pe.NegExpr(child)
         if isinstance(e, ast.Func) and e.name in pe.SCALAR_FUNCS:
             return pe.ScalarFuncExpr(
                 e.name,
-                tuple(self._bind_agg_value_expr(a, aschema) for a in e.args),
+                tuple(self._bind_agg_value_expr(a, aschema, alias_map) for a in e.args),
             )
         if isinstance(e, ast.Cast):
             return pe.CastExpr(
-                self._bind_agg_value_expr(e.child, aschema), e.type_name
+                self._bind_agg_value_expr(e.child, aschema, alias_map), e.type_name
             )
         if isinstance(e, ast.Case):
             return pe.CaseExpr(
                 tuple(
                     (
-                        self._bind_agg_value_expr(c, aschema),
-                        self._bind_agg_value_expr(r, aschema),
+                        self._bind_agg_value_expr(c, aschema, alias_map),
+                        self._bind_agg_value_expr(r, aschema, alias_map),
                     )
                     for c, r in e.whens
                 ),
-                self._bind_agg_value_expr(e.else_, aschema)
+                self._bind_agg_value_expr(e.else_, aschema, alias_map)
                 if e.else_ is not None
                 else None,
             )
         if isinstance(e, ast.Like):
             return pe.LikeExpr(
-                self._bind_agg_value_expr(e.child, aschema),
-                self._bind_agg_value_expr(e.pattern, aschema),
+                self._bind_agg_value_expr(e.child, aschema, alias_map),
+                self._bind_agg_value_expr(e.pattern, aschema, alias_map),
                 e.negated,
                 e.case_insensitive,
             )
         if isinstance(e, ast.InList):
-            items = tuple(self._bind_agg_value_expr(a, aschema) for a in e.items)
+            items = tuple(self._bind_agg_value_expr(a, aschema, alias_map) for a in e.items)
             if all(isinstance(x, pe.Literal) for x in items):
                 vals = tuple(x.value for x in items)
                 return pe.InListExpr(
-                    self._bind_agg_value_expr(e.child, aschema),
+                    self._bind_agg_value_expr(e.child, aschema, alias_map),
                     vals,
                     e.negated,
                     has_null=any(v is None for v in vals),
@@ -1661,11 +1679,19 @@ class Binder:
 
         agg_specs = []
         existing: set = set()
+        # canonical display -> registered output column, so HAVING /
+        # ORDER BY reuse `count(*) AS n` instead of computing a twin spec
+        canon_map: dict[str, str] = {}
 
         def ensure_spec(f: ast.Func, out_name=None):
-            """Register an aggregate call as a spec (dedup by display)."""
-            disp = out_name or self._display_name(f)
+            """Register an aggregate call as a spec (dedup by display,
+            including aliased twins via canon_map)."""
+            canon = self._display_name(f)
+            if out_name is None and canon in canon_map:
+                return canon_map[canon]
+            disp = out_name or canon
             if disp in existing:
+                canon_map.setdefault(canon, disp)
                 return disp
             if f.star or (
                 f.name == "count"
@@ -1717,6 +1743,7 @@ class Binder:
                 )
             agg_specs.append((f.name, arg, f.distinct, disp, filt, ord_spec))
             existing.add(disp)
+            canon_map.setdefault(canon, disp)
             return disp
 
         out_items = []  # ('agg', name) | ('group', src, out) | ('expr', ast, out)
@@ -1791,7 +1818,10 @@ class Binder:
         plan_after = agg
         if sel.having is not None:
             plan_after = FilterExec(
-                agg, self._bind_agg_value_expr(sel.having, agg.schema())
+                agg,
+                self._bind_agg_value_expr(
+                    sel.having, agg.schema(), canon_map
+                ),
             )
         # project to select-list order/aliases
         aschema = agg.schema()
@@ -1800,7 +1830,7 @@ class Binder:
             it if len(it) == 3 else (it[0], it[1], it[1]) for it in out_items
         ):
             if kind == "expr":
-                exprs.append(self._bind_agg_value_expr(src, aschema))
+                exprs.append(self._bind_agg_value_expr(src, aschema, canon_map))
             else:
                 idx = next(
                     i for i, (_, n) in enumerate(aschema) if n == src
@@ -1808,7 +1838,7 @@ class Binder:
                 exprs.append(pe.Column(aschema[idx][1], idx))
             names.append(out_name)
         for i, e in order_hidden.items():
-            exprs.append(self._bind_agg_value_expr(e, aschema))
+            exprs.append(self._bind_agg_value_expr(e, aschema, canon_map))
             names.append(f"__sort_{i}")
         has_expr_items = any(it[0] == "expr" for it in out_items)
         if (

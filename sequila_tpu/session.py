@@ -330,10 +330,14 @@ class SessionContext:
             prep = self.prepared.get(stmt.name)
             if prep is None:
                 raise PlanError(f"prepared statement '{stmt.name}' not found")
-            if prep.types and len(stmt.values) != len(prep.types):
+            expected = (
+                len(prep.types) if prep.types
+                else ast.max_param_index(prep.stmt)
+            )
+            if len(stmt.values) != expected:
                 raise PlanError(
                     f"prepared statement '{stmt.name}' expects "
-                    f"{len(prep.types)} parameters, got {len(stmt.values)}"
+                    f"{expected} parameters, got {len(stmt.values)}"
                 )
             return self._execute_statement(
                 ast.substitute_params(prep.stmt, stmt.values)

@@ -403,3 +403,20 @@ def substitute_params(node, values: tuple):
     if isinstance(node, list):
         return [substitute_params(x, values) for x in node]
     return node
+
+
+def max_param_index(node) -> int:
+    """Highest $n placeholder index in a statement tree (0 = none)."""
+    if isinstance(node, Param):
+        return node.index
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        return max(
+            (
+                max_param_index(getattr(node, f.name))
+                for f in dataclasses.fields(node)
+            ),
+            default=0,
+        )
+    if isinstance(node, (tuple, list)):
+        return max((max_param_index(x) for x in node), default=0)
+    return 0

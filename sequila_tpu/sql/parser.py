@@ -25,26 +25,43 @@ _KEYWORDS_STOP = {
 def _similar_to_regex(p: str) -> str:
     """SQL SIMILAR TO pattern -> anchored Python regex: % -> .*, _ -> .,
     the standard's regex operators pass through, everything else is
-    literal (notably '.'); backslash escapes the next character."""
+    literal (notably '.'); backslash escapes the next character.  Inside
+    a bracket expression [...] characters keep their regex meaning
+    ('-' ranges, leading '^' negation) and %/_ are literal members."""
     import re as _re
 
     out = []
     i = 0
+    in_brackets = False
     while i < len(p):
         c = p[i]
         if c == "\\" and i + 1 < len(p):
             out.append(_re.escape(p[i + 1]))
             i += 2
             continue
-        if c == "%":
+        if in_brackets:
+            # ']' as the first member is literal (SQL/POSIX rule)
+            if c == "]" and out[-1] not in ("[", "[^"):
+                in_brackets = False
+                out.append(c)
+            elif c == "^" and out[-1] == "[":
+                out[-1] = "[^"
+            else:
+                out.append(c)
+        elif c == "%":
             out.append(".*")
         elif c == "_":
             out.append(".")
-        elif c in "|*+?(){}[]":
+        elif c == "[":
+            in_brackets = True
+            out.append(c)
+        elif c in "|*+?(){}]":
             out.append(c)
         else:
             out.append(_re.escape(c))
         i += 1
+    if in_brackets:
+        raise PlanError("SIMILAR TO: unterminated bracket expression")
     return "^(?:" + "".join(out) + ")$"
 
 

@@ -859,3 +859,99 @@ class TestReduceatEmptyGroupTruncation:
             ["c", 9, 3, "q", 4.5],
             ["d", None, None, None, None],
         ]
+
+
+class TestRound2SurfaceReviewFixes:
+    """Fixes from the round-2 self-review of the SQL-surface batches."""
+
+    def _ctx(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES ('a', 1), ('a', NULL), ('a', 3), ('b', 2)")
+        return c
+
+    def test_similar_to_bracket_expressions(self):
+        c = self._ctx()
+        run = lambda q: c.sql(q).to_pylist_column(0)[0]
+        assert run("SELECT 'ab' SIMILAR TO '[a-c][a-c]'") is True
+        assert run("SELECT 'ad' SIMILAR TO '[a-c][a-c]'") is False
+        assert run("SELECT 'x' SIMILAR TO '[^y]'") is True
+        assert run("SELECT 'y' SIMILAR TO '[^y]'") is False
+        assert run("SELECT 'a%' SIMILAR TO 'a[%]'") is True
+        assert run("SELECT ']' SIMILAR TO '[]]'") is True
+        from sequila_tpu.errors import PlanError
+        import pytest as _pytest
+
+        with _pytest.raises(PlanError):
+            c.sql("SELECT 'a' SIMILAR TO '[abc'")
+
+    def test_natural_outer_join_no_shared_columns(self):
+        c = self._ctx()
+        c.sql("CREATE TABLE a2 AS VALUES (1)")
+        c.sql("CREATE TABLE b2 (z INTEGER)")
+        out = c.sql("SELECT * FROM a2 NATURAL LEFT JOIN b2").to_pylist()
+        assert out == [{"column1": 1, "z": None}]  # sqlite/Postgres agree
+        assert c.sql("SELECT * FROM a2 NATURAL JOIN b2").num_rows == 0
+        assert c.sql("SELECT * FROM a2 NATURAL FULL JOIN b2").num_rows == 1
+
+    def test_agg_order_by_desc_nulls_matches_sortexec(self):
+        c = self._ctx()
+        top = c.sql(
+            "SELECT column2 FROM t WHERE column1 = 'a' ORDER BY column2 DESC"
+        ).to_pylist_column(0)
+        agg = c.sql(
+            "SELECT array_agg(column2 ORDER BY column2 DESC) FROM t"
+            " WHERE column1 = 'a'"
+        ).to_pylist()[0]
+        got = list(agg[next(iter(agg))])
+        assert [v if v is None else float(v) for v in top] == [
+            v if v is None else float(v) for v in got
+        ]  # NULLS FIRST under DESC, same as SortExec
+
+    def test_dangling_agg_order_by_rejected(self):
+        import pytest as _pytest
+
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        with _pytest.raises(PlanError):
+            c.sql("SELECT upper('a' ORDER BY 1)")
+        with _pytest.raises(PlanError):
+            c.sql(
+                "SELECT sum(column2 ORDER BY column2)"
+                " OVER (PARTITION BY column1) FROM t"
+            )
+
+    def test_execute_arity_checked_without_declared_types(self):
+        import pytest as _pytest
+
+        from sequila_tpu.errors import PlanError
+
+        c = self._ctx()
+        c.sql("PREPARE p AS SELECT * FROM t WHERE column2 > $1")
+        with _pytest.raises(PlanError):
+            c.sql("EXECUTE p(1, 2, 3)")
+        with _pytest.raises(PlanError):
+            c.sql("EXECUTE p()")
+        assert c.sql("EXECUTE p(0)").num_rows == 3
+
+    def test_aliased_order_by_aggregate_single_spec(self):
+        c = self._ctx()
+        plan = c.sql(
+            "EXPLAIN SELECT column1, count(*) AS n FROM t"
+            " GROUP BY column1 ORDER BY count(*) DESC"
+        ).to_pylist_column(1)
+        agg_line = next(p for p in plan if "AggregateExec" in p)
+        assert agg_line.count("count(*)") <= 1  # no duplicate twin spec
+        out = c.sql(
+            "SELECT column1, count(*) AS n FROM t"
+            " GROUP BY column1 ORDER BY count(*) DESC"
+        ).to_pylist()
+        assert [r["n"] for r in out] == [3, 1]
+        # HAVING reuses the aliased spec too
+        out = c.sql(
+            "SELECT column1, sum(column2) AS sv FROM t GROUP BY column1"
+            " HAVING sum(column2) > 2 ORDER BY sum(column2) DESC"
+        ).to_pylist()
+        assert out == [{"column1": "a", "sv": 4}]
