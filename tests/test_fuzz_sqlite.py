@@ -490,3 +490,90 @@ class TestSqliteMathFuncs:
                 f"WHERE {_rand_pred(rng)} ORDER BY id NULLS LAST"
             )
             _run_both(ctx, con, sql)
+
+
+class TestSqliteNewSurface:
+    """Differential coverage of the round-2 surface additions that
+    sqlite shares: named WINDOW clauses, NATURAL/USING joins, ORDER BY
+    aggregates outside the SELECT list, LIMIT constant expressions."""
+
+    def test_named_window_clause(self):
+        rng = random.Random(900)
+        ctx, con = _setup(rng)
+        specs = [
+            "(PARTITION BY g ORDER BY id)",
+            "(ORDER BY x NULLS LAST, id)",
+            "(PARTITION BY g)",
+            "(ORDER BY id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+        ]
+        fns = ["sum(x)", "count(*)", "row_number()", "min(x)", "max(y)"]
+        for _ in range(N_QUERIES // 2):
+            spec = rng.choice(specs)
+            f1, f2 = rng.sample(fns, k=2)
+            if "ORDER BY" not in spec and "row_number" in f1 + f2:
+                continue  # row_number over unordered window: order differs
+            sql = (
+                f"SELECT id, {f1} OVER w, {f2} OVER w FROM t"
+                f" WINDOW w AS {spec} ORDER BY id NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
+
+    def test_natural_and_using_joins(self):
+        rng = random.Random(1000)
+        ctx, con = _setup(rng)
+        # second table sharing (g) plus its own column
+        rows = [
+            (g, rng.randint(0, 20))
+            for g in ["a", "b", "c", "a", "b"]
+        ]
+        import pyarrow as _pa
+
+        ctx.register_table(
+            "u",
+            _pa.table(
+                {
+                    "g": _pa.array([r[0] for r in rows]),
+                    "w": _pa.array([r[1] for r in rows], type=_pa.int64()),
+                }
+            ),
+        )
+        con.execute("CREATE TABLE u (g TEXT, w INTEGER)")
+        con.executemany("INSERT INTO u VALUES (?,?)", rows)
+        for _ in range(N_QUERIES // 2):
+            form = rng.choice(
+                [
+                    "SELECT t.id, u.w FROM t NATURAL JOIN u",
+                    "SELECT t.id, u.w FROM t JOIN u USING (g)",
+                    "SELECT t.id, u.w FROM t NATURAL LEFT JOIN u",
+                    "SELECT t.id, u.w FROM t LEFT JOIN u USING (g)",
+                ]
+            )
+            sql = (
+                f"{form} WHERE {_rand_pred(rng)}"
+                " ORDER BY t.id NULLS LAST, u.w NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
+
+    def test_order_by_hidden_aggregates(self):
+        rng = random.Random(1100)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 2):
+            agg = rng.choice(
+                ["count(*)", "sum(x)", "count(x)", "min(x)", "max(x)"]
+            )
+            sql = (
+                f"SELECT g FROM t WHERE {_rand_pred(rng)} GROUP BY g"
+                f" ORDER BY {agg} DESC NULLS LAST, g NULLS LAST"
+            )
+            _run_both(ctx, con, sql)
+
+    def test_limit_expressions(self):
+        rng = random.Random(1200)
+        ctx, con = _setup(rng)
+        for _ in range(N_QUERIES // 4):
+            a, b = rng.randint(1, 5), rng.randint(0, 4)
+            sql = (
+                f"SELECT id FROM t ORDER BY id NULLS LAST"
+                f" LIMIT {a}+{b} OFFSET {b}*2"
+            )
+            _run_both(ctx, con, sql)
