@@ -416,29 +416,91 @@ class Binder:
             raise PlanError(f"table '{tref.name}' not found")
         return ScanExec(tref.name, self.catalog[key], tref.alias or tref.name)
 
+    def _tf_const(self, a, fname):
+        """Evaluate a table-function argument as a constant scalar."""
+        import numpy as _np
+
+        b = self._bind_expr(a, [])
+        v = _np.asarray(b.expr.eval({}, 1)).ravel()[0]
+        if v is None or (isinstance(v, float) and v != v):
+            raise PlanError(f"{fname} arguments must not be NULL")
+        return v.item() if hasattr(v, "item") else v
+
+    def _tf_table(self, name, fname):
+        """Resolve a table-function string argument to a catalog table."""
+        key = str(name).lower()
+        if key in self.catalog:
+            return self.catalog[key]
+        if key in self.views and self.runner is not None:
+            return self.runner(self.views[key])
+        raise PlanError(f"{fname}: table '{name}' not found")
+
+    # genomic verbs exposed as SQL table functions (name -> arity range);
+    # the engine's extension beyond the reference, whose closest/
+    # complement operators were never landed (SURVEY.md §2 item 23)
+    _GENOMIC_TFS = {
+        "merge": (1, 2), "cluster": (1, 2), "depth": (1, 1),
+        "overlap": (2, 2), "count_overlaps": (2, 2), "nearest": (2, 2),
+        "closest": (2, 3), "coverage": (2, 2), "subtract": (2, 2),
+        "window": (3, 3), "reldist": (2, 2), "jaccard": (2, 2),
+    }
+
+    def _genomic_table_function(self, fname, args):
+        """FROM merge('reads'), FROM count_overlaps('a', 'b'), ... —
+        the dataframe verb layer reachable from SQL (default
+        (contig, pos_start, pos_end) columns)."""
+        import pyarrow as _pa
+
+        from sequila_tpu import dataframe as _df
+        from sequila_tpu.models.table import Table as _Table
+
+        lo, hi = self._GENOMIC_TFS[fname]
+        if not lo <= len(args) <= hi:
+            raise PlanError(
+                f"{fname} takes {lo}"
+                + (f"-{hi}" if hi != lo else "")
+                + f" arguments, got {len(args)}"
+            )
+        consts = [self._tf_const(a, fname) for a in args]
+        t0 = self._tf_table(consts[0], fname)
+        if fname in ("merge", "cluster"):
+            dist = int(consts[1]) if len(consts) > 1 else 0
+            return getattr(_df, fname)(t0, dist)
+        if fname == "depth":
+            return _df.depth(t0)
+        t1 = self._tf_table(consts[1], fname)
+        if fname == "closest":
+            k = int(consts[2]) if len(consts) > 2 else 1
+            return _df.closest(t0, t1, k=k)
+        if fname == "window":
+            return _df.window(t0, t1, window=int(consts[2]))
+        if fname == "jaccard":
+            stats = _df.jaccard(t0, t1)
+            return _Table(
+                _pa.table({k: [v] for k, v in stats.items()})
+            )
+        return getattr(_df, fname)(t0, t1)
+
     def _table_function(self, tf):
         """FROM-clause table functions: DataFusion's ``generate_series`` /
         ``range`` (datafusion/functions-table — part of the SQL surface the
-        reference inherits).  Integer series; generate_series includes the
-        stop bound, range excludes it; like DataFusion, a default step that
-        cannot reach the bound is an error rather than an infinite series."""
+        reference inherits), plus the genomic verb layer (_GENOMIC_TFS).
+        Integer series; generate_series includes the stop bound, range
+        excludes it; like DataFusion, a default step that cannot reach the
+        bound is an error rather than an infinite series."""
         import numpy as _np
         import pyarrow as _pa
 
         from sequila_tpu.models.table import Table as _Table
 
         fname, args = tf
+        if fname in self._GENOMIC_TFS:
+            return self._genomic_table_function(fname, args)
         if fname not in ("generate_series", "range"):
             raise PlanError(f"unknown table function '{fname}'")
         if not 1 <= len(args) <= 3:
             raise PlanError(f"{fname} takes 1 to 3 arguments")
-        consts = []
-        for a in args:
-            b = self._bind_expr(a, [])
-            v = _np.asarray(b.expr.eval({}, 1)).ravel()[0]
-            if v is None or (isinstance(v, float) and v != v):
-                raise PlanError(f"{fname} arguments must not be NULL")
-            consts.append(int(v))
+        consts = [int(self._tf_const(a, fname)) for a in args]
         if len(consts) == 1:
             start, stop, step = 0, consts[0], 1
         elif len(consts) == 2:
