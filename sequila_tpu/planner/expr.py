@@ -867,6 +867,23 @@ SCALAR_FUNC_ARITY = {
     "array_contains": (2, 2), "array_has": (2, 2),
     "array_position": (2, 2),
     "array_to_string": (2, 3), "string_to_array": (2, 3),
+    "array_join": (2, 3), "list_join": (2, 3),
+    "array_append": (2, 2), "list_append": (2, 2),
+    "array_push_back": (2, 2),
+    "array_prepend": (2, 2), "list_prepend": (2, 2),
+    "array_concat": (2, None), "array_cat": (2, None),
+    "array_slice": (3, 4), "list_slice": (3, 4),
+    "array_sort": (1, 3), "list_sort": (1, 3),
+    "array_distinct": (1, 1), "array_reverse": (1, 1),
+    "array_union": (2, 2), "array_intersect": (2, 2),
+    "array_except": (2, 2),
+    "array_remove": (2, 2), "array_remove_all": (2, 2),
+    "array_repeat": (2, 2),
+    "array_replace": (3, 3), "array_replace_all": (3, 3),
+    "array_pop_back": (1, 1), "array_pop_front": (1, 1),
+    "array_max": (1, 1), "array_min": (1, 1),
+    "array_has_all": (2, 2), "array_has_any": (2, 2),
+    "flatten": (1, 1), "empty": (1, 1), "array_empty": (1, 1),
     # structs (DataFusion's struct library; cells are python dicts in
     # object arrays, arrow struct columns at the boundaries)
     "struct": (1, None), "named_struct": (2, None), "row": (1, None),
@@ -889,6 +906,179 @@ def _as_list(v):
     if isinstance(v, (list, tuple)):
         return list(v)
     return None
+
+def _cellv(x):
+    """Normalize one cell value: NaN (engine NULL) -> None, numpy -> py."""
+    return (
+        None
+        if (x is None or (isinstance(x, float) and x != x))
+        else _unbox_py(x)
+    )
+
+
+def _arr_slice(v, fr, to, stride=None):
+    """DataFusion array_slice: 1-based inclusive bounds, negative counts
+    from the end, optional (possibly negative) stride."""
+    lst = _as_list(v)
+    if lst is None or fr is None or to is None:
+        return None
+    n = len(lst)
+    fr, to = int(fr), int(to)
+    if fr < 0:
+        fr += n + 1
+    if to < 0:
+        to += n + 1
+    st = 1 if stride is None else int(stride)
+    if st == 0:
+        raise ExecutionError("array_slice stride cannot be zero")
+    ids = range(fr - 1, to, st) if st > 0 else range(fr - 1, to - 2, st)
+    return [lst[i] for i in ids if 0 <= i < n]
+
+
+def _arr_sort(v, order=None, nulls=None):
+    lst = _as_list(v)
+    if lst is None:
+        return None
+    desc = str(order or "ASC").strip().upper() == "DESC"
+    nf = str(nulls or "NULLS LAST").strip().upper() == "NULLS FIRST"
+    vals_ = [_cellv(x) for x in lst]
+    nones = [x for x in vals_ if x is None]
+    rest = sorted((x for x in vals_ if x is not None), reverse=desc)
+    return nones + rest if nf else rest + nones
+
+
+def _arr_distinct(lst):
+    out, seen = [], set()
+    for x in lst:
+        x = _cellv(x)
+        try:
+            k = (type(x).__name__, x)
+            new = k not in seen
+            if new:
+                seen.add(k)
+        except TypeError:  # unhashable (nested list): linear scan
+            new = x not in out
+        if new:
+            out.append(x)
+    return out
+
+
+def _with_list(fn):
+    """Lift fn(list, *rest) over a NULL-propagating list cell."""
+
+    def go(v, *rest):
+        lst = _as_list(v)
+        return None if lst is None else fn([_cellv(x) for x in lst], *rest)
+
+    return go
+
+
+def _arr_remove(lst, x, all_=False):
+    x = _cellv(x)
+    out, removed = [], False
+    for e in lst:
+        if e == x and (all_ or not removed):
+            removed = True
+            continue
+        out.append(e)
+    return out
+
+
+def _arr_replace(lst, frm, to, all_=False):
+    frm, to = _cellv(frm), _cellv(to)
+    out, done = [], False
+    for e in lst:
+        if e == frm and (all_ or not done):
+            done = True
+            out.append(to)
+        else:
+            out.append(e)
+    return out
+
+
+def _arr_concat(*arrs):
+    out = []
+    for v in arrs:
+        lst = _as_list(v)
+        if lst is None:
+            return None
+        out.extend(_cellv(x) for x in lst)
+    return out
+
+
+def _arr_setop(v, w, kind):
+    la, lb = _as_list(v), _as_list(w)
+    if la is None or lb is None:
+        return None
+    la = [_cellv(x) for x in la]
+    lb = [_cellv(x) for x in lb]
+    if kind == "union":
+        return _arr_distinct(la + lb)
+    if kind == "intersect":
+        return [x for x in _arr_distinct(la) if x in lb]
+    return [x for x in _arr_distinct(la) if x not in lb]
+
+
+_ARRAY_FUNC_IMPLS = {
+    "array_append": _with_list(lambda lst, x: lst + [_cellv(x)]),
+    "list_append": _with_list(lambda lst, x: lst + [_cellv(x)]),
+    "array_push_back": _with_list(lambda lst, x: lst + [_cellv(x)]),
+    "array_prepend": lambda x, v: (
+        None if _as_list(v) is None
+        else [_cellv(x)] + [_cellv(e) for e in _as_list(v)]
+    ),
+    "list_prepend": lambda x, v: (
+        None if _as_list(v) is None
+        else [_cellv(x)] + [_cellv(e) for e in _as_list(v)]
+    ),
+    "array_concat": _arr_concat,
+    "array_cat": _arr_concat,
+    "array_slice": _arr_slice,
+    "list_slice": _arr_slice,
+    "array_sort": _arr_sort,
+    "list_sort": _arr_sort,
+    "array_distinct": _with_list(_arr_distinct),
+    "array_reverse": _with_list(lambda lst: lst[::-1]),
+    "array_union": lambda v, w: _arr_setop(v, w, "union"),
+    "array_intersect": lambda v, w: _arr_setop(v, w, "intersect"),
+    "array_except": lambda v, w: _arr_setop(v, w, "except"),
+    "array_remove": _with_list(_arr_remove),
+    "array_remove_all": _with_list(lambda lst, x: _arr_remove(lst, x, True)),
+    "array_repeat": lambda x, n2: (
+        None if n2 is None else [_cellv(x)] * max(int(n2), 0)
+    ),
+    "array_replace": _with_list(_arr_replace),
+    "array_replace_all": _with_list(
+        lambda lst, f, t2: _arr_replace(lst, f, t2, True)
+    ),
+    "array_pop_back": _with_list(lambda lst: lst[:-1]),
+    "array_pop_front": _with_list(lambda lst: lst[1:]),
+    "array_max": _with_list(
+        lambda lst: max((x for x in lst if x is not None), default=None)
+    ),
+    "array_min": _with_list(
+        lambda lst: min((x for x in lst if x is not None), default=None)
+    ),
+    "array_has_all": lambda v, w: (
+        None if _as_list(v) is None or _as_list(w) is None
+        else all(_cellv(x) in [_cellv(e) for e in _as_list(v)]
+                 for x in _as_list(w))
+    ),
+    "array_has_any": lambda v, w: (
+        None if _as_list(v) is None or _as_list(w) is None
+        else any(_cellv(x) in [_cellv(e) for e in _as_list(v)]
+                 for x in _as_list(w))
+    ),
+    "flatten": _with_list(
+        lambda lst: [
+            y
+            for x in lst
+            for y in (_as_list(x) if _as_list(x) is not None else [x])
+        ]
+    ),
+    "empty": _with_list(lambda lst: len(lst) == 0),
+    "array_empty": _with_list(lambda lst: len(lst) == 0),
+}
 
 SCALAR_FUNCS = set(SCALAR_FUNC_ARITY)
 
@@ -1239,7 +1429,7 @@ class ScalarFuncExpr(PhysicalExpr):
                 return lst.index(x) + 1 if x in lst else None
 
             return _elementwise(apos, vals, num_rows)
-        if name == "array_to_string":
+        if name in ("array_to_string", "array_join", "list_join"):
             def a2s(v, sep, null_str=None):
                 lst = _as_list(v)
                 if lst is None:
@@ -1484,6 +1674,11 @@ class ScalarFuncExpr(PhysicalExpr):
                 return b.decode("utf-8", "replace")
 
             return _elementwise(dec, vals, num_rows)
+        if name in _ARRAY_FUNC_IMPLS:
+            return _elementwise(
+                _ARRAY_FUNC_IMPLS[name], vals, num_rows,
+                skip_null=False, boxed=True,
+            )
         if name in ("struct", "row"):
             # positional fields are named c0..cN (DataFusion convention)
             def mk(*row):

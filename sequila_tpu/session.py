@@ -574,6 +574,16 @@ class SessionContext:
         out = parts[0]
         # left-associative: (A UNION B) UNION ALL C keeps C's duplicates
         for nxt, op in zip(parts[1:], u.ops):
+            if op.endswith(" by name"):
+                # UNION [ALL] BY NAME: align columns by name; names unique
+                # to one side become NULL on the other (DataFusion)
+                names = list(out.column_names)
+                names += [n for n in nxt.column_names if n not in names]
+                out = _align_by_name(out, names)
+                nxt = _align_by_name(nxt, names)
+                arity = len(names)
+                out = _set_op(out, nxt, op[:-8], names)
+                continue
             if len(nxt.column_names) != arity:
                 raise PlanError(
                     "set operation inputs must have the same column count"
@@ -653,6 +663,18 @@ class SessionContext:
                 "\n".join(indent + "  " + ln for ln in text.splitlines())
             )
         return "\n".join(lines)
+
+
+def _align_by_name(t: Table, names: list) -> Table:
+    """Project t onto the given column-name list; absent columns are
+    all-NULL (UNION BY NAME alignment)."""
+    cols = []
+    for n in names:
+        if n in t.column_names:
+            cols.append(t.arrow.column(n))
+        else:
+            cols.append(pa.nulls(t.num_rows))
+    return Table(pa.Table.from_arrays(cols, names=list(names)))
 
 
 def _set_op(a: Table, b: Table, op: str, names) -> Table:

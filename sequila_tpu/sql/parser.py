@@ -582,7 +582,11 @@ class Parser:
         ops = []
         while True:
             if self.eat_kw("UNION"):
-                ops.append("union all" if self.eat_kw("ALL") else "union")
+                op = "union all" if self.eat_kw("ALL") else "union"
+                if self.eat_kw("BY"):  # UNION [ALL] BY NAME (DataFusion)
+                    self.expect_kw("NAME")
+                    op += " by name"
+                ops.append(op)
             elif self.eat_kw("EXCEPT"):
                 ops.append("except all" if self.eat_kw("ALL") else "except")
             else:

@@ -650,3 +650,96 @@ class TestTableFunctions:
             c.sql("SELECT * FROM range(1, 5, 0)")
         with pytest.raises(PlanError):
             c.sql("SELECT * FROM nosuch_table_func(1)")
+
+
+class TestArrayLibrary2:
+    """The long tail of DataFusion's array library."""
+
+    def _one(self, q):
+        c = SessionContext()
+        v = c.sql(q).to_pylist_column(0)[0]
+        if hasattr(v, "tolist"):
+            v = v.tolist()
+        if isinstance(v, list):
+            v = [x.item() if hasattr(x, "item") else x for x in v]
+        return v
+
+    def test_mutators(self):
+        assert self._one("SELECT array_append([1,2], 3)") == [1, 2, 3]
+        assert self._one("SELECT array_prepend(0, [1,2])") == [0, 1, 2]
+        assert self._one("SELECT array_concat([1], [2,3], [4])") == [1, 2, 3, 4]
+        assert self._one("SELECT array_remove([1,2,1], 1)") == [2, 1]
+        assert self._one("SELECT array_remove_all([1,2,1], 1)") == [2]
+        assert self._one("SELECT array_replace([1,2,1], 1, 9)") == [9, 2, 1]
+        assert self._one("SELECT array_replace_all([1,2,1], 1, 9)") == [9, 2, 9]
+        assert self._one("SELECT array_pop_back([1,2,3])") == [1, 2]
+        assert self._one("SELECT array_pop_front([1,2,3])") == [2, 3]
+        assert self._one("SELECT array_repeat('x', 3)") == ["x", "x", "x"]
+
+    def test_slice_and_sort(self):
+        assert self._one("SELECT array_slice([1,2,3,4,5], 2, 4)") == [2, 3, 4]
+        assert self._one("SELECT array_slice([1,2,3,4,5], -3, -1)") == [3, 4, 5]
+        assert self._one("SELECT array_slice([1,2,3,4,5], 5, 1, -2)") == [5, 3, 1]
+        assert self._one("SELECT array_sort([3,1,2])") == [1, 2, 3]
+        assert self._one("SELECT array_sort([3,1,2], 'DESC')") == [3, 2, 1]
+        got = self._one("SELECT array_sort([2, NULL, 1])")
+        assert [x if x is None else int(x) for x in got] == [1, 2, None]
+        got = self._one(
+            "SELECT array_sort([2, NULL, 1], 'ASC', 'NULLS FIRST')"
+        )
+        assert got[0] is None
+
+    def test_set_operations(self):
+        assert self._one("SELECT array_union([1,2], [2,3])") == [1, 2, 3]
+        assert self._one("SELECT array_intersect([1,2,3], [2,3,4])") == [2, 3]
+        assert self._one("SELECT array_except([1,2,3], [2])") == [1, 3]
+        assert self._one("SELECT array_distinct([1,2,1,3,2])") == [1, 2, 3]
+
+    def test_predicates_and_reductions(self):
+        assert self._one("SELECT array_max([1,5,2])") == 5
+        assert self._one("SELECT array_min([1,5,2])") == 1
+        assert self._one("SELECT array_has_all([1,2,3], [1,3])") is True
+        assert self._one("SELECT array_has_any([1,2], [9])") is False
+        assert self._one("SELECT flatten([[1,2],[3]])") == [1, 2, 3]
+        assert self._one("SELECT empty([])") is True
+        assert self._one("SELECT array_join([1,2,3], '-')") == "1-2-3"
+        assert self._one("SELECT array_reverse([1,2,3])") == [3, 2, 1]
+
+    def test_null_propagation_and_columns(self):
+        assert self._one("SELECT array_append(NULL, 1)") is None
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES (1), (2), (3)")
+        got = c.sql(
+            "SELECT array_sort(array_agg(column1), 'DESC') FROM t"
+        ).to_pylist_column(0)[0]
+        assert [int(x) for x in got] == [3, 2, 1]
+
+
+class TestUnionByName:
+    def test_union_all_by_name(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE a AS SELECT value AS x, value * 2 AS y"
+              " FROM generate_series(1, 2)")
+        c.sql("CREATE TABLE b AS SELECT value * 10 AS z, value AS x"
+              " FROM generate_series(2, 3)")
+        t = c.sql(
+            "SELECT * FROM a UNION ALL BY NAME SELECT * FROM b"
+            " ORDER BY x, y NULLS LAST"
+        )
+        assert t.column_names == ["x", "y", "z"]
+        assert t.to_pylist() == [
+            {"x": 1, "y": 2, "z": None},
+            {"x": 2, "y": 4, "z": None},
+            {"x": 2, "y": None, "z": 20},
+            {"x": 3, "y": None, "z": 30},
+        ]
+
+    def test_union_by_name_dedups(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE a AS VALUES (1), (2)")
+        c.sql("CREATE TABLE b AS VALUES (2), (3)")
+        got = c.sql(
+            "SELECT column1 FROM a UNION BY NAME SELECT column1 FROM b"
+            " ORDER BY column1"
+        ).to_pylist_column(0)
+        assert got == [1, 2, 3]
