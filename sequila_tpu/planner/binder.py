@@ -150,9 +150,13 @@ class _Bound:
 
 
 class Binder:
-    def __init__(self, catalog, runner=None, views=None, view_guard=None):
+    def __init__(self, catalog, runner=None, views=None, view_guard=None,
+                 info_schema=None):
         self.catalog = catalog
         self.views = views or {}
+        # info_schema: Callable[[str], Table | None] — resolves
+        # information_schema.<name> virtual tables (session-provided)
+        self.info_schema = info_schema
         # view_guard: session-shared in-flight view-name stack, so cycles
         # through set-operation views (which re-enter via the runner with
         # a NEW Binder instance) are still detected
@@ -392,6 +396,11 @@ class Binder:
                 sub, tref.alias or tref.name, tref.col_aliases
             )
         key = tref.name.lower()
+        if key.startswith("information_schema."):
+            t = self.info_schema(key) if self.info_schema else None
+            if t is None:
+                raise PlanError(f"table '{tref.name}' not found")
+            return ScanExec(tref.name, t, tref.alias or tref.name)
         if key in self.views:
             if key in self._view_stack:
                 raise PlanError(f"view '{tref.name}' is recursive")

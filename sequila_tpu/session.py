@@ -260,7 +260,7 @@ class SessionContext:
             return
         Binder(
             self.catalog, runner=self._run_query, views=self.views,
-            view_guard=self._view_guard,
+            view_guard=self._view_guard, info_schema=self._info_schema,
         ).bind_select(stmt)
 
     def _insert_into(self, stmt: ast.InsertInto) -> None:
@@ -445,6 +445,78 @@ class SessionContext:
             return self._show_config(stmt.key)
         raise PlanError(f"unsupported statement: {stmt}")
 
+    def _info_schema(self, key: str) -> Table | None:
+        """information_schema virtual tables (DataFusion enables these in
+        datafusion-cli: tables/columns/views/df_settings/schemata).
+        Snapshots are built per query against the live catalog."""
+        name = key.split(".", 1)[1]
+        if name == "tables":
+            rows = [(t, "BASE TABLE") for t in sorted(self.catalog)] + [
+                (v, "VIEW") for v in sorted(self.views)
+            ]
+            return Table(
+                pa.table(
+                    {
+                        "table_catalog": ["datafusion"] * len(rows),
+                        "table_schema": ["public"] * len(rows),
+                        "table_name": [r[0] for r in rows],
+                        "table_type": [r[1] for r in rows],
+                    }
+                )
+            )
+        if name == "columns":
+            cats, scms, tabs, cols, ords, nulls, types = (
+                [], [], [], [], [], [], []
+            )
+            for tname in sorted(self.catalog):
+                sch = self.catalog[tname].arrow.schema
+                for i, f in enumerate(sch):
+                    cats.append("datafusion")
+                    scms.append("public")
+                    tabs.append(tname)
+                    cols.append(f.name)
+                    ords.append(i + 1)
+                    nulls.append("YES" if f.nullable else "NO")
+                    types.append(str(f.type))
+            return Table(
+                pa.table(
+                    {
+                        "table_catalog": cats,
+                        "table_schema": scms,
+                        "table_name": tabs,
+                        "column_name": cols,
+                        "ordinal_position": pa.array(ords, pa.int64()),
+                        "is_nullable": nulls,
+                        "data_type": types,
+                    }
+                )
+            )
+        if name == "views":
+            vnames = sorted(self.views)
+            return Table(
+                pa.table(
+                    {
+                        "table_catalog": ["datafusion"] * len(vnames),
+                        "table_schema": ["public"] * len(vnames),
+                        "table_name": vnames,
+                        "definition": [None] * len(vnames),
+                    }
+                )
+            )
+        if name == "df_settings":
+            t = self._show_config(None)
+            return t
+        if name == "schemata":
+            return Table(
+                pa.table(
+                    {
+                        "catalog_name": ["datafusion"],
+                        "schema_name": ["public"],
+                    }
+                )
+            )
+        return None
+
     def _show_config(self, key: str | None) -> Table:
         """SHOW ALL / SHOW <var> — name/value rows like DataFusion's
         information_schema-backed SHOW."""
@@ -530,7 +602,7 @@ class SessionContext:
     def create_physical_plan(self, sel: ast.Select):
         plan = Binder(
             self.catalog, runner=self._run_query, views=self.views,
-            view_guard=self._view_guard,
+            view_guard=self._view_guard, info_schema=self._info_schema,
         ).bind_select(sel)
         plan = PredicatePushdownRule().optimize(plan)
         plan = IntervalJoinRule(self.config).optimize(plan)
@@ -596,7 +668,7 @@ class SessionContext:
             scan = ScanExec("__union__", out, None)
             b = Binder(
                 self.catalog, runner=self._run_query, views=self.views,
-                view_guard=self._view_guard,
+                view_guard=self._view_guard, info_schema=self._info_schema,
             )
             schema = scan.schema()
             exprs, asc, nfs = [], [], []

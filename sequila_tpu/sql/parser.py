@@ -391,10 +391,14 @@ class Parser:
         raise PlanError(f"bad literal: {t.value!r}")
 
     def parse_object_name(self) -> str:
-        name = self.next().value
+        parts = [self.next().value]
         while self.eat("punct", "."):
-            name = self.next().value  # keep last path component
-        return name
+            parts.append(self.next().value)
+        # information_schema virtual tables keep their qualifier; other
+        # catalog/schema qualifiers resolve to the last path component
+        if len(parts) >= 2 and parts[-2].lower() == "information_schema":
+            return f"information_schema.{parts[-1]}"
+        return parts[-1]
 
     # -- DROP ---------------------------------------------------------------
     def parse_drop(self) -> ast.DropTable:

@@ -284,3 +284,61 @@ class TestCreateTableDefsAndPrepare:
             c.sql("EXECUTE q2(1)")  # arity mismatch vs declared types
         with pytest.raises(PlanError):
             c.sql("SELECT * FROM t WHERE column2 = $1")  # unbound
+
+
+class TestInformationSchema:
+    """information_schema virtual tables (datafusion-cli enables these)."""
+
+    def _ctx(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES (1, 'a'), (2, 'b')")
+        c.sql("CREATE VIEW v AS SELECT column1 FROM t")
+        return c
+
+    def test_tables(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT table_name, table_type FROM information_schema.tables"
+            " ORDER BY table_name"
+        ).to_pylist()
+        assert out == [
+            {"table_name": "t", "table_type": "BASE TABLE"},
+            {"table_name": "v", "table_type": "VIEW"},
+        ]
+
+    def test_columns(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT column_name, data_type, is_nullable"
+            " FROM information_schema.columns WHERE table_name = 't'"
+            " ORDER BY ordinal_position"
+        ).to_pylist()
+        assert [r["column_name"] for r in out] == ["column1", "column2"]
+        assert out[0]["data_type"] == "int64"
+
+    def test_settings_and_schemata(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT value FROM information_schema.df_settings"
+            " WHERE name = 'datafusion.execution.target_partitions'"
+        ).to_pylist()
+        assert len(out) == 1
+        sch = c.sql("SELECT * FROM information_schema.schemata").to_pylist()
+        assert sch == [
+            {"catalog_name": "datafusion", "schema_name": "public"}
+        ]
+
+    def test_joins_with_user_tables(self):
+        c = self._ctx()
+        out = c.sql(
+            "SELECT count(*) FROM information_schema.columns c"
+            " JOIN information_schema.tables ti"
+            " ON c.table_name = ti.table_name"
+            " WHERE ti.table_type = 'BASE TABLE'"
+        ).to_pylist_column(0)
+        assert out == [2]
+
+    def test_unknown_info_table(self):
+        c = self._ctx()
+        with pytest.raises(PlanError):
+            c.sql("SELECT * FROM information_schema.nope")
