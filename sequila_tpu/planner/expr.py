@@ -888,6 +888,10 @@ SCALAR_FUNC_ARITY = {
     # object arrays, arrow struct columns at the boundaries)
     "struct": (1, None), "named_struct": (2, None), "row": (1, None),
     "get_field": (2, 2),
+    # maps (DataFusion's map library; dict cells like structs)
+    "map": (2, 2), "make_map": (2, None),
+    "map_keys": (1, 1), "map_values": (1, 1),
+    "map_extract": (2, 2), "map_contains_key": (2, 2),
 }
 
 
@@ -1679,6 +1683,56 @@ class ScalarFuncExpr(PhysicalExpr):
                 _ARRAY_FUNC_IMPLS[name], vals, num_rows,
                 skip_null=False, boxed=True,
             )
+        if name == "map":
+            # map(keys_array, values_array) -> dict cell
+            def mkm(ks, vs):
+                kl, vl = _as_list(ks), _as_list(vs)
+                if kl is None or vl is None:
+                    return None
+                if len(kl) != len(vl):
+                    raise ExecutionError(
+                        "map: keys and values must have the same length"
+                    )
+                return {_cellv(k): _cellv(v) for k, v in zip(kl, vl)}
+
+            return _elementwise(mkm, vals, num_rows, skip_null=False, boxed=True)
+        if name == "make_map":
+            # make_map(k1, v1, k2, v2, ...)
+            if len(vals) % 2 != 0:
+                raise ExecutionError("make_map takes (key, value) pairs")
+
+            def mkm2(*row):
+                return {
+                    _cellv(row[i]): _cellv(row[i + 1])
+                    for i in range(0, len(row), 2)
+                }
+
+            return _elementwise(mkm2, vals, num_rows, skip_null=False, boxed=True)
+        if name in ("map_keys", "map_values"):
+            which = 0 if name == "map_keys" else 1
+
+            def mk(v):
+                if not isinstance(v, dict):
+                    return None
+                return list(v.keys() if which == 0 else v.values())
+
+            return _elementwise(mk, vals, num_rows, skip_null=False, boxed=True)
+        if name == "map_extract":
+            # DataFusion returns a list: [value] on hit, [] on miss
+            def mx(v, k):
+                if not isinstance(v, dict):
+                    return None
+                k = _cellv(k)
+                return [v[k]] if k in v else []
+
+            return _elementwise(mx, vals, num_rows, skip_null=False, boxed=True)
+        if name == "map_contains_key":
+            def mc(v, k):
+                if not isinstance(v, dict):
+                    return None
+                return _cellv(k) in v
+
+            return _elementwise(mc, vals, num_rows, skip_null=False, boxed=True)
         if name in ("struct", "row"):
             # positional fields are named c0..cN (DataFusion convention)
             def mk(*row):

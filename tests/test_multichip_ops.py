@@ -183,3 +183,30 @@ def test_shuffle_pairs_chunked_two_compiles(rng):
     assert sorted(zip(q.tolist(), b.tolist())) == sorted(
         zip(op.tolist(), ob.tolist())
     )
+
+
+def test_strand_aware_partitioned_count(rng):
+    """strand folding composes with the engine mesh (partitions > 1) —
+    the composite key codes ride the partitioned paths unchanged."""
+    import pyarrow as pa
+
+    from sequila_tpu import dataframe as gdf
+    from sequila_tpu.models.table import Table
+
+    def stranded(n, seed):
+        r = np.random.default_rng(seed)
+        contigs = [f"chr{int(k)}" for k in r.integers(1, 4, n)]
+        s = r.integers(0, 5000, n).astype(np.int64)
+        e = s + r.integers(0, 300, n)
+        strands = [["+", "-"][int(i)] for i in r.integers(0, 2, n)]
+        return Table(pa.table({
+            "contig": contigs, "pos_start": s, "pos_end": e,
+            "strand": strands,
+        }))
+
+    a, b = stranded(300, 1), stranded(400, 2)
+    single = gdf.count_overlaps(a, b, strand="same").column_np(-1)
+    multi = gdf.count_overlaps(
+        a, b, strand="same", partitions=4
+    ).column_np(-1)
+    assert single.tolist() == multi.tolist()

@@ -743,3 +743,33 @@ class TestUnionByName:
             " ORDER BY column1"
         ).to_pylist_column(0)
         assert got == [1, 2, 3]
+
+
+class TestMapFunctions:
+    """DataFusion's map library (dict cells like structs)."""
+
+    def _one(self, q):
+        v = SessionContext().sql(q).to_pylist_column(0)[0]
+        if hasattr(v, "tolist"):
+            v = v.tolist()
+        if isinstance(v, list):
+            v = [x.item() if hasattr(x, "item") else x for x in v]
+        return v
+
+    def test_construction_and_access(self):
+        assert self._one("SELECT map(['a','b'], [1,2])['a']") == 1
+        assert self._one("SELECT make_map('x', 10, 'y', 20)['y']") == 20
+        assert self._one("SELECT map_keys(map(['a','b'], [1,2]))") == ["a", "b"]
+        assert self._one("SELECT map_values(map(['a','b'], [1,2]))") == [1, 2]
+
+    def test_extract_and_contains(self):
+        assert self._one("SELECT map_extract(map(['a'],[1]), 'a')") == [1]
+        assert self._one("SELECT map_extract(map(['a'],[1]), 'z')") == []
+        assert self._one("SELECT map_contains_key(map(['a'],[1]), 'a')") is True
+        assert self._one("SELECT map_contains_key(map(['a'],[1]), 'z')") is False
+
+    def test_errors_and_nulls(self):
+        c = SessionContext()
+        with pytest.raises(Exception):
+            c.sql("SELECT map(['a'], [1, 2])")
+        assert self._one("SELECT map_keys(NULL)") is None
