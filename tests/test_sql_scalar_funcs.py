@@ -773,3 +773,40 @@ class TestMapFunctions:
         with pytest.raises(Exception):
             c.sql("SELECT map(['a'], [1, 2])")
         assert self._one("SELECT map_keys(NULL)") is None
+
+
+class TestArrowStringFastPath:
+    """The arrow-compute fast path for string functions must agree
+    bit-for-bit with the per-row Python fallback (NULLs, unicode,
+    newlines, empty strings)."""
+
+    def test_parity_with_python_fallback(self):
+        c = SessionContext()
+        c.register_table(
+            "p",
+            pa.table(
+                {"s": ["Hello", None, "wörld", "", "chr\n1", "ß", "a,b"]}
+            ),
+        )
+        funcs = [
+            "upper(S)", "lower(S)", "length(S)", "char_length(S)",
+            "octet_length(S)", "bit_length(S)", "reverse(S)", "trim(S)",
+            "ltrim(S)", "rtrim(S)", "starts_with(S, 'ch')",
+            "ends_with(S, '1')", "contains(S, 'r')",
+            "replace(S, 'l', 'L')",
+        ]
+        for f in funcs:
+            fast = c.sql(
+                f"SELECT {f.replace('S', 's')} FROM p"
+            ).to_pylist_column(0)
+            slow = c.sql(
+                f"SELECT {f.replace('S', chr(40) + 's || ' + chr(39) * 2 + chr(41))} FROM p"
+            ).to_pylist_column(0)
+            assert fast == slow, (f, fast, slow)
+
+    def test_fast_path_types(self):
+        # nullable length keeps int64-with-null output typing
+        c = SessionContext()
+        c.register_table("p", pa.table({"s": ["ab", None]}))
+        t = c.sql("SELECT length(s) AS n FROM p")
+        assert t.to_pylist_column(0) == [2, None]
