@@ -407,6 +407,13 @@ def _sort_key_arrays(k: np.ndarray, asc: bool, nulls_first) -> list:
         # int64 view: NaT (INT64_MIN) is dominated by the null key below,
         # and DESC negation needs a number
         k = k.view(np.int64)
+    if k.dtype == object:
+        # string columns: arrow dictionary ranks instead of object
+        # compares (object lexsort/argsort is ~20x slower at 500k rows);
+        # null rows get the last rank, dominated by the null key below
+        enc = _object_codes_arrow(k)
+        if enc is not None:
+            k = enc[0]
     if k.dtype == object and nulls.any():
         # np.unique can't mix None with values; rank non-nulls
         ranks = np.zeros(len(k), np.int64)
