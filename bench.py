@@ -217,6 +217,8 @@ def run_full(iters):
         ("complement (500k)", lambda: gdf.complement(A, {f"chr{i+1}": (0, 248_000_000) for i in range(24)})),
         ("subtract (500k x 500k)", lambda: gdf.subtract(A, B)),
         ("depth/pileup (500k)", lambda: gdf.depth(A)),
+        ("window w=5k (500k x 500k)", lambda: gdf.window(A, B, window=5_000)),
+        ("reldist (500k x 500k)", lambda: gdf.reldist(A, B)),
     ]:
         fn()  # warm
         t0 = time.perf_counter()
@@ -226,6 +228,52 @@ def run_full(iters):
         artifact["genomic_ops"][name] = {
             "rows": out.num_rows, "seconds": round(dt, 4)
         }
+
+    print("== strand-aware verbs ==", file=sys.stderr)
+    As = Table(A.arrow.append_column(
+        "strand", pa.array([["+", "-"][i % 2] for i in range(A.num_rows)])
+    ))
+    Bs = Table(B.arrow.append_column(
+        "strand", pa.array([["+", "-"][i % 2] for i in range(B.num_rows)])
+    ))
+    for name, fn in [
+        ("count_overlaps -s (500k x 500k)",
+         lambda: gdf.count_overlaps(As, Bs, strand="same")),
+        ("merge -s (500k)", lambda: gdf.merge(As, strand=True)),
+    ]:
+        fn()
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        print(f"{name}: {out.num_rows:,} rows in {dt*1000:.0f} ms", file=sys.stderr)
+        artifact["genomic_ops"][name] = {
+            "rows": out.num_rows, "seconds": round(dt, 4)
+        }
+
+    print("== host SQL layer (500k rows) ==", file=sys.stderr)
+    from sequila_tpu.session import SessionContext as _SC
+
+    rng = np.random.default_rng(0)
+    n = 500_000
+    sc = _SC()
+    sc.register_table("hb", pa.table({
+        "g": pa.array(np.array([f"chr{i % 23}" for i in range(n)], dtype=object)),
+        "x": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+        "y": pa.array(np.where(rng.random(n) < 0.1, np.nan, rng.random(n))),
+    }))
+    artifact["sql_host"] = {}
+    for name, q in [
+        ("group-aggregate", "SELECT g, count(*), sum(x), avg(y) FROM hb GROUP BY g"),
+        ("order-by-string", "SELECT g FROM hb ORDER BY g DESC"),
+        ("string-functions", "SELECT upper(g), length(g), contains(g, '1') FROM hb"),
+        ("window-function", "SELECT x, row_number() OVER (PARTITION BY g ORDER BY x) FROM hb"),
+    ]:
+        sc.sql(q)  # warm
+        t0 = time.perf_counter()
+        sc.sql(q)
+        dt = time.perf_counter() - t0
+        print(f"{name}: {dt*1000:.0f} ms", file=sys.stderr)
+        artifact["sql_host"][name] = {"seconds": round(dt, 4)}
 
     print("== materialization (SELECT *, 20k x 20k) ==", file=sys.stderr)
     run_pair(
