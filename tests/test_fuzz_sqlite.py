@@ -577,3 +577,27 @@ class TestSqliteNewSurface:
                 f" LIMIT {a}+{b} OFFSET {b}*2"
             )
             _run_both(ctx, con, sql)
+
+
+class TestSqliteInequalityJoins:
+    """Equi-join + inequality side-condition (ON a.g = b.g AND
+    a.id < b.id) — the join-filter path under random predicates."""
+
+    def test_inequality_join_filters(self):
+        import re as _re
+
+        rng = random.Random(1300)
+        ctx, con = _setup(rng)
+
+        def qualify(pred):
+            return _re.sub(r"\b([xgys])\b", r"a.\1", pred)
+
+        for _ in range(N_QUERIES // 2):
+            op = rng.choice(["<", "<=", ">", ">=", "!="])
+            sql = (
+                f"SELECT a.id AS ai, b.id AS bi FROM t a JOIN t b"
+                f" ON a.g = b.g AND a.id {op} b.id"
+                f" WHERE {qualify(_rand_pred(rng))}"
+                " ORDER BY 1 NULLS LAST, 2 NULLS LAST LIMIT 300"
+            )
+            _run_both(ctx, con, sql)
