@@ -441,7 +441,15 @@ class Binder:
         if key in self.catalog:
             return self.catalog[key]
         if key in self.views and self.runner is not None:
-            return self.runner(self.views[key])
+            # same recursion guard as the plain view path: a view cycle
+            # through merge('v') must error, not recurse unboundedly
+            if key in self._view_stack:
+                raise PlanError(f"view '{name}' is recursive")
+            self._view_stack.append(key)
+            try:
+                return self.runner(self.views[key])
+            finally:
+                self._view_stack.pop()
         raise PlanError(f"{fname}: table '{name}' not found")
 
     # genomic verbs exposed as SQL table functions (name -> arity range);

@@ -707,6 +707,26 @@ _NUMERIC_FUNCS = {
     "cot": lambda a: 1.0 / np.tan(a),
 }
 
+# names _arrow_string_fast can ever serve — checked before the probe so
+# hot non-string functions (abs, coalesce, ...) skip it entirely
+_ARROW_FAST_NAMES = frozenset(
+    {
+        "upper", "lower", "length", "char_length", "character_length",
+        "octet_length", "bit_length", "reverse", "trim", "ltrim",
+        "rtrim", "btrim", "starts_with", "ends_with", "contains",
+        "replace",
+    }
+)
+
+# Python's str.strip() whitespace set (str.isspace chars), computed once:
+# pc.utf8_trim_whitespace uses Unicode White_Space, which EXCLUDES
+# \x1c-\x1f/\x85 that Python strips — the explicit set keeps the fast
+# path bit-identical to the fallback
+_PY_WHITESPACE = "".join(
+    chr(c) for c in range(0x3001) if chr(c).isspace()
+)
+
+
 def _arrow_string_fast(name, args, cols, num_rows):
     """C++ fast path for string functions applied to a plain arrow
     string column (same rationale as the LIKE fast path: per-row Python
@@ -724,10 +744,10 @@ def _arrow_string_fast(name, args, cols, num_rows):
         "octet_length": pc.binary_length,
         "bit_length": lambda c: pc.multiply(pc.binary_length(c), 8),
         "reverse": pc.utf8_reverse,
-        "trim": pc.utf8_trim_whitespace,
-        "ltrim": pc.utf8_ltrim_whitespace,
-        "rtrim": pc.utf8_rtrim_whitespace,
-        "btrim": pc.utf8_trim_whitespace,
+        "trim": lambda c: pc.utf8_trim(c, characters=_PY_WHITESPACE),
+        "ltrim": lambda c: pc.utf8_ltrim(c, characters=_PY_WHITESPACE),
+        "rtrim": lambda c: pc.utf8_rtrim(c, characters=_PY_WHITESPACE),
+        "btrim": lambda c: pc.utf8_trim(c, characters=_PY_WHITESPACE),
     }
     col = _arrow_str_col(cols, args[0]) if args else None
     if col is None:
@@ -1085,6 +1105,16 @@ def _arr_concat(*arrs):
     return out
 
 
+def _arr_has(v, w, quant):
+    """array_has_all/any: membership list hoisted once per row (not once
+    per needle)."""
+    la, lw = _as_list(v), _as_list(w)
+    if la is None or lw is None:
+        return None
+    members = [_cellv(e) for e in la]
+    return quant(_cellv(x) in members for x in lw)
+
+
 def _arr_setop(v, w, kind):
     la, lb = _as_list(v), _as_list(w)
     if la is None or lb is None:
@@ -1138,16 +1168,8 @@ _ARRAY_FUNC_IMPLS = {
     "array_min": _with_list(
         lambda lst: min((x for x in lst if x is not None), default=None)
     ),
-    "array_has_all": lambda v, w: (
-        None if _as_list(v) is None or _as_list(w) is None
-        else all(_cellv(x) in [_cellv(e) for e in _as_list(v)]
-                 for x in _as_list(w))
-    ),
-    "array_has_any": lambda v, w: (
-        None if _as_list(v) is None or _as_list(w) is None
-        else any(_cellv(x) in [_cellv(e) for e in _as_list(v)]
-                 for x in _as_list(w))
-    ),
+    "array_has_all": lambda v, w: _arr_has(v, w, all),
+    "array_has_any": lambda v, w: _arr_has(v, w, any),
     "flatten": _with_list(
         lambda lst: [
             y
@@ -1261,9 +1283,10 @@ class ScalarFuncExpr(PhysicalExpr):
 
     def eval(self, cols, num_rows):
         name = self.name
-        fast = _arrow_string_fast(name, self.args, cols, num_rows)
-        if fast is not None:
-            return fast
+        if name in _ARROW_FAST_NAMES:
+            fast = _arrow_string_fast(name, self.args, cols, num_rows)
+            if fast is not None:
+                return fast
         vals = [a.eval(cols, num_rows) for a in self.args]
         if name == "isnull":
             return _null_mask(np.asarray(vals[0]))
@@ -1307,12 +1330,38 @@ class ScalarFuncExpr(PhysicalExpr):
             return _elementwise(cc, vals, num_rows, skip_null=False)
         if name in ("coalesce", "ifnull", "nvl"):
             # numeric fast path: NULL rides as NaN, so coalesce is a
-            # right-to-left np.where chain (object rows fall back)
+            # right-to-left np.where chain.  Gate strictly: timedelta64
+            # is np.number but NaT does NOT convert to NaN, and int64
+            # above 2^53 would be corrupted by the float chain — those
+            # (and object rows) take the exact per-row path.
             arrs = [np.asarray(v) for v in vals]
-            if all(
-                np.issubdtype(a.dtype, np.number) or a.dtype == bool
-                for a in arrs
-            ):
+
+            def _float_safe(a):
+                # timedelta64 subclasses np.signedinteger in numpy's
+                # hierarchy but NaT doesn't become NaN — exclude it first
+                if np.issubdtype(a.dtype, np.timedelta64) or np.issubdtype(
+                    a.dtype, np.datetime64
+                ):
+                    return False
+                if np.issubdtype(a.dtype, np.floating):
+                    return True
+                if a.dtype == bool:
+                    return True
+                if np.issubdtype(a.dtype, np.integer):
+                    if a.size == 0:
+                        return True
+                    return (
+                        int(a.min()) >= -(2**53) and int(a.max()) <= 2**53
+                    )
+                return False
+
+            if all(_float_safe(a) for a in arrs):
+                if not any(
+                    np.issubdtype(a.dtype, np.floating) for a in arrs
+                ):
+                    # int/bool only: NULLs are unrepresentable, the first
+                    # argument wins everywhere and keeps its exact dtype
+                    return np.broadcast_to(arrs[0], (num_rows,))
                 out = np.broadcast_to(
                     arrs[-1].astype(np.float64, copy=False), (num_rows,)
                 )

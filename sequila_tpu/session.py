@@ -478,6 +478,29 @@ class SessionContext:
                     ords.append(i + 1)
                     nulls.append("YES" if f.nullable else "NO")
                     types.append(str(f.type))
+            # views contribute their bound output columns too (types are
+            # unknown without execution -> NULL data_type)
+            for vname in sorted(self.views):
+                view = self.views[vname]
+                try:
+                    sel = view
+                    while isinstance(sel, ast.Union):
+                        sel = sel.selects[0]
+                    schema = Binder(
+                        self.catalog, runner=self._run_query,
+                        views=self.views, view_guard=self._view_guard,
+                        info_schema=self._info_schema,
+                    ).bind_select(sel).schema()
+                except Exception:
+                    continue  # unbindable right now: skip, don't fail
+                for i, (_, cname) in enumerate(schema):
+                    cats.append("datafusion")
+                    scms.append("public")
+                    tabs.append(vname)
+                    cols.append(cname)
+                    ords.append(i + 1)
+                    nulls.append("YES")
+                    types.append(None)
             return Table(
                 pa.table(
                     {

@@ -955,3 +955,78 @@ class TestRound2SurfaceReviewFixes:
             " HAVING sum(column2) > 2 ORDER BY sum(column2) DESC"
         ).to_pylist()
         assert out == [{"column1": "a", "sv": 4}]
+
+
+class TestRound2PerfPathReviewFixes:
+    """Fixes from the second round-2 self-review (fast paths, table
+    functions, information_schema)."""
+
+    def test_coalesce_timedelta_falls_back(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("d", pa.table({
+            "a": pa.array(
+                [np.datetime64("2023-01-02", "us"), None],
+                type=pa.timestamp("us"),
+            ),
+            "b": pa.array(
+                [np.datetime64("2023-01-01", "us")] * 2,
+                type=pa.timestamp("us"),
+            ),
+        }))
+        out = c.sql(
+            "SELECT coalesce(a - b, INTERVAL '0 seconds') FROM d"
+        ).to_pylist_column(0)
+        assert str(out[0]) == "1 day, 0:00:00"
+        assert str(out[1]) == "0:00:00"  # NaT coalesces, not -9.2e18
+
+    def test_coalesce_bigint_exact(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.sql("CREATE TABLE big AS VALUES (9007199254740993)")
+        assert c.sql(
+            "SELECT ifnull(column1, 0) FROM big"
+        ).to_pylist_column(0) == [9007199254740993]  # not 2^53-rounded
+
+    def test_recursive_view_through_table_function(self):
+        import pytest as _pytest
+
+        from sequila_tpu.errors import PlanError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.sql("CREATE EXTERNAL TABLE reads STORED AS CSV"
+              " LOCATION 'testing/data/interval/reads.csv'")
+        c.sql("CREATE VIEW va AS SELECT * FROM reads")
+        c.sql("CREATE VIEW vb AS SELECT * FROM merge('va')")
+        c.sql("CREATE OR REPLACE VIEW va AS SELECT * FROM merge('vb')")
+        with _pytest.raises(PlanError, match="recursive"):
+            c.sql("SELECT count(*) FROM va")
+
+    def test_trim_control_char_parity(self):
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("w", pa.table({"s": ["\x1cabc\x1f", " x ", None]}))
+        fast = c.sql("SELECT trim(s) FROM w").to_pylist_column(0)
+        slow = c.sql("SELECT trim(s || '') FROM w").to_pylist_column(0)
+        assert fast == slow == ["abc", "x", None]
+
+    def test_information_schema_view_columns(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES (1, 'a')")
+        c.sql("CREATE VIEW v AS SELECT column1 AS x FROM t")
+        cols = c.sql(
+            "SELECT column_name FROM information_schema.columns"
+            " WHERE table_name = 'v'"
+        ).to_pylist_column(0)
+        assert cols == ["x"]
