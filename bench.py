@@ -498,7 +498,9 @@ for n in (1, 2, 4, 8):
     if base is None:
         base = dt
     eff = base / (dt * n) * 100
-    print(f"devices={n}: SPMD step {dt*1000:.1f} ms, total={int(total)}, scaling efficiency={eff:.0f}%")
+    # the count fn returns int32-safe bucket partials; finish in int64
+    tot = int(np.asarray(total).astype(np.int64).sum())
+    print(f"devices={n}: SPMD step {dt*1000:.1f} ms, total={tot}, scaling efficiency={eff:.0f}%")
 
 # skew-aware comparison (range-split hot contigs) at 8 devices
 from sequila_tpu.parallel.skew import skew_partitioned_count_mesh
