@@ -6,6 +6,13 @@ Run: python examples/demo.py  (works on CPU or TPU)
 import os
 import sys
 
+# honor JAX_PLATFORMS even under the axon sitecustomize (which pins the
+# TPU plugin): lets the demo run on CPU boxes with JAX_PLATFORMS=cpu
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
