@@ -512,6 +512,42 @@ print(f"skew-aware 8 devices (incl. host planning + compile): {time.perf_counter
     subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ensure_backend() -> str:
+    """Probe the axon TPU backend in a SUBPROCESS (a dead tunnel makes
+    backend init hang indefinitely, which would wedge the whole bench);
+    on probe failure fall back to CPU with an explicit platform label so
+    the artifact records an honest, clearly-marked number instead of a
+    hang."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # explicit CPU request: the sitecustomize ignores the env var,
+        # so apply the config override it requires
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=420, text=True,
+        )
+        if r.returncode == 0 and "cpu" not in r.stdout.lower():
+            return r.stdout.strip() or "tpu"
+    except subprocess.TimeoutExpired:
+        pass
+    print(
+        "WARNING: TPU backend unreachable (axon tunnel down?); "
+        "falling back to CPU — artifact is labeled platform=cpu",
+        file=sys.stderr,
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="run the full databio-style suite")
@@ -524,6 +560,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
+    platform = _ensure_backend()
     if args.scaling:
         run_scaling()
         return
@@ -549,6 +586,7 @@ def main():
                     "query": "databio count(*) chainRn4_chr1-like x chainVicPac2_chr1-like",
                     "output_rows": total,
                     "seconds": round(t, 4),
+                    "platform": platform,
                     "baseline": "sequila-native Coitrees 154.37M rows / 2.457 s (BASELINE.md)",
                 },
             }
