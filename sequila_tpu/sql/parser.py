@@ -110,8 +110,12 @@ class Parser:
 
     def next(self) -> Token:
         t = self.toks[self.i]
-        if t.kind != "eof":
-            self.i += 1
+        if t.kind == "eof":
+            # every grammar production that consumes a token expects one;
+            # returning the eof token forever would let unguarded
+            # `while not eat(')')` loops spin on truncated input
+            raise PlanError("unexpected end of input")
+        self.i += 1
         return t
 
     def at_kw(self, *kws: str) -> bool:

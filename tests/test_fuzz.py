@@ -118,6 +118,18 @@ class TestParserRobustness:
             "SELECT count(*) FROM t WHERE EXISTS (SELECT 1 FROM t WHERE x > 0) GROUP BY g HAVING count(*) > 0",
             "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t ORDER BY 1 LIMIT 5 OFFSET 1",
             "SELECT g FROM t WHERE x IS NOT DISTINCT FROM 1 AND x NOT IN (SELECT x FROM t)",
+            # round-2 surface: table functions, WINDOW clause, DISTINCT ON,
+            # GROUP BY ALL, NATURAL JOIN, PREPARE, SIMILAR TO, star EXCLUDE
+            "SELECT sum(value) FROM generate_series(1, 10) g WHERE value > 2",
+            "SELECT x, sum(x) OVER w FROM t WINDOW w AS (PARTITION BY g ORDER BY x)",
+            "SELECT DISTINCT ON (g) g, x FROM t ORDER BY g, x DESC",
+            "SELECT g, count(*) FROM t GROUP BY ALL ORDER BY count(*) DESC",
+            "SELECT * EXCLUDE (x) FROM t NATURAL LEFT JOIN t",
+            "PREPARE q1 (INT) AS SELECT * FROM t WHERE x > $1",
+            "SELECT g FROM t WHERE g SIMILAR TO '(a|b)%' ORDER BY ALL",
+            "SELECT array_sort(array_agg(x ORDER BY x DESC), 'DESC') FROM t",
+            "SELECT map_extract(map(['k'], [x]), 'k') FROM t",
+            "CREATE TABLE IF NOT EXISTS e2 (a INTEGER NOT NULL, b TEXT)",
         ]
         for q in queries:
             for cut in range(1, len(q)):
