@@ -155,6 +155,10 @@ class TestParserRobustness:
             "OVER", "CASE", "WHEN", "END", "IN", "NOT", "LIKE", "NULLS",
             "ORDER", "BY", "GROUP", "1", "'a'", "=", "<", "AND", "OR",
             "EXISTS", "ROWS", "BETWEEN", "CAST", "AS", "INT", "VIEW",
+            # round-2 syntax tokens
+            "WINDOW", "NATURAL", "DISTINCT", "ON", "ALL", "EXCLUDE",
+            "PREPARE", "EXECUTE", "SIMILAR", "TO", "[", "]", "$1",
+            "generate_series", "map", "IF", "TABLE",
         ]
         for _ in range(400):
             q = " ".join(rng.choices(tokens, k=rng.randint(1, 14)))
