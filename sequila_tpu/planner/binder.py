@@ -277,7 +277,18 @@ class Binder:
                     target, _ = self._resolve_item_ref(
                         oi.expr, sel, schema, alias_wins=True
                     )
-                    exprs.append(self._bind_expr(target, schema).expr)
+                    try:
+                        bound = self._bind_expr(target, schema).expr
+                    except PlanError:
+                        # ORDER BY abs(alias): aliases may appear INSIDE
+                        # expressions too (DataFusion/sqlite resolution) —
+                        # substitute unresolvable bare names with their
+                        # aliased select expressions and retry
+                        sub = self._substitute_aliases(target, sel, schema)
+                        if sub is target:
+                            raise
+                        bound = self._bind_expr(sub, schema).expr
+                    exprs.append(bound)
                     asc.append(oi.asc)
                     nfs.append(oi.nulls_first)
                 plan = SortExec(plan, exprs, asc, nfs)
@@ -1658,6 +1669,47 @@ class Binder:
             else:
                 out.append(item)
         return out
+
+    def _substitute_aliases(self, e, sel: ast.Select, schema):
+        """Replace bare ColRefs that only resolve as SELECT aliases with
+        their aliased expressions (generic dataclass walk); input columns
+        shadow aliases, matching sqlite's fallback resolution."""
+        alias_map = {
+            it.alias.lower(): it.expr
+            for it in sel.items
+            if it.alias is not None
+        }
+        if not alias_map:
+            return e
+
+        def go(node):
+            if isinstance(node, ast.ColRef) and node.qualifier is None:
+                key = node.name.lower()
+                if key in alias_map:
+                    try:
+                        self._resolve_column(node, schema)
+                        return node  # a real input column shadows the alias
+                    except PlanError:
+                        return alias_map[key]
+                return node
+            if dataclasses.is_dataclass(node) and not isinstance(node, type):
+                changes = {}
+                for f in dataclasses.fields(node):
+                    v = getattr(node, f.name)
+                    nv = go(v)
+                    if nv is not v:
+                        changes[f.name] = nv
+                return (
+                    dataclasses.replace(node, **changes) if changes else node
+                )
+            if isinstance(node, tuple):
+                out = tuple(go(x) for x in node)
+                if any(a is not b for a, b in zip(out, node)):
+                    return out
+                return node
+            return node
+
+        return go(e)
 
     def _resolve_item_ref(self, e, sel: ast.Select, schema, alias_wins: bool):
         """SELECT-alias or 1-based ordinal reference -> (target_expr,

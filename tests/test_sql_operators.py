@@ -1057,3 +1057,33 @@ class TestSqlSurfacePack4:
         assert any("Scan" in p for p in plan)
         with pytest.raises(PlanError):
             c.sql("SELECT * FROM t LIMIT column1")
+
+
+class TestOrderByAliasInExpression:
+    def test_alias_inside_order_expression(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES ('a', -3), ('b', 2), ('c', -1)")
+        got = c.sql(
+            "SELECT column2 AS v FROM t ORDER BY abs(v)"
+        ).to_pylist_column(0)
+        assert got == [-1, 2, -3]  # sqlite/DataFusion resolution
+        got = c.sql(
+            "SELECT column2 AS v, column1 FROM t"
+            " ORDER BY abs(v) * -1, column1"
+        ).to_pylist_column(0)
+        assert got == [-3, 2, -1]
+
+    def test_input_column_shadows_alias(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE u AS VALUES (5, -10)")
+        out = c.sql(
+            "SELECT column2 AS column1, column1 AS orig FROM u"
+            " ORDER BY abs(column1)"
+        ).to_pylist()
+        assert out == [{"column1": -10, "orig": 5}]
+
+    def test_unknown_name_still_errors(self):
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES (1)")
+        with pytest.raises(PlanError):
+            c.sql("SELECT column1 AS v FROM t ORDER BY abs(nope)")
