@@ -524,6 +524,25 @@ class Binder:
         fname, args = tf
         if fname in self._GENOMIC_TFS:
             return self._genomic_table_function(fname, args)
+        if fname == "unnest":
+            # FROM unnest([...]): one row per element, column `value`
+            if len(args) != 1:
+                raise PlanError("unnest takes one array argument")
+            b = self._bind_expr(args[0], [])
+            v = b.expr.eval({}, 1)
+            cell = v[0] if len(v) else None
+            lst = (
+                list(cell)
+                if isinstance(cell, (list, tuple, _np.ndarray))
+                else None
+            )
+            if lst is None:
+                raise PlanError("unnest argument must be an array")
+            return _Table(
+                _pa.table({"value": _pa.array([
+                    x.item() if hasattr(x, "item") else x for x in lst
+                ])})
+            )
         if fname not in ("generate_series", "range"):
             raise PlanError(f"unknown table function '{fname}'")
         if not 1 <= len(args) <= 3:

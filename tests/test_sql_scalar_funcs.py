@@ -810,3 +810,22 @@ class TestArrowStringFastPath:
         c.register_table("p", pa.table({"s": ["ab", None]}))
         t = c.sql("SELECT length(s) AS n FROM p")
         assert t.to_pylist_column(0) == [2, None]
+
+
+class TestUnnestTableFunction:
+    def test_from_unnest(self):
+        c = SessionContext()
+        assert c.sql(
+            "SELECT * FROM unnest([3,1,2]) ORDER BY value"
+        ).to_pylist_column(0) == [1, 2, 3]
+        assert c.sql(
+            "SELECT sum(value) FROM unnest([1,2,3])"
+        ).to_pylist_column(0) == [6]
+        assert c.sql(
+            "SELECT n FROM unnest(['a','b']) t(n) ORDER BY n"
+        ).to_pylist_column(0) == ["a", "b"]
+        assert c.sql(
+            "SELECT * FROM unnest(string_to_array('x,y', ','))"
+        ).num_rows == 2
+        with pytest.raises(PlanError):
+            c.sql("SELECT * FROM unnest(1)")
