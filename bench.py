@@ -150,7 +150,7 @@ def run_pair(name, t1, t2, iters, query=QUERY, setup_sql=(), results=None):
 FULL_ARTIFACT = "BENCH_full.json"
 
 
-def run_full(iters):
+def run_full(iters, platform=None):
     """databio-style suite: multiple pairings (reference
     benches/databio_benchmark.rs runs 9 tables x 5 pairings), algorithm
     sweep, whole-genome skewed join, and a materialization bench.
@@ -160,6 +160,7 @@ def run_full(iters):
     materialization path, not just the headline pairing."""
     artifact = {
         "suite": "databio-style synthetic",
+        "platform": platform or "unknown",
         "iters": iters,
         "algorithms": {},
         "pairings": {},
@@ -523,9 +524,9 @@ def _ensure_backend() -> str:
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         # explicit CPU request: the sitecustomize ignores the env var,
         # so apply the config override it requires
-        import jax
+        from sequila_tpu.utils import honor_jax_platforms
 
-        jax.config.update("jax_platforms", "cpu")
+        honor_jax_platforms()
         return "cpu"
     try:
         r = subprocess.run(
@@ -560,10 +561,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
-    platform = _ensure_backend()
     if args.scaling:
-        run_scaling()
+        run_scaling()  # CPU-only virtual mesh: no TPU probe needed
         return
+    platform = _ensure_backend()
     if args.pipeline:
         run_pipeline()
         return
@@ -571,7 +572,7 @@ def main():
         run_databio(args.iters)
         return
     if args.full:
-        run_full(args.iters)
+        run_full(args.iters, platform)
 
     total, t = run("coitrees", iters=args.iters, verbose=args.full)
     value = total / t

@@ -10,14 +10,11 @@ import os
 import sys
 import tempfile
 
-# honor JAX_PLATFORMS even under the axon sitecustomize (which pins the
-# TPU plugin): lets the example run on CPU boxes with JAX_PLATFORMS=cpu
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from sequila_tpu.utils import honor_jax_platforms
+
+honor_jax_platforms()  # axon sitecustomize ignores the env var
 
 from sequila_tpu.session import SessionContext
 

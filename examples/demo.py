@@ -6,14 +6,11 @@ Run: python examples/demo.py  (works on CPU or TPU)
 import os
 import sys
 
-# honor JAX_PLATFORMS even under the axon sitecustomize (which pins the
-# TPU plugin): lets the demo run on CPU boxes with JAX_PLATFORMS=cpu
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from sequila_tpu.utils import honor_jax_platforms
+
+honor_jax_platforms()  # axon sitecustomize ignores the env var
 
 import numpy as np
 import pyarrow as pa

@@ -538,11 +538,13 @@ class Binder:
             )
             if lst is None:
                 raise PlanError("unnest argument must be an array")
-            return _Table(
-                _pa.table({"value": _pa.array([
-                    x.item() if hasattr(x, "item") else x for x in lst
-                ])})
-            )
+            try:
+                arr = _pa.array(
+                    [x.item() if hasattr(x, "item") else x for x in lst]
+                )
+            except Exception as exc:
+                raise PlanError(f"unnest: {exc}") from exc
+            return _Table(_pa.table({"value": arr}))
         if fname not in ("generate_series", "range"):
             raise PlanError(f"unknown table function '{fname}'")
         if not 1 <= len(args) <= 3:
@@ -1702,13 +1704,18 @@ class Binder:
             return e
 
         def go(node):
+            if isinstance(node, (ast.Select, ast.Union)):
+                # subqueries are their own scope: never rewrite inside
+                return node
             if isinstance(node, ast.ColRef) and node.qualifier is None:
                 key = node.name.lower()
                 if key in alias_map:
                     try:
                         self._resolve_column(node, schema)
                         return node  # a real input column shadows the alias
-                    except PlanError:
+                    except PlanError as exc:
+                        if "ambiguous" in str(exc):
+                            raise  # sqlite errors here too; don't mask
                         return alias_map[key]
                 return node
             if dataclasses.is_dataclass(node) and not isinstance(node, type):

@@ -1030,3 +1030,45 @@ class TestRound2PerfPathReviewFixes:
             " WHERE table_name = 'v'"
         ).to_pylist_column(0)
         assert cols == ["x"]
+
+
+class TestRound2AliasReviewFixes:
+    """Third self-review round: alias substitution scope, unnest
+    robustness, bench/examples platform handling."""
+
+    def test_alias_walk_stops_at_subquery_boundary(self):
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES (1),(2),(3)")
+        c.sql("CREATE TABLE s2 AS SELECT 100 AS y, 2 AS column1"
+              " FROM (SELECT 0) v")
+        got = c.sql(
+            "SELECT column1 AS y FROM t"
+            " ORDER BY abs(y) % (SELECT max(y) FROM s2), column1"
+        ).to_pylist_column(0)
+        assert got == [1, 2, 3]  # inner y = s2.y (100), not outer alias
+
+    def test_ambiguous_column_not_masked_by_alias(self):
+        import pytest as _pytest
+
+        from sequila_tpu.errors import PlanError
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.sql("CREATE TABLE a1 AS VALUES (1)")
+        c.sql("CREATE TABLE b1 AS VALUES (2)")
+        with _pytest.raises(PlanError, match="ambiguous"):
+            c.sql(
+                "SELECT a1.column1 + 1 AS column1 FROM a1 JOIN b1 ON 1=1"
+                " ORDER BY abs(column1)"
+            )
+
+    def test_unnest_mixed_types_is_plan_error(self):
+        import pytest as _pytest
+
+        from sequila_tpu.errors import PlanError
+        from sequila_tpu.session import SessionContext
+
+        with _pytest.raises(PlanError):
+            SessionContext().sql("SELECT * FROM unnest([1,'a'])")
