@@ -13,6 +13,13 @@ import argparse
 import sys
 import time
 
+from sequila_tpu.utils import honor_jax_platforms
+
+# before any jax-touching import: the axon sitecustomize pins the TPU
+# plugin and ignores the env var, so `JAX_PLATFORMS=cpu sequila-tpu`
+# would otherwise hang on a dead tunnel
+honor_jax_platforms()
+
 from sequila_tpu.config import SequilaConfig
 from sequila_tpu.errors import SequilaError
 from sequila_tpu.models.table import pretty_format
