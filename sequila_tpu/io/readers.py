@@ -80,8 +80,9 @@ def read_table(path: str, fmt: str, **options) -> Table:
     raise PlanError(f"unsupported storage format: {fmt}")
 
 
-def write_table(table: Table, path: str) -> None:
-    """Write a table; format chosen by extension (.parquet/.csv/.bed/.tsv).
+def write_table(table: Table, path: str, fmt: str | None = None) -> None:
+    """Write a table; format from ``fmt`` (STORED AS override) or the
+    extension (.parquet/.csv/.bed/.tsv).
 
     Duplicate column names (SELECT * over a join) get :1 suffixes —
     parquet requires unique field names."""
@@ -96,7 +97,7 @@ def write_table(table: Table, path: str) -> None:
             seen[n] = k + 1
         arrow = arrow.rename_columns(uniq)
         table = Table(arrow)
-    lower = path.lower()
+    lower = f"x.{fmt.lower()}" if fmt else path.lower()
     if lower.endswith(".parquet"):
         pq.write_table(table.arrow, path)
     elif lower.endswith((".bed", ".tsv")):

@@ -434,7 +434,7 @@ class SessionContext:
                 if isinstance(stmt.source, str)
                 else self._run_query(stmt.source)
             )
-            write_table(src, stmt.path)
+            write_table(src, stmt.path, fmt=stmt.fmt)
             return Table(pa.table({"count": [src.num_rows]}))
         if isinstance(stmt, ast.ShowTables):
             names = sorted(self.catalog)

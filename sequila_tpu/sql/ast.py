@@ -343,10 +343,12 @@ class ShowConfig(Statement):
 
 @dataclasses.dataclass(frozen=True)
 class CopyTo(Statement):
-    """COPY <table | (select)> TO 'path' — format from the extension."""
+    """COPY <table | (select)> TO 'path' [STORED AS fmt] — format from
+    the STORED AS override or the path extension."""
 
     source: object  # str table name or Select
     path: str
+    fmt: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)

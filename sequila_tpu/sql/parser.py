@@ -231,7 +231,11 @@ class Parser:
                 src = self.parse_object_name()
             self.expect_kw("TO")
             path = self.expect("string").value
-            return ast.CopyTo(src, path)
+            fmt = None
+            if self.eat_kw("STORED"):
+                self.expect_kw("AS")
+                fmt = self.next().value.lower()
+            return ast.CopyTo(src, path, fmt)
         if self.eat_kw("PREPARE"):
             name = self.next().value.lower()
             types: list[str] = []

@@ -342,3 +342,19 @@ class TestInformationSchema:
         c = self._ctx()
         with pytest.raises(PlanError):
             c.sql("SELECT * FROM information_schema.nope")
+
+
+class TestCopyStoredAs:
+    def test_copy_stored_as_override(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        c = SessionContext()
+        c.sql("CREATE TABLE t AS VALUES ('a', 1), ('b', 2)")
+        c.sql(f"COPY t TO '{tmp_path}/out1' STORED AS parquet")
+        assert pq.read_table(f"{tmp_path}/out1").num_rows == 2
+        c.sql(f"COPY t TO '{tmp_path}/out2' STORED AS csv")
+        assert "column1" in open(f"{tmp_path}/out2").read()
+        c.sql(f"COPY (SELECT column1 FROM t) TO '{tmp_path}/o.csv'")
+        assert open(f"{tmp_path}/o.csv").read().count("\n") == 3
+        with pytest.raises(PlanError):
+            c.sql(f"COPY t TO '{tmp_path}/x' STORED AS nope")
