@@ -31,10 +31,16 @@ def __getattr__(name):
         from sequila_tpu.session import SessionContext
 
         return SessionContext
+    if name == "IntervalMap":
+        # the superintervals-wheel API surface (reference intervalmap.pyx)
+        from sequila_tpu.intervalmap import IntervalMap
+
+        return IntervalMap
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "Algorithm",
+    "IntervalMap",
     "SequilaConfig",
     "SessionContext",
     "__version__",
