@@ -468,9 +468,15 @@ class Binder:
     # complement operators were never landed (SURVEY.md §2 item 23)
     _GENOMIC_TFS = {
         "merge": (1, 2), "cluster": (1, 2), "depth": (1, 1),
-        "overlap": (2, 2), "count_overlaps": (2, 2), "nearest": (2, 2),
-        "closest": (2, 3), "coverage": (2, 2), "subtract": (2, 2),
-        "window": (3, 3), "reldist": (2, 2), "jaccard": (2, 2),
+        "overlap": (2, 3), "count_overlaps": (2, 3), "nearest": (2, 3),
+        "closest": (2, 4), "coverage": (2, 3), "subtract": (2, 3),
+        "window": (3, 4), "reldist": (2, 3), "jaccard": (2, 2),
+    }
+    # pairwise TFs accept a trailing 'same'/'opposite' strand mode
+    # (bedtools -s/-S; requires a `strand` column on both tables)
+    _STRANDABLE_TFS = {
+        "overlap", "count_overlaps", "nearest", "closest", "coverage",
+        "subtract", "window", "reldist",
     }
 
     def _genomic_table_function(self, fname, args):
@@ -490,6 +496,15 @@ class Binder:
                 + f" arguments, got {len(args)}"
             )
         consts = [self._tf_const(a, fname) for a in args]
+        strand = None
+        if (
+            fname in self._STRANDABLE_TFS
+            and consts
+            and isinstance(consts[-1], str)
+            and consts[-1].lower() in ("same", "opposite")
+            and len(consts) > 2
+        ):
+            strand = consts.pop().lower()
         t0 = self._tf_table(consts[0], fname)
         if fname in ("merge", "cluster"):
             dist = int(consts[1]) if len(consts) > 1 else 0
@@ -499,15 +514,17 @@ class Binder:
         t1 = self._tf_table(consts[1], fname)
         if fname == "closest":
             k = int(consts[2]) if len(consts) > 2 else 1
-            return _df.closest(t0, t1, k=k)
+            return _df.closest(t0, t1, k=k, strand=strand)
         if fname == "window":
-            return _df.window(t0, t1, window=int(consts[2]))
+            if len(consts) < 3:
+                raise PlanError("window takes (a, b, bp[, strand])")
+            return _df.window(t0, t1, window=int(consts[2]), strand=strand)
         if fname == "jaccard":
             stats = _df.jaccard(t0, t1)
             return _Table(
                 _pa.table({k: [v] for k, v in stats.items()})
             )
-        return getattr(_df, fname)(t0, t1)
+        return getattr(_df, fname)(t0, t1, strand=strand)
 
     def _table_function(self, tf):
         """FROM-clause table functions: DataFusion's ``generate_series`` /

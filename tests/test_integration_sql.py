@@ -634,3 +634,35 @@ class TestGenomicTableFunctions:
             c.sql("SELECT * FROM closest('reads')")
         with _pytest.raises(PlanError):
             c.sql("SELECT * FROM window('reads', 'targets')")
+
+
+class TestGenomicTableFunctionStrand:
+    def test_strand_argument(self):
+        import pyarrow as pa
+
+        from sequila_tpu.session import SessionContext
+
+        c = SessionContext()
+        c.register_table("sa", pa.table({
+            "contig": ["chr1", "chr1"], "pos_start": [100, 200],
+            "pos_end": [150, 250], "strand": ["+", "-"],
+        }))
+        c.register_table("sb", pa.table({
+            "contig": ["chr1", "chr1"], "pos_start": [120, 210],
+            "pos_end": [220, 260], "strand": ["+", "-"],
+        }))
+        run = lambda q: c.sql(q).to_pylist_column(0)
+        assert run("SELECT sum(count) FROM count_overlaps('sa','sb')") == [3]
+        assert run(
+            "SELECT sum(count) FROM count_overlaps('sa','sb','same')"
+        ) == [2]
+        assert run(
+            "SELECT sum(count) FROM count_overlaps('sa','sb','opposite')"
+        ) == [1]
+        assert run("SELECT count(*) FROM overlap('sa','sb','same')") == [2]
+        assert run(
+            "SELECT count(*) FROM window('sa','sb', 1000, 'same')"
+        ) == [2]
+        assert run(
+            "SELECT count(*) FROM closest('sa','sb', 1, 'same')"
+        ) == [2]
