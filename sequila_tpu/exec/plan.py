@@ -1095,24 +1095,23 @@ class WindowExec(ExecPlan):
         elif func == "nth_value":
             a = np.asarray(args[0].eval(cols, n))[order]
             k = int(args[1])
-            target = seg_first[seg_id] + (k - 1)
-            # default frame: partition start .. current peer-group end
-            limit = (
-                peer_last[peer_id]
-                if ocodes
-                else (np.append(seg_first[1:], n) - 1)[seg_id]
-            )
-            ok = (k >= 1) & (target <= limit)
-            vals = np.empty(n, dtype=object)
-            vals[:] = None
-            picked = a[np.clip(target, 0, n - 1)]
-            for i in np.nonzero(ok)[0]:
-                v = picked[i]
-                vals[i] = (
-                    None
-                    if v is None or (isinstance(v, float) and v != v)
-                    else (v.item() if isinstance(v, np.generic) else v)
+            if frame is not None:
+                w_lo, w_hi = self._explicit_bounds(
+                    frame, fkind, orders, ascs, nfs, cols, n, order,
+                    seg_first, seg_id, pos,
                 )
+                target = w_lo + (k - 1)
+                ok = (k >= 1) & (target < w_hi)
+            else:
+                target = seg_first[seg_id] + (k - 1)
+                # default frame: partition start .. current peer-group end
+                limit = (
+                    peer_last[peer_id]
+                    if ocodes
+                    else (np.append(seg_first[1:], n) - 1)[seg_id]
+                )
+                ok = (k >= 1) & (target <= limit)
+            vals = self._pick_values(a, target, ok, n)
         elif func in ("lag", "lead"):
             a = np.asarray(args[0].eval(cols, n))[order]
             k = int(args[1]) if len(args) > 1 else 1
@@ -1134,7 +1133,17 @@ class WindowExec(ExecPlan):
             vals = shifted
         elif func in ("first_value", "last_value"):
             a = np.asarray(args[0].eval(cols, n))[order]
-            if func == "first_value":
+            if frame is not None:
+                w_lo, w_hi = self._explicit_bounds(
+                    frame, fkind, orders, ascs, nfs, cols, n, order,
+                    seg_first, seg_id, pos,
+                )
+                nonempty = w_hi > w_lo
+                target = np.where(
+                    nonempty, w_lo if func == "first_value" else w_hi - 1, 0
+                )
+                vals = self._pick_values(a, target, nonempty, n)
+            elif func == "first_value":
                 vals = a[seg_first[seg_id]]
             elif ocodes:
                 vals = a[peer_last[peer_id]]  # default frame ends at peers
@@ -1183,29 +1192,14 @@ class WindowExec(ExecPlan):
             nn_f = nn.astype(np.float64)
             null_out = None
             if frame is not None:
-                if fkind == "range":
-                    rawk = np.asarray(orders[0].eval(cols, n))
-                    try:
-                        if rawk.dtype == object:
-                            okey = np.array(
-                                [np.nan if v is None else float(v) for v in rawk]
-                            )[order]
-                        else:
-                            okey = rawk.astype(np.float64)[order]
-                    except (TypeError, ValueError):
-                        raise ExecutionError(
-                            "RANGE frames require a numeric ORDER BY key"
-                        ) from None
-                    nf0 = (nfs or [None])[0]
-                    nulls_first = (
-                        bool(nf0) if nf0 is not None else (not ascs[0])
+                bounds = (
+                    self._explicit_bounds(
+                        frame, fkind, orders, ascs, nfs, cols, n, order,
+                        seg_first, seg_id, pos,
                     )
-                    bounds = self._range_bounds(
-                        okey, frame, ascs[0], nulls_first,
-                        seg_first, seg_id, pos, n,
-                    )
-                else:
-                    bounds = None
+                    if fkind == "range"
+                    else None
+                )
                 vals, cnt = self._frame_agg(
                     func, a, nn_f, frame, seg_first, seg_id, pos, n, bounds
                 )
@@ -1271,6 +1265,59 @@ class WindowExec(ExecPlan):
         out = np.empty(n, dtype=np.asarray(vals).dtype)
         out[order] = vals
         return out
+
+    @staticmethod
+    def _pick_values(a, target, ok, n):
+        """Object-array gather: a[target] where ok, None elsewhere (NaN
+        and numpy scalars normalized for arrow conversion)."""
+        vals = np.empty(n, dtype=object)
+        vals[:] = None
+        picked = a[np.clip(target, 0, n - 1)]
+        for i in np.nonzero(ok)[0]:
+            v = picked[i]
+            vals[i] = (
+                None
+                if v is None or (isinstance(v, float) and v != v)
+                else (v.item() if isinstance(v, np.generic) else v)
+            )
+        return vals
+
+    def _explicit_bounds(
+        self, frame, fkind, orders, ascs, nfs, cols, n, order,
+        seg_first, seg_id, pos,
+    ):
+        """Per-row [w_lo, w_hi) row windows of an explicit ROWS/RANGE
+        BETWEEN frame over the sorted array, clamped to the partition."""
+        if fkind == "range":
+            rawk = np.asarray(orders[0].eval(cols, n))
+            try:
+                if rawk.dtype == object:
+                    okey = np.array(
+                        [np.nan if v is None else float(v) for v in rawk]
+                    )[order]
+                else:
+                    okey = rawk.astype(np.float64)[order]
+            except (TypeError, ValueError):
+                raise ExecutionError(
+                    "RANGE frames require a numeric ORDER BY key"
+                ) from None
+            nf0 = (nfs or [None])[0]
+            nulls_first = bool(nf0) if nf0 is not None else (not ascs[0])
+            return self._range_bounds(
+                okey, frame, ascs[0], nulls_first, seg_first, seg_id, pos, n
+            )
+        lo, hi = frame
+        seg_start = seg_first[seg_id]
+        seg_end = np.append(seg_first[1:], n)[seg_id]
+        w_lo = (
+            seg_start if lo is None else np.clip(pos + lo, seg_start, seg_end)
+        )
+        w_hi = (
+            seg_end
+            if hi is None
+            else np.clip(pos + hi + 1, seg_start, seg_end)
+        )
+        return w_lo, np.maximum(w_hi, w_lo)
 
     @staticmethod
     def _range_bounds(okey, frame, asc, nulls_first, seg_first, seg_id, pos, n):

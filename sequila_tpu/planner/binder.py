@@ -752,11 +752,22 @@ class Binder:
                     "percent_rank", "cume_dist",
                 ) and not orders:
                     raise PlanError(f"{fn.name}() requires ORDER BY in OVER()")
-                if e.frame is not None:
-                    if fn.name not in ("sum", "count", "avg", "min", "max"):
+                frame = e.frame
+                if frame is not None and fn.name in (
+                    "row_number", "rank", "dense_rank", "percent_rank",
+                    "cume_dist", "ntile", "lag", "lead",
+                ):
+                    # SQL: frames have no effect on ranking/offset functions
+                    # (sqlite window-function docs; DataFusion agrees)
+                    frame = None
+                if frame is not None:
+                    if fn.name not in (
+                        "sum", "count", "avg", "min", "max",
+                        "first_value", "last_value", "nth_value",
+                    ):
                         raise PlanError(
                             "ROWS/RANGE BETWEEN frames are supported for "
-                            "sum/count/avg/min/max only"
+                            "aggregate and value window functions only"
                         )
                     if not orders:
                         raise PlanError(
@@ -768,13 +779,13 @@ class Binder:
                         )
                     if e.frame_kind == "rows" and any(
                         b is not None and not isinstance(b, int)
-                        for b in e.frame
+                        for b in frame
                     ):
                         raise PlanError("ROWS frame offsets must be integers")
                 name = f"__window_{counter[0]}"
                 counter[0] += 1
                 specs.append(
-                    (fn.name, args, parts, orders, ascs, name, e.frame, nfs,
+                    (fn.name, args, parts, orders, ascs, name, frame, nfs,
                      e.frame_kind)
                 )
                 return ast.ColRef(None, name)

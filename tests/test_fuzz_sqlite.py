@@ -10,6 +10,7 @@ kernels have brute-force oracles, the SQL frontend has sqlite.
 """
 
 import math
+import os
 import random
 import sqlite3
 
@@ -19,7 +20,14 @@ import pytest
 from sequila_tpu.session import SessionContext
 
 N_ROWS = 60
-N_QUERIES = 40
+N_QUERIES = int(os.environ.get("SEQUILA_FUZZ_N", "40"))
+# Offline campaigns: SEQUILA_FUZZ_SEED_BASE=<k> re-runs every case with
+# fresh seeds (tools/sql_fuzz_campaign.py sweeps many bases).
+_SEED_BASE = int(os.environ.get("SEQUILA_FUZZ_SEED_BASE", "0"))
+
+
+def _rng(seed: int) -> random.Random:
+    return random.Random(seed + _SEED_BASE)
 
 
 def _dataset(rng: random.Random):
@@ -145,7 +153,7 @@ def _run_both(ctx, con, sql):
 
 class TestSqliteDifferential:
     def test_select_where_order(self):
-        rng = random.Random(100)
+        rng = _rng(100)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES):
             item = _rand_scalar_item(rng)
@@ -156,7 +164,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_aggregates_group_by(self):
-        rng = random.Random(200)
+        rng = _rng(200)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES):
             aggs = rng.sample(
@@ -176,7 +184,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_having(self):
-        rng = random.Random(300)
+        rng = _rng(300)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 2):
             sql = (
@@ -187,7 +195,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_limit_offset(self):
-        rng = random.Random(400)
+        rng = _rng(400)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 2):
             sql = (
@@ -197,7 +205,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_in_and_exists_subqueries(self):
-        rng = random.Random(500)
+        rng = _rng(500)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 2):
             inner_pred = _rand_pred(rng)
@@ -212,7 +220,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_window_functions(self):
-        rng = random.Random(600)
+        rng = _rng(600)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 2):
             fn = rng.choice(
@@ -243,7 +251,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_group_by_alias_and_ordinals(self):
-        rng = random.Random(800)
+        rng = _rng(800)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 4):
             sql = (
@@ -259,7 +267,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql2)
 
     def test_case_in_aggregate(self):
-        rng = random.Random(700)
+        rng = _rng(700)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 4):
             sql = (
@@ -270,7 +278,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_division_and_order_nulls(self):
-        rng = random.Random(950)
+        rng = _rng(950)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 2):
             sql = rng.choice(
@@ -288,7 +296,7 @@ class TestSqliteDifferential:
             _run_both(ctx, con, sql)
 
     def test_views_match(self):
-        rng = random.Random(900)
+        rng = _rng(900)
         ctx, con = _setup(rng)
         vdef = f"SELECT id, g, x, y, s FROM t WHERE {_rand_pred(rng)}"
         ctx.sql(f"CREATE VIEW v AS {vdef}")
@@ -310,7 +318,7 @@ class TestSqliteDifferential:
         while this engine follows the standard's INTERSECT-binds-tighter,
         so mixed chains legitimately differ).  NULLs compare equal in set
         ops in both engines."""
-        rng = random.Random(1000)
+        rng = _rng(1000)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES):
             op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
@@ -326,7 +334,7 @@ class TestSqliteDifferential:
 
     def test_derived_tables_and_ctes(self):
         """FROM (SELECT ...) and WITH ... AS chains vs sqlite."""
-        rng = random.Random(1100)
+        rng = _rng(1100)
         ctx, con = _setup(rng)
 
         def outer(rng):
@@ -370,7 +378,7 @@ class TestSqliteDifferential:
     def test_join_using_and_values(self):
         """JOIN ... USING and VALUES table expressions vs sqlite (both
         dedup the USING column in * expansion)."""
-        rng = random.Random(1200)
+        rng = _rng(1200)
         ctx, con = _setup(rng)
         # a second table sharing column names x (join key) and g
         ids2 = list(range(0, N_ROWS, 2))
@@ -474,14 +482,14 @@ class TestSqliteMathFuncs:
     def test_math_function_pack(self):
         """sqlite >= 3.35 ships the same C math library semantics
         DataFusion uses; every guarded expression must agree."""
-        rng = random.Random(4200)
+        rng = _rng(4200)
         ctx, con = _setup(rng)
         for item in MATH_ITEMS:
             sql = f"SELECT id, {item} FROM t ORDER BY id NULLS LAST"
             _run_both(ctx, con, sql)
 
     def test_math_in_predicates(self):
-        rng = random.Random(4300)
+        rng = _rng(4300)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 2):
             item = rng.choice(MATH_ITEMS)
@@ -498,7 +506,7 @@ class TestSqliteNewSurface:
     aggregates outside the SELECT list, LIMIT constant expressions."""
 
     def test_named_window_clause(self):
-        rng = random.Random(900)
+        rng = _rng(900)
         ctx, con = _setup(rng)
         specs = [
             "(PARTITION BY g ORDER BY id)",
@@ -519,7 +527,7 @@ class TestSqliteNewSurface:
             _run_both(ctx, con, sql)
 
     def test_natural_and_using_joins(self):
-        rng = random.Random(1000)
+        rng = _rng(1000)
         ctx, con = _setup(rng)
         # second table sharing (g) plus its own column
         rows = [
@@ -555,7 +563,7 @@ class TestSqliteNewSurface:
             _run_both(ctx, con, sql)
 
     def test_order_by_hidden_aggregates(self):
-        rng = random.Random(1100)
+        rng = _rng(1100)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 2):
             agg = rng.choice(
@@ -568,7 +576,7 @@ class TestSqliteNewSurface:
             _run_both(ctx, con, sql)
 
     def test_limit_expressions(self):
-        rng = random.Random(1200)
+        rng = _rng(1200)
         ctx, con = _setup(rng)
         for _ in range(N_QUERIES // 4):
             a, b = rng.randint(1, 5), rng.randint(0, 4)
@@ -586,7 +594,7 @@ class TestSqliteInequalityJoins:
     def test_inequality_join_filters(self):
         import re as _re
 
-        rng = random.Random(1300)
+        rng = _rng(1300)
         ctx, con = _setup(rng)
 
         def qualify(pred):
