@@ -248,12 +248,15 @@ class TestRowsFrames:
         ).to_pylist()
         assert [r["c"] for r in got] == [2, 3, 3, 3, 3, 2, 2, 3, 2]
 
-    def test_frame_on_ranking_rejected(self, fctx):
-        with pytest.raises(PlanError, match="BETWEEN frames"):
-            fctx.sql(
-                "SELECT row_number() OVER (ORDER BY x "
-                "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
-            )
+    def test_frame_on_ranking_ignored(self, fctx):
+        # Frames have no effect on ranking functions (sqlite window-function
+        # docs; DataFusion agrees) — the frame clause is accepted and ignored.
+        got = fctx.sql(
+            "SELECT row_number() OVER (ORDER BY x "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rn "
+            "FROM t WHERE g = 'b' ORDER BY x"
+        ).to_pylist()
+        assert [r["rn"] for r in got] == [1, 2, 3]
 
     def test_frame_without_order_rejected(self, fctx):
         with pytest.raises(PlanError, match="ORDER BY"):
