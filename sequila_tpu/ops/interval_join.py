@@ -425,21 +425,31 @@ def _expand_bounds_host(index: IntervalIndex, lbh, ubh, total: int):
 
 @jax.jit
 def _counts_and_nnz(lb, ub):
-    """Per-probe counts with the nonzero-cell count appended — one packed
-    array so the operator's sizing decision costs a single fetch."""
+    """Per-probe counts with the nonzero-cell count and the max run length
+    appended — one packed array so the operator's sizing decision (and the
+    uint16 run-length packing decision) costs a single fetch."""
     c = jnp.maximum(ub - lb, 0)
     counts = jnp.sum(c, axis=0).astype(jnp.int32)
     nnz = jnp.sum(c > 0).astype(jnp.int32)
-    return jnp.concatenate([counts, nnz[None]])
+    maxrun = jnp.max(c).astype(jnp.int32)
+    return jnp.concatenate([counts, nnz[None], maxrun[None]])
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "level_offsets"))
-def _compact_runs(lb, ub, *, capacity: int, level_offsets):
-    """Compact the nonzero (probe,level) cells of [L, m] bounds into dense
-    (global run start, run length) arrays, probe-major order preserved.
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "level_offsets", "pack16")
+)
+def _compact_runs(lb, ub, *, capacity: int, level_offsets, pack16: bool):
+    """Compact the nonzero (probe,level) cells of [L, m] bounds into ONE
+    dense array — run starts followed by run lengths — probe-major order
+    preserved.
 
-    Output transfer is 2*nnz ints instead of 2*L*m — the device link is
-    the materialization bottleneck, so empty cells must not cross it."""
+    The device link is the materialization bottleneck (25-33 ms RTT,
+    ~38 MB/s through the tunnel), so this minimizes both bytes and round
+    trips: empty cells never cross the link, starts and lengths ride a
+    single transfer, and when every run length fits in 16 bits (pack16;
+    decided from the maxrun the counts fetch carried) two lengths are
+    packed per int32 lane — the host unpacks them for free with a
+    little-endian uint16 view."""
     offs = jnp.asarray(level_offsets, dtype=jnp.int32)[:, None]
     cnts = jnp.maximum(ub - lb, 0)
     cnts_pm = cnts.T.reshape(-1)
@@ -449,7 +459,11 @@ def _compact_runs(lb, ub, *, capacity: int, level_offsets):
     idx = jnp.where(nz, pos, capacity)  # empties scatter out of bounds
     out_g = jnp.zeros((capacity,), jnp.int32).at[idx].set(g0_pm, mode="drop")
     out_c = jnp.zeros((capacity,), jnp.int32).at[idx].set(cnts_pm, mode="drop")
-    return out_g, out_c
+    if pack16:
+        # capacity is always even (_bucket yields powers of two / 64k
+        # multiples); values are < 2^16 so the OR is exact bitwise
+        out_c = out_c[0::2] | (out_c[1::2] << 16)
+    return jnp.concatenate([out_g, out_c])
 
 
 def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
@@ -469,7 +483,7 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         return materialize_pairs_window(index, qk, qs, qe)
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
     packed = np.asarray(_counts_and_nnz(lb, ub))
-    counts, nnz = packed[:-1], int(packed[-1])
+    counts, nnz, maxrun = packed[:-2], int(packed[-2]), int(packed[-1])
     total64 = int(counts.astype(np.int64).sum())
     if total64 >= _EMIT_LIMIT:
         raise ExecutionError(
@@ -486,13 +500,24 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     L, m_pad = lb.shape
     if 2 * nnz < min(total, 2 * L * m_pad):
         cap = _bucket(max(nnz, 1), minimum=1024)
-        g0, cnt = _compact_runs(
-            lb, ub, capacity=cap, level_offsets=index.level_offsets
+        pack16 = maxrun < (1 << 16)
+        runs_d = _compact_runs(
+            lb, ub, capacity=cap, level_offsets=index.level_offsets,
+            pack16=pack16,
         )
-        b = _expand_runs_host(
-            index.pos_host, np.asarray(g0)[:nnz], np.asarray(cnt)[:nnz], total
-        )
-    elif 2 * L * m_pad < total:
+        # Overlap the run transfer with the host-side probe-id expansion:
+        # the RLE of `counts` needs nothing from the device.
+        runs_d.copy_to_host_async()
+        p = _probe_ids(counts, total)
+        runs = np.asarray(runs_d)
+        g0 = runs[:nnz]
+        if pack16:
+            cnt = runs[cap:].view(np.uint16)[:nnz]
+        else:
+            cnt = runs[cap:cap + nnz]
+        b = _expand_runs_host(index.pos_host, g0, cnt, total)
+        return b, p, total
+    if 2 * L * m_pad < total:
         b = _expand_bounds_host(index, np.asarray(lb), np.asarray(ub), total)
     else:
         offsets, lb_pm = pair_offsets(lb, ub)
@@ -506,6 +531,12 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
             level_offsets=index.level_offsets,
         )
         b = np.asarray(build_rows[:total])
+    return b, _probe_ids(counts, total), total
+
+
+def _probe_ids(counts, total: int):
+    """RLE-expand per-probe match counts into probe row ids (the reference
+    likewise expands the probe side host-side, interval_join.rs:1593-1617)."""
     from sequila_tpu.native.loader import repeat_counts
 
     p = repeat_counts(counts, total)
@@ -513,7 +544,7 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         p = np.repeat(
             np.arange(len(counts), dtype=np.int32), counts.astype(np.int64)
         )
-    return b, p, total
+    return p
 
 
 # ---------------------------------------------------------------------------
