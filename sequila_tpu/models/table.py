@@ -19,6 +19,22 @@ from sequila_tpu.errors import CastOverflowError, ExecutionError
 
 I32_MIN, I32_MAX = -(2**31), 2**31 - 1
 
+# Arrow compute kernels release the GIL, so a small shared pool lets big
+# gathers run one take per column across host cores (lazy — most queries
+# never hit the large-gather path).
+_TAKE_POOL = None
+_TAKE_PARALLEL_MIN = 1 << 20  # rows; below this, pool overhead dominates
+
+
+def _take_pool():
+    global _TAKE_POOL
+    if _TAKE_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _TAKE_POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 4))
+    return _TAKE_POOL
+
 
 class Table:
     """Immutable named-column table backed by a pyarrow.Table.
@@ -156,6 +172,13 @@ class Table:
             pa_idx = pa.array(np.where(null_mask, 0, idx), mask=np.asarray(null_mask))
         else:
             pa_idx = pa.array(idx)
+        if len(idx) >= _TAKE_PARALLEL_MIN and self._t.num_columns > 1:
+            cols = list(
+                _take_pool().map(lambda c: c.take(pa_idx), self._t.columns)
+            )
+            return Table(
+                pa.Table.from_arrays(cols, schema=self._t.schema)
+            )
         return Table(self._t.take(pa_idx))
 
     def append_columns(self, other: "Table") -> "Table":
