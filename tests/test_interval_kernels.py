@@ -195,6 +195,34 @@ class TestPairs:
         want = sorted(zip(op.tolist(), ob.tolist()))
         assert got == want
 
+    def test_run_length_over_uint16_unpacked(self, rng, method):
+        # One level-run of 70 000 matches: maxrun >= 2^16 disables the
+        # uint16 run-length packing, exercising the full-width transfer
+        # branch of the compact-runs path.
+        n = 70_000
+        bk = np.zeros(n, np.int32)
+        bs = np.arange(n, dtype=np.int32)
+        be = bs + 200_000  # ends ascend with starts -> a single level
+        # 1 probe with the giant run, a few small-run probes, and a
+        # majority of no-match probes so 2*nnz < min(total, 2*L*m_pad)
+        # keeps this on the compact-runs path (asserted below).
+        m = 64
+        qk = np.zeros(m, np.int32)
+        qs = np.full(m, 500_000, np.int32)  # default: no matches
+        qe = qs + 5
+        qs[0], qe[0] = 0, 250_000  # the >2^16 run
+        qs[1:9] = np.arange(8, dtype=np.int32) * 10
+        qe[1:9] = qs[1:9] + 5
+        idx = build_interval_index(bk, bs, be)
+        b_rows, p_rows, total = materialize_pairs(
+            idx, jnp.asarray(qk), jnp.asarray(qs), jnp.asarray(qe), method
+        )
+        ob, op = oracle_pairs(bk, bs, be, qk, qs, qe)
+        assert total == len(ob) and total > (1 << 16)
+        got = sorted(zip(p_rows.tolist(), b_rows.tolist()))
+        want = sorted(zip(op.tolist(), ob.tolist()))
+        assert got == want
+
     def test_no_matches(self, rng, method):
         bk = np.zeros(10, np.int32)
         bs = np.arange(10, dtype=np.int32) * 100
