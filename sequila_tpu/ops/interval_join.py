@@ -518,7 +518,14 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         b = _expand_runs_host(index.pos_host, g0, cnt, total)
         return b, p, total
     if 2 * L * m_pad < total:
-        b = _expand_bounds_host(index, np.asarray(lb), np.asarray(ub), total)
+        # Same link discipline as the compact-runs path: lb and ub ride ONE
+        # transfer, overlapped with the host-side probe-id expansion.
+        bounds_d = jnp.concatenate([lb, ub], axis=0)
+        bounds_d.copy_to_host_async()
+        p = _probe_ids(counts, total)
+        bounds = np.asarray(bounds_d)
+        b = _expand_bounds_host(index, bounds[:L], bounds[L:], total)
+        return b, p, total
     else:
         offsets, lb_pm = pair_offsets(lb, ub)
         capacity = _bucket(total, minimum=1024)
