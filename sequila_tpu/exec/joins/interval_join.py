@@ -616,25 +616,37 @@ class IntervalJoinExec(ExecPlan):
         parts: list[Table] = []
         all_b, all_p = [], []
         b_inv = bool((np.asarray(index._he) < np.asarray(index._hs)).any())
-        with ctx.timer(self.op_id(), "join_time"):
-            lo = 0
-            while lo < m:
-                rows = min(chunk, m - lo)
-                qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
-                if out_cap is not None:
-                    while rows > 1:
-                        est = total_count_i64(
-                            count_matches(
-                                index, qk, qs, qe,
-                                self._chunk_count_method(rs, re, lo, rows, method, b_inv),
-                            ),
-                            index.n_rows,
-                        )
-                        if est <= out_cap:
-                            break
-                        rows = max(1, rows // 2)
-                        qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
-                b_rows, p_rows, total = materialize_pairs(index, qk, qs, qe, method)
+
+        def produce(lo: int):
+            """Materialize one probe chunk (device compute + link fetch +
+            host expansion); runs on a prefetch thread so chunk N+1's
+            device work overlaps chunk N's arrow assembly."""
+            rows = min(chunk, m - lo)
+            qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+            if out_cap is not None:
+                while rows > 1:
+                    est = total_count_i64(
+                        count_matches(
+                            index, qk, qs, qe,
+                            self._chunk_count_method(rs, re, lo, rows, method, b_inv),
+                        ),
+                        index.n_rows,
+                    )
+                    if est <= out_cap:
+                        break
+                    rows = max(1, rows // 2)
+                    qk, qs, qe, _ = self._pad_chunk(rcodes, rs, re, lo, rows)
+            b_rows, p_rows, total = materialize_pairs(index, qk, qs, qe, method)
+            return lo, rows, b_rows, p_rows, total
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ctx.timer(self.op_id(), "join_time"), ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(produce, 0) if m > 0 else None
+            while fut is not None:
+                lo, rows, b_rows, p_rows, total = fut.result()
+                nxt = lo + rows
+                fut = ex.submit(produce, nxt) if nxt < m else None
                 if total > 0:
                     if inner:
                         # stream one output batch per probe chunk (the
@@ -646,7 +658,6 @@ class IntervalJoinExec(ExecPlan):
                     else:
                         all_b.append(b_rows.astype(np.int64))
                         all_p.append(p_rows.astype(np.int64) + lo)
-                lo += rows
             if inner:
                 if parts:
                     out = Table(pa.concat_tables([p.arrow for p in parts]))
