@@ -18,9 +18,11 @@ scales over device meshes with XLA collectives.
 """
 
 from sequila_tpu._jaxcache import setup_jax_compilation_cache
+from sequila_tpu._malloc import tune_malloc
 from sequila_tpu.config import Algorithm, SequilaConfig
 
 setup_jax_compilation_cache()
+tune_malloc()
 
 __version__ = "0.1.0"
 

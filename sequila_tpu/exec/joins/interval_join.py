@@ -142,6 +142,7 @@ class IntervalJoinExec(ExecPlan):
         mode: str = "CollectLeft",
         projection: list[int] | None = None,
         projection_names: list[str] | None = None,
+        distribution: str = "auto",
     ):
         self.children = [left, right]
         self.on = on
@@ -151,6 +152,10 @@ class IntervalJoinExec(ExecPlan):
         self.algorithm = algorithm
         self.low_memory = low_memory
         self.mode = mode
+        # Partitioned-mode distribution strategy (auto|hash|shuffle|skew),
+        # resolved from the session config at plan time; `auto` picks per
+        # query from the key-weight histogram at execute time.
+        self.distribution = distribution
         # combined-schema column indices to emit (the reference's
         # projection pushdown, interval_join.rs try_new `projection`):
         # gathers only the needed columns instead of both full tables.
@@ -212,8 +217,13 @@ class IntervalJoinExec(ExecPlan):
                     left_null=null_mask,
                 )
             elif self.join_type == "inner":
-                b_rows, p_rows = hidx.pairs(rcodes, rs, re)
-                out = self._assemble(left, right, b_rows, p_rows)
+                if self.low_memory:
+                    out = self._host_inner_chunked(
+                        ctx, hidx, left, right, rcodes, rs, re
+                    )
+                else:
+                    b_rows, p_rows = hidx.pairs(rcodes, rs, re)
+                    out = self._assemble(left, right, b_rows, p_rows)
             else:
                 b_rows, p_rows = hidx.pairs(rcodes, rs, re)
                 out = finish_join(
@@ -223,6 +233,32 @@ class IntervalJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         ctx.metrics.add(self.op_id(), "input_rows", m)
         return out
+
+    def _host_inner_chunked(self, ctx, hidx, left, right, rcodes, rs, re):
+        """Low-memory host emission: probe ranges sized so each output
+        batch stays under the emission cap (the host twin of the device
+        path's capped-emission continuation, reference
+        interval_join.rs:1433-1579)."""
+        m = len(rcodes)
+        cap = max(4 * ctx.config.max_output_batch_size, 1)
+        counts = hidx.counts(rcodes, rs, re)
+        cum = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+        parts: list[Table] = []
+        lo = 0
+        while lo < m:
+            # widest probe range whose pair total fits the cap (always
+            # advance by at least one probe row)
+            hi = int(np.searchsorted(cum, cum[lo] + cap, side="right")) - 1
+            hi = max(hi, lo + 1)
+            b_rows, p_rows = hidx.pairs(rcodes[lo:hi], rs[lo:hi], re[lo:hi])
+            if len(b_rows):
+                parts.append(self._assemble(left, right, b_rows, p_rows + lo))
+            lo = hi
+        if parts:
+            return Table(pa.concat_tables([p.arrow for p in parts]))
+        return self._assemble(
+            left, right, np.empty(0, np.int64), np.empty(0, np.int64)
+        )
 
     def _cached_key_codes(self, left: Table, right: Table):
         """Joint key codes from each table's cached dictionary encoding.
@@ -506,6 +542,41 @@ class IntervalJoinExec(ExecPlan):
     def _use_host(self, left: Table, right: Table) -> bool:
         return left.num_rows + right.num_rows <= _host_threshold()
 
+    def _route_materialize_host(self, left: Table, right: Table) -> bool:
+        """Host-vs-device routing for MATERIALIZING joins (cost model).
+
+        Counting joins return scalars, so the device link cost is O(1)
+        and the TPU wins at scale — `_use_host`'s small-input threshold
+        is the right rule there.  A materializing join's pair indices
+        must cross the link no matter what (output assembly is host-side
+        arrow take), so the device's advantage shrinks to the bounds
+        computation while it pays ~4 bytes/probe (counts fetch) plus
+        ~8 bytes/run (compact runs) through a ~38 MB/s tunnel with
+        ~30 ms RTTs.  Compare the costs each path does NOT share:
+
+          host   = build sort (~14 ns x n log2 n) + probe searches
+                   (~140 ns/probe, threaded C++)
+          device = 2 RTT + (4 x m + 8 x ~2m) bytes / link bandwidth
+
+        (emission/expansion and the take gather are common).  Constants
+        measured in this environment (ROADMAP round 3); the link numbers
+        are env-tunable for faster attachments.  SEQUILA_HOST_THRESHOLD=0
+        keeps forcing the device path (test override), and inputs under
+        the threshold keep the unconditional host route."""
+        thr = _host_threshold()
+        if thr == 0:
+            return False
+        n, m = left.num_rows, right.num_rows
+        if n + m <= thr:
+            return True
+        import math
+
+        rtt = float(_os.environ.get("SEQUILA_LINK_RTT", 0.030))
+        bw = float(_os.environ.get("SEQUILA_LINK_BW", 38e6))
+        host_cost = 14e-9 * n * math.log2(max(n, 2)) + 140e-9 * m
+        device_cost = 2 * rtt + (4.0 * m + 8.0 * 2 * m) / bw
+        return host_cost <= device_cost
+
     def _partitioned_mesh(self, ctx):
         """The execution mesh when this node was planned in Partitioned
         mode (reference PartitionMode::Partitioned + required
@@ -518,14 +589,70 @@ class IntervalJoinExec(ExecPlan):
         return get_engine_mesh(ctx.config.target_partitions)
 
     # -- partitioned (mesh) execution ---------------------------------------
+    @staticmethod
+    def _data_flags(lcodes, ls, le, rcodes, rs, re):
+        """(codes_nonneg, probes_nondegenerate, builds_noninverted) — the
+        preconditions of the skew rank arithmetic (all three) and the
+        shuffle BITS count (the last two); see CLAUDE.md invariants."""
+        nonneg = not bool((lcodes < 0).any()) and not bool((rcodes < 0).any())
+        nondeg = not bool((rs > re).any())
+        noninv = not bool((le < ls).any())
+        return nonneg, nondeg, noninv
+
+    def _choose_distribution(
+        self, mesh, lcodes, ls, le, rcodes, rs, re, op: str
+    ) -> str:
+        """Resolve the Partitioned-mode distribution for this execution.
+
+        The reference's Partitioned mode hash-distributes both sides
+        (interval_join.rs:385-404); here `auto` routes each query to the
+        engine's best distribution: skew-aware range splitting when one
+        key dominates the weight histogram (the plan_partitions criterion,
+        parallel/skew.py:54-109), the device all_to_all shuffle otherwise,
+        and host hash partitioning for shapes the collective kernels'
+        preconditions exclude.  `op` is 'pairs' or 'count': the shuffle
+        COUNT kernel is BITS-based and needs non-degenerate probes and
+        non-inverted builds, while the shuffle PAIRS emission is the
+        max-extension window — exact for every shape."""
+        nonneg, nondeg, noninv = self._data_flags(lcodes, ls, le, rcodes, rs, re)
+        skew_ok = nonneg and nondeg and noninv
+        shuffle_ok = (nondeg and noninv) if op == "count" else True
+        cfg = self.distribution
+        if cfg == "skew":
+            return "skew" if skew_ok else "hash"
+        if cfg == "shuffle":
+            return "shuffle" if shuffle_ok else "hash"
+        if cfg == "hash":
+            return "hash"
+        # auto
+        if nonneg and len(lcodes) and len(rcodes):
+            npart = mesh.shape["part"]
+            num = int(max(lcodes.max(), rcodes.max())) + 1
+            wb = np.bincount(lcodes, minlength=num).astype(np.int64)
+            wp = np.bincount(rcodes, minlength=num).astype(np.int64)
+            w = wb + wp
+            hot = int(np.argmax(w))
+            skewed = (
+                w[hot] > 1.5 * int(w.sum()) / max(npart, 1)
+                and wp[hot] > npart
+            )
+            if skewed and skew_ok:
+                return "skew"
+        return "shuffle" if shuffle_ok else "hash"
+
     def _execute_partitioned(self, ctx, mesh, left: Table, right: Table):
-        """SPMD execution over the ('part','probe') mesh: hash-partitioned
-        build + 2-D sharded probe (the engine-native Partitioned mode,
-        reference interval_join.rs:459-510)."""
+        """SPMD execution over the device mesh, distribution-routed:
+        hash-partitioned build + 2-D sharded probe, the device-side
+        all_to_all shuffle, or skew-aware range splitting (the
+        engine-native Partitioned mode, reference
+        interval_join.rs:459-510)."""
+        from sequila_tpu.parallel.engine import get_flat_mesh
         from sequila_tpu.parallel.partitioned_join import (
             partitioned_nearest,
             partitioned_pairs,
         )
+        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_pairs
+        from sequila_tpu.parallel.skew import skew_partitioned_pairs
 
         (lcodes, ls, le), rcodes, rs, re = self._prepare(
             ctx, left, right, build_index=False
@@ -533,6 +660,8 @@ class IntervalJoinExec(ExecPlan):
         m = right.num_rows
         with ctx.timer(self.op_id(), "join_time"):
             if self.algorithm.is_nearest:
+                # nearest stays hash-partitioned: a skew sub-range shard
+                # can miss the true nearest across a split boundary
                 rows = partitioned_nearest(mesh, lcodes, ls, le, rcodes, rs, re)
                 null_mask = rows < 0
                 out = self._assemble(
@@ -551,10 +680,25 @@ class IntervalJoinExec(ExecPlan):
                     b = np.empty(0, np.int64)
                     p = np.empty(0, np.int64)
                 else:
-                    b, p = partitioned_pairs(
-                        mesh, lcodes, ls, le, rcodes, rs, re,
-                        chunk_limit=chunk_limit,
+                    dist = self._choose_distribution(
+                        mesh, lcodes, ls, le, rcodes, rs, re, "pairs"
                     )
+                    ctx.metrics.add(self.op_id(), f"distribution_{dist}")
+                    if dist == "shuffle":
+                        b, p = all_to_all_partitioned_pairs(
+                            get_flat_mesh(mesh), lcodes, ls, le, rcodes, rs, re,
+                            chunk_limit=chunk_limit or (1 << 22),
+                        )
+                    elif dist == "skew":
+                        b, p = skew_partitioned_pairs(
+                            mesh, lcodes, ls, le, rcodes, rs, re,
+                            chunk_limit=chunk_limit,
+                        )
+                    else:
+                        b, p = partitioned_pairs(
+                            mesh, lcodes, ls, le, rcodes, rs, re,
+                            chunk_limit=chunk_limit,
+                        )
                 # probe-side order restored (probe order preservation
                 # contract); intra-probe-row match order by build row
                 order = np.lexsort((b, p))
@@ -586,7 +730,7 @@ class IntervalJoinExec(ExecPlan):
         mesh = self._partitioned_mesh(ctx)
         if mesh is not None:
             return self._execute_partitioned(ctx, mesh, left, right)
-        if self._use_host(left, right):
+        if self._route_materialize_host(left, right):
             return self._execute_host(ctx, left, right)
 
         index, rcodes, rs, re = self._prepare(ctx, left, right)
@@ -708,7 +852,12 @@ class IntervalJoinExec(ExecPlan):
             return right.num_rows
         mesh = self._partitioned_mesh(ctx)
         if mesh is not None:
+            from sequila_tpu.parallel.engine import get_flat_mesh
             from sequila_tpu.parallel.partitioned_join import partitioned_count
+            from sequila_tpu.parallel.shuffle import (
+                all_to_all_partitioned_count,
+            )
+            from sequila_tpu.parallel.skew import skew_partitioned_count_mesh
 
             (lcodes, ls, le), rcodes, rs, re = self._prepare(
                 ctx, left, right, build_index=False
@@ -716,25 +865,23 @@ class IntervalJoinExec(ExecPlan):
             with ctx.timer(self.op_id(), "join_time"):
                 if left.num_rows == 0 or right.num_rows == 0:
                     total = 0
-                elif (
-                    ctx.config.partitioned_skew
-                    # the skew count's rank arithmetic assumes qs <= qe
-                    # and start <= end (CLAUDE.md BITS invariant); negative
-                    # sentinel codes (NULL keys) can't be bincounted
-                    and not bool((rs > re).any())
-                    and not bool((le < ls).any())
-                    and not bool((lcodes < 0).any())
-                    and not bool((rcodes < 0).any())
-                ):
-                    from sequila_tpu.parallel.skew import (
-                        skew_partitioned_count_mesh,
-                    )
-
-                    total = skew_partitioned_count_mesh(
-                        mesh, lcodes, ls, le, rcodes, rs, re
-                    )
                 else:
-                    total = partitioned_count(mesh, lcodes, ls, le, rcodes, rs, re)
+                    dist = self._choose_distribution(
+                        mesh, lcodes, ls, le, rcodes, rs, re, "count"
+                    )
+                    ctx.metrics.add(self.op_id(), f"distribution_{dist}")
+                    if dist == "skew":
+                        total = skew_partitioned_count_mesh(
+                            mesh, lcodes, ls, le, rcodes, rs, re
+                        )
+                    elif dist == "shuffle":
+                        total = all_to_all_partitioned_count(
+                            get_flat_mesh(mesh), lcodes, ls, le, rcodes, rs, re
+                        )
+                    else:
+                        total = partitioned_count(
+                            mesh, lcodes, ls, le, rcodes, rs, re
+                        )
             ctx.metrics.add(self.op_id(), "output_rows", total)
             return total
         if self._use_host(left, right):
@@ -820,7 +967,14 @@ class IntervalJoinExec(ExecPlan):
 
     def display_line(self):
         jt = JOIN_TYPE_DISPLAY[self.join_type]
-        s = f"IntervalJoinExec: mode={self.mode}, join_type={jt}, {display_on(self.on)}"
+        mode = self.mode
+        if mode == "Partitioned":
+            # the configured distribution (reference Partitioned mode's
+            # required HashPartitioned distribution display analog); auto
+            # resolves per query at execute time — EXPLAIN ANALYZE metrics
+            # record the chosen one (distribution_<name>=1)
+            mode = f"Partitioned({self.distribution})"
+        s = f"IntervalJoinExec: mode={mode}, join_type={jt}, {display_on(self.on)}"
         if self.filter is not None:
             s += f", filter={self.filter.display()}"
         s += f", alg={self.algorithm}"
@@ -834,5 +988,5 @@ class IntervalJoinExec(ExecPlan):
         return IntervalJoinExec(
             children[0], children[1], self.on, self.filter, self.intervals,
             self.join_type, self.algorithm, self.low_memory, self.mode,
-            self.projection, self.projection_names,
+            self.projection, self.projection_names, self.distribution,
         )

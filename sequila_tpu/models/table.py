@@ -23,17 +23,137 @@ I32_MIN, I32_MAX = -(2**31), 2**31 - 1
 # gathers run one take per column across host cores (lazy — most queries
 # never hit the large-gather path).
 _TAKE_POOL = None
+_TAKE_POOL_LOCK = __import__("threading").Lock()
 _TAKE_PARALLEL_MIN = 1 << 20  # rows; below this, pool overhead dominates
 
 
 def _take_pool():
     global _TAKE_POOL
     if _TAKE_POOL is None:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
+        with _TAKE_POOL_LOCK:
+            if _TAKE_POOL is None:
+                import os
+                from concurrent.futures import ThreadPoolExecutor
 
-        _TAKE_POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 4))
+                _TAKE_POOL = ThreadPoolExecutor(min(8, os.cpu_count() or 4))
     return _TAKE_POOL
+
+
+_TAKE_NATIVE_MIN = 1 << 16  # rows; below this arrow take overhead is fine
+
+
+def _rows32(idx: np.ndarray) -> np.ndarray | None:
+    """Indices as non-negative int32 for the native gather, or None."""
+    if idx.dtype == np.int32:
+        return np.ascontiguousarray(idx)
+    if not np.issubdtype(idx.dtype, np.integer):
+        return None
+    if len(idx) and (int(idx.min()) < 0 or int(idx.max()) >= 2**31):
+        return None
+    return idx.astype(np.int32)
+
+
+def _native_take_array(lib, arr: pa.Array, rows32: np.ndarray, validity):
+    """arr[rows32] via the threaded native kernels; None when the column
+    shape doesn't qualify (nullable source, sliced buffers, nested or
+    boolean types)."""
+    if arr.null_count or arr.offset != 0:
+        return None
+    t = arr.type
+    n = len(rows32)
+    bufs = arr.buffers()
+    if pa.types.is_string(t):
+        if len(arr) == 0:
+            return None
+        offsets = np.frombuffer(bufs[1], np.int32, count=len(arr) + 1)
+        data = (
+            np.frombuffer(bufs[2], np.uint8, count=int(offsets[-1]))
+            if bufs[2] is not None
+            else np.zeros(1, np.uint8)
+        )
+        out_off = np.empty(n + 1, np.int32)
+        total = int(lib.si_take_str_offsets(offsets, rows32, n, out_off))
+        if total < 0:
+            return None  # int32 offsets would overflow; arrow take handles
+        # 16-byte slack: the fill's short-string fast path may overrun the
+        # last row by up to 16 bytes (see si_take_str_fill)
+        out_data = np.empty(max(total, 1) + 16, np.uint8)
+        lib.si_take_str_fill(
+            offsets, data, len(data), rows32, n, out_off, out_data
+        )
+        return pa.Array.from_buffers(
+            pa.string(), n,
+            [validity, pa.py_buffer(out_off), pa.py_buffer(out_data[:total])],
+        )
+    try:
+        width = t.bit_width
+    except ValueError:
+        return None
+    if width not in (32, 64) or pa.types.is_dictionary(t):
+        return None
+    if width == 64:
+        src = np.frombuffer(bufs[1], np.int64, count=len(arr))
+        out = np.empty(n, np.int64)
+        if len(arr):
+            lib.si_gather64(src, rows32, n, out)
+        return pa.Array.from_buffers(t, n, [validity, pa.py_buffer(out)])
+    src = np.frombuffer(bufs[1], np.int32, count=len(arr))
+    out = np.empty(n, np.int32)
+    if len(arr):
+        lib.si_gather32(src, rows32, n, out)
+    return pa.Array.from_buffers(t, n, [validity, pa.py_buffer(out)])
+
+
+def _native_take_table(t: pa.Table, idx: np.ndarray, null_mask) -> pa.Table | None:
+    """Whole-table gather, native kernels first, pooled arrow for the rest.
+
+    Returns None when the native library is unavailable or the index
+    array can't be expressed as non-negative int32 (the caller then runs
+    the plain arrow path)."""
+    from sequila_tpu.native.loader import load
+
+    lib = load()
+    if lib is None:
+        return None
+    masked = null_mask is not None and bool(np.asarray(null_mask).any())
+    rows = np.where(null_mask, 0, idx) if masked else idx
+    rows32 = _rows32(np.asarray(rows))
+    if rows32 is None:
+        return None
+    validity = (
+        pa.py_buffer(np.packbits(~np.asarray(null_mask), bitorder="little"))
+        if masked
+        else None
+    )
+    cols: list = [None] * t.num_columns
+    misses: list[int] = []
+    for i, col in enumerate(t.columns):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks == 1 else None
+        a = (
+            _native_take_array(lib, arr, rows32, validity)
+            if arr is not None
+            else None
+        )
+        if a is None:
+            misses.append(i)
+        else:
+            cols[i] = a
+    if misses:
+        pa_idx = (
+            pa.array(rows32, mask=np.asarray(null_mask)) if masked
+            else pa.array(rows32)
+        )
+        if len(misses) > 1 and len(rows32) >= _TAKE_PARALLEL_MIN:
+            taken = list(
+                _take_pool().map(lambda i: t.column(i).take(pa_idx), misses)
+            )
+        else:
+            taken = [t.column(i).take(pa_idx) for i in misses]
+        for i, a in zip(misses, taken):
+            cols[i] = a
+    return pa.Table.from_arrays(cols, schema=t.schema)
 
 
 class Table:
@@ -158,21 +278,32 @@ class Table:
     def slice(self, offset: int, length: int | None = None) -> "Table":
         return Table(self._t.slice(offset, length))
 
+    def _take_index(self, indices: np.ndarray, null_mask: np.ndarray | None):
+        idx = np.asarray(indices)
+        if not np.issubdtype(idx.dtype, np.integer):
+            idx = idx.astype(np.int64)
+        if null_mask is not None and null_mask.any():
+            return pa.array(np.where(null_mask, 0, idx), mask=np.asarray(null_mask))
+        return pa.array(idx)
+
     def take(self, indices: np.ndarray, null_mask: np.ndarray | None = None) -> "Table":
         """Row gather; rows where null_mask is True become all-NULL.
 
         Mirrors the reference's emit path: UInt32 index arrays with a
         NullBuffer gathered via arrow compute::take
-        (interval_join.rs:1363-1419).
+        (interval_join.rs:1363-1419) — but large gathers of primitive and
+        string columns route through the native threaded gather kernels
+        (si_gather32/64, si_take_str_fill), which run at memory bandwidth
+        where arrow's take is single-threaded; leftovers (nested types,
+        nullable sources) fall back to pooled arrow takes per column.
         """
         idx = np.asarray(indices)
-        if not np.issubdtype(idx.dtype, np.integer):
-            idx = idx.astype(np.int64)
-        if null_mask is not None and null_mask.any():
-            pa_idx = pa.array(np.where(null_mask, 0, idx), mask=np.asarray(null_mask))
-        else:
-            pa_idx = pa.array(idx)
-        if len(idx) >= _TAKE_PARALLEL_MIN and self._t.num_columns > 1:
+        if len(idx) >= _TAKE_NATIVE_MIN:
+            out = _native_take_table(self._t, idx, null_mask)
+            if out is not None:
+                return Table(out)
+        pa_idx = self._take_index(idx, null_mask)
+        if len(pa_idx) >= _TAKE_PARALLEL_MIN and self._t.num_columns > 1:
             cols = list(
                 _take_pool().map(lambda c: c.take(pa_idx), self._t.columns)
             )

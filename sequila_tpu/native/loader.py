@@ -41,7 +41,7 @@ def _build() -> str | None:
         return so_path
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", so_path + ".tmp",
+        "-pthread", _SRC, "-o", so_path + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -78,6 +78,19 @@ def load():
         lib.si_pairs.argtypes = [
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.si_emit_at.restype = ctypes.c_int64
+        lib.si_emit_at.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p,
+            i32p, i32p,
+        ]
+        lib.si_gather32.argtypes = [i32p, i32p, ctypes.c_int64, i32p]
+        lib.si_gather64.argtypes = [i64p, i32p, ctypes.c_int64, i64p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.si_take_str_offsets.restype = ctypes.c_int64
+        lib.si_take_str_offsets.argtypes = [i32p, i32p, ctypes.c_int64, i32p]
+        lib.si_take_str_fill.argtypes = [
+            i32p, u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, u8p,
         ]
         lib.si_nearest.argtypes = [
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p,
@@ -157,19 +170,36 @@ class NativeIntervalIndex:
         return out
 
     def pairs(self, qk, qs, qe):
+        """All (build_row, probe_row) pairs, probe-major, as int32 arrays.
+
+        Parallel two-pass: threaded BITS counts -> exclusive scan ->
+        threaded emission at the exact offsets (no double scan, no grow-
+        and-retry — the emit pass writes disjoint regions per thread)."""
         qk, qs, qe = self._q(qk, qs, qe)
-        total = self._lib.si_pairs(self._h, qk, qs, qe, len(qk), None, None, 0)
+        counts = np.empty(len(qk), np.int64)
+        self._lib.si_count(self._h, qk, qs, qe, len(qk), counts)
+        offs = np.empty(len(qk) + 1, np.int64)
+        offs[0] = 0
+        np.cumsum(counts, out=offs[1:])
+        total = int(offs[-1])
         out_b = np.empty(total, np.int32)
         out_p = np.empty(total, np.int32)
         if total:
-            n = self._lib.si_pairs(
-                self._h, qk, qs, qe, len(qk),
-                out_b.ctypes.data_as(ctypes.c_void_p),
-                out_p.ctypes.data_as(ctypes.c_void_p),
-                total,
+            n = self._lib.si_emit_at(
+                self._h, qk, qs, qe, len(qk), offs, out_b, out_p
             )
-            assert n == total
-        return out_b.astype(np.int64), out_p.astype(np.int64)
+            assert n == total, f"emit wrote {n} of {total} pairs"
+        return out_b, out_p
+
+    def counts_offsets(self, qk, qs, qe):
+        """(counts int64[m], exclusive-scan offsets int64[m+1])."""
+        qk, qs, qe = self._q(qk, qs, qe)
+        counts = np.empty(len(qk), np.int64)
+        self._lib.si_count(self._h, qk, qs, qe, len(qk), counts)
+        offs = np.empty(len(qk) + 1, np.int64)
+        offs[0] = 0
+        np.cumsum(counts, out=offs[1:])
+        return counts, offs
 
     def nearest(self, qk, qs, qe) -> np.ndarray:
         qk, qs, qe = self._q(qk, qs, qe)

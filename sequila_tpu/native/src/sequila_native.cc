@@ -4,46 +4,104 @@
 // Role-equivalent of the reference's vendored superintervals C++ library
 // (reference superintervals/src/superintervals.hpp: flat sorted arrays,
 // branchless binary search, SIMD count loops) but an original design
-// shared with the engine's device kernels: one (key,start)-sorted view
-// with a running segment max of ends (the candidate-window lower bound),
-// plus an independently sorted (key,end) array for BITS counting
-// (#start<=qe - #end<qs).  All loops are tight, branch-light, and
-// auto-vectorizable; counts/coverage are O(log n) or O(candidates) per
-// query like the reference's index queries.
+// shared with the engine's device kernels: a (key,start)-sorted view with
+// a per-key-segment running max of ends (the candidate-window lower
+// bound), an independently (key,end)-sorted array for BITS counting
+// (#start<=qe - #end<qs), and a key-segment directory so every binary
+// search runs over segment-local int32 arrays (half the memory traffic
+// of the composite-int64 layout and the enabler for multithreading).
+//
+// The hot entry points (count / emit / coverage / nearest / expansion)
+// are parallelized over probe chunks with std::thread — the engine's
+// analog of the reference's SIMD count loops (superintervals.rs:395-638):
+// same goal (host-side counting/emission at memory-bandwidth speed),
+// different axis (4-16 cores instead of 8 SIMD lanes, because the probe
+// loop here is bandwidth-bound across cache-missing binary searches, not
+// lane-parallel compares).  SEQUILA_NATIVE_THREADS caps the pool.
 //
 // Exposed as a C ABI consumed through ctypes (sequila_tpu/native/loader.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
-constexpr int64_t kBias = int64_t(1) << 31;
-
-inline int64_t comp(int32_t key, int32_t val) {
-  return (int64_t(key) << 32) | (int64_t(val) + kBias);
-}
-
 struct Index {
   int64_t n = 0;
-  // (key,start)-sorted view
+  // (key, start, end)-sorted view
   std::vector<int32_t> keys, starts, ends, pos;
-  std::vector<int64_t> comp_start;   // comp(key, start), ascending
-  std::vector<int64_t> cummax_end;   // running max of comp(key, end)
-  std::vector<int64_t> comp_end;     // comp(key, end), sorted by
-                                     // (key, end, start desc, pos desc)
-  std::vector<int32_t> end_pos;      // original row of each comp_end entry
-  bool has_inverted = false;         // any end < start: BITS count invalid
+  // per-SEGMENT running max of ends in (key,start) order (resets per key)
+  std::vector<int32_t> cummax_end;
+  // per-segment ends ascending (ties: start desc, row desc) + source rows
+  std::vector<int32_t> ends_sorted;
+  std::vector<int32_t> end_pos;
+  // segment directory: ascending unique keys, [seg_off[s], seg_off[s+1])
+  std::vector<int32_t> seg_keys;
+  std::vector<int64_t> seg_off;
+  bool has_inverted = false;  // any end < start: BITS count invalid
 };
 
-inline int64_t lower_bound64(const std::vector<int64_t>& v, int64_t x) {
-  return std::lower_bound(v.begin(), v.end(), x) - v.begin();
+// first index in [0,len) with v[i] >= x
+inline int64_t lb32(const int32_t* v, int64_t len, int32_t x) {
+  return std::lower_bound(v, v + len, x) - v;
 }
 
-inline int64_t upper_bound64(const std::vector<int64_t>& v, int64_t x) {
-  return std::upper_bound(v.begin(), v.end(), x) - v.begin();
+// first index in [0,len) with v[i] > x
+inline int64_t ub32(const int32_t* v, int64_t len, int32_t x) {
+  return std::upper_bound(v, v + len, x) - v;
+}
+
+int num_threads(int64_t work, int64_t grain) {
+  const char* env = std::getenv("SEQUILA_NATIVE_THREADS");
+  if (env != nullptr) {
+    int v = std::atoi(env);
+    if (v >= 1) return std::min(v, 64);
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = int(hw ? hw : 4);
+  int64_t chunks = (work + grain - 1) / grain;
+  if (chunks < nt) nt = int(chunks);
+  return std::max(nt, 1);
+}
+
+// f(lo, hi) over [0, m) split into contiguous chunks, one per thread.
+template <class F>
+void parallel_chunks(int64_t m, int64_t grain, F f) {
+  int nt = num_threads(m, grain);
+  if (nt <= 1 || m <= grain) {
+    f(int64_t(0), m);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  const int64_t per = (m + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = int64_t(t) * per;
+    const int64_t hi = std::min(m, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=] { f(lo, hi); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+// Segment of key `k`, or -1.  `last` caches the previous hit — probe
+// batches are usually key-clustered, making the directory search free.
+inline int64_t find_seg(const Index* idx, int32_t k, int64_t* last) {
+  if (*last >= 0 && idx->seg_keys[*last] == k) return *last;
+  const auto& sk = idx->seg_keys;
+  auto it = std::lower_bound(sk.begin(), sk.end(), k);
+  if (it == sk.end() || *it != k) return -1;
+  *last = it - sk.begin();
+  return *last;
 }
 
 }  // namespace
@@ -65,80 +123,155 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
   idx->starts.resize(n);
   idx->ends.resize(n);
   idx->pos.resize(n);
-  idx->comp_start.resize(n);
   idx->cummax_end.resize(n);
-  idx->comp_end.resize(n);
-  int64_t running = INT64_MIN;
   for (int64_t i = 0; i < n; ++i) {
     const int64_t o = order[i];
     idx->keys[i] = k[o];
     idx->starts[i] = s[o];
     idx->ends[i] = e[o];
     idx->pos[i] = int32_t(o);
-    idx->comp_start[i] = comp(k[o], s[o]);
-    running = std::max(running, comp(k[o], e[o]));
-    idx->cummax_end[i] = running;
     if (e[o] < s[o]) idx->has_inverted = true;
   }
-  // (key, end)-sorted view with positions: the predecessor of
-  // lower_bound(comp(key, qs)) is the max-end-below-qs interval — the
-  // O(log n) upstream-nearest candidate.  Ties on end keep the smallest
-  // (start, row) LAST so the predecessor matches the old linear scan's
-  // "first strictly-greater end in (key,start) order" winner.
+  // segment directory over the sorted keys
+  idx->seg_off.push_back(0);
+  for (int64_t i = 0; i < n; ++i) {
+    if (i == 0 || idx->keys[i] != idx->keys[i - 1]) {
+      idx->seg_keys.push_back(idx->keys[i]);
+      if (i != 0) idx->seg_off.push_back(i);
+    }
+  }
+  if (n) idx->seg_off.push_back(n);
+  if (idx->seg_off.size() < 2) idx->seg_off.assign(2, 0);
+  // per-segment cummax of ends (the candidate-window floor)
+  for (size_t sgi = 0; sgi + 1 < idx->seg_off.size(); ++sgi) {
+    int32_t running = INT32_MIN;
+    for (int64_t i = idx->seg_off[sgi]; i < idx->seg_off[sgi + 1]; ++i) {
+      running = std::max(running, idx->ends[i]);
+      idx->cummax_end[i] = running;
+    }
+  }
+  // per-segment (end asc, start desc, row desc)-sorted ends + rows: the
+  // BITS lower bound, and the predecessor of lower_bound(qs) is the
+  // max-end-below-qs interval — the O(log n) upstream-nearest candidate.
+  // The tie order keeps the smallest (start, row) LAST so the
+  // predecessor matches the candidate-scan's "first strictly-greater
+  // end in (key,start) order" winner.
   std::vector<int64_t> eorder(n);
   for (int64_t i = 0; i < n; ++i) eorder[i] = i;
-  std::sort(eorder.begin(), eorder.end(), [&](int64_t a, int64_t b) {
-    if (k[a] != k[b]) return k[a] < k[b];
-    if (e[a] != e[b]) return e[a] < e[b];
-    if (s[a] != s[b]) return s[a] > s[b];
-    return a > b;
-  });
+  idx->ends_sorted.resize(n);
   idx->end_pos.resize(n);
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t o = eorder[i];
-    idx->comp_end[i] = comp(k[o], e[o]);
-    idx->end_pos[i] = int32_t(o);
+  for (size_t sgi = 0; sgi + 1 < idx->seg_off.size(); ++sgi) {
+    const int64_t lo = idx->seg_off[sgi], hi = idx->seg_off[sgi + 1];
+    std::sort(eorder.begin() + lo, eorder.begin() + hi,
+              [&](int64_t a, int64_t b) {
+                if (idx->ends[a] != idx->ends[b])
+                  return idx->ends[a] < idx->ends[b];
+                if (idx->starts[a] != idx->starts[b])
+                  return idx->starts[a] > idx->starts[b];
+                return idx->pos[a] > idx->pos[b];
+              });
+    for (int64_t i = lo; i < hi; ++i) {
+      idx->ends_sorted[i] = idx->ends[eorder[i]];
+      idx->end_pos[i] = idx->pos[eorder[i]];
+    }
   }
   return idx;
 }
 
 void si_free(void* h) { delete static_cast<Index*>(h); }
 
-// Exact per-query overlap counts (BITS; degenerate qs>qe rows scanned).
+// Exact per-query overlap counts (BITS within the key segment; degenerate
+// qs>qe rows and inverted-build indexes fall back to the window scan).
+// Parallel over probe chunks.
 void si_count(void* h, const int32_t* qk, const int32_t* qs,
               const int32_t* qe, int64_t m, int64_t* out) {
-  auto* idx = static_cast<Index*>(h);
-  for (int64_t i = 0; i < m; ++i) {
-    if (qs[i] <= qe[i] && !idx->has_inverted) {
-      const int64_t ub = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
-      const int64_t lb = lower_bound64(idx->comp_end, comp(qk[i], qs[i]));
-      out[i] = ub - lb;
-    } else {
-      // exact scan: stabbing probes (qs > qe) or inverted build
-      // intervals (end < start), where the BITS subset argument fails
-      const int64_t ub = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
-      const int64_t lo =
-          lower_bound64(idx->cummax_end, comp(qk[i], qs[i]));
-      int64_t c = 0;
-      for (int64_t j = lo; j < ub; ++j)
-        c += (idx->ends[j] >= qs[i]) & (idx->keys[j] == qk[i]);
-      out[i] = c;
+  const auto* idx = static_cast<const Index*>(h);
+  const bool bits_ok = !idx->has_inverted;
+  parallel_chunks(m, 16384, [&](int64_t i0, int64_t i1) {
+    int64_t last = -1;
+    for (int64_t i = i0; i < i1; ++i) {
+      const int64_t sgi = find_seg(idx, qk[i], &last);
+      if (sgi < 0) {
+        out[i] = 0;
+        continue;
+      }
+      const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
+      if (bits_ok && qs[i] <= qe[i]) {
+        const int64_t ub = ub32(idx->starts.data() + lo, len, qe[i]);
+        const int64_t lb = lb32(idx->ends_sorted.data() + lo, len, qs[i]);
+        out[i] = ub - lb;
+      } else {
+        // exact scan: stabbing probes (qs > qe) or inverted build
+        // intervals (end < start), where the BITS subset argument fails
+        const int64_t ub = lo + ub32(idx->starts.data() + lo, len, qe[i]);
+        const int64_t w = lo + lb32(idx->cummax_end.data() + lo, len, qs[i]);
+        int64_t c = 0;
+        for (int64_t j = w; j < ub; ++j) c += (idx->ends[j] >= qs[i]);
+        out[i] = c;
+      }
     }
-  }
+  });
 }
 
-// Two-mode pair emission: if out_b == nullptr, only count (returns total);
-// otherwise fill up to cap pairs (build_row, probe_row), probe-major.
+// Parallel exact pair emission at caller-provided offsets: probe row i's
+// matches land at out[offs[i] .. offs[i+1]), probe-major, ascending in
+// (key,start) order — the same order as the device emit kernels.  The
+// offsets come from an exclusive scan of si_count's results; the window
+// scan is capped by offs[i+1] as a belt-and-braces bound.  Returns the
+// number of pairs written (== offs[m] when counts and scan agree, which
+// the BITS identity guarantees; the caller asserts).
+int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
+                   const int32_t* qe, int64_t m, const int64_t* offs,
+                   int32_t* out_b, int32_t* out_p) {
+  const auto* idx = static_cast<const Index*>(h);
+  std::atomic<int64_t> written{0};
+  parallel_chunks(m, 4096, [&](int64_t i0, int64_t i1) {
+    int64_t local = 0;
+    int64_t last = -1;
+    for (int64_t i = i0; i < i1; ++i) {
+      int64_t w = offs[i];
+      const int64_t w_end = offs[i + 1];
+      if (w >= w_end) continue;
+      const int64_t sgi = find_seg(idx, qk[i], &last);
+      if (sgi < 0) continue;
+      const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
+      const int64_t ub = lo + ub32(idx->starts.data() + lo, len, qe[i]);
+      const int64_t wlo = lo + lb32(idx->cummax_end.data() + lo, len, qs[i]);
+      const int32_t qsi = qs[i];
+      const int32_t* ends = idx->ends.data();
+      const int32_t* pos = idx->pos.data();
+      // branchless compaction: always store, advance only on a match —
+      // the window's non-matches are sparse and mispredict badly
+      for (int64_t j = wlo; j < ub && w < w_end; ++j) {
+        out_b[w] = pos[j];
+        out_p[w] = int32_t(i);
+        w += (ends[j] >= qsi);
+      }
+      local += w - offs[i];
+    }
+    written.fetch_add(local, std::memory_order_relaxed);
+  });
+  return written.load();
+}
+
+// Two-mode pair emission kept for API stability: if out_b == nullptr,
+// only count (returns total); otherwise fill up to cap pairs
+// (build_row, probe_row), probe-major.  New callers should use
+// si_count + si_emit_at (parallel).
 int64_t si_pairs(void* h, const int32_t* qk, const int32_t* qs,
                  const int32_t* qe, int64_t m, int32_t* out_b,
                  int32_t* out_p, int64_t cap) {
-  auto* idx = static_cast<Index*>(h);
+  const auto* idx = static_cast<const Index*>(h);
   int64_t written = 0;
+  int64_t last = -1;
   for (int64_t i = 0; i < m; ++i) {
-    const int64_t ub = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
-    const int64_t lo = lower_bound64(idx->cummax_end, comp(qk[i], qs[i]));
-    for (int64_t j = lo; j < ub; ++j) {
-      if (idx->ends[j] >= qs[i] && idx->keys[j] == qk[i]) {
+    const int64_t sgi = find_seg(idx, qk[i], &last);
+    if (sgi < 0) continue;
+    const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
+    const int64_t ub = lo + ub32(idx->starts.data() + lo, len, qe[i]);
+    const int64_t wlo = lo + lb32(idx->cummax_end.data() + lo, len, qs[i]);
+    for (int64_t j = wlo; j < ub; ++j) {
+      if (idx->ends[j] >= qs[i]) {
         if (out_b != nullptr) {
           if (written >= cap) return -1;  // caller must grow and retry
           out_b[written] = idx->pos[j];
@@ -152,106 +285,282 @@ int64_t si_pairs(void* h, const int32_t* qk, const int32_t* qs,
 }
 
 // Nearest: first overlap else min-distance (ties upstream); -1 if no
-// same-key interval exists.
+// same-key interval exists.  Parallel over probe chunks.
 void si_nearest(void* h, const int32_t* qk, const int32_t* qs,
                 const int32_t* qe, int64_t m, int64_t* out) {
-  auto* idx = static_cast<Index*>(h);
-  for (int64_t i = 0; i < m; ++i) {
-    out[i] = -1;
-    const int64_t seg_lo =
-        lower_bound64(idx->comp_start, int64_t(qk[i]) << 32);
-    const int64_t seg_hi =
-        upper_bound64(idx->comp_start, (int64_t(qk[i]) << 32) | 0xFFFFFFFFll);
-    if (seg_lo >= seg_hi) continue;
-    // overlap scan over the candidate window
-    const int64_t ub = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
-    const int64_t lo =
-        std::max(seg_lo, lower_bound64(idx->cummax_end, comp(qk[i], qs[i])));
-    int64_t found = -1;
-    for (int64_t j = lo; j < ub; ++j) {
-      if (idx->ends[j] >= qs[i] && idx->keys[j] == qk[i]) {
-        found = idx->pos[j];
-        break;
+  const auto* idx = static_cast<const Index*>(h);
+  parallel_chunks(m, 8192, [&](int64_t i0, int64_t i1) {
+    int64_t last = -1;
+    for (int64_t i = i0; i < i1; ++i) {
+      out[i] = -1;
+      const int64_t sgi = find_seg(idx, qk[i], &last);
+      if (sgi < 0) continue;
+      const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
+      // overlap scan over the candidate window
+      const int64_t ub = lo + ub32(idx->starts.data() + lo, len, qe[i]);
+      const int64_t wlo = lo + lb32(idx->cummax_end.data() + lo, len, qs[i]);
+      int64_t found = -1;
+      for (int64_t j = wlo; j < ub; ++j) {
+        if (idx->ends[j] >= qs[i]) {
+          found = idx->pos[j];
+          break;
+        }
       }
-    }
-    if (found >= 0) {
-      out[i] = found;
-      continue;
-    }
-    // nearest: best upstream (max end < qs, via the (key,end)-sorted
-    // array — O(log n)) vs best downstream
-    int64_t best_d = INT64_MAX;
-    int64_t best = -1;
-    const int64_t e_seg_lo =
-        lower_bound64(idx->comp_end, int64_t(qk[i]) << 32);
-    const int64_t e_lb = lower_bound64(idx->comp_end, comp(qk[i], qs[i]));
-    if (e_lb > e_seg_lo) {
-      const int32_t up_end =
-          int32_t((idx->comp_end[e_lb - 1] & 0xFFFFFFFFll) - kBias);
-      best_d = int64_t(qs[i]) - up_end;
-      best = idx->end_pos[e_lb - 1];
-    }
-    const int64_t dn = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
-    if (dn < seg_hi && idx->keys[dn] == qk[i]) {
-      const int64_t d = int64_t(idx->starts[dn]) - qe[i];
-      if (d < best_d) {
-        best_d = d;
-        best = idx->pos[dn];
+      if (found >= 0) {
+        out[i] = found;
+        continue;
       }
+      // nearest: best upstream (max end < qs, via the per-segment
+      // end-sorted array — O(log n)) vs best downstream
+      int64_t best_d = INT64_MAX;
+      int64_t best = -1;
+      const int64_t e_lb = lb32(idx->ends_sorted.data() + lo, len, qs[i]);
+      if (e_lb > 0) {
+        best_d = int64_t(qs[i]) - idx->ends_sorted[lo + e_lb - 1];
+        best = idx->end_pos[lo + e_lb - 1];
+      }
+      if (ub < lo + len) {
+        const int64_t d = int64_t(idx->starts[ub]) - qe[i];
+        if (d < best_d) {
+          best_d = d;
+          best = idx->pos[ub];
+        }
+      }
+      out[i] = best;
     }
-    out[i] = best;
-  }
+  });
 }
 
 // Coverage: (count, sum(min(end,qe) - max(start,qs))) per query —
-// superintervals coverage semantics.
+// superintervals coverage semantics.  Parallel over probe chunks.
 void si_coverage(void* h, const int32_t* qk, const int32_t* qs,
                  const int32_t* qe, int64_t m, int64_t* out_count,
                  int64_t* out_bases) {
-  auto* idx = static_cast<Index*>(h);
-  for (int64_t i = 0; i < m; ++i) {
-    const int64_t ub = upper_bound64(idx->comp_start, comp(qk[i], qe[i]));
-    const int64_t lo = lower_bound64(idx->cummax_end, comp(qk[i], qs[i]));
-    int64_t c = 0, bases = 0;
-    for (int64_t j = lo; j < ub; ++j) {
-      if (idx->ends[j] >= qs[i] && idx->keys[j] == qk[i]) {
-        ++c;
-        bases += std::min(int64_t(idx->ends[j]), int64_t(qe[i])) -
-                 std::max(int64_t(idx->starts[j]), int64_t(qs[i]));
+  const auto* idx = static_cast<const Index*>(h);
+  parallel_chunks(m, 8192, [&](int64_t i0, int64_t i1) {
+    int64_t last = -1;
+    for (int64_t i = i0; i < i1; ++i) {
+      out_count[i] = 0;
+      out_bases[i] = 0;
+      const int64_t sgi = find_seg(idx, qk[i], &last);
+      if (sgi < 0) continue;
+      const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
+      const int64_t ub = lo + ub32(idx->starts.data() + lo, len, qe[i]);
+      const int64_t wlo = lo + lb32(idx->cummax_end.data() + lo, len, qs[i]);
+      int64_t c = 0, bases = 0;
+      for (int64_t j = wlo; j < ub; ++j) {
+        if (idx->ends[j] >= qs[i]) {
+          ++c;
+          bases += std::min(int64_t(idx->ends[j]), int64_t(qe[i])) -
+                   std::max(int64_t(idx->starts[j]), int64_t(qs[i]));
+        }
       }
+      out_count[i] = c;
+      out_bases[i] = bases;
     }
-    out_count[i] = c;
-    out_bases[i] = bases;
-  }
+  });
 }
 
 // Expand contiguous index runs into build rows: for each run i,
 // out[j..j+cnt[i]) = pos[g0[i] .. g0[i]+cnt[i]) — the host half of the
 // device join's run-compacted emission (ops/interval_join.py ships
 // (run start, length) pairs over the device link and expands here).
-// One linear memcpy-like pass; ~5x numpy's repeat/arange/gather chain.
+// Parallel two-pass: per-chunk run totals, then chunk-local memcpy loops.
 void si_expand_runs(const int32_t* g0, const int32_t* cnt, int64_t nruns,
                     const int32_t* pos, int32_t* out) {
-  int64_t j = 0;
-  for (int64_t i = 0; i < nruns; ++i) {
-    const int32_t c = cnt[i];
-    const int32_t* p = pos + g0[i];
-    std::memcpy(out + j, p, size_t(c) * sizeof(int32_t));
-    j += c;
+  const int nt = num_threads(nruns, 4096);
+  if (nt <= 1 || nruns < 4096) {
+    int64_t j = 0;
+    for (int64_t i = 0; i < nruns; ++i) {
+      std::memcpy(out + j, pos + g0[i], size_t(cnt[i]) * sizeof(int32_t));
+      j += cnt[i];
+    }
+    return;
   }
+  const int64_t per = (nruns + nt - 1) / nt;
+  std::vector<int64_t> base(nt + 1, 0);
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = int64_t(t) * per, hi = std::min(nruns, lo + per);
+    int64_t s = 0;
+    for (int64_t i = lo; i < hi; ++i) s += cnt[i];
+    base[t + 1] = base[t] + s;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = int64_t(t) * per, hi = std::min(nruns, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=, &base] {
+      int64_t j = base[t];
+      for (int64_t i = lo; i < hi; ++i) {
+        std::memcpy(out + j, pos + g0[i], size_t(cnt[i]) * sizeof(int32_t));
+        j += cnt[i];
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
 }
 
 // RLE-expand per-probe match counts into probe row ids (probe-major
-// pair order): out[j] = i repeated counts[i] times.
+// pair order): out[j] = i repeated counts[i] times.  Parallel two-pass.
 void si_repeat_counts(const int32_t* counts, int64_t m, int32_t* out) {
-  int64_t j = 0;
-  for (int64_t i = 0; i < m; ++i) {
-    const int64_t c = counts[i];
-    for (int64_t r = 0; r < c; ++r) out[j + r] = int32_t(i);
-    j += c;
+  const int nt = num_threads(m, 16384);
+  if (nt <= 1 || m < 16384) {
+    int64_t j = 0;
+    for (int64_t i = 0; i < m; ++i) {
+      const int64_t c = counts[i];
+      for (int64_t r = 0; r < c; ++r) out[j + r] = int32_t(i);
+      j += c;
+    }
+    return;
   }
+  const int64_t per = (m + nt - 1) / nt;
+  std::vector<int64_t> base(nt + 1, 0);
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = int64_t(t) * per, hi = std::min(m, lo + per);
+    int64_t s = 0;
+    for (int64_t i = lo; i < hi; ++i) s += counts[i];
+    base[t + 1] = base[t] + s;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = int64_t(t) * per, hi = std::min(m, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=, &base] {
+      int64_t j = base[t];
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t c = counts[i];
+        for (int64_t r = 0; r < c; ++r) out[j + r] = int32_t(i);
+        j += c;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
 }
 
-int64_t si_version() { return 2; }
+// Fused gather for fixed-width columns: out[j] = src[rows[j]] — the take
+// half of the emit path for numeric columns, parallel over output chunks.
+// Output writes are sequential, so non-temporal (streaming) stores skip
+// the read-for-ownership traffic — measured 1.5x on this host (the
+// source table fits in cache; the output is the whole memory traffic).
+void si_gather32(const int32_t* src, const int32_t* rows, int64_t n,
+                 int32_t* out) {
+  parallel_chunks(n, 1 << 20, [&](int64_t lo, int64_t hi) {
+    int64_t j = lo;
+#if defined(__AVX512F__)
+    while (j < hi && (reinterpret_cast<uintptr_t>(out + j) & 63)) {
+      out[j] = src[rows[j]];
+      ++j;
+    }
+    for (; j + 16 <= hi; j += 16) {
+      __m512i idx = _mm512_loadu_si512(rows + j);
+      __m512i v = _mm512_i32gather_epi32(idx, src, 4);
+      _mm512_stream_si512(reinterpret_cast<__m512i*>(out + j), v);
+    }
+#endif
+    for (; j < hi; ++j) out[j] = src[rows[j]];
+#if defined(__AVX512F__)
+    _mm_sfence();
+#endif
+  });
+}
+
+void si_gather64(const int64_t* src, const int32_t* rows, int64_t n,
+                 int64_t* out) {
+  parallel_chunks(n, 1 << 20, [&](int64_t lo, int64_t hi) {
+    int64_t j = lo;
+#if defined(__AVX512F__)
+    while (j < hi && (reinterpret_cast<uintptr_t>(out + j) & 63)) {
+      out[j] = src[rows[j]];
+      ++j;
+    }
+    for (; j + 8 <= hi; j += 8) {
+      __m256i idx = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(rows + j));
+      __m512i v = _mm512_i32gather_epi64(idx, src, 8);
+      _mm512_stream_si512(reinterpret_cast<__m512i*>(out + j), v);
+    }
+#endif
+    for (; j < hi; ++j) out[j] = src[rows[j]];
+#if defined(__AVX512F__)
+    _mm_sfence();
+#endif
+  });
+}
+
+// String-column gather, offsets pass: out_off[j] = exclusive scan of the
+// gathered row lengths (Arrow string offsets for the output).  Parallel
+// two-pass (per-chunk length sums, then chunk-local scans).  Returns the
+// total byte count, or -1 if it would overflow int32 offsets (the caller
+// falls back to arrow take / large_string).
+int64_t si_take_str_offsets(const int32_t* offsets, const int32_t* rows,
+                            int64_t n, int32_t* out_off) {
+  const int nt = num_threads(n, 1 << 18);
+  const int64_t per = (n + nt - 1) / nt;
+  std::vector<int64_t> base(nt + 1, 0);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = int64_t(t) * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=, &base] {
+      int64_t s = 0;
+      for (int64_t j = lo; j < hi; ++j)
+        s += offsets[rows[j] + 1] - offsets[rows[j]];
+      base[t + 1] = s;
+    });
+  }
+  for (auto& th : ts) th.join();
+  ts.clear();
+  for (int t = 0; t < nt; ++t) base[t + 1] += base[t];
+  if (base[nt] >= (int64_t(1) << 31)) return -1;
+  out_off[0] = 0;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo = int64_t(t) * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=, &base] {
+      int32_t run = int32_t(base[t]);
+      for (int64_t j = lo; j < hi; ++j) {
+        run += offsets[rows[j] + 1] - offsets[rows[j]];
+        out_off[j + 1] = run;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return base[nt];
+}
+
+// String-column gather, fill pass: caller has already computed the output
+// offsets (si_take_str_offsets); this copies the bytes, parallel over
+// output rows.  offsets/out_offsets are Arrow string-array offsets
+// (int32, length n+1).  Rows of <= 16 bytes (virtually all genomic
+// identifiers) copy as two unconditional 8-byte stores — a per-row
+// memcpy call mispredicts its size branch every row; the overrun is
+// bounded by the caller's 16-byte output slack (data_len guards source
+// over-reads, and each thread's LAST row copies exactly so the overrun
+// never crosses into another thread's already-written region).
+void si_take_str_fill(const int32_t* offsets, const char* data,
+                      int64_t data_len, const int32_t* rows, int64_t n,
+                      const int32_t* out_offsets, char* out_data) {
+  parallel_chunks(n, 1 << 19, [&](int64_t lo, int64_t hi) {
+    // overruns must stay inside this thread's output region (sequential
+    // writes overwrite them with the right bytes); the global last chunk
+    // may additionally spill into the caller's 16-byte slack
+    const int64_t limit =
+        int64_t(out_offsets[hi]) + (hi == n ? 16 : 0);
+    for (int64_t j = lo; j < hi; ++j) {
+      const int32_t r = rows[j];
+      const int32_t b = offsets[r];
+      const int32_t len = offsets[r + 1] - b;
+      char* dst = out_data + out_offsets[j];
+      if (len <= 16 && int64_t(b) + 16 <= data_len &&
+          int64_t(out_offsets[j]) + 16 <= limit) {
+        std::memcpy(dst, data + b, 8);
+        std::memcpy(dst + 8, data + b + 8, 8);
+      } else {
+        std::memcpy(dst, data + b, size_t(len));
+      }
+    }
+  });
+}
+
+int64_t si_version() { return 3; }
 
 }  // extern "C"

@@ -512,7 +512,7 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         runs = np.asarray(runs_d)
         g0 = runs[:nnz]
         if pack16:
-            cnt = runs[cap:].view(np.uint16)[:nnz]
+            cnt = _unpack16(runs[cap:], nnz)
         else:
             cnt = runs[cap:cap + nnz]
         b = _expand_runs_host(index.pos_host, g0, cnt, total)
@@ -539,6 +539,22 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
         )
         b = np.asarray(build_rows[:total])
     return b, _probe_ids(counts, total), total
+
+
+def _unpack16(packed: np.ndarray, nnz: int) -> np.ndarray:
+    """First ``nnz`` uint16 lanes of an int32 array packed as lo | hi<<16.
+
+    The uint16 view is a zero-copy unpack but assumes a little-endian
+    host (matching the device-side packing order); big-endian hosts take
+    the explicit mask-and-interleave path."""
+    import sys
+
+    if sys.byteorder == "little":
+        return packed.view(np.uint16)[:nnz]
+    out = np.empty(2 * len(packed), np.int32)
+    out[0::2] = packed & 0xFFFF
+    out[1::2] = (packed >> 16) & 0xFFFF
+    return out[:nnz]
 
 
 def _probe_ids(counts, total: int):

@@ -29,6 +29,11 @@ def _cached_mesh(n: int):
     return make_mesh(n)
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_flat_mesh(n: int):
+    return make_mesh(n, part=n)
+
+
 def get_engine_mesh(target_partitions: int):
     """The engine's execution mesh for Partitioned mode, or None when
     single-chip execution is configured (target_partitions <= 1)."""
@@ -36,3 +41,10 @@ def get_engine_mesh(target_partitions: int):
         return None
     n = min(target_partitions, len(jax.devices()))
     return _cached_mesh(n)
+
+
+def get_flat_mesh(mesh):
+    """A 1-D ('part'=n, 'probe'=1) mesh over the same devices — the
+    all_to_all shuffle exchanges over the 'part' axis only, so the flat
+    layout gives it the full device count as exchange partners."""
+    return _cached_flat_mesh(int(mesh.devices.size))

@@ -261,7 +261,7 @@ def skew_partitioned_count_mesh(mesh, lk, ls, le, rk, rs, re) -> int:
     return int(np.asarray(partials).astype(np.int64).sum())
 
 
-def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re):
+def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re, chunk_limit=None):
     """SPMD skew-aware exact MATERIALIZING join.
 
     Shards (range-split hot contigs) become the equi-keys of per-part
@@ -310,7 +310,7 @@ def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re):
     # chunked fixed-capacity emission (b_rep = replica indices into b_row,
     # p = shard-local probe slots)
     for part, chip, b_rep, p_slot in emit_all_shards(
-        mesh, meta, didx, dpos, dK, dS, dE, totals
+        mesh, meta, didx, dpos, dK, dS, dE, totals, chunk_limit
     ):
         q_rep = IDX[part, chip][p_slot]
         # ownership: the pair belongs to the sub-range containing

@@ -92,6 +92,82 @@ def test_native_coverage(lib_available, rng):
         assert b[i] == want
 
 
+def test_native_pairs_inverted_build(lib_available, rng):
+    """Inverted build intervals (end < start) disable BITS counting; the
+    count/emit pair must stay consistent (emit is offset-driven)."""
+    bk = np.zeros(6, np.int32)
+    bs = np.array([0, 100, 50, 10, 70, 30], np.int32)
+    be = np.array([90, 20, 60, 5, 200, 30], np.int32)  # two inverted rows
+    qk = np.zeros(4, np.int32)
+    qs = np.array([0, 55, 150, 300], np.int32)
+    qe = np.array([200, 65, 180, 400], np.int32)
+    nat = native.NativeIntervalIndex(bk, bs, be)
+    nb, npr = nat.pairs(qk, qs, qe)
+    ob, op = oracle_pairs(bk, bs, be, qk, qs, qe)
+    assert sorted(zip(npr.tolist(), nb.tolist())) == sorted(
+        zip(op.tolist(), ob.tolist())
+    )
+    np.testing.assert_array_equal(
+        nat.counts(qk, qs, qe), oracle_counts(bk, bs, be, qk, qs, qe)
+    )
+
+
+def test_native_table_take_matches_arrow(lib_available, rng):
+    """The native gather kernels (si_gather32/64, si_take_str_*) must be
+    bit-identical to arrow compute take across types, including strings
+    of mixed lengths (short-string fast path + long rows) and null masks."""
+    import pyarrow as pa
+
+    from sequila_tpu.models.table import _TAKE_NATIVE_MIN, Table
+
+    n_src = 1000
+    words = np.array(
+        ["", "a", "chr1", "x" * 15, "y" * 16, "z" * 40, "contig_%d"]
+    )
+    t = pa.table({
+        "s": pa.array([str(words[i % len(words)]) % i if "%" in str(words[i % len(words)]) else str(words[i % len(words)]) for i in range(n_src)]),
+        "i64": pa.array(rng.integers(-(2**40), 2**40, n_src)),
+        "i32": pa.array(rng.integers(-(2**30), 2**30, n_src).astype(np.int32)),
+        "f64": pa.array(rng.random(n_src)),
+        "b": pa.array(rng.random(n_src) < 0.5),  # bool -> arrow fallback
+    })
+    idx = rng.integers(0, n_src, _TAKE_NATIVE_MIN + 123).astype(np.int64)
+    T = Table(t)
+    got = T.take(idx)
+    want = t.take(pa.array(idx))
+    assert got.arrow.equals(want)
+    # with a null mask (nearest-style NULL-padded side)
+    mask = rng.random(len(idx)) < 0.1
+    got = T.take(idx, null_mask=mask)
+    want = t.take(pa.array(np.where(mask, 0, idx), mask=mask))
+    assert got.arrow.equals(want)
+
+
+def test_materialize_route_cost_model(monkeypatch):
+    """Routing: small inputs -> host; threshold 0 -> device; large inputs
+    use the link-vs-host-compute cost model (host on this link profile)."""
+    from types import SimpleNamespace
+
+    from sequila_tpu.exec.joins.interval_join import IntervalJoinExec
+
+    ij = IntervalJoinExec.__new__(IntervalJoinExec)
+
+    def tbl(n):
+        return SimpleNamespace(num_rows=n)  # the router only reads num_rows
+
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "65536")
+    assert ij._route_materialize_host(tbl(100), tbl(100)) is True
+    # 20k x 300k: host compute beats the tunnel transfer
+    assert ij._route_materialize_host(tbl(20_000), tbl(300_000)) is True
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")
+    assert ij._route_materialize_host(tbl(100), tbl(100)) is False
+    # a fast link flips large probes back to the device
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "65536")
+    monkeypatch.setenv("SEQUILA_LINK_BW", "1e12")
+    monkeypatch.setenv("SEQUILA_LINK_RTT", "0.0")
+    assert ij._route_materialize_host(tbl(20_000_000), tbl(30_000_000)) is False
+
+
 def test_numpy_host_path_parity_with_oracle(rng):
     """The pure-NumPy fallback is exact too (SEQUILA_NATIVE=0 path)."""
     bk, bs, be, qk, qs, qe = _tables(rng, 350, 220)

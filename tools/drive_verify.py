@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import os, time
 os.environ["SEQUILA_MAX_OUTPUT_BATCH_SIZE"] = "100000"  # chunk = 1000 probe rows
 import jax
