@@ -102,10 +102,19 @@ class SequilaConfig:
     prefer_interval_join: bool = True
     interval_join_algorithm: Algorithm = Algorithm.COITREES
     interval_join_low_memory: bool = False
-    # Partitioned-mode skew handling: range-split hot contigs across parts
-    # (parallel/skew.py) for count queries.  Off by default — plain hash
-    # partitioning is exact and simpler; turn on for heavily skewed data
-    # (one dominant chromosome) on multi-chip meshes.
+    # Partitioned-mode distribution (reference PartitionMode::Partitioned
+    # declares HashPartitioned on both sides, interval_join.rs:385-404):
+    #   auto    — the engine decides per query from the key-weight
+    #             histogram: skew-aware range splitting when one key
+    #             dominates, device all_to_all shuffle otherwise, host
+    #             hash partitioning for shapes the collectives can't
+    #             serve (NULL keys, nearest, per-probe counts);
+    #   hash    — host-partitioned build/probe (the single-host stand-in);
+    #   shuffle — device-side all_to_all exchange (parallel/shuffle.py);
+    #   skew    — range-split hot contigs (parallel/skew.py).
+    partitioned_distribution: str = "auto"
+    # Legacy alias: partitioned_skew=true forces distribution=skew when
+    # partitioned_distribution is left at auto.
     partitioned_skew: bool = False
     max_output_batch_size: int = dataclasses.field(
         default_factory=lambda: _env_int("SEQUILA_MAX_OUTPUT_BATCH_SIZE", 100_000)
@@ -132,14 +141,31 @@ class SequilaConfig:
             setattr(self, key, int(value))
         elif key == "interval_join_algorithm":
             self.interval_join_algorithm = Algorithm.parse(value)
+        elif key == "partitioned_distribution":
+            v = value.lower()
+            if v not in ("auto", "hash", "shuffle", "skew"):
+                raise ValueError(
+                    f"Can't parse '{value}' as partitioned distribution "
+                    "(auto|hash|shuffle|skew)"
+                )
+            self.partitioned_distribution = v
         else:
             raise KeyError(f"unknown config key: sequila.{key}")
 
     def get(self, key: str):
         key = key.strip().lower()
-        if key in self._BOOL_KEYS + self._INT_KEYS + ("interval_join_algorithm",):
+        if key in self._BOOL_KEYS + self._INT_KEYS + (
+            "interval_join_algorithm",
+            "partitioned_distribution",
+        ):
             return getattr(self, key)
         raise KeyError(f"unknown config key: sequila.{key}")
+
+    def resolved_distribution(self) -> str:
+        """The configured distribution with the legacy skew flag folded in."""
+        if self.partitioned_distribution == "auto" and self.partitioned_skew:
+            return "skew"
+        return self.partitioned_distribution
 
     def copy(self) -> "SequilaConfig":
         return dataclasses.replace(self)

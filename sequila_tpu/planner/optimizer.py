@@ -120,6 +120,7 @@ class IntervalJoinRule:
                     intervals, node.join_type,
                     cfg.interval_join_algorithm, cfg.interval_join_low_memory,
                     mode=mode,
+                    distribution=cfg.resolved_distribution(),
                 )
         elif isinstance(node, NestedLoopJoinExec):
             intervals = parse(node.filter)
@@ -168,6 +169,7 @@ class ProjectionPushdownRule:
             join.mode,
             projection=[e.index for e in node.exprs],
             projection_names=list(node.names),
+            distribution=join.distribution,
         )
 
 

@@ -279,3 +279,131 @@ def test_skew_knob_degenerate_probes_fall_back():
     ctx.sql("SET datafusion.execution.target_partitions = 8")
     ctx.sql("SET sequila.partitioned_skew = true")
     assert ctx.sql(q).to_pylist() == want
+
+
+# -- distribution routing (round 3): shuffle + skew as SQL execution paths --
+
+
+@pytest.mark.parametrize("dist", ["hash", "shuffle", "skew"])
+def test_count_parity_all_distributions(dist):
+    single, part = _both(
+        f"SELECT count(1) FROM s1 JOIN s2 {OVERLAP_ON}",
+        setup=[f"SET sequila.partitioned_distribution = {dist}"],
+    )
+    assert single == part
+
+
+@pytest.mark.parametrize("dist", ["hash", "shuffle", "skew"])
+def test_materialize_parity_all_distributions(dist):
+    q = (
+        f"SELECT s1.pos_start, s2.pos_end FROM s1 JOIN s2 {OVERLAP_ON} "
+        "ORDER BY s1.pos_start, s2.pos_end"
+    )
+    single, part = _both(
+        q, setup=[f"SET sequila.partitioned_distribution = {dist}"],
+        n=200, m=300,
+    )
+    assert single == part
+
+
+@pytest.mark.parametrize("dist", ["shuffle", "skew"])
+def test_skewed_data_parity(dist):
+    """90%-hot-key data through the collective paths (the whole point of
+    skew range splitting)."""
+    q = (
+        f"SELECT s1.pos_start, s2.pos_end FROM s1 JOIN s2 {OVERLAP_ON} "
+        "ORDER BY s1.pos_start, s2.pos_end"
+    )
+    single, part = _both(
+        q, setup=[f"SET sequila.partitioned_distribution = {dist}"],
+        seed=7, n=300, m=500, num_keys=2, span=2_000,
+    )
+    assert single == part
+
+
+def test_explain_shows_distribution():
+    ctx = _pair_ctx(8)
+    ctx.sql("SET sequila.partitioned_distribution = shuffle")
+    plan = ctx.sql(
+        f"EXPLAIN SELECT count(1) FROM s1 JOIN s2 {OVERLAP_ON}"
+    ).column_np(1)[0]
+    assert "mode=Partitioned(shuffle)" in plan
+    ctx.sql("SET sequila.partitioned_distribution = auto")
+    plan = ctx.sql(
+        f"EXPLAIN SELECT count(1) FROM s1 JOIN s2 {OVERLAP_ON}"
+    ).column_np(1)[0]
+    assert "mode=Partitioned(auto)" in plan
+
+
+def test_auto_routes_skewed_to_skew():
+    """Auto distribution picks skew for a dominant key and records the
+    choice in EXPLAIN ANALYZE metrics (distribution_skew=1)."""
+    r = np.random.default_rng(3)
+    n, m = 400, 900
+
+    def one(rows, seed):
+        rr = np.random.default_rng(seed)
+        k = np.where(rr.random(rows) < 0.95, 0, 1)  # 95% on chr0
+        st = rr.integers(0, 5_000, rows)
+        return pa.table({
+            "contig": [f"chr{i}" for i in k],
+            "pos_start": st,
+            "pos_end": st + rr.integers(0, 300, rows),
+        })
+
+    ctx = SessionContext()
+    ctx.register_table("s1", one(n, 1))
+    ctx.register_table("s2", one(m, 2))
+    ctx.sql("SET datafusion.execution.target_partitions = 8")
+    out = ctx.sql(
+        f"EXPLAIN ANALYZE SELECT count(1) FROM s1 JOIN s2 {OVERLAP_ON}"
+    ).column_np(1)[0]
+    assert "distribution_skew=1" in out
+    # parity against single-chip
+    got = ctx.sql(f"SELECT count(1) FROM s1 JOIN s2 {OVERLAP_ON}").column_np(0)[0]
+    ctx.sql("SET datafusion.execution.target_partitions = 1")
+    want = ctx.sql(f"SELECT count(1) FROM s1 JOIN s2 {OVERLAP_ON}").column_np(0)[0]
+    assert got == want
+
+
+def test_auto_degenerate_probes_fall_back_exact():
+    """Degenerate (qs > qe) probe rows break the BITS shuffle/skew counts;
+    auto must route them to an exact path (CLAUDE.md invariant)."""
+    ctx = SessionContext()
+    ctx.register_table("s1", pa.table({
+        "contig": ["chr1"] * 4,
+        "pos_start": [0, 100, 200, 300],
+        "pos_end": [90, 190, 290, 390],
+    }))
+    # one degenerate stabbing probe (start > end) that still matches
+    ctx.register_table("s2", pa.table({
+        "contig": ["chr1", "chr1"],
+        "pos_start": [50, 250],
+        "pos_end": [60, 210],
+    }))
+    ctx.sql("SET datafusion.execution.target_partitions = 8")
+    for dist in ("auto", "shuffle", "skew", "hash"):
+        ctx.sql(f"SET sequila.partitioned_distribution = {dist}")
+        got = ctx.sql(
+            "SELECT count(1) FROM s1 JOIN s2 ON s1.contig = s2.contig "
+            "AND s1.pos_start <= s2.pos_end AND s1.pos_end >= s2.pos_start"
+        ).column_np(0)[0]
+        assert got == 2, (dist, got)  # [0,90]x[50,60] and [200,290] stab [250,210]
+
+
+def test_low_memory_shuffle_and_skew_parity():
+    q = (
+        f"SELECT s1.pos_start, s2.pos_end FROM s1 JOIN s2 {OVERLAP_ON} "
+        "ORDER BY s1.pos_start, s2.pos_end"
+    )
+    for dist in ("shuffle", "skew"):
+        single, part = _both(
+            q,
+            setup=[
+                f"SET sequila.partitioned_distribution = {dist}",
+                "SET sequila.interval_join_low_memory = true",
+                "SET sequila.max_output_batch_size = 512",
+            ],
+            n=200, m=300, maxlen=3000,
+        )
+        assert single == part, dist
