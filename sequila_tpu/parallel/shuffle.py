@@ -195,7 +195,10 @@ def _shuffle_pairs_fns(mesh: Mesh, cap: int, pair_cap: int):
         lo_q = sat_sub_i32(rqs, max_len)
         lb = rank_lex_sort((sk, ss), (rqk, lo_q), side="left")
         ub = rank_lex_sort((sk, ss), (rqk, rqe), side="right")
-        widths = jnp.maximum(ub - lb, 0)
+        # PAD probe slots share the PAD key with the build padding, so
+        # their window would span every build-PAD row — zero them or the
+        # candidate totals (drain sizing) explode and overflow int32
+        widths = jnp.where(rqk == PAD, 0, jnp.maximum(ub - lb, 0))
         offsets = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(widths, dtype=jnp.int32)]
         )
@@ -253,6 +256,15 @@ def all_to_all_partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
     zeros = np.zeros(nparts, np.int32)
     b, q, totals = fn(*args, dev1(zeros))
     totals = np.asarray(totals).astype(np.int64)
+    if totals.size and int(totals.min()) < 0:
+        # widths.sum() wrapped int32: a single shard's candidate count
+        # passed 2^31 — same contract as the emit-offset limit
+        from sequila_tpu.errors import ExecutionError
+
+        raise ExecutionError(
+            "a shuffle shard's candidate window count exceeded 2^31 (the "
+            "int32 emit arithmetic limit); raise target_partitions"
+        )
     need = int(totals.max())
     out_b, out_q = [], []
 
