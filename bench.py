@@ -281,6 +281,21 @@ def run_full(iters, platform=None):
     from sequila_tpu.models.table import Table
     A = Table(pa.table(gen_genome_table(500_000, 61)))
     B = Table(pa.table(gen_genome_table(500_000, 62)))
+    def _timed_op(name, fn, results):
+        import gc
+
+        fn()  # warm
+        best, out = None, None
+        for _ in range(max(2, iters // 2)):
+            out = None
+            gc.collect()
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{name}: {out.num_rows:,} rows in {best*1000:.0f} ms", file=sys.stderr)
+        results[name] = {"rows": out.num_rows, "seconds": round(best, 4)}
+
     for name, fn in [
         ("coverage (500k x 500k)", lambda: gdf.coverage(A, B)),
         ("count_overlaps (500k x 500k)", lambda: gdf.count_overlaps(A, B)),
@@ -292,15 +307,9 @@ def run_full(iters, platform=None):
         ("depth/pileup (500k)", lambda: gdf.depth(A)),
         ("window w=5k (500k x 500k)", lambda: gdf.window(A, B, window=5_000)),
         ("reldist (500k x 500k)", lambda: gdf.reldist(A, B)),
+        ("overlap/materialize (500k x 500k)", lambda: gdf.overlap(A, B)),
     ]:
-        fn()  # warm
-        t0 = time.perf_counter()
-        out = fn()
-        dt = time.perf_counter() - t0
-        print(f"{name}: {out.num_rows:,} rows in {dt*1000:.0f} ms", file=sys.stderr)
-        artifact["genomic_ops"][name] = {
-            "rows": out.num_rows, "seconds": round(dt, 4)
-        }
+        _timed_op(name, fn, artifact["genomic_ops"])
 
     print("== strand-aware verbs ==", file=sys.stderr)
     As = Table(A.arrow.append_column(
@@ -314,14 +323,7 @@ def run_full(iters, platform=None):
          lambda: gdf.count_overlaps(As, Bs, strand="same")),
         ("merge -s (500k)", lambda: gdf.merge(As, strand=True)),
     ]:
-        fn()
-        t0 = time.perf_counter()
-        out = fn()
-        dt = time.perf_counter() - t0
-        print(f"{name}: {out.num_rows:,} rows in {dt*1000:.0f} ms", file=sys.stderr)
-        artifact["genomic_ops"][name] = {
-            "rows": out.num_rows, "seconds": round(dt, 4)
-        }
+        _timed_op(name, fn, artifact["genomic_ops"])
 
     print("== host SQL layer (500k rows) ==", file=sys.stderr)
     from sequila_tpu.session import SessionContext as _SC
@@ -424,8 +426,10 @@ def run_native_host_bench():
             row[f"{tag}_count_mqps"] = round(m / max(row[f"{tag}_count_s"], 1e-9) / 1e6, 1)
             total = int(np.asarray(counts).sum())
             row["total_pairs"] = total
-            # pairs emission at capped output (avoid 100x memory at 10M)
-            if total < 200_000_000:
+            # pairs emission: the numpy fallback's repeat/gather chain is
+            # ~0.2M rows/s at the 10M scale (515 s measured once, r3) —
+            # cap it so the suite stays runnable; native has no cap here
+            if total < 200_000_000 and (tag == "native" or total < 20_000_000):
                 t0 = time.perf_counter()
                 b, p = idx.pairs(rk, rs, re)
                 row[f"{tag}_pairs_s"] = round(time.perf_counter() - t0, 4)

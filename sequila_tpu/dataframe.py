@@ -43,6 +43,19 @@ def _use_host(*tables) -> bool:
     return sum(t.num_rows for t in tables) <= _host_threshold()
 
 
+def _route_coverage_host(a, b) -> bool:
+    """Coverage ships 4 per-(level,probe) rank matrices over the link on
+    the device path (16L bytes/probe vs the count path's 4), so the
+    materializing cost model is the right router; the native coverage
+    scan is threaded."""
+    from sequila_tpu.exec.joins.interval_join import materialize_route_host
+    from sequila_tpu.native.loader import available
+
+    if not available():
+        return _use_host(a, b)
+    return materialize_route_host(b.num_rows, a.num_rows)
+
+
 def _prep(table: Table, cols):
     key_col, start_col, end_col = cols
     keys = table.column(key_col)
@@ -168,7 +181,11 @@ def _gather_pairs(a, b, ca, sa, ea, cb, sb, eb, partitions, entry=None):
         )
         order = np.lexsort((b_rows, p_rows))
         return b_rows[order], p_rows[order]
-    if _use_host(a, b):
+    # materializing verbs route by the link-vs-host cost model: the pair
+    # indices cross the device link either way (see materialize_route_host)
+    from sequila_tpu.exec.joins.interval_join import materialize_route_host
+
+    if materialize_route_host(b.num_rows, a.num_rows):
         if entry is not None:
             return _pair_host_index(entry).pairs(ca, sa, ea)
         from sequila_tpu.ops.host_join import make_host_index
@@ -253,7 +270,9 @@ def nearest(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     cols_b = cols_b or cols
     entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
     ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
-    if _use_host(a, b):
+    from sequila_tpu.exec.joins.interval_join import materialize_route_host
+
+    if materialize_route_host(b.num_rows, a.num_rows):
         rows = _pair_host_index(entry).nearest(ca, sa, ea).astype(np.int64)
     else:
         index = _pair_index(entry)
@@ -281,7 +300,11 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
     if k == 1:
         # vectorized: the nearest kernel (device) / host nearest — exactly
         # one candidate per a-row, rows with no same-contig b drop out
-        if _use_host(a, b):
+        from sequila_tpu.exec.joins.interval_join import (
+            materialize_route_host,
+        )
+
+        if materialize_route_host(b.num_rows, a.num_rows):
             rows1 = _pair_host_index(entry).nearest(ca, sa, ea)
         else:
             index = _pair_index(entry)
@@ -343,7 +366,7 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
             mesh, cb, np.asarray(sb), np.asarray(eb),
             ca, np.asarray(sa), np.asarray(ea),
         )
-    elif _use_host(a, b):
+    elif _route_coverage_host(a, b):
         hidx = _pair_host_index(entry)
         if hasattr(hidx, "coverage"):
             counts, bases = hidx.coverage(ca, sa, ea)

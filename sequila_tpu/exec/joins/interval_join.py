@@ -68,6 +68,41 @@ def _host_threshold() -> int:
     queries.  SEQUILA_HOST_THRESHOLD=0 forces the device path everywhere."""
     return int(_os.environ.get("SEQUILA_HOST_THRESHOLD", 65536))
 
+def materialize_route_host(n: int, m: int) -> bool:
+    """Host-vs-device routing for MATERIALIZING interval work (cost model).
+
+    Counting queries return scalars, so the device link cost is O(1) and
+    the TPU wins at scale — the small-input `_host_threshold` is the
+    right rule there.  A materializing query's pair indices (or per-probe
+    payloads) must cross the link no matter what (output assembly is
+    host-side arrow take), so the device's advantage shrinks to the
+    bounds computation while it pays ~4 bytes/probe (counts fetch) plus
+    ~8 bytes/run (compact runs) through a ~38 MB/s tunnel with ~30 ms
+    RTTs.  Compare the costs each path does NOT share:
+
+      host   = build sort (~14 ns x n log2 n) + probe searches
+               (~140 ns/probe, threaded C++)
+      device = 2 RTT + (4 x m + 8 x ~2m) bytes / link bandwidth
+
+    (emission/expansion and the take gather are common).  Constants
+    measured in this environment (ROADMAP round 3); the link numbers are
+    env-tunable for faster attachments.  SEQUILA_HOST_THRESHOLD=0 keeps
+    forcing the device path (test override), and inputs under the
+    threshold keep the unconditional host route."""
+    thr = _host_threshold()
+    if thr == 0:
+        return False
+    if n + m <= thr:
+        return True
+    import math
+
+    rtt = float(_os.environ.get("SEQUILA_LINK_RTT", 0.030))
+    bw = float(_os.environ.get("SEQUILA_LINK_BW", 38e6))
+    host_cost = 14e-9 * n * math.log2(max(n, 2)) + 140e-9 * m
+    device_cost = 2 * rtt + (4.0 * m + 8.0 * 2 * m) / bw
+    return host_cost <= device_cost
+
+
 # Algorithm -> rank strategy of ops/interval_join.overlap_bounds.
 _ALG_METHOD = {
     Algorithm.COITREES: "sort",
@@ -543,39 +578,9 @@ class IntervalJoinExec(ExecPlan):
         return left.num_rows + right.num_rows <= _host_threshold()
 
     def _route_materialize_host(self, left: Table, right: Table) -> bool:
-        """Host-vs-device routing for MATERIALIZING joins (cost model).
-
-        Counting joins return scalars, so the device link cost is O(1)
-        and the TPU wins at scale — `_use_host`'s small-input threshold
-        is the right rule there.  A materializing join's pair indices
-        must cross the link no matter what (output assembly is host-side
-        arrow take), so the device's advantage shrinks to the bounds
-        computation while it pays ~4 bytes/probe (counts fetch) plus
-        ~8 bytes/run (compact runs) through a ~38 MB/s tunnel with
-        ~30 ms RTTs.  Compare the costs each path does NOT share:
-
-          host   = build sort (~14 ns x n log2 n) + probe searches
-                   (~140 ns/probe, threaded C++)
-          device = 2 RTT + (4 x m + 8 x ~2m) bytes / link bandwidth
-
-        (emission/expansion and the take gather are common).  Constants
-        measured in this environment (ROADMAP round 3); the link numbers
-        are env-tunable for faster attachments.  SEQUILA_HOST_THRESHOLD=0
-        keeps forcing the device path (test override), and inputs under
-        the threshold keep the unconditional host route."""
-        thr = _host_threshold()
-        if thr == 0:
-            return False
-        n, m = left.num_rows, right.num_rows
-        if n + m <= thr:
-            return True
-        import math
-
-        rtt = float(_os.environ.get("SEQUILA_LINK_RTT", 0.030))
-        bw = float(_os.environ.get("SEQUILA_LINK_BW", 38e6))
-        host_cost = 14e-9 * n * math.log2(max(n, 2)) + 140e-9 * m
-        device_cost = 2 * rtt + (4.0 * m + 8.0 * 2 * m) / bw
-        return host_cost <= device_cost
+        """Host-vs-device routing for MATERIALIZING joins — see
+        materialize_route_host."""
+        return materialize_route_host(left.num_rows, right.num_rows)
 
     def _partitioned_mesh(self, ctx):
         """The execution mesh when this node was planned in Partitioned
@@ -625,15 +630,20 @@ class IntervalJoinExec(ExecPlan):
         if cfg == "hash":
             return "hash"
         # auto
+        npart = mesh.shape["part"]
+        if npart <= 1:
+            # degenerate 1-partition mesh: the collective exchange buys
+            # nothing (measured 4.6x slower than host partitioning on a
+            # single chip) — host hash partitioning is CollectLeft-shaped
+            return "hash"
         if nonneg and len(lcodes) and len(rcodes):
-            npart = mesh.shape["part"]
             num = int(max(lcodes.max(), rcodes.max())) + 1
             wb = np.bincount(lcodes, minlength=num).astype(np.int64)
             wp = np.bincount(rcodes, minlength=num).astype(np.int64)
             w = wb + wp
             hot = int(np.argmax(w))
             skewed = (
-                w[hot] > 1.5 * int(w.sum()) / max(npart, 1)
+                w[hot] > 1.5 * int(w.sum()) / npart
                 and wp[hot] > npart
             )
             if skewed and skew_ok:

@@ -175,3 +175,59 @@ def test_numpy_host_path_parity_with_oracle(rng):
     np.testing.assert_array_equal(
         ref.counts(qk, qs, qe), oracle_counts(bk, bs, be, qk, qs, qe)
     )
+
+
+def test_choose_distribution_matrix():
+    """Unit matrix for the Partitioned-mode distribution chooser."""
+    from types import SimpleNamespace
+
+    from sequila_tpu.exec.joins.interval_join import IntervalJoinExec
+
+    mesh = SimpleNamespace(shape={"part": 4, "probe": 2})
+
+    def mk(dist="auto"):
+        ij = IntervalJoinExec.__new__(IntervalJoinExec)
+        ij.distribution = dist
+        return ij
+
+    def args(skewed=False, degenerate=False, inverted=False, nulls=False):
+        n, m = 64, 128
+        rng = np.random.default_rng(0)
+        lk = (np.zeros(n) if skewed else rng.integers(0, 16, n)).astype(np.int32)
+        rk = (np.zeros(m) if skewed else rng.integers(0, 16, m)).astype(np.int32)
+        if nulls:
+            lk[0] = -1
+        ls = rng.integers(0, 1000, n).astype(np.int32)
+        le = ls + 10
+        rs = rng.integers(0, 1000, m).astype(np.int32)
+        re_ = rs + 10
+        if degenerate:
+            re_[0] = rs[0] - 5
+        if inverted:
+            le[0] = ls[0] - 5
+        return lk, ls, le.astype(np.int32), rk, rs, re_.astype(np.int32)
+
+    # auto: flat keys -> shuffle; dominant key -> skew
+    assert mk()._choose_distribution(mesh, *args(), "count") == "shuffle"
+    assert mk()._choose_distribution(mesh, *args(skewed=True), "count") == "skew"
+    # degenerate probes: BITS-based shuffle count and skew are unsafe ->
+    # hash for counts; shuffle pairs (window emission) stays exact
+    assert mk()._choose_distribution(mesh, *args(degenerate=True), "count") == "hash"
+    assert (
+        mk()._choose_distribution(mesh, *args(degenerate=True), "pairs")
+        == "shuffle"
+    )
+    assert mk()._choose_distribution(mesh, *args(inverted=True), "count") == "hash"
+    # NULL-key sentinels: no bincount -> never skew; shuffle still fine
+    assert mk()._choose_distribution(mesh, *args(nulls=True), "count") == "shuffle"
+    # forced strategies fall back to hash only when unsafe
+    assert mk("skew")._choose_distribution(mesh, *args(), "count") == "skew"
+    assert (
+        mk("skew")._choose_distribution(mesh, *args(degenerate=True), "count")
+        == "hash"
+    )
+    assert mk("hash")._choose_distribution(mesh, *args(skewed=True), "count") == "hash"
+    assert (
+        mk("shuffle")._choose_distribution(mesh, *args(degenerate=True), "pairs")
+        == "shuffle"
+    )
