@@ -388,14 +388,10 @@ class IntervalJoinExec(ExecPlan):
         if None in (bs_cd, be_cd, qs_cd, qe_cd):
             return None
         # degenerate probes (qs_adj > qe_adj) and inverted build intervals
-        # break BITS: host min-gap checks
-        qs_col = right.column_as_i32(qs_cd[0]).astype(np.int64)
-        qe_col = right.column_as_i32(qe_cd[0]).astype(np.int64)
-        if len(qs_col) and int((qe_col + qe_cd[1] - (qs_col + qs_cd[1])).min()) < 0:
+        # break BITS: host min-gap checks (cached table statistics)
+        if right.min_i32_diff(qe_cd[0], qs_cd[0]) + qe_cd[1] - qs_cd[1] < 0:
             return None
-        bs_col = left.column_as_i32(bs_cd[0]).astype(np.int64)
-        be_col = left.column_as_i32(be_cd[0]).astype(np.int64)
-        if len(bs_col) and int((be_col + be_cd[1] - (bs_col + bs_cd[1])).min()) < 0:
+        if left.min_i32_diff(be_cd[0], bs_cd[0]) + be_cd[1] - bs_cd[1] < 0:
             return None
 
         lcodes, lvals, _ = left.dict_codes(l_on.index)
@@ -468,9 +464,7 @@ class IntervalJoinExec(ExecPlan):
         bs_cd = self._bound_col_delta(self.intervals.left_interval.start, left)
         be_cd = self._bound_col_delta(self.intervals.left_interval.end, left)
         if bs_cd is not None and be_cd is not None:
-            ls_h = left.column_as_i32(bs_cd[0]).astype(np.int64) + bs_cd[1]
-            le_h = left.column_as_i32(be_cd[0]).astype(np.int64) + be_cd[1]
-            if len(ls_h) and int((le_h - ls_h).min()) < 0:
+            if left.min_i32_diff(be_cd[0], bs_cd[0]) + be_cd[1] - bs_cd[1] < 0:
                 return None  # inverted build intervals break BITS
         ls = self._device_bound(self.intervals.left_interval.start, left)
         le = self._device_bound(self.intervals.left_interval.end, left)
@@ -489,13 +483,11 @@ class IntervalJoinExec(ExecPlan):
             rcol = right.column(r_on.index)
             if lcol.null_count or rcol.null_count:
                 return None
-            from sequila_tpu.models.table import merge_dictionaries
+            from sequila_tpu.models.table import device_remaps
 
-            lcodes_np, lvals, lk = left.dict_codes(l_on.index)
-            rcodes_np, rvals, rk = right.dict_codes(r_on.index)
-            rl, rr = merge_dictionaries(lvals, rvals)
-            remap_l = jnp.asarray(rl)
-            remap_r = jnp.asarray(rr)
+            _, _, lk = left.dict_codes(l_on.index)
+            _, _, rk = right.dict_codes(r_on.index)
+            remap_l, remap_r = device_remaps(left, l_on.index, right, r_on.index)
 
         n_pad = _bucket(max(left.num_rows, 1), minimum=1024)
         m_pad = _bucket(max(right.num_rows, 1), minimum=1024)

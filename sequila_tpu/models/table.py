@@ -170,6 +170,7 @@ class Table:
         self._t = arrow.combine_chunks()
         self._dev_i32: dict = {}
         self._codes: dict = {}
+        self._i32: dict = {}
 
     def device_i32(self, name_or_idx):
         """Column as a device-resident int32 array (overflow-checked once)."""
@@ -335,7 +336,35 @@ class Table:
         Same contract as the reference's ``evaluate_as_i32``
         (interval_join.rs:1661-1672, tested at :1927-1968): any value
         outside i32 is an execution error, never a silent wrap.
+
+        Cached per column (the table is immutable): repeated queries over
+        a registered table skip the 64-bit widen + range check entirely.
         """
+        cached = self._i32.get(name_or_idx)
+        if cached is not None:
+            return cached
+        out = self._column_as_i32_uncached(name_or_idx)
+        out.flags.writeable = False
+        self._i32[name_or_idx] = out
+        return out
+
+    def min_i32_diff(self, hi_col, lo_col) -> int:
+        """min(i32[hi_col] - i32[lo_col]) over all rows, cached.
+
+        The BITS-count eligibility checks (no inverted build intervals,
+        no degenerate probes) reduce to this statistic shifted by the
+        strict-op deltas; caching it makes the checks free on repeated
+        queries.  Returns 0 for an empty table (nothing is inverted)."""
+        key = ("mindiff", hi_col, lo_col)
+        cached = self._i32.get(key)
+        if cached is None:
+            hi = self.column_as_i32(hi_col).astype(np.int64)
+            lo = self.column_as_i32(lo_col).astype(np.int64)
+            cached = int((hi - lo).min()) if len(hi) else 0
+            self._i32[key] = cached
+        return cached
+
+    def _column_as_i32_uncached(self, name_or_idx) -> np.ndarray:
         col = self._t.column(name_or_idx)
         if col.null_count:
             raise ExecutionError(
@@ -444,6 +473,30 @@ def merge_dictionaries(lvals: np.ndarray, rvals: np.ndarray):
     both = np.concatenate([lv, rv])
     _, inv = np.unique(both, return_inverse=True)
     return inv[: len(lv)].astype(np.int32), inv[len(lv):].astype(np.int32)
+
+
+def device_remaps(left: "Table", l_col, right: "Table", r_col):
+    """Device-resident (remap_l, remap_r) for a table pair's key columns.
+
+    Cached on the left table: over a tunnelled TPU attachment even the
+    two tiny remap device_puts cost milliseconds per query, so repeated
+    joins of the same registered tables must not re-ship them.  The cache
+    entry pins the right table by weakref identity — a recycled id() can
+    never serve a stale remap."""
+    import weakref
+
+    import jax.numpy as jnp
+
+    key = ("remap", l_col, r_col, id(right))
+    entry = left._codes.get(key)
+    if entry is not None and entry[0]() is right:
+        return entry[1], entry[2]
+    _, lvals, _ = left.dict_codes(l_col)
+    _, rvals, _ = right.dict_codes(r_col)
+    rl, rr = merge_dictionaries(lvals, rvals)
+    dl, dr = jnp.asarray(rl), jnp.asarray(rr)
+    left._codes[key] = (weakref.ref(right), dl, dr)
+    return dl, dr
 
 
 def pretty_format(table: Table) -> str:
