@@ -72,7 +72,14 @@ def run(algorithm="coitrees", iters=5, verbose=False, stages=False):
     # Warmup: compile kernels for this shape bucket.
     total = int(ctx.sql(QUERY).column_np(0)[0])
     times = []
-    for _ in range(iters):
+    # The steady-state query is tunnel-RTT bound (24-35 ms link vs ~5 ms
+    # device compute) and the RTT drifts minute to minute; run at least
+    # `iters` and keep sampling up to a small wall budget so min-of-N
+    # reflects the link floor, not the minute it was measured in.
+    budget_end = time.perf_counter() + max(iters * 0.3, 3.0)
+    while len(times) < iters or (
+        time.perf_counter() < budget_end and len(times) < 48
+    ):
         gc.collect()
         t0 = time.perf_counter()
         got = int(ctx.sql(QUERY).column_np(0)[0])
