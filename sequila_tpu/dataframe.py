@@ -317,21 +317,28 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
         keep = rows1 >= 0
         a_idx = np.nonzero(keep)[0]
         b_idx = rows1[keep]
-        d = np.where(
+        dist = np.where(
             eb[b_idx] < sa[a_idx],
             sa[a_idx].astype(np.int64) - eb[b_idx],
             np.maximum(sb[b_idx].astype(np.int64) - ea[a_idx], 0),
         )
-        dist = d.tolist()
-        a_idx = a_idx.tolist()
-        b_idx = b_idx.tolist()
     else:
-        # host-resident index: closest_k is host-side vectorized numpy, so
-        # a device index would only add TPU round-trip fetches
-        index = _pair_index(entry, to_device=np.asarray)
-        rows, dists = genomic.closest_k(
-            index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
+        from sequila_tpu.native.loader import available
+
+        clean = not bool((sa > ea).any()) and not bool(
+            (np.asarray(eb) < np.asarray(sb)).any()
         )
+        if available() and clean:
+            # threaded native 3-ring merge (O(log n + k) per probe) —
+            # ~16x the vectorized numpy path at 500k x 500k
+            rows, dists = _pair_host_index(entry).closest_k(ca, sa, ea, k)
+        else:
+            # host-resident index: closest_k is host-side vectorized
+            # numpy, so a device index would only add TPU round-trips
+            index = _pair_index(entry, to_device=np.asarray)
+            rows, dists = genomic.closest_k(
+                index, np.asarray(ca), np.asarray(sa), np.asarray(ea), k=k
+            )
         valid = rows >= 0
         a_idx, _ = np.nonzero(valid)  # row-major: (a row asc, rank asc)
         b_idx = rows[valid]

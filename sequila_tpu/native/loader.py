@@ -98,6 +98,10 @@ def load():
         lib.si_coverage.argtypes = [
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p, i64p,
         ]
+        lib.si_closest_k.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int64, i32p, i64p,
+        ]
         lib.si_expand_runs.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p]
         lib.si_repeat_counts.argtypes = [i32p, ctypes.c_int64, i32p]
         _LIB = lib
@@ -213,6 +217,17 @@ class NativeIntervalIndex:
         b = np.empty(len(qk), np.int64)
         self._lib.si_coverage(self._h, qk, qs, qe, len(qk), c, b)
         return c, b
+
+    def closest_k(self, qk, qs, qe, k: int):
+        """(rows int32[m,k], dists int64[m,k]), -1 padded; requires clean
+        inputs (qs <= qe, no inverted builds) — callers route degenerate
+        data to the exact scan."""
+        qk, qs, qe = self._q(qk, qs, qe)
+        m = len(qk)
+        rows = np.empty((m, k), np.int32)
+        dists = np.empty((m, k), np.int64)
+        self._lib.si_closest_k(self._h, qk, qs, qe, m, k, rows, dists)
+        return rows, dists
 
 
 def available() -> bool:

@@ -331,6 +331,76 @@ void si_nearest(void* h, const int32_t* qk, const int32_t* qs,
   });
 }
 
+// k closest build rows per probe (overlaps first at distance 0, then by
+// genomic distance, ties upstream-first): the host half of the closest-k
+// verb (ops/genomic.py closest_k contract; distances are contractual,
+// overlap-tie row subsets are deterministic but not).  Requires clean
+// inputs (qs <= qe, no inverted builds) — the Python caller routes
+// degenerate/inverted data to the exact scan.  Per probe the three
+// candidate rings partition the segment exactly:
+//   overlap     start <= qe && end >= qs      distance 0
+//   upstream    end < qs                      distance qs - end
+//   downstream  start > qe                    distance start - qe
+// and each ring enumerates in ascending distance (overlaps trivially;
+// upstream walking the per-segment end-sorted array backward; downstream
+// walking the start-sorted array forward), so a 3-pointer merge yields
+// the exact top-k distance multiset in O(log n + k + window).
+// out_rows int32[m*k] / out_d int64[m*k], -1 padded.  Parallel.
+void si_closest_k(void* h, const int32_t* qk, const int32_t* qs,
+                  const int32_t* qe, int64_t m, int64_t k,
+                  int32_t* out_rows, int64_t* out_d) {
+  const auto* idx = static_cast<const Index*>(h);
+  constexpr int64_t INF = INT64_MAX;
+  parallel_chunks(m, 4096, [&](int64_t i0, int64_t i1) {
+    int64_t last = -1;
+    for (int64_t i = i0; i < i1; ++i) {
+      int32_t* rowo = out_rows + i * k;
+      int64_t* disto = out_d + i * k;
+      for (int64_t j = 0; j < k; ++j) {
+        rowo[j] = -1;
+        disto[j] = -1;
+      }
+      const int64_t sgi = find_seg(idx, qk[i], &last);
+      if (sgi < 0) continue;
+      const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
+      const int32_t qsi = qs[i], qei = qe[i];
+      const int64_t ub = lo + ub32(idx->starts.data() + lo, len, qei);
+      const int64_t wlo = lo + lb32(idx->cummax_end.data() + lo, len, qsi);
+      int64_t slot = 0;
+      // overlap ring: distance-0 candidates in (key,start) order
+      for (int64_t j = wlo; j < ub && slot < k; ++j) {
+        if (idx->ends[j] >= qsi) {
+          rowo[slot] = idx->pos[j];
+          disto[slot] = 0;
+          ++slot;
+        }
+      }
+      if (slot >= k) continue;
+      // upstream (backward from the last end < qs) / downstream (forward
+      // from the first start > qe) merge, ties upstream-first
+      int64_t ui = lo + lb32(idx->ends_sorted.data() + lo, len, qsi) - 1;
+      int64_t di = ub;
+      const int64_t hi = lo + len;
+      while (slot < k) {
+        const int64_t du =
+            ui >= lo ? int64_t(qsi) - idx->ends_sorted[ui] : INF;
+        const int64_t dd = di < hi ? int64_t(idx->starts[di]) - qei : INF;
+        if (du == INF && dd == INF) break;
+        if (du <= dd) {
+          rowo[slot] = idx->end_pos[ui];
+          disto[slot] = du;
+          --ui;
+        } else {
+          rowo[slot] = idx->pos[di];
+          disto[slot] = dd;
+          ++di;
+        }
+        ++slot;
+      }
+    }
+  });
+}
+
 // Coverage: (count, sum(min(end,qe) - max(start,qs))) per query —
 // superintervals coverage semantics.  Parallel over probe chunks.
 void si_coverage(void* h, const int32_t* qk, const int32_t* qs,
@@ -561,6 +631,6 @@ void si_take_str_fill(const int32_t* offsets, const char* data,
   });
 }
 
-int64_t si_version() { return 3; }
+int64_t si_version() { return 4; }
 
 }  // extern "C"
