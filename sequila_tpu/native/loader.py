@@ -104,6 +104,10 @@ def load():
         ]
         lib.si_expand_runs.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p]
         lib.si_repeat_counts.argtypes = [i32p, ctypes.c_int64, i32p]
+        lib.si_argsort64.argtypes = [i64p, ctypes.c_int64, i32p]
+        lib.si_searchsorted64.argtypes = [
+            i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32, i64p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -121,6 +125,33 @@ def expand_runs(g0, cnt, pos, total: int):
         len(g0),
         np.ascontiguousarray(pos, np.int32),
         out,
+    )
+    return out
+
+
+def argsort64(v: np.ndarray):
+    """Stable parallel argsort of an int64 array (4x16-bit LSD radix);
+    None when the native lib is unavailable or n exceeds int32 indices."""
+    lib = load()
+    if lib is None or len(v) >= 2**31:
+        return None
+    v = np.ascontiguousarray(v, np.int64)
+    out = np.empty(len(v), np.int32)
+    lib.si_argsort64(v, len(v), out)
+    return out
+
+
+def searchsorted64(sorted_v: np.ndarray, q: np.ndarray, side: str = "left"):
+    """Threaded binary searches over a sorted int64 array; None when the
+    native lib is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    sorted_v = np.ascontiguousarray(sorted_v, np.int64)
+    q = np.ascontiguousarray(q, np.int64)
+    out = np.empty(len(q), np.int64)
+    lib.si_searchsorted64(
+        sorted_v, len(sorted_v), q, len(q), 0 if side == "left" else 1, out
     )
     return out
 

@@ -319,3 +319,36 @@ class TestNativeClosestK:
             np.sort(out.column_np("distance")),
             np.sort(ref.column_np("distance")),
         )
+
+
+class TestNativeVectorOps:
+    """si_argsort64 (parallel stable LSD radix) and si_searchsorted64
+    (threaded binary search) vs numpy on random int64 data."""
+
+    def test_argsort64_matches_stable(self, rng):
+        from sequila_tpu.native.loader import argsort64, available
+
+        if not available():
+            pytest.skip("native library unavailable")
+        for n in (0, 1, 2, 7, 1000, 123_457):
+            v = rng.integers(-(2**62), 2**62, max(n, 1))[:n].astype(np.int64)
+            np.testing.assert_array_equal(
+                argsort64(v).astype(np.int64), np.argsort(v, kind="stable")
+            )
+        dup = rng.integers(0, 5, 50_000).astype(np.int64)  # stability
+        np.testing.assert_array_equal(
+            argsort64(dup).astype(np.int64), np.argsort(dup, kind="stable")
+        )
+
+    def test_searchsorted64_matches(self, rng):
+        from sequila_tpu.native.loader import available, searchsorted64
+
+        if not available():
+            pytest.skip("native library unavailable")
+        s = np.sort(rng.integers(-(2**40), 2**40, 100_000)).astype(np.int64)
+        q = rng.integers(-(2**40), 2**40, 60_000).astype(np.int64)
+        q[:100] = s[:100]  # exact hits exercise the side semantics
+        for side in ("left", "right"):
+            np.testing.assert_array_equal(
+                searchsorted64(s, q, side), np.searchsorted(s, q, side=side)
+            )
