@@ -54,6 +54,26 @@ from sequila_tpu.ops.interval_join import (
 # ---------------------------------------------------------------------------
 
 
+def fetch_global(x) -> np.ndarray:
+    """Host value of a possibly cross-process sharded jax.Array.
+
+    Single-process (the common case, incl. the virtual test mesh): a
+    plain fetch.  Under jax.distributed with multiple processes, a
+    sharded output spans non-addressable devices and cannot be fetched
+    directly — reshard to fully-replicated first (one all_gather over
+    DCN), then read the local copy.  Validated end to end by
+    tools/multihost_dryrun.py (2 processes x 4 devices over Gloo)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    mesh = getattr(getattr(x, "sharding", None), "mesh", None)
+    if mesh is None or x.sharding.is_fully_replicated:
+        return np.asarray(x)
+    rep = jax.jit(
+        lambda a: a, out_shardings=NamedSharding(mesh, P())
+    )(x)
+    return np.asarray(rep)
+
+
 def _pad_probe(rk, rs, re, cap):
     k = np.full(cap, PAD_KEY, np.int32)
     s = np.full(cap, PAD_VAL, np.int32)
@@ -238,7 +258,7 @@ def shard_totals(mesh: Mesh, meta, didx, dK, dS, dE) -> np.ndarray:
     from sequila_tpu.errors import ExecutionError
     from sequila_tpu.ops.interval_join import _EMIT_LIMIT
 
-    partials = np.asarray(
+    partials = fetch_global(
         shard_totals_fn(mesh, meta["num_levels"], meta["level_offsets"])(
             *didx, dK, dS, dE
         )
@@ -317,8 +337,8 @@ def emit_all_shards(mesh: Mesh, meta, didx, dpos, dK, dS, dE, totals,
             return
         b, p = emit(*didx, dpos, dK, dS, dE,
                     dev(base.astype(np.int32), P("part", "probe")))
-        b = np.asarray(b)
-        p = np.asarray(p)
+        b = fetch_global(b)
+        p = fetch_global(p)
         for part in range(npart):
             for chip in range(nprobe):
                 take = int(min(max(remaining[part, chip], 0), cap))
@@ -418,7 +438,7 @@ def partitioned_nearest(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
     fn = partitioned_nearest_fn(
         mesh, meta["num_levels"], meta["level_offsets"], meta["layout"]
     )
-    res = np.asarray(fn(
+    res = fetch_global(fn(
         *didx, dpos,
         dev(K, P("part", "probe", None)),
         dev(S, P("part", "probe", None)),
@@ -469,7 +489,7 @@ def partitioned_probe_counts(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
         for n in ("levels", "keys", "starts", "ends")
     ]
     fn = partitioned_probe_counts_fn(mesh, meta["num_levels"], meta["level_offsets"])
-    res = np.asarray(fn(
+    res = fetch_global(fn(
         *didx,
         dev(K, P("part", "probe", None)),
         dev(S, P("part", "probe", None)),
@@ -528,7 +548,7 @@ def partitioned_coverage(mesh: Mesh, lk, ls, le, rk, rs, re):
         for n in ("levels", "keys", "starts", "ends")
     ]
     fn = partitioned_coverage_ranks_fn(mesh, meta["num_levels"], meta["level_offsets"])
-    LB, UB, T, R = (np.asarray(x).astype(np.int64) for x in fn(
+    LB, UB, T, R = (fetch_global(x).astype(np.int64) for x in fn(
         *didx,
         dev(K, P("part", "probe", None)),
         dev(S, P("part", "probe", None)),

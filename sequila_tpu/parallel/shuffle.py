@@ -255,7 +255,9 @@ def all_to_all_partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
     )
     zeros = np.zeros(nparts, np.int32)
     b, q, totals = fn(*args, dev1(zeros))
-    totals = np.asarray(totals).astype(np.int64)
+    from sequila_tpu.parallel.partitioned_join import fetch_global
+
+    totals = fetch_global(totals).astype(np.int64)
     if totals.size and int(totals.min()) < 0:
         # widths.sum() wrapped int32: a single shard's candidate count
         # passed 2^31 — same contract as the emit-offset limit
@@ -269,8 +271,8 @@ def all_to_all_partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
     out_b, out_q = [], []
 
     def collect(b, q):
-        b = np.asarray(b).reshape(-1)
-        q = np.asarray(q).reshape(-1)
+        b = fetch_global(b).reshape(-1)
+        q = fetch_global(q).reshape(-1)
         valid = (b >= 0) & (q >= 0)
         out_b.append(b[valid])
         out_q.append(q[valid])
