@@ -112,6 +112,50 @@ def worker(pid: int) -> None:
         results[label] = {"rows": want, "pairs": len(b), "n": n, "m": m}
         print(f"proc {pid}: {label} OK count={want} pairs={len(b)}", flush=True)
 
+    # SQL layer over the SAME global mesh: target_partitions plans
+    # Partitioned mode, get_engine_mesh picks up all 8 cross-process
+    # devices, and the auto distribution chooser routes the collective
+    # paths — the full engine stack on a real 2-process runtime.
+    import pyarrow as pa
+
+    from sequila_tpu.session import SessionContext
+
+    rng2 = np.random.default_rng(11)
+    nrows = 4000
+    ctgs = np.array([f"chr{i}" for i in range(8)])
+
+    def tbl(seed):
+        r = np.random.default_rng(seed)
+        s = r.integers(0, 50_000, nrows)
+        return pa.table(
+            {
+                "contig": ctgs[r.integers(0, 8, nrows)],
+                "pos_start": s,
+                "pos_end": s + r.integers(0, 400, nrows),
+            }
+        )
+
+    ctx = SessionContext()
+    ctx.register_table("s1", tbl(1))
+    ctx.register_table("s2", tbl(2))
+    ctx.sql("SET datafusion.execution.target_partitions = 8")
+    q = (
+        "SELECT count(1) FROM s1 a JOIN s2 b ON a.contig = b.contig "
+        "AND a.pos_end >= b.pos_start AND a.pos_start <= b.pos_end"
+    )
+    plan = ctx.sql("EXPLAIN " + q).to_pylist()
+    plan_text = "\n".join(str(r) for r in plan)
+    assert "Partitioned" in plan_text, plan_text
+    sql_count = int(ctx.sql(q).column_np(0)[0])
+    mat_rows = ctx.sql(q.replace("count(1)", "*")).num_rows
+    assert mat_rows == sql_count, (mat_rows, sql_count)
+    ctx.sql("SET datafusion.execution.target_partitions = 1")
+    single = int(ctx.sql(q).column_np(0)[0])
+    assert single == sql_count, (single, sql_count)
+    ctx.sql("SET datafusion.execution.target_partitions = 8")
+    results["sql_partitioned"] = {"rows": sql_count, "n": nrows, "m": nrows}
+    print(f"proc {pid}: SQL Partitioned OK rows={sql_count}", flush=True)
+
     if pid == 0:
         out = {
             "processes": NPROC,
