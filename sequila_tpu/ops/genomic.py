@@ -283,18 +283,30 @@ def subtract_intervals(ak, as_, ae, bk, bs, be):
     widths = np.maximum(hi_all - lo_all, 0)
     total = int(widths.sum())
     m = len(ak)
-    # (a-row, run) pair expansion
-    pair_i = np.repeat(np.arange(m, dtype=np.int64), widths)
-    offs = np.concatenate([[0], np.cumsum(widths)])
-    pair_j = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(offs[:-1], widths)
-        + np.repeat(lo_all, widths)
-    )
+    # (a-row, run) pair expansion — the native threaded RLE/run kernels
+    # when available (same kernels as the join's emit path)
+    from sequila_tpu.native.loader import expand_runs, repeat_counts
+
+    pair_i = pair_j = None
+    if total >= (1 << 15) and total < 2**31 and len(mk) < 2**31:
+        w32 = widths.astype(np.int32)
+        pair_i = repeat_counts(w32, total)
+        pair_j = expand_runs(
+            lo_all.astype(np.int32), w32,
+            np.arange(len(mk), dtype=np.int32), total,
+        )
+    if pair_i is None or pair_j is None:
+        pair_i = np.repeat(np.arange(m, dtype=np.int64), widths)
+        offs = np.concatenate([[0], np.cumsum(widths)])
+        pair_j = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], widths)
+            + np.repeat(lo_all, widths)
+        )
     # gap before run j: [prev_end+1, ms[j]-1] where prev_end is the
     # previous window run's end (or as_-1 for the first); window runs all
     # have me >= as_, so gap starts never fall below as_
-    first = pair_j == np.repeat(lo_all, widths)
+    first = pair_j == lo_all[pair_i]
     prev_end = np.where(
         first,
         as_[pair_i].astype(np.int64) - 1,
@@ -315,9 +327,10 @@ def subtract_intervals(ak, as_, ae, bk, bs, be):
     out_s = np.concatenate([gap_s[keep], tail_s[tail_keep]])
     out_e = np.concatenate([gap_e[keep], tail_e[tail_keep]])
     # restore per-a-row emission order (gaps ascending within each a row)
-    final = np.lexsort((out_s, np.concatenate(
-        [pair_i[keep], np.nonzero(tail_keep)[0]]
-    )))
+    out_row = np.concatenate(
+        [pair_i[keep].astype(np.int64), np.nonzero(tail_keep)[0]]
+    )
+    final = _argsort_comp((out_row << 32) | (out_s + _B31))
     return (
         out_k[final].astype(np.int32),
         out_s[final].astype(np.int32),
