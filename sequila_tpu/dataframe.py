@@ -581,15 +581,7 @@ def subtract(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     """Sub-ranges of a not covered by any b interval (bedtools subtract;
     ``strand='same'|'opposite'`` subtracts only matching-strand b)."""
     cols_b = cols_b or cols
-    ka, sa, ea = _prep(a, cols)
-    kb, sb, eb = _prep(b, cols_b)
-    keys_a, keys_b = [ka], [kb]
-    if strand is not None:
-        if strand not in ("same", "opposite"):
-            raise ValueError("strand must be None, 'same' or 'opposite'")
-        keys_a.append(_strand_key(a, strand_col, flip=strand == "opposite"))
-        keys_b.append(_strand_key(b, strand_col))
-    ca, cb, _ = encode_join_keys(keys_a, keys_b)
+    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
     ok, os_, oe = genomic.subtract_intervals(ca, sa, ea, cb, sb, eb)
     decode = _code_decoder(a, cols[0], ca)
     return Table(
