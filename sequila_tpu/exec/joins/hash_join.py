@@ -34,12 +34,34 @@ def equi_join_pairs(
     lkeys = _eval_keys([l for l, _ in on], left)
     rkeys = _eval_keys([r for _, r in on], right)
     lcodes, rcodes, _ = encode_join_keys(lkeys, rkeys)
-    order = np.argsort(lcodes, kind="stable").astype(np.int64)
+    # sort/search/expand through the threaded native kernels at scale
+    # (exec.plan helpers fall back to numpy when native is unavailable)
+    from sequila_tpu.exec.plan import _stable_argsort_int
+
+    order = _stable_argsort_int(lcodes).astype(np.int64, copy=False)
     sorted_codes = lcodes[order]
-    lo = np.searchsorted(sorted_codes, rcodes, side="left")
-    hi = np.searchsorted(sorted_codes, rcodes, side="right")
+    if len(rcodes) >= (1 << 15):
+        from sequila_tpu.ops.genomic import _searchsorted_comp
+
+        s64 = sorted_codes.astype(np.int64)
+        q64 = rcodes.astype(np.int64)
+        lo = _searchsorted_comp(s64, q64, side="left")
+        hi = _searchsorted_comp(s64, q64, side="right")
+    else:
+        lo = np.searchsorted(sorted_codes, rcodes, side="left")
+        hi = np.searchsorted(sorted_codes, rcodes, side="right")
     cnt = hi - lo
     total = int(cnt.sum())
+    if total >= (1 << 15) and total < 2**31 and len(order) < 2**31:
+        from sequila_tpu.native.loader import expand_runs, repeat_counts
+
+        c32 = cnt.astype(np.int32)
+        right_idx = repeat_counts(c32, total)
+        left_idx = expand_runs(
+            lo.astype(np.int32), c32, order.astype(np.int32), total
+        )
+        if right_idx is not None and left_idx is not None:
+            return left_idx.astype(np.int64), right_idx.astype(np.int64)
     right_idx = np.repeat(np.arange(len(rcodes), dtype=np.int64), cnt)
     offsets = np.concatenate([[0], np.cumsum(cnt)])
     within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], cnt)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 from sequila_tpu.errors import PlanError
 from sequila_tpu.exec.joins.hash_join import HashJoinExec
 from sequila_tpu.exec.joins.nl_join import NestedLoopJoinExec
@@ -1432,6 +1434,21 @@ class Binder:
                     raise PlanError(
                         "IN subquery must return exactly one column, got "
                         f"{len(sub.column_names)}"
+                    )
+                col = sub.column(0)
+                if sub.num_rows >= 4096:
+                    # large subquery results stay numpy: tuple(to_pylist)
+                    # + the any() null scan cost ~240 ms at 500k rows
+                    nn = col.combine_chunks().drop_null()
+                    try:
+                        values = nn.to_numpy(zero_copy_only=False)
+                    except Exception:
+                        values = np.asarray(nn.to_pylist(), dtype=object)
+                    return pe.InListExpr(
+                        go(node.child),
+                        values,
+                        node.negated,
+                        has_null=col.null_count > 0,
                     )
                 values = tuple(sub.to_pylist_column(0))
                 return pe.InListExpr(

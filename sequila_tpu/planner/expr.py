@@ -588,12 +588,18 @@ class InListExpr(PhysicalExpr):
 
     def eval(self, cols, num_rows):
         a = np.asarray(self.child.eval(cols, num_rows))
-        if not self.values:
+        if not len(self.values):
             # IN over an empty set is FALSE for every row (even NULL x)
             out = np.zeros(a.shape, dtype=bool)
             return ~out if self.negated else out
         nulls = _null_mask(a)
-        vals = [v for v in self.values if v is not None]
+        if isinstance(self.values, np.ndarray):
+            # subquery fast path (binder): NULLs already dropped
+            # (has_null records them), values stay a numpy array —
+            # to_pylist of a 500k-row subquery was the whole cost
+            vals = self.values
+        else:
+            vals = [v for v in self.values if v is not None]
         if a.dtype == object:
             sv = set(vals)
             member = np.array(
@@ -602,7 +608,9 @@ class InListExpr(PhysicalExpr):
             )
         else:
             member = (
-                np.isin(a, np.asarray(vals)) if vals else np.zeros(a.shape, bool)
+                np.isin(a, np.asarray(vals))
+                if len(vals)
+                else np.zeros(a.shape, bool)
             )
             member &= ~nulls
         # Kleene: matches are TRUE; NULL x (or a NULL in the list when
