@@ -94,13 +94,23 @@ def _stable_argsort_int(v: np.ndarray) -> np.ndarray:
     radix when available; numpy stable sort otherwise."""
     from sequila_tpu.native.loader import argsort64
 
-    if len(v) >= (1 << 15) and (
-        v.dtype == np.bool_ or np.issubdtype(v.dtype, np.integer)
-    ):
+    if len(v) >= (1 << 15) and _int64_safe(v):
         order = argsort64(v.astype(np.int64, copy=False))
         if order is not None:
             return order
     return np.argsort(v, kind="stable")
+
+
+def _int64_safe(k: np.ndarray) -> bool:
+    """True when casting to int64 preserves ordering: any signed
+    integer/bool, or an unsigned array whose max fits in int64."""
+    if k.dtype == np.bool_:
+        return True
+    if not np.issubdtype(k.dtype, np.integer):
+        return False
+    if np.issubdtype(k.dtype, np.unsignedinteger) and k.dtype.itemsize == 8:
+        return len(k) == 0 or int(k.max()) <= np.iinfo(np.int64).max
+    return True
 
 
 def _unique_int64(v: np.ndarray, want_index: bool = False):
@@ -452,10 +462,7 @@ def _fast_lexsort(keys) -> np.ndarray:
     n = len(keys[0])
     if n < (1 << 15):  # pool/packing overhead beats numpy only at scale
         return np.lexsort(tuple(keys))
-    ints = all(
-        k.dtype == np.bool_ or np.issubdtype(k.dtype, np.integer)
-        for k in keys
-    )
+    ints = all(_int64_safe(k) for k in keys)
     if ints:
         if len(keys) == 1:
             k = keys[0].astype(np.int64, copy=False)

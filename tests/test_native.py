@@ -352,3 +352,16 @@ class TestNativeVectorOps:
             np.testing.assert_array_equal(
                 searchsorted64(s, q, side), np.searchsorted(s, q, side=side)
             )
+
+
+def test_fast_lexsort_uint64_ordering():
+    """uint64 keys above 2^63 must not wrap through the int64 radix."""
+    from sequila_tpu.exec.plan import _fast_lexsort, _stable_argsort_int
+
+    v = np.array(
+        [2**63 + 5, 3, 2**64 - 1, 0, 2**63], dtype=np.uint64
+    ).repeat(20_000)
+    np.testing.assert_array_equal(
+        _stable_argsort_int(v), np.argsort(v, kind="stable")
+    )
+    np.testing.assert_array_equal(_fast_lexsort([v]), np.lexsort((v,)))
