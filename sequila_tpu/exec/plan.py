@@ -163,9 +163,7 @@ def _row_group_codes(cols: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
         nn = ~null
         if nn.any():
             vals = arr[nn]
-            if len(vals) >= (1 << 15) and np.issubdtype(
-                np.asarray(vals).dtype, np.integer
-            ):
+            if len(vals) >= (1 << 15) and _int64_safe(np.asarray(vals)):
                 _, nn_codes = _unique_int64(np.asarray(vals, np.int64))
             else:
                 _, nn_codes = np.unique(vals, return_inverse=True)

@@ -365,3 +365,7 @@ def test_fast_lexsort_uint64_ordering():
         _stable_argsort_int(v), np.argsort(v, kind="stable")
     )
     np.testing.assert_array_equal(_fast_lexsort([v]), np.lexsort((v,)))
+    from sequila_tpu.exec.plan import _row_group_codes
+
+    codes, _ = _row_group_codes([v])
+    np.testing.assert_array_equal(codes, np.unique(v, return_inverse=True)[1])
