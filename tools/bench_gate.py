@@ -13,7 +13,11 @@ Gated metrics (VERDICT r2 #5 asked for more than the headline):
 - every --full pairing's rows/s (higher is better)
 - every --full genomic-verb wall time (lower is better)
 
-Usage: bench_gate.py <bench_result.json> [BENCH_full.json]
+Also asserts the BASELINE north-star scaling floor: ≥70% rows/s scaling
+efficiency at 2 and 4 devices from BENCH_scaling.json (the 8-device point
+oversubscribes the 4-core CI host and is informational only).
+
+Usage: bench_gate.py <bench_result.json> [BENCH_full.json] [BENCH_scaling.json]
 """
 
 from __future__ import annotations
@@ -23,8 +27,28 @@ import os
 import sys
 
 THRESHOLD = 1.5  # fail when worse than previous by this factor
+SCALING_FLOOR_PCT = 70.0  # BASELINE target: >=70% efficiency at 2/4 devices
 PREV = "bench_previous.json"
 COMMITTED = "bench_history.json"
+
+
+def check_scaling_floor(path: str) -> list[str]:
+    """BASELINE ≥70% scaling-efficiency assertion over the committed
+    virtual-mesh artifact; returns failure strings (empty = pass)."""
+    scaling = json.load(open(path))
+    failures = []
+    for n in ("2", "4"):
+        row = scaling.get("devices", {}).get(n)
+        if row is None:
+            failures.append(f"scaling:{n}dev missing from {path}")
+            continue
+        eff = float(row["efficiency_pct"])
+        ok = eff >= SCALING_FLOOR_PCT
+        print(f"scaling:{n}dev efficiency {eff:.1f}% "
+              f"(floor {SCALING_FLOOR_PCT:.0f}%: {'ok' if ok else 'FAIL'})")
+        if not ok:
+            failures.append(f"scaling:{n}dev={eff:.1f}%<{SCALING_FLOOR_PCT:.0f}%")
+    return failures
 
 
 def flatten(result: dict, full: dict | None) -> dict[str, tuple[float, bool]]:
@@ -53,6 +77,10 @@ def main() -> int:
     full = None
     if len(sys.argv) > 2 and os.path.exists(sys.argv[2]):
         full = json.load(open(sys.argv[2]))
+    scaling_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scaling.json"
+    scaling_failures = (
+        check_scaling_floor(scaling_path) if os.path.exists(scaling_path) else []
+    )
     current = flatten(result, full)
 
     prev = None
@@ -80,9 +108,11 @@ def main() -> int:
         {k: [v, hib] for k, (v, hib) in current.items()},
         open(PREV, "w"), indent=1, sort_keys=True,
     )
+    failures.extend(scaling_failures)
     if failures:
-        print(f"FAILED: {len(failures)} metric(s) regressed past "
-              f"{THRESHOLD*100:.0f}%: {failures}", file=sys.stderr)
+        print(f"FAILED: {len(failures)} metric(s) out of bounds "
+              f"(>{THRESHOLD*100:.0f}% regression or scaling floor): "
+              f"{failures}", file=sys.stderr)
         return 1
     print("gate passed")
     return 0
