@@ -384,6 +384,10 @@ def run_full(iters, platform=None):
         ),
         results=artifact["pairings"],
     )
+    print("== streaming delivery (batch-iterator + COPY sink, 154M rows) ==",
+          file=sys.stderr)
+    artifact["copy_stream"] = run_stream_bench()
+
     print("== native host index vs NumPy (VERDICT r2 #6) ==", file=sys.stderr)
     artifact["native_host"] = run_native_host_bench()
 
@@ -394,6 +398,69 @@ def run_full(iters, platform=None):
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"full-suite artifact written to {path}", file=sys.stderr)
+
+
+def run_stream_bench():
+    """Streaming result delivery at full-genome scale (VERDICT r3 #1):
+    the canonical 154M-row SELECT * consumed through sql_batches (bounded
+    batches, never the whole table) and COPY'd to a partitioned parquet
+    directory through the incremental writer pool.  Records rows/s and
+    peak RSS — the point is bounded memory at streaming speed (the old
+    whole-table materialization was RSS-bound at ~8M rows/s and held the
+    full 7.4 GB result)."""
+    import gc
+    import resource
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from sequila_tpu.session import SessionContext
+
+    ctx = SessionContext()
+    ctx.register_table("s1", pa.table(gen_chain_table(N_LEFT, seed=1)))
+    ctx.register_table("s2", pa.table(gen_chain_table(N_RIGHT, seed=2)))
+    q = (
+        "SELECT * FROM s1 a JOIN s2 b ON a.contig = b.contig "
+        "AND a.pos_end >= b.pos_start AND a.pos_start <= b.pos_end"
+    )
+    ctx.sql("SET sequila.max_output_batch_size = 1000000")
+    results = {}
+    # producer-only: the batch iterator end to end
+    n = sum(t.num_rows for t in ctx.sql_batches(q))  # warm
+    gc.collect()
+    t0 = time.perf_counter()
+    n = sum(t.num_rows for t in ctx.sql_batches(q))
+    dt = time.perf_counter() - t0
+    results["sql_batches"] = {
+        "rows": n, "seconds": round(dt, 3),
+        "rows_per_sec": round(n / max(dt, 1e-9)),
+    }
+    print(f"sql_batches SELECT * ({n:,} rows): {dt:.2f}s -> "
+          f"{n/dt/1e6:.1f}M rows/s", file=sys.stderr)
+    # streamed COPY to a partitioned parquet directory
+    out_dir = tempfile.mkdtemp(prefix="sequila_copy_") + "/"
+    try:
+        ctx.sql(f"COPY ({q}) TO '{out_dir}' STORED AS PARQUET")  # warm
+        gc.collect()
+        t0 = time.perf_counter()
+        got = int(
+            ctx.sql(f"COPY ({q}) TO '{out_dir}' STORED AS PARQUET").column_np(0)[0]
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    assert got == n
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    results["copy_parquet_dir"] = {
+        "rows": n, "seconds": round(dt, 3),
+        "rows_per_sec": round(n / max(dt, 1e-9)),
+        "peak_rss_gb": round(rss_gb, 2),
+    }
+    print(f"COPY -> parquet dir ({n:,} rows): {dt:.2f}s -> "
+          f"{n/dt/1e6:.1f}M rows/s, peak RSS {rss_gb:.1f} GB "
+          f"(result itself is ~7.4 GB)", file=sys.stderr)
+    return results
 
 
 def run_native_host_bench():

@@ -102,6 +102,25 @@ class HashJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 
+    def statistics(self):
+        """Equi-key containment cardinality estimate (reference
+        joins/utils.rs:estimate_join_statistics)."""
+        from sequila_tpu.exec.statistics import estimate_join_statistics
+        from sequila_tpu.planner.expr import Column
+
+        on = [
+            (l.index, r.index)
+            for l, r in self.on
+            if isinstance(l, Column) and isinstance(r, Column)
+        ]
+        est = estimate_join_statistics(
+            self.join_type,
+            self.children[0].statistics(),
+            self.children[1].statistics(),
+            on,
+        )
+        return est.to_inexact() if self.filter is not None else est
+
     def display_line(self):
         jt = JOIN_TYPE_DISPLAY[self.join_type]
         s = f"HashJoinExec: mode={self.mode}, join_type={jt}, {display_on(self.on)}"

@@ -269,26 +269,44 @@ class IntervalJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "input_rows", m)
         return out
 
-    def _host_inner_chunked(self, ctx, hidx, left, right, rcodes, rs, re):
-        """Low-memory host emission: probe ranges sized so each output
-        batch stays under the emission cap (the host twin of the device
-        path's capped-emission continuation, reference
-        interval_join.rs:1433-1579)."""
+    @staticmethod
+    def _host_pair_chunks(hidx, rcodes, rs, re, cap: int):
+        """Yield (probe_lo, build_rows, probe_rows_local) pair chunks from
+        the host index, probe ranges sized so each chunk stays under the
+        emission cap (the host twin of the device path's capped-emission
+        continuation, reference interval_join.rs:1433-1579)."""
         m = len(rcodes)
-        cap = max(4 * ctx.config.max_output_batch_size, 1)
         counts = hidx.counts(rcodes, rs, re)
         cum = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
-        parts: list[Table] = []
+        emit_at = getattr(hidx, "pairs_at", None)
         lo = 0
         while lo < m:
             # widest probe range whose pair total fits the cap (always
             # advance by at least one probe row)
             hi = int(np.searchsorted(cum, cum[lo] + cap, side="right")) - 1
             hi = max(hi, lo + 1)
-            b_rows, p_rows = hidx.pairs(rcodes[lo:hi], rs[lo:hi], re[lo:hi])
+            if emit_at is not None:
+                # sizing already counted every probe: emit straight at the
+                # chunk-local offsets instead of re-counting per chunk
+                b_rows, p_rows = emit_at(
+                    rcodes[lo:hi], rs[lo:hi], re[lo:hi],
+                    cum[lo : hi + 1] - cum[lo],
+                )
+            else:
+                b_rows, p_rows = hidx.pairs(rcodes[lo:hi], rs[lo:hi], re[lo:hi])
             if len(b_rows):
-                parts.append(self._assemble(left, right, b_rows, p_rows + lo))
+                yield lo, b_rows, p_rows
             lo = hi
+
+    def _host_inner_chunked(self, ctx, hidx, left, right, rcodes, rs, re):
+        """Low-memory host emission: concatenation of the capped chunks."""
+        cap = max(4 * ctx.config.max_output_batch_size, 1)
+        parts: list[Table] = [
+            self._assemble(left, right, b_rows, p_rows + lo)
+            for lo, b_rows, p_rows in self._host_pair_chunks(
+                hidx, rcodes, rs, re, cap
+            )
+        ]
         if parts:
             return Table(pa.concat_tables([p.arrow for p in parts]))
         return self._assemble(
@@ -648,13 +666,7 @@ class IntervalJoinExec(ExecPlan):
         all_to_all shuffle, or skew-aware range splitting (the
         engine-native Partitioned mode, reference
         interval_join.rs:459-510)."""
-        from sequila_tpu.parallel.engine import get_flat_mesh
-        from sequila_tpu.parallel.partitioned_join import (
-            partitioned_nearest,
-            partitioned_pairs,
-        )
-        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_pairs
-        from sequila_tpu.parallel.skew import skew_partitioned_pairs
+        from sequila_tpu.parallel.partitioned_join import partitioned_nearest
 
         (lcodes, ls, le), rcodes, rs, re = self._prepare(
             ctx, left, right, build_index=False
@@ -673,39 +685,10 @@ class IntervalJoinExec(ExecPlan):
                     left_null=null_mask,
                 )
             else:
-                # low-memory mode drains shards through a capped buffer
-                # (chunked continuation) instead of one max-shard buffer
-                chunk_limit = (
-                    4 * ctx.config.max_output_batch_size if self.low_memory else None
+                b, p = self._partitioned_pairs_ordered(
+                    ctx, mesh, lcodes, ls, le, rcodes, rs, re,
+                    empty=left.num_rows == 0 or right.num_rows == 0,
                 )
-                if left.num_rows == 0 or right.num_rows == 0:
-                    b = np.empty(0, np.int64)
-                    p = np.empty(0, np.int64)
-                else:
-                    dist = self._choose_distribution(
-                        mesh, lcodes, ls, le, rcodes, rs, re, "pairs"
-                    )
-                    ctx.metrics.add(self.op_id(), f"distribution_{dist}")
-                    if dist == "shuffle":
-                        b, p = all_to_all_partitioned_pairs(
-                            get_flat_mesh(mesh), lcodes, ls, le, rcodes, rs, re,
-                            chunk_limit=chunk_limit or (1 << 22),
-                        )
-                    elif dist == "skew":
-                        b, p = skew_partitioned_pairs(
-                            mesh, lcodes, ls, le, rcodes, rs, re,
-                            chunk_limit=chunk_limit,
-                        )
-                    else:
-                        b, p = partitioned_pairs(
-                            mesh, lcodes, ls, le, rcodes, rs, re,
-                            chunk_limit=chunk_limit,
-                        )
-                # probe-side order restored (probe order preservation
-                # contract); intra-probe-row match order by build row
-                order = np.lexsort((b, p))
-                b = b[order].astype(np.int64)
-                p = p[order].astype(np.int64)
                 if self.join_type == "inner":
                     out = self._assemble(left, right, b, p)
                 else:
@@ -713,6 +696,54 @@ class IntervalJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         ctx.metrics.add(self.op_id(), "input_rows", m)
         return out
+
+    def _partitioned_pairs_ordered(
+        self, ctx, mesh, lcodes, ls, le, rcodes, rs, re, empty: bool
+    ):
+        """Distribution-routed pair materialization over the mesh, with
+        probe-side order restored — (build_rows, probe_rows) int64."""
+        from sequila_tpu.parallel.engine import get_flat_mesh
+        from sequila_tpu.parallel.partitioned_join import partitioned_pairs
+        from sequila_tpu.parallel.shuffle import all_to_all_partitioned_pairs
+        from sequila_tpu.parallel.skew import skew_partitioned_pairs
+
+        # low-memory mode drains shards through a capped buffer
+        # (chunked continuation) instead of one max-shard buffer
+        chunk_limit = (
+            4 * ctx.config.max_output_batch_size if self.low_memory else None
+        )
+        if empty:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        dist = self._choose_distribution(
+            mesh, lcodes, ls, le, rcodes, rs, re, "pairs"
+        )
+        ctx.metrics.add(self.op_id(), f"distribution_{dist}")
+        if dist == "shuffle":
+            b, p = all_to_all_partitioned_pairs(
+                get_flat_mesh(mesh), lcodes, ls, le, rcodes, rs, re,
+                chunk_limit=chunk_limit or (1 << 22),
+            )
+        elif dist == "skew":
+            b, p = skew_partitioned_pairs(
+                mesh, lcodes, ls, le, rcodes, rs, re,
+                chunk_limit=chunk_limit,
+            )
+        else:
+            b, p = partitioned_pairs(
+                mesh, lcodes, ls, le, rcodes, rs, re,
+                chunk_limit=chunk_limit,
+            )
+        # probe-side order restored (probe order preservation contract)
+        # with a STABLE probe-row-only sort: the native threaded radix
+        # needs ~2 passes for row ids (24x the old full np.lexsort((b,p))
+        # at 100M pairs).  Intra-probe-row match order becomes
+        # shard-emission order — like the single-chip path's level-minor
+        # emission, it is deterministic but not build-row-ascending (not
+        # a contract: the reference compares sorted batches too).
+        from sequila_tpu.exec.plan import _fast_lexsort
+
+        order = _fast_lexsort((p,))
+        return b[order].astype(np.int64), p[order].astype(np.int64)
 
     def _host_index(self, ctx, left: Table, right: Table):
         from sequila_tpu.ops.host_join import make_host_index
@@ -747,20 +778,143 @@ class IntervalJoinExec(ExecPlan):
             if self.low_memory
             else _FULL_MODE_CHUNK
         )
-        # In low-memory mode the EMIT buffer itself must stay bounded: if a
-        # probe chunk would produce more than ~4x the output cap (dense
-        # overlap regions can emit >>100 rows per probe row), halve the
-        # chunk before materializing — the reference's capped-emission +
-        # batch-slice continuation (interval_join.rs:1433-1579).  The
-        # Lapper window emission sizes its buffer by CANDIDATES (a superset
-        # of matches), so low-memory mode routes through the level
-        # emission, whose buffer is exactly the match count.
         out_cap = 4 * ctx.config.max_output_batch_size if self.low_memory else None
         if self.low_memory and method == "window":
             method = "sort"
         inner = self.join_type == "inner"
         parts: list[Table] = []
         all_b, all_p = [], []
+
+        with ctx.timer(self.op_id(), "join_time"):
+            for lo, b_rows, p_rows in self._device_pair_chunks(
+                index, rcodes, rs, re, method, chunk, out_cap
+            ):
+                if inner:
+                    # stream one output batch per probe chunk (the
+                    # reference's batch-at-a-time emission); int32 row
+                    # indices pass straight to arrow take
+                    parts.append(
+                        self._assemble(left, right, b_rows, p_rows + lo)
+                    )
+                else:
+                    all_b.append(b_rows.astype(np.int64))
+                    all_p.append(p_rows.astype(np.int64) + lo)
+            if inner:
+                if parts:
+                    out = Table(pa.concat_tables([p.arrow for p in parts]))
+                else:
+                    out = self._assemble(
+                        left, right, np.empty(0, np.int64), np.empty(0, np.int64)
+                    )
+            else:
+                b = np.concatenate(all_b) if all_b else np.empty(0, np.int64)
+                p = np.concatenate(all_p) if all_p else np.empty(0, np.int64)
+                out = finish_join(self.join_type, left, right, b, p)
+        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
+        ctx.metrics.add(self.op_id(), "input_rows", m)
+        return out
+
+    def execute_batches(self, ctx):
+        """Streaming execution for the inner join: output batches of at
+        most ~4x max_output_batch_size rows, so a full-genome SELECT *
+        (e.g. the 154M-row canonical join) never materializes at once —
+        the engine's answer to the reference's batch-at-a-time emission
+        (interval_join.rs:1338-1420).  Nearest and outer joins need the
+        whole pair set (NULL-padding / global anti sets) and fall back to
+        one batch."""
+        if self.algorithm.is_nearest or self.join_type != "inner":
+            yield self.execute(ctx)
+            return
+        left = self.children[0].execute(ctx)
+        right = self.children[1].execute(ctx)
+        cap = max(4 * ctx.config.max_output_batch_size, 1)
+        m = right.num_rows
+        n_out = 0
+        mesh = self._partitioned_mesh(ctx)
+        if mesh is not None:
+            # pair indices are computed whole (the global probe-order
+            # restore needs them all — 16 bytes/pair), but output
+            # assembly is sliced so the arrow result never materializes
+            # at once
+            (lcodes, ls, le), rcodes, rs, re = self._prepare(
+                ctx, left, right, build_index=False
+            )
+            with ctx.timer(self.op_id(), "join_time"):
+                b, p = self._partitioned_pairs_ordered(
+                    ctx, mesh, lcodes, ls, le, rcodes, rs, re,
+                    empty=left.num_rows == 0 or right.num_rows == 0,
+                )
+            for lo in range(0, len(b), cap):
+                with ctx.timer(self.op_id(), "join_time"):
+                    out = self._assemble(
+                        left, right, b[lo:lo + cap], p[lo:lo + cap]
+                    )
+                n_out += out.num_rows
+                yield out
+        elif self._route_materialize_host(left, right):
+            hidx, rcodes, rs, re = self._host_index(ctx, left, right)
+            gen = self._host_pair_chunks(hidx, rcodes, rs, re, cap)
+            for out in self._timed_assembled(ctx, left, right, gen):
+                n_out += out.num_rows
+                yield out
+        else:
+            index, rcodes, rs, re = self._prepare(ctx, left, right)
+            method = _ALG_METHOD[self.algorithm]
+            if method == "window":
+                # bounded emission needs exact-count buffers (level path)
+                method = "sort"
+            # probe chunk sized from the cardinality estimate (statistics
+            # feed execution, not just EXPLAIN): chunk ~ cap / E[matches
+            # per probe row] hits the output cap in one try — each
+            # halving iteration costs a device round trip (25-33 ms on
+            # the tunnel).  Estimate absent -> assume ~4 matches/row; the
+            # halving loop still bounds dense regions either way.
+            est = self.statistics().num_rows
+            if not est.is_absent and est.value and m:
+                avg = max(float(est.value) / m, 0.25)
+                chunk = int(min(max(cap / avg, 1), _FULL_MODE_CHUNK))
+            else:
+                chunk = max(1, cap // 4)
+            gen = self._device_pair_chunks(index, rcodes, rs, re, method, chunk, cap)
+            for out in self._timed_assembled(ctx, left, right, gen):
+                n_out += out.num_rows
+                yield out
+        if n_out == 0:
+            yield self._assemble(
+                left, right, np.empty(0, np.int64), np.empty(0, np.int64)
+            )
+        ctx.metrics.add(self.op_id(), "output_rows", n_out)
+        ctx.metrics.add(self.op_id(), "input_rows", m)
+
+    def _timed_assembled(self, ctx, left, right, gen):
+        """Assemble (lo, b, p) chunks into output Tables, accruing
+        join_time around production + gather only — never the consumer
+        time spent while the generator is suspended at yield."""
+        while True:
+            out = None
+            with ctx.timer(self.op_id(), "join_time"):
+                item = next(gen, None)
+                if item is not None:
+                    lo, b_rows, p_rows = item
+                    out = self._assemble(left, right, b_rows, p_rows + lo)
+            if out is None:
+                return
+            yield out
+
+    def _device_pair_chunks(
+        self, index, rcodes, rs, re, method: str, chunk: int, out_cap: int | None
+    ):
+        """Yield (probe_lo, build_rows, probe_rows_local) pair chunks from
+        the device kernels, prefetched one chunk ahead.
+
+        When ``out_cap`` bounds the EMIT buffer (low-memory / streaming
+        mode), a probe chunk whose estimated pair count exceeds the cap is
+        halved before materializing — the reference's capped-emission +
+        batch-slice continuation (interval_join.rs:1433-1579).  The Lapper
+        window emission sizes its buffer by CANDIDATES (a superset of
+        matches), so bounded callers must pass a level-path ``method``,
+        whose buffer is exactly the match count."""
+        m = len(rcodes)
         b_inv = bool((np.asarray(index._he) < np.asarray(index._hs)).any())
 
         def produce(lo: int):
@@ -787,37 +941,14 @@ class IntervalJoinExec(ExecPlan):
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ctx.timer(self.op_id(), "join_time"), ThreadPoolExecutor(1) as ex:
+        with ThreadPoolExecutor(1) as ex:
             fut = ex.submit(produce, 0) if m > 0 else None
             while fut is not None:
                 lo, rows, b_rows, p_rows, total = fut.result()
                 nxt = lo + rows
                 fut = ex.submit(produce, nxt) if nxt < m else None
                 if total > 0:
-                    if inner:
-                        # stream one output batch per probe chunk (the
-                        # reference's batch-at-a-time emission); int32 row
-                        # indices pass straight to arrow take
-                        parts.append(
-                            self._assemble(left, right, b_rows, p_rows + lo)
-                        )
-                    else:
-                        all_b.append(b_rows.astype(np.int64))
-                        all_p.append(p_rows.astype(np.int64) + lo)
-            if inner:
-                if parts:
-                    out = Table(pa.concat_tables([p.arrow for p in parts]))
-                else:
-                    out = self._assemble(
-                        left, right, np.empty(0, np.int64), np.empty(0, np.int64)
-                    )
-            else:
-                b = np.concatenate(all_b) if all_b else np.empty(0, np.int64)
-                p = np.concatenate(all_p) if all_p else np.empty(0, np.int64)
-                out = finish_join(self.join_type, left, right, b, p)
-        ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
-        ctx.metrics.add(self.op_id(), "input_rows", m)
-        return out
+                    yield lo, b_rows, p_rows
 
     def _execute_nearest(self, ctx, left, right, index, rcodes, rs, re, method):
         m = right.num_rows
@@ -966,6 +1097,47 @@ class IntervalJoinExec(ExecPlan):
             )
         counts = np.concatenate(outs) if outs else np.empty(0, np.int32)
         return (counts, right) if with_table else counts
+
+    def statistics(self):
+        """Join-cardinality estimate from the children's column statistics
+        (the reference's statistics() surface, interval_join.rs:586-593,
+        over joins/utils.rs:136-370 estimation): equi-key containment
+        estimate x interval-overlap geometric selectivity.  Nearest emits
+        exactly one row per probe row, so its estimate is the probe count."""
+        from sequila_tpu.exec.statistics import (
+            ColumnStatistics,
+            Precision,
+            Statistics,
+            estimate_join_statistics,
+            interval_overlap_selectivity,
+        )
+        from sequila_tpu.planner.expr import Column
+
+        lstat = self.children[0].statistics()
+        rstat = self.children[1].statistics()
+        if self.algorithm.is_nearest:
+            return Statistics(rstat.num_rows.to_inexact(), Precision.absent(), ())
+        on = [
+            (l.index, r.index)
+            for l, r in self.on
+            if isinstance(l, Column) and isinstance(r, Column)
+        ]
+
+        def col(stats, expr, table_side):
+            cd = self._bound_col_delta(expr, table_side)
+            if cd is None or cd[0] >= len(stats.column_statistics):
+                return ColumnStatistics()
+            return stats.column_statistics[cd[0]]
+
+        sel = interval_overlap_selectivity(
+            col(lstat, self.intervals.left_interval.start, None),
+            col(lstat, self.intervals.left_interval.end, None),
+            col(rstat, self.intervals.right_interval.start, None),
+            col(rstat, self.intervals.right_interval.end, None),
+        )
+        return estimate_join_statistics(
+            self.join_type, lstat, rstat, on, selectivity=sel
+        )
 
     def display_line(self):
         jt = JOIN_TYPE_DISPLAY[self.join_type]

@@ -50,6 +50,16 @@ class NestedLoopJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 
+    def statistics(self):
+        from sequila_tpu.exec.statistics import estimate_join_statistics
+
+        return estimate_join_statistics(
+            self.join_type,
+            self.children[0].statistics(),
+            self.children[1].statistics(),
+            on=[],
+        ).to_inexact()
+
     def display_line(self):
         jt = JOIN_TYPE_DISPLAY[self.join_type]
         s = f"NestedLoopJoinExec: join_type={jt}"

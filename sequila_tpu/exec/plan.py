@@ -29,19 +29,41 @@ class ExecPlan:
     def execute(self, ctx: ExecContext) -> Table:
         raise NotImplementedError
 
+    def execute_batches(self, ctx: ExecContext):
+        """Batch-at-a-time execution: yield output Tables whose
+        concatenation equals ``execute``'s result, without ever holding
+        the full result (the engine's analog of the reference's pull-based
+        RecordBatch streams + capped emission, interval_join.rs:1338-1420).
+
+        Operators that can stream override this; the default materializes
+        (one batch).  Row-wise operators (filter/project) forward their
+        child's batching; barriers (sort/aggregate/window) materialize by
+        construction."""
+        yield self.execute(ctx)
+
+    def statistics(self):
+        """Estimated output statistics (reference ExecutionPlan::statistics,
+        interval_join.rs:586-593).  Default: unknown; scans return exact
+        table stats, joins return cardinality estimates."""
+        from sequila_tpu.exec.statistics import Statistics
+
+        return Statistics.unknown()
+
     def display_line(self) -> str:
         raise NotImplementedError
 
-    def explain(self, indent: int = 0, metrics=None) -> str:
+    def explain(self, indent: int = 0, metrics=None, show_stats: bool = False) -> str:
         pad = "  " * indent
         line = pad + self.display_line()
+        if show_stats:
+            line += f", statistics=[{self.statistics().display()}]"
         if metrics is not None:
             m = metrics.format_op(self.op_id())
             if m:
                 line += f", metrics=[{m}]"
         lines = [line]
         for c in self.children:
-            lines.append(c.explain(indent + 1, metrics))
+            lines.append(c.explain(indent + 1, metrics, show_stats))
         return "\n".join(lines)
 
     def op_id(self) -> str:
@@ -217,6 +239,9 @@ class ScanExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "output_rows", self.table.num_rows)
         return self.table
 
+    def statistics(self):
+        return self.table.statistics()
+
     def display_line(self):
         return f"ScanExec: table={self.name}, rows={self.table.num_rows}"
 
@@ -229,14 +254,25 @@ class FilterExec(ExecPlan):
     def schema(self):
         return self.children[0].schema()
 
-    def execute(self, ctx):
+    def _apply(self, ctx, t: Table) -> Table:
         from sequila_tpu.planner.expr import truth
 
-        t = self.children[0].execute(ctx)
         mask = truth(_eval_on_table(self.predicate, t))
         out = Table(t.arrow.filter(pa.array(mask)))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
+
+    def execute(self, ctx):
+        return self._apply(ctx, self.children[0].execute(ctx))
+
+    def execute_batches(self, ctx):
+        # row-wise: forwards the child's batching
+        for t in self.children[0].execute_batches(ctx):
+            yield self._apply(ctx, t)
+
+    def statistics(self):
+        # unknown filter selectivity: the child's stats demoted to inexact
+        return self.children[0].statistics().to_inexact()
 
     def display_line(self):
         return f"FilterExec: {self.predicate.display()}"
@@ -261,10 +297,9 @@ class ProjectExec(ExecPlan):
     def schema(self):
         return list(zip(self.qualifiers, self.names))
 
-    def execute(self, ctx):
+    def _apply(self, ctx, t: Table) -> Table:
         from sequila_tpu.planner.expr import Column, to_output_array
 
-        t = self.children[0].execute(ctx)
         cols = _LazyCols(t)
         arrays = []
         for e in self.exprs:
@@ -276,6 +311,21 @@ class ProjectExec(ExecPlan):
         out = Table(pa.Table.from_arrays(arrays, names=self.names))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
+
+    def execute(self, ctx):
+        return self._apply(ctx, self.children[0].execute(ctx))
+
+    def execute_batches(self, ctx):
+        # row-wise: forwards the child's batching
+        for t in self.children[0].execute_batches(ctx):
+            yield self._apply(ctx, t)
+
+    def statistics(self):
+        from sequila_tpu.exec.statistics import Precision, Statistics
+
+        child = self.children[0].statistics()
+        # row count survives projection; byte size / column stats do not
+        return Statistics(child.num_rows, Precision.absent(), ())
 
     def display_line(self):
         items = ", ".join(
@@ -364,6 +414,9 @@ class SortExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 
+    def statistics(self):
+        return self.children[0].statistics()  # sorting preserves rows/bytes
+
     def display_line(self):
         items = ", ".join(
             f"{e.display()} {'ASC' if a else 'DESC'}"
@@ -388,6 +441,41 @@ class LimitExec(ExecPlan):
 
     def execute(self, ctx):
         return self.children[0].execute(ctx).slice(self.offset, self.limit)
+
+    def execute_batches(self, ctx):
+        """Streaming LIMIT: stops pulling child batches once satisfied
+        (a streaming child then never materializes its tail)."""
+        skip = self.offset
+        remaining = self.limit
+        for t in self.children[0].execute_batches(ctx):
+            if skip:
+                if t.num_rows <= skip:
+                    skip -= t.num_rows
+                    continue
+                t = t.slice(skip)
+                skip = 0
+            if remaining is not None:
+                if remaining <= 0:
+                    return
+                if t.num_rows >= remaining:
+                    yield t.slice(0, remaining)
+                    return
+                remaining -= t.num_rows
+            yield t
+
+    def statistics(self):
+        from sequila_tpu.exec.statistics import Precision, Statistics
+
+        child = self.children[0].statistics()
+        if child.num_rows.is_absent:
+            if self.limit is None:
+                return Statistics.unknown()
+            return Statistics(Precision.inexact(self.limit), Precision.absent(), ())
+        avail = max(int(child.num_rows.value) - self.offset, 0)
+        rows = avail if self.limit is None else min(self.limit, avail)
+        return Statistics(
+            Precision(rows, child.num_rows.kind), Precision.absent(), ()
+        )
 
     def display_line(self):
         s = f"LimitExec: fetch={self.limit}"

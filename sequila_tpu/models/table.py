@@ -171,6 +171,56 @@ class Table:
         self._dev_i32: dict = {}
         self._codes: dict = {}
         self._i32: dict = {}
+        self._stats = None
+
+    def statistics(self):
+        """Table + per-column statistics (reference joins/utils.rs:136-370
+        consumes these for join-cardinality estimation; the operator
+        surfaces them via statistics(), interval_join.rs:586-593).
+
+        Computed lazily on first use and cached (the table is immutable):
+        exact row/byte counts and per-column null_count / min / max /
+        distinct_count (+ mean for numerics — the engine's interval-
+        selectivity estimate needs E[length], which min/max cannot give).
+        """
+        if self._stats is not None:
+            return self._stats
+        import pyarrow.compute as pc
+
+        from sequila_tpu.exec.statistics import (
+            ColumnStatistics,
+            Precision,
+            Statistics,
+        )
+
+        cols = []
+        for col in self._t.columns:
+            null_count = Precision.exact(col.null_count)
+            mn = mx = dv = mean = Precision.absent()
+            t = col.type
+            try:
+                if (
+                    pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t) or pa.types.is_large_string(t)
+                    or pa.types.is_temporal(t)
+                ):
+                    if len(col) and col.null_count < len(col):
+                        s = pc.min_max(col).as_py()
+                        mn = Precision.exact(s["min"])
+                        mx = Precision.exact(s["max"])
+                    dv = Precision.exact(pc.count_distinct(col).as_py())
+                if pa.types.is_integer(t) or pa.types.is_floating(t):
+                    if len(col) and col.null_count < len(col):
+                        mean = Precision.exact(pc.mean(col).as_py())
+            except pa.ArrowNotImplementedError:
+                pass
+            cols.append(ColumnStatistics(null_count, mn, mx, dv, mean))
+        self._stats = Statistics(
+            Precision.exact(self._t.num_rows),
+            Precision.exact(self._t.nbytes),
+            tuple(cols),
+        )
+        return self._stats
 
     def device_i32(self, name_or_idx):
         """Column as a device-resident int32 array (overflow-checked once)."""

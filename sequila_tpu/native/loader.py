@@ -226,6 +226,23 @@ class NativeIntervalIndex:
             assert n == total, f"emit wrote {n} of {total} pairs"
         return out_b, out_p
 
+    def pairs_at(self, qk, qs, qe, offs):
+        """``pairs`` with precomputed exclusive-scan offsets (int64[m+1],
+        offs[0] == 0): skips the counts pass entirely — the streaming
+        emission path already computed counts once for batch sizing, so
+        re-deriving them per chunk would double the native work."""
+        qk, qs, qe = self._q(qk, qs, qe)
+        offs = np.ascontiguousarray(offs, np.int64)
+        total = int(offs[-1])
+        out_b = np.empty(total, np.int32)
+        out_p = np.empty(total, np.int32)
+        if total:
+            n = self._lib.si_emit_at(
+                self._h, qk, qs, qe, len(qk), offs, out_b, out_p
+            )
+            assert n == total, f"emit wrote {n} of {total} pairs"
+        return out_b, out_p
+
     def counts_offsets(self, qk, qs, qe):
         """(counts int64[m], exclusive-scan offsets int64[m+1])."""
         qk, qs, qe = self._q(qk, qs, qe)

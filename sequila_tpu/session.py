@@ -145,6 +145,35 @@ class SessionContext:
                 result = out
         return result
 
+    def sql_batches(self, text: str):
+        """Batch-at-a-time query execution: yields Tables whose
+        concatenation equals ``sql(text)``'s result, without ever holding
+        the whole result table (the reference's streamed RecordBatch
+        delivery, interval_join.rs:1338-1420).  A SELECT whose plan can
+        stream (interval joins, filters, projections, limits) yields
+        bounded batches of ~4x max_output_batch_size rows; barrier plans
+        (sorts, aggregates) and non-SELECT statements yield one batch.
+        Leading ;-separated statements (SET, DDL) are executed first."""
+        stmts = parse_sql(text)
+        for stmt in stmts[:-1]:
+            self._execute_statement(stmt)
+        yield from self._statement_batches(stmts[-1])
+
+    def _statement_batches(self, stmt):
+        if isinstance(stmt, ast.With):
+            with self._cte_scope(stmt.ctes, recursive=stmt.recursive):
+                yield from self._statement_batches(stmt.body)
+            return
+        if isinstance(stmt, ast.Select):
+            plan = self.create_physical_plan(stmt)
+            ctx = ExecContext(self.config.copy())
+            yield from plan.execute_batches(ctx)
+            self.last_metrics = ctx.metrics
+            return
+        out = self._execute_statement(stmt)
+        if out is not None:
+            yield out
+
     def _run_query(self, stmt) -> Table:
         """Execute a query statement: a plain SELECT, a set-operation
         chain (UNION/INTERSECT/EXCEPT), or a WITH-wrapped query."""
@@ -427,15 +456,22 @@ class SessionContext:
         if isinstance(stmt, (ast.Select, ast.Union, ast.With)):
             return self._run_query(stmt)
         if isinstance(stmt, ast.CopyTo):
-            from sequila_tpu.io.readers import write_table
+            # streamed sink: batches flow straight into the incremental
+            # writer, so COPY of a full-genome join result holds at most
+            # one output batch in memory at a time
+            from sequila_tpu.io.readers import write_table_batches
 
-            src = (
-                self.table(stmt.source)
-                if isinstance(stmt.source, str)
-                else self._run_query(stmt.source)
-            )
-            write_table(src, stmt.path, fmt=stmt.fmt)
-            return Table(pa.table({"count": [src.num_rows]}))
+            if isinstance(stmt.source, str):
+                src = self.table(stmt.source)
+                step = 4 * self.config.max_output_batch_size
+                batches = (
+                    src.slice(lo, step)
+                    for lo in range(0, max(src.num_rows, 1), step)
+                )
+            else:
+                batches = self._statement_batches(stmt.source)
+            count = write_table_batches(batches, stmt.path, fmt=stmt.fmt)
+            return Table(pa.table({"count": [count]}))
         if isinstance(stmt, ast.ShowTables):
             names = sorted(self.catalog)
             return Table(pa.table({"table_name": names}))
@@ -728,15 +764,26 @@ class SessionContext:
             kind = "Plan with Metrics" if stmt.analyze else "physical_plan"
             return Table(pa.table({"plan_type": [kind], "plan": [text]}))
         plan = self.create_physical_plan(stmt.stmt)
+        show_stats = self._show_statistics()
         if stmt.analyze:
             ctx = ExecContext(self.config.copy(), collect_metrics=True)
             plan.execute(ctx)
-            text = plan.explain(metrics=ctx.metrics)
+            text = plan.explain(metrics=ctx.metrics, show_stats=show_stats)
             return Table(
                 pa.table({"plan_type": ["Plan with Metrics"], "plan": [text]})
             )
-        text = plan.explain()
+        text = plan.explain(show_stats=show_stats)
         return Table(pa.table({"plan_type": ["physical_plan"], "plan": [text]}))
+
+    def _show_statistics(self) -> bool:
+        """DataFusion's `datafusion.explain.show_statistics` knob: EXPLAIN
+        lines gain `statistics=[Rows=..., Bytes=...]` when set."""
+        return (
+            self.datafusion_options.get(
+                "datafusion.explain.show_statistics", "false"
+            ).lower()
+            == "true"
+        )
 
     def _explain_set_op(self, u: ast.Union, analyze: bool, indent: str = "") -> str:
         """Textual plan of a set-operation chain: a SetOpExec header with
@@ -751,9 +798,11 @@ class SessionContext:
             if analyze:
                 ctx = ExecContext(self.config.copy(), collect_metrics=True)
                 plan.execute(ctx)
-                text = plan.explain(metrics=ctx.metrics)
+                text = plan.explain(
+                    metrics=ctx.metrics, show_stats=self._show_statistics()
+                )
             else:
-                text = plan.explain()
+                text = plan.explain(show_stats=self._show_statistics())
             lines.append(
                 "\n".join(indent + "  " + ln for ln in text.splitlines())
             )

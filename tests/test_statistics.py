@@ -1,0 +1,198 @@
+"""Column statistics + join-cardinality estimation (VERDICT r3 #3 — the
+reference's joins/utils.rs:136-370 estimation and the operator
+statistics() surface, interval_join.rs:586-593)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sequila_tpu.exec.statistics import (
+    ColumnStatistics,
+    Precision,
+    Statistics,
+    estimate_inner_join_cardinality,
+    estimate_join_statistics,
+    interval_overlap_selectivity,
+)
+from sequila_tpu.models.table import Table
+from sequila_tpu.session import SessionContext
+
+
+def _mk(k, s, e):
+    return pa.table(
+        {
+            "contig": np.asarray([f"chr{int(i)}" for i in k], dtype=object),
+            "pos_start": np.asarray(s, np.int64),
+            "pos_end": np.asarray(e, np.int64),
+        }
+    )
+
+
+def test_table_statistics_exact():
+    t = Table(pa.table({
+        "k": pa.array(["a", "b", "a", None]),
+        "x": pa.array([3, 1, 2, 2], pa.int64()),
+    }))
+    st = t.statistics()
+    assert st.num_rows == Precision.exact(4)
+    assert not st.total_byte_size.is_absent
+    k, x = st.column_statistics
+    assert k.null_count == Precision.exact(1)
+    assert k.min_value.value == "a" and k.max_value.value == "b"
+    assert k.distinct_count.value == 2
+    assert x.min_value.value == 1 and x.max_value.value == 3
+    assert x.mean_value.value == 2.0
+    # cached: same object on repeat
+    assert t.statistics() is st
+
+
+def test_inner_cardinality_containment():
+    def stats(n, ndv):
+        return Statistics(
+            Precision.exact(n), Precision.exact(n * 8),
+            (ColumnStatistics(distinct_count=Precision.exact(ndv)),),
+        )
+
+    est = estimate_inner_join_cardinality(stats(1000, 10), stats(500, 25), [(0, 0)])
+    assert est.kind == "Inexact"
+    assert est.value == 1000 * 500 // 25
+
+
+def test_inner_cardinality_disjoint_ranges_zero():
+    a = Statistics(Precision.exact(10), Precision.exact(80), (
+        ColumnStatistics(min_value=Precision.exact(0), max_value=Precision.exact(5)),
+    ))
+    b = Statistics(Precision.exact(10), Precision.exact(80), (
+        ColumnStatistics(min_value=Precision.exact(6), max_value=Precision.exact(9)),
+    ))
+    assert estimate_inner_join_cardinality(a, b, [(0, 0)]).value == 0
+
+
+def test_join_type_adjustments():
+    def stats(n):
+        return Statistics(Precision.exact(n), Precision.exact(n * 8), (
+            ColumnStatistics(distinct_count=Precision.exact(n)),
+        ))
+
+    # inner estimate = 100*50/100 = 50; LEFT preserves all 100 left rows
+    assert estimate_join_statistics("left", stats(100), stats(50), [(0, 0)]).num_rows.value == 100
+    assert estimate_join_statistics("right semi", stats(100), stats(50), [(0, 0)]).num_rows.value == 50
+    assert estimate_join_statistics("full", stats(100), stats(50), [(0, 0)]).num_rows.value == 150
+
+
+def test_interval_selectivity_geometry():
+    def col(mn, mx, mean):
+        return ColumnStatistics(
+            min_value=Precision.exact(mn), max_value=Precision.exact(mx),
+            mean_value=Precision.exact(mean),
+        )
+
+    # build len ~101, probe len ~101 on a 10001 span -> ~2%
+    sel = interval_overlap_selectivity(
+        col(0, 9000, 4000), col(100, 10000, 4100),
+        col(0, 9000, 5000), col(100, 10000, 5100),
+    )
+    assert sel == pytest.approx(202 / 10001, rel=1e-6)
+    # absent means -> None
+    assert interval_overlap_selectivity(
+        ColumnStatistics(), ColumnStatistics(), ColumnStatistics(), ColumnStatistics()
+    ) is None
+
+
+@pytest.fixture
+def ctx(rng):
+    n = m = 30_000
+    ctx = SessionContext()
+    lk = rng.integers(0, 4, n)
+    rk = rng.integers(0, 4, m)
+    ls = rng.integers(0, 1_000_000, n)
+    rs = rng.integers(0, 1_000_000, m)
+    ctx.register_table("s1", _mk(lk, ls, ls + rng.integers(1, 500, n)))
+    ctx.register_table("s2", _mk(rk, rs, rs + rng.integers(1, 500, m)))
+    return ctx
+
+
+Q = (
+    "SELECT * FROM s1 JOIN s2 ON s1.contig = s2.contig "
+    "AND s1.pos_end >= s2.pos_start AND s1.pos_start <= s2.pos_end"
+)
+
+
+def test_interval_join_estimate_close_to_actual(ctx):
+    plan = ctx.plan_sql(Q)
+    # find the join node (plan root may be a projection)
+    node = plan
+    while type(node).__name__ != "IntervalJoinExec":
+        node = node.children[0]
+    est = node.statistics()
+    assert est.num_rows.kind == "Inexact"
+    actual = ctx.sql(Q.replace("SELECT *", "SELECT count(1)")).column_np(0)[0]
+    # geometric estimate should land within 2x of the truth on uniform data
+    assert actual / 2 <= est.num_rows.value <= actual * 2
+    assert not est.total_byte_size.is_absent
+
+
+def test_explain_show_statistics_flag(ctx):
+    plain = ctx.sql("EXPLAIN " + Q).column_np(1)[0]
+    assert "statistics=[" not in plain
+    ctx.sql("SET datafusion.explain.show_statistics = true")
+    shown = ctx.sql("EXPLAIN " + Q).column_np(1)[0]
+    assert "statistics=[Rows=" in shown
+    assert "Rows=Exact(30000)" in shown  # the scans' exact row counts
+    ctx.sql("SET datafusion.explain.show_statistics = false")
+    assert "statistics=[" not in ctx.sql("EXPLAIN " + Q).column_np(1)[0]
+
+
+def test_scan_filter_limit_statistics(ctx):
+    plan = ctx.plan_sql("SELECT * FROM s1 WHERE pos_start > 100 LIMIT 7")
+    st = plan.statistics()
+    assert st.num_rows.value == 7
+    scan = plan
+    while scan.children:
+        scan = scan.children[0]
+    assert scan.statistics().num_rows == Precision.exact(30_000)
+
+
+def test_nearest_estimate_is_probe_rows(ctx):
+    ctx.sql("SET sequila.interval_join_algorithm = coitreesnearest")
+    plan = ctx.plan_sql(Q)
+    node = plan
+    while type(node).__name__ != "IntervalJoinExec":
+        node = node.children[0]
+    assert node.statistics().num_rows.value == 30_000
+
+
+def test_estimate_feeds_streaming_chunk(ctx, monkeypatch):
+    """Routing consumer: estimate-present picks chunk ~ cap / E[matches];
+    estimate-absent falls back to cap // 4."""
+    from sequila_tpu.exec.statistics import Statistics as S
+
+    plan = ctx.plan_sql(Q)
+    node = plan
+    while type(node).__name__ != "IntervalJoinExec":
+        node = node.children[0]
+    est = node.statistics()
+    m = 30_000
+    avg = est.num_rows.value / m
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")
+    ctx.sql("SET sequila.max_output_batch_size = 1000")
+    captured = {}
+    orig = type(node)._device_pair_chunks
+
+    def spy(self, index, rcodes, rs, re, method, chunk, out_cap):
+        captured["chunk"] = chunk
+        return orig(self, index, rcodes, rs, re, method, chunk, out_cap)
+
+    monkeypatch.setattr(type(node), "_device_pair_chunks", spy)
+    total = sum(t.num_rows for t in ctx.sql_batches(Q))
+    assert total > 0
+    expected = int(min(max(4000 / max(avg, 0.25), 1), 4 << 20))
+    assert captured["chunk"] == expected
+    # estimate-absent: statistics() unknown -> cap // 4 fallback
+    monkeypatch.setattr(
+        type(node), "statistics", lambda self: S.unknown()
+    )
+    captured.clear()
+    total2 = sum(t.num_rows for t in ctx.sql_batches(Q))
+    assert total2 == total
+    assert captured["chunk"] == 1000

@@ -1,0 +1,208 @@
+"""Streaming result delivery: sql_batches + COPY ... TO through the
+incremental writers (VERDICT r3 #1 — the reference's batch-at-a-time
+RecordBatch streaming, interval_join.rs:1338-1420).
+
+Contracts tested:
+- concatenating sql_batches' output equals sql()'s result exactly;
+- batches are bounded by ~4x max_output_batch_size on streamable plans
+  (host, device and partitioned interval-join routes);
+- filters/projections/limits forward the child's batching (LIMIT stops
+  pulling early);
+- COPY of a query streams through ParquetWriter/CSVWriter and the file
+  round-trips to the whole-query result;
+- non-streamable shapes (sorts, aggregates, outer joins, nearest) fall
+  back to one batch with identical results.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.parquet as pq
+import pytest
+
+from sequila_tpu.session import SessionContext
+
+Q_JOIN = (
+    "SELECT s2.pos_start, s2.pos_end, s1.pos_start, s1.pos_end "
+    "FROM s1 JOIN s2 ON s1.contig = s2.contig "
+    "AND s1.pos_end >= s2.pos_start AND s1.pos_start <= s2.pos_end"
+)
+
+
+def _mk(k, s, e):
+    return pa.table(
+        {
+            "contig": np.asarray([f"chr{int(i)}" for i in k], dtype=object),
+            "pos_start": np.asarray(s, np.int64),
+            "pos_end": np.asarray(e, np.int64),
+        }
+    )
+
+
+@pytest.fixture
+def join_ctx(rng):
+    n = m = 4000
+    ctx = SessionContext()
+    lk = rng.integers(0, 4, n)
+    rk = rng.integers(0, 4, m)
+    ls = rng.integers(0, 100_000, n)
+    rs = rng.integers(0, 100_000, m)
+    ctx.register_table("s1", _mk(lk, ls, ls + rng.integers(1, 400, n)))
+    ctx.register_table("s2", _mk(rk, rs, rs + rng.integers(1, 400, m)))
+    return ctx
+
+
+def _concat(batches):
+    tables = [b.arrow for b in batches]
+    return pa.concat_tables(tables) if tables else None
+
+
+def _rows_sorted(t: pa.Table):
+    return sorted(map(tuple, zip(*[c.to_pylist() for c in t.columns])))
+
+
+def test_sql_batches_equals_sql_host_route(join_ctx):
+    whole = join_ctx.sql(Q_JOIN).arrow
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    batches = list(join_ctx.sql_batches(Q_JOIN))
+    assert len(batches) > 1, "expected bounded multi-batch streaming"
+    cap = 4 * 500
+    # every batch bounded; probe chunking may exceed the cap only when a
+    # single probe row alone does
+    assert all(b.num_rows <= max(cap, 1) or b.num_rows == 0 for b in batches)
+    got = _concat(batches)
+    assert got.num_rows == whole.num_rows
+    # streaming preserves probe-major order exactly
+    assert got.column(0).to_pylist() == whole.column(0).to_pylist()
+    assert _rows_sorted(got) == _rows_sorted(whole)
+
+
+def test_sql_batches_device_route(join_ctx, monkeypatch):
+    monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")  # force device path
+    whole = join_ctx.sql(Q_JOIN).arrow
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    batches = list(join_ctx.sql_batches(Q_JOIN))
+    assert len(batches) > 1
+    got = _concat(batches)
+    assert _rows_sorted(got) == _rows_sorted(whole)
+
+
+def test_sql_batches_partitioned(join_ctx):
+    whole = join_ctx.sql(Q_JOIN).arrow
+    join_ctx.sql("SET datafusion.execution.target_partitions = 4")
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    batches = list(join_ctx.sql_batches(Q_JOIN))
+    assert len(batches) > 1
+    assert all(b.num_rows <= 2000 for b in batches)
+    got = _concat(batches)
+    assert _rows_sorted(got) == _rows_sorted(whole)
+
+
+def test_sql_batches_filter_project_forwarding(join_ctx):
+    q = (
+        "SELECT s2.pos_start + 1 AS a FROM s1 JOIN s2 "
+        "ON s1.contig = s2.contig AND s1.pos_end >= s2.pos_start "
+        "AND s1.pos_start <= s2.pos_end WHERE s2.pos_start % 3 = 0"
+    )
+    whole = join_ctx.sql(q).arrow
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    batches = list(join_ctx.sql_batches(q))
+    assert len(batches) > 1, "filter/project should forward join batching"
+    got = _concat(batches)
+    assert got.column("a").to_pylist() == whole.column("a").to_pylist()
+
+
+def test_sql_batches_limit_early_stop(join_ctx):
+    q = Q_JOIN + " LIMIT 700 OFFSET 100"
+    whole = join_ctx.sql(q).arrow
+    join_ctx.sql("SET sequila.max_output_batch_size = 100")
+    batches = list(join_ctx.sql_batches(q))
+    got = _concat(batches)
+    assert got.num_rows == 700
+    assert got.equals(whole)
+    # early stop: far fewer rows produced than the full join
+    produced = sum(b.num_rows for b in batches)
+    assert produced == 700
+
+
+def test_sql_batches_single_batch_fallbacks(join_ctx):
+    # aggregates, sorts, nearest, outer joins: one batch, same result
+    for q in (
+        "SELECT count(1) FROM s1 JOIN s2 ON s1.contig = s2.contig "
+        "AND s1.pos_end >= s2.pos_start AND s1.pos_start <= s2.pos_end",
+        Q_JOIN + " ORDER BY 1, 2, 3, 4",
+    ):
+        whole = join_ctx.sql(q).arrow
+        batches = list(join_ctx.sql_batches(q))
+        assert _concat(batches).equals(whole)
+
+
+def test_sql_batches_set_and_ddl_prefix(join_ctx):
+    text = "SET sequila.max_output_batch_size = 500; " + Q_JOIN
+    batches = list(join_ctx.sql_batches(text))
+    assert len(batches) > 1
+    assert join_ctx.config.max_output_batch_size == 500
+
+
+def test_copy_query_to_parquet_streams(join_ctx, tmp_path):
+    whole = join_ctx.sql(Q_JOIN).arrow
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    out = tmp_path / "out.parquet"
+    res = join_ctx.sql(f"COPY ({Q_JOIN}) TO '{out}'")
+    assert int(res.column_np(0)[0]) == whole.num_rows
+    back = pq.read_table(out)
+    # multiple row groups prove the incremental writer streamed
+    assert pq.ParquetFile(out).num_row_groups > 1
+    assert back.num_rows == whole.num_rows
+    assert _rows_sorted(back) == _rows_sorted(whole)
+
+
+def test_copy_query_to_csv_streams(join_ctx, tmp_path):
+    whole = join_ctx.sql(Q_JOIN).arrow
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    out = tmp_path / "out.csv"
+    res = join_ctx.sql(f"COPY ({Q_JOIN}) TO '{out}'")
+    assert int(res.column_np(0)[0]) == whole.num_rows
+    back = pacsv.read_csv(out)
+    assert back.num_rows == whole.num_rows
+
+
+def test_copy_table_to_parquet(join_ctx, tmp_path):
+    out = tmp_path / "t.parquet"
+    res = join_ctx.sql("COPY s1 TO '%s'" % out)
+    src = join_ctx.table("s1").arrow
+    assert int(res.column_np(0)[0]) == src.num_rows
+    assert pq.read_table(out).equals(src)
+
+
+def test_copy_empty_result_writes_schema(join_ctx, tmp_path):
+    out = tmp_path / "empty.parquet"
+    q = Q_JOIN + " WHERE s2.pos_start < -1"
+    res = join_ctx.sql(f"COPY ({q}) TO '{out}'")
+    assert int(res.column_np(0)[0]) == 0
+    back = pq.read_table(out)
+    assert back.num_rows == 0
+    assert back.num_columns == 4
+
+
+def test_copy_duplicate_names_suffixed(join_ctx, tmp_path):
+    out = tmp_path / "dup.parquet"
+    q = Q_JOIN.replace(
+        "SELECT s2.pos_start, s2.pos_end, s1.pos_start, s1.pos_end",
+        "SELECT s2.pos_start, s1.pos_start",
+    )
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    join_ctx.sql(f"COPY ({q}) TO '{out}'")
+    back = pq.read_table(out)
+    assert back.column_names == ["pos_start", "pos_start:1"]
+
+
+def test_streaming_metrics_output_rows(join_ctx):
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    total = sum(t.num_rows for t in join_ctx.sql_batches(Q_JOIN))
+    ops = [
+        k for k in join_ctx.last_metrics.counters
+        if k.startswith("IntervalJoinExec")
+    ]
+    assert ops
+    assert join_ctx.last_metrics.counters[ops[0]]["output_rows"] == total

@@ -69,6 +69,8 @@ def flatten(result: dict, full: dict | None) -> dict[str, tuple[float, bool]]:
             out[f"genomic:{name}"] = (float(row["seconds"]), False)
         for name, row in full.get("algorithms", {}).items():
             out[f"algorithm:{name}"] = (float(row["rows_per_sec"]), True)
+        for name, row in full.get("copy_stream", {}).items():
+            out[f"stream:{name}"] = (float(row["rows_per_sec"]), True)
     return out
 
 
