@@ -35,16 +35,32 @@ def _cache_dir() -> str:
 def _build() -> str | None:
     with open(_SRC, "rb") as f:
         src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"sequila_native_{tag}.so")
+    # SEQUILA_NATIVE_SANITIZE=address|thread builds an instrumented
+    # library (the reference C++ harness's `make asan=1` analog,
+    # superintervals/test/Makefile:11-15); tools/run_sanitizers.py is the
+    # entry point — the matching runtime must be LD_PRELOADed before
+    # python starts for ctypes loading to work.
+    sanitize = os.environ.get("SEQUILA_NATIVE_SANITIZE", "")
+    tag = hashlib.sha256(src + sanitize.encode()).hexdigest()[:16]
+    suffix = f"_{sanitize}" if sanitize else ""
+    so_path = os.path.join(_cache_dir(), f"sequila_native_{tag}{suffix}.so")
     if os.path.exists(so_path):
         return so_path
+    if sanitize == "address":
+        extra = ["-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+                 "-g", "-O1"]
+    elif sanitize == "thread":
+        extra = ["-fsanitize=thread", "-g", "-O1"]
+    elif sanitize:
+        raise ValueError(f"unknown SEQUILA_NATIVE_SANITIZE={sanitize!r}")
+    else:
+        extra = ["-O3", "-march=native"]
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", *extra, "-std=c++17", "-shared", "-fPIC",
         "-pthread", _SRC, "-o", so_path + ".tmp",
     ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         os.replace(so_path + ".tmp", so_path)
         return so_path
     except Exception:
