@@ -150,12 +150,13 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
       idx->cummax_end[i] = running;
     }
   }
-  // per-segment (end asc, start desc, row desc)-sorted ends + rows: the
+  // per-segment (end asc, start asc, row asc)-sorted ends + rows: the
   // BITS lower bound, and the predecessor of lower_bound(qs) is the
   // max-end-below-qs interval — the O(log n) upstream-nearest candidate.
-  // The tie order keeps the smallest (start, row) LAST so the
-  // predecessor matches the candidate-scan's "first strictly-greater
-  // end in (key,start) order" winner.
+  // The tie order keeps the LARGEST (start, row) last so the predecessor
+  // is the canonical upstream pick max(end, start, row), matching the
+  // device kernel (ops/interval_join.py nearest_from_bounds) and the
+  // NumPy host index bit-for-bit.
   std::vector<int64_t> eorder(n);
   for (int64_t i = 0; i < n; ++i) eorder[i] = i;
   idx->ends_sorted.resize(n);
@@ -167,8 +168,8 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
                 if (idx->ends[a] != idx->ends[b])
                   return idx->ends[a] < idx->ends[b];
                 if (idx->starts[a] != idx->starts[b])
-                  return idx->starts[a] > idx->starts[b];
-                return idx->pos[a] > idx->pos[b];
+                  return idx->starts[a] < idx->starts[b];
+                return idx->pos[a] < idx->pos[b];
               });
     for (int64_t i = lo; i < hi; ++i) {
       idx->ends_sorted[i] = idx->ends[eorder[i]];

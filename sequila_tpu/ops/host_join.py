@@ -107,7 +107,12 @@ class HostIntervalIndex:
         return self.order[cand[keep]], probe[keep]
 
     def nearest(self, qk, qs, qe):
-        """First overlap else nearest (ties upstream); -1 for absent keys."""
+        """First overlap else nearest (ties upstream); -1 for absent keys.
+
+        Canonical tie-breaking, shared bit-for-bit with the device kernel
+        (ops/interval_join.py nearest_from_bounds) and the native index:
+        overlap pick = min (start, end, row); upstream tie = max
+        (end, start, row); downstream tie = min (start, end, row)."""
         qk = np.asarray(qk, np.int32)
         qs = np.asarray(qs, np.int32)
         qe = np.asarray(qe, np.int32)
@@ -131,7 +136,10 @@ class HostIntervalIndex:
             right = np.nonzero(s > qe[i])[0]
             best_d, best_j = None, -1
             if len(left):
-                j = left[np.argmax(e[left])]
+                # segment is (start, end, row)-sorted, so the LAST index
+                # among max-end entries is the (end, start, row) maximum
+                cand = left[e[left] == e[left].max()]
+                j = cand[-1]
                 best_d, best_j = qs[i] - e[j], j
             if len(right):
                 j = right[np.argmin(s[right])]

@@ -575,6 +575,32 @@ def _probe_ids(counts, total: int):
 # ---------------------------------------------------------------------------
 
 
+def _lexmin3(mask, a, b, c):
+    """Masked lexicographic (a, b, c) minimum over axis 0.
+
+    Returns (m_a, m_c): the winning a-value and the winner's c-value (the
+    row payload).  Empty columns yield (INT32_MAX, INT32_MAX)."""
+    a1 = jnp.where(mask, a, INT32_MAX)
+    m_a = jnp.min(a1, axis=0)
+    m2 = mask & (a == m_a[None, :])
+    m_b = jnp.min(jnp.where(m2, b, INT32_MAX), axis=0)
+    m3 = m2 & (b == m_b[None, :])
+    m_c = jnp.min(jnp.where(m3, c, INT32_MAX), axis=0)
+    return m_a, m_c
+
+
+def _lexmax3(mask, a, b, c):
+    """Masked lexicographic (a, b, c) maximum over axis 0 (see _lexmin3)."""
+    NEG = jnp.int32(-(2**31))
+    a1 = jnp.where(mask, a, NEG)
+    m_a = jnp.max(a1, axis=0)
+    m2 = mask & (a == m_a[None, :])
+    m_b = jnp.max(jnp.where(m2, b, NEG), axis=0)
+    m3 = m2 & (b == m_b[None, :])
+    m_c = jnp.max(jnp.where(m3, c, NEG), axis=0)
+    return m_a, m_c
+
+
 @functools.partial(jax.jit, static_argnames=("level_offsets", "level_pad"))
 def nearest_from_bounds(lb, ub, levels, keys, starts, ends, pos, qk, qs, qe, *, level_offsets, level_pad):
     """One build row per probe row: first overlap, else true nearest, else -1.
@@ -582,25 +608,47 @@ def nearest_from_bounds(lb, ub, levels, keys, starts, ends, pos, qk, qs, qe, *, 
     Distance convention matches the reference (interval_join.rs:909-956):
     ``candidate.start - qe`` to the right, ``qs - candidate.end`` to the
     left; ties prefer the left candidate.
+
+    Tie-breaking is CANONICAL (structure-independent), so every execution
+    path — this kernel, the NumPy/native host indexes, hash partitioning,
+    and skew range-split shards (parallel/skew.py) — picks the same row
+    regardless of how the intervals were decomposed or sharded:
+
+    - overlap pick: the overlapping row minimizing (start, end, row)
+    - upstream tie (equal max end < qs): maximize (end, start, row)
+    - downstream tie (equal min start > qe): minimize (start, end, row)
+
+    Each rule reads off the per-level boundary entries directly: within a
+    level (start-sorted, monotone ends) the run boundary entry is exactly
+    the level's lexicographic extreme, so the cross-level lex reduction
+    yields the global extreme with no extra rank computations.
     """
     L, m = lb.shape
     offs = jnp.asarray(level_offsets, dtype=jnp.int32)[:, None]  # [L,1]
     counts = jnp.maximum(ub - lb, 0)
     has_overlap = jnp.any(counts > 0, axis=0)
-    first_lvl = jnp.argmax(counts > 0, axis=0)  # smallest level with a match
-    g_over = offs[first_lvl, 0] + lb[first_lvl, jnp.arange(m)]
-    overlap_pos = pos[jnp.clip(g_over, 0, pos.shape[0] - 1)]
-
     n_total = pos.shape[0]
     lvl_ids = jnp.arange(L, dtype=jnp.int32)[:, None]  # [L,1]
 
-    # Left candidates: last entry in each level-segment with end < qs.
+    # Overlap pick: each level's first overlapping entry (at lb) is the
+    # level's (start, end, row) minimum; reduce lexicographically.
+    g_ov = jnp.clip(offs + lb, 0, n_total - 1)
+    ov_ok = counts > 0
+    _, overlap_pos = _lexmin3(ov_ok, starts[g_ov], ends[g_ov], pos[g_ov])
+
+    # Left candidates: last entry in each level-segment with end < qs is
+    # the level's (end, start, row) maximum among upstream entries.
     gl = jnp.clip(offs + lb - 1, 0, n_total - 1)
     left_ok = (lb > 0) & (keys[gl] == qk[None, :]) & (levels[gl] == lvl_ids)
-    left_dist = jnp.where(left_ok, qs[None, :] - ends[gl], INT32_MAX)
-    left_pos = pos[gl]
+    left_end, left_pos = _lexmax3(left_ok, ends[gl], starts[gl], pos[gl])
+    # dist = qs - end, saturated: wrap from int32-extreme ends would go
+    # non-positive (true distance is > 0 since end < qs strictly)
+    raw_l = qs - left_end
+    left_any = jnp.any(left_ok, axis=0)
+    left_dist = jnp.where(left_any, jnp.where(raw_l <= 0, INT32_MAX, raw_l), INT32_MAX)
 
-    # Right candidates: first entry in each level-segment with start > qe.
+    # Right candidates: first entry in each level-segment with start > qe
+    # is the level's (start, end, row) minimum among downstream entries.
     # ub can equal the level's padded size when the level is bucket-full;
     # clamping would then land on the level's LAST REAL entry (same key,
     # same level) and fabricate a candidate — mask those out explicitly.
@@ -611,15 +659,15 @@ def nearest_from_bounds(lb, ub, levels, keys, starts, ends, pos, qk, qs, qe, *, 
         & (keys[gr] == qk[None, :])
         & (levels[gr] == lvl_ids)
     )
-    right_dist = jnp.where(right_ok, starts[gr] - qe[None, :], INT32_MAX)
-    right_pos = pos[gr]
+    right_start, right_pos = _lexmin3(right_ok, starts[gr], ends[gr], pos[gr])
+    raw_r = right_start - qe
+    right_any = jnp.any(right_ok, axis=0)
+    right_dist = jnp.where(
+        right_any, jnp.where(raw_r <= 0, INT32_MAX, raw_r), INT32_MAX
+    )
 
-    dists = jnp.concatenate([left_dist, right_dist], axis=0)  # [2L, m]
-    cand_pos = jnp.concatenate([left_pos, right_pos], axis=0)
-    best = jnp.argmin(dists, axis=0)  # first minimum -> left wins ties
-    best_dist = jnp.take_along_axis(dists, best[None, :], axis=0)[0]
-    best_pos = jnp.take_along_axis(cand_pos, best[None, :], axis=0)[0]
-    any_cand = best_dist < INT32_MAX
+    best_pos = jnp.where(left_dist <= right_dist, left_pos, right_pos)
+    any_cand = left_any | right_any
 
     return jnp.where(
         has_overlap, overlap_pos, jnp.where(any_cand, best_pos, -1)
