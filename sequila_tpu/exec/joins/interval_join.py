@@ -625,13 +625,18 @@ class IntervalJoinExec(ExecPlan):
         key dominates the weight histogram (the plan_partitions criterion,
         parallel/skew.py:54-109), the device all_to_all shuffle otherwise,
         and host hash partitioning for shapes the collective kernels'
-        preconditions exclude.  `op` is 'pairs' or 'count': the shuffle
-        COUNT kernel is BITS-based and needs non-degenerate probes and
-        non-inverted builds, while the shuffle PAIRS emission is the
-        max-extension window — exact for every shape."""
+        preconditions exclude.  `op` is 'pairs', 'count' or 'nearest':
+        the shuffle COUNT kernel is BITS-based and needs non-degenerate
+        probes and non-inverted builds, the shuffle PAIRS emission is the
+        max-extension window — exact for every shape — and NEAREST has no
+        shuffle kernel (it routes skew when hot, hash otherwise; the skew
+        boundary-fringe replication is exact under the engine's canonical
+        tie-breaking, parallel/skew.py:skew_partitioned_nearest)."""
         nonneg, nondeg, noninv = self._data_flags(lcodes, ls, le, rcodes, rs, re)
         skew_ok = nonneg and nondeg and noninv
-        shuffle_ok = (nondeg and noninv) if op == "count" else True
+        shuffle_ok = (
+            (nondeg and noninv) if op == "count" else op != "nearest"
+        )
         cfg = self.distribution
         if cfg == "skew":
             return "skew" if skew_ok else "hash"
@@ -674,9 +679,22 @@ class IntervalJoinExec(ExecPlan):
         m = right.num_rows
         with ctx.timer(self.op_id(), "join_time"):
             if self.algorithm.is_nearest:
-                # nearest stays hash-partitioned: a skew sub-range shard
-                # can miss the true nearest across a split boundary
-                rows = partitioned_nearest(mesh, lcodes, ls, le, rcodes, rs, re)
+                from sequila_tpu.parallel.skew import skew_partitioned_nearest
+
+                dist = self._choose_distribution(
+                    mesh, lcodes, ls, le, rcodes, rs, re, "nearest"
+                )
+                ctx.metrics.add(self.op_id(), f"distribution_{dist}")
+                if dist == "skew":
+                    # hot contigs range-split; boundary fringe replication
+                    # keeps the canonical pick exact (parallel/skew.py)
+                    rows = skew_partitioned_nearest(
+                        mesh, lcodes, ls, le, rcodes, rs, re
+                    )
+                else:
+                    rows = partitioned_nearest(
+                        mesh, lcodes, ls, le, rcodes, rs, re
+                    )
                 null_mask = rows < 0
                 out = self._assemble(
                     left, right,

@@ -60,3 +60,42 @@ def oracle_nearest(bk, bs, be, qk, qs, qe):
                 best_d, best_row = d, j
         out[i] = best_row
     return out
+
+
+def oracle_nearest_canonical(bk, bs, be, qk, qs, qe):
+    """Nearest with the engine's CANONICAL tie-breaking — exact row ids.
+
+    Matches nearest_from_bounds / HostIntervalIndex.nearest / the native
+    index bit-for-bit: overlap pick = lexicographic (start, end, row)
+    minimum among overlapping rows; upstream tie = (end, start, row)
+    maximum; downstream tie = (start, end, row) minimum; equal distances
+    prefer upstream (reference interval_join.rs:909-956 distance rules).
+    """
+    bs64 = np.asarray(bs, np.int64)
+    be64 = np.asarray(be, np.int64)
+    rows64 = np.arange(len(bs64), dtype=np.int64)
+    out = np.full(len(qk), -1, np.int64)
+    for i in range(len(qk)):
+        seg = np.nonzero(bk == qk[i])[0]
+        if len(seg) == 0:
+            continue
+        overlap = seg[(bs64[seg] <= qe[i]) & (be64[seg] >= qs[i])]
+        if len(overlap):
+            trip = sorted(zip(bs64[overlap], be64[overlap], rows64[overlap]))
+            out[i] = trip[0][2]
+            continue
+        left = seg[be64[seg] < qs[i]]
+        right = seg[bs64[seg] > qe[i]]
+        best_d, best_row = None, -1
+        if len(left):
+            trip = sorted(zip(be64[left], bs64[left], rows64[left]))
+            j = trip[-1][2]
+            best_d, best_row = qs[i] - be64[j], j
+        if len(right):
+            trip = sorted(zip(bs64[right], be64[right], rows64[right]))
+            j = trip[0][2]
+            d = bs64[j] - qe[i]
+            if best_d is None or d < best_d:
+                best_d, best_row = d, j
+        out[i] = best_row
+    return out

@@ -388,13 +388,13 @@ def partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
 def partitioned_nearest_fn(
     mesh: Mesh, num_levels: int, level_offsets: tuple, layout: tuple
 ):
-    """SPMD nearest: hash partitioning keeps every key's WHOLE segment on
-    one part, so per-shard nearest (first overlap, else min genomic
-    distance, else -1) is globally correct — the mesh analog of the
-    reference's CoitreesNearest semantics (interval_join.rs:909-1020).
-    Skew range-splitting must NOT feed this kernel: a sub-range shard can
-    miss the true nearest across a split boundary (the engine routes
-    nearest through plain hash partitioning for exactly this reason)."""
+    """SPMD nearest: per-shard nearest (first overlap, else min genomic
+    distance, else -1) — the mesh analog of the reference's
+    CoitreesNearest semantics (interval_join.rs:909-1020).  Exact when
+    each probe's full candidate set lives in its shard: trivially true
+    under hash partitioning (whole key per part), and true under skew
+    range-splitting IF the caller replicated the canonical boundary
+    fringe rows (parallel/skew.py:skew_partitioned_nearest)."""
 
     @functools.partial(
         shard_map,

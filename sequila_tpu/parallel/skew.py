@@ -326,6 +326,173 @@ def skew_partitioned_pairs(mesh, lk, ls, le, rk, rs, re, chunk_limit=None):
     return np.concatenate(out_b), np.concatenate(out_p)
 
 
+def assign_build_nearest(plan: PartitionPlan, lk, ls, le):
+    """Build replicas for NEAREST shards: the overlap replicas of
+    ``assign_build`` plus, per sub-range [lo, hi), two canonical boundary
+    fringe rows (reference nearest semantics: interval_join.rs:909-956):
+
+    - upstream fringe: the lexicographic (end, start, row) MAXIMUM among
+      the key's builds with end < lo — the canonical upstream pick for
+      any in-shard probe whose true upstream neighbor lies below lo;
+    - downstream fringe: the (start, end, row) MINIMUM among builds with
+      start >= hi — the canonical downstream pick past the cut.
+
+    With the engine's canonical (structure-independent) tie-breaking,
+    these two rows are exactly sufficient: a contained probe's candidate
+    set inside the shard then always includes the global canonical pick
+    (proof sketch in skew_partitioned_nearest).  Fringe rows can never
+    tie with in-shard replicas (their end < lo / start >= hi separate
+    them), so replica ordering stays row-monotone where ties matter.
+    Returns (shard_ids, rows)."""
+    out_shard, out_row = [], []
+    for key, sid in plan.shard_of_key.items():
+        rows = np.nonzero(lk == key)[0]
+        out_shard.append(np.full(len(rows), sid))
+        out_row.append(rows)
+    for key, (bounds, ids) in plan.splits.items():
+        rows = np.nonzero(lk == key)[0]
+        s = ls[rows].astype(np.int64)
+        e = le[rows].astype(np.int64)
+        # ascending (end, start, row): last entry with end < lo is the
+        # canonical upstream fringe
+        ord_e = np.lexsort((rows, s, e))
+        e_sorted = e[ord_e]
+        # ascending (start, end, row): first entry with start >= hi is
+        # the canonical downstream fringe
+        ord_s = np.lexsort((rows, e, s))
+        s_sorted = s[ord_s]
+        for i, sid in enumerate(ids):
+            lo, hi = bounds[i], bounds[i + 1]
+            mask = (s < hi) & (e >= lo)
+            rep = [rows[mask]]
+            j = np.searchsorted(e_sorted, lo, side="left") - 1
+            if j >= 0:
+                rep.append(rows[ord_e[j : j + 1]])
+            j2 = np.searchsorted(s_sorted, hi, side="left")
+            if j2 < len(ord_s):
+                rep.append(rows[ord_s[j2 : j2 + 1]])
+            rep = np.concatenate(rep)
+            out_shard.append(np.full(len(rep), sid))
+            out_row.append(rep)
+    if not out_shard:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_shard), np.concatenate(out_row)
+
+
+def assign_probe_nearest(plan: PartitionPlan, rk, rs, re):
+    """Assign each probe row to exactly ONE shard (nearest answers once).
+
+    A probe of a split key goes to the sub-range CONTAINING its whole
+    window ([min(qs,qe), max(qs,qe)]); probes that straddle a cut
+    boundary are returned separately (``crossing``) — the caller answers
+    those against a whole-key host index, since a sub-range shard cannot
+    see both sides' candidates at once.  Returns (shard_ids, rows,
+    crossing_rows)."""
+    out_sid, out_row, crossing = [], [], []
+    for key, sid in plan.shard_of_key.items():
+        rows = np.nonzero(rk == key)[0]
+        out_sid.append(np.full(len(rows), sid))
+        out_row.append(rows)
+    for key, (bounds, ids) in plan.splits.items():
+        rows = np.nonzero(rk == key)[0]
+        mn = np.minimum(rs[rows], re[rows]).astype(np.int64)
+        mx = np.maximum(rs[rows], re[rows]).astype(np.int64)
+        i = np.searchsorted(bounds, mn, side="right") - 1
+        i = np.clip(i, 0, len(ids) - 1)
+        contained = (mn >= bounds[i]) & (mx < bounds[i + 1])
+        out_sid.append(np.asarray(ids)[i[contained]])
+        out_row.append(rows[contained])
+        crossing.append(rows[~contained])
+    z = np.empty(0, np.int64)
+    return (
+        np.concatenate(out_sid) if out_sid else z,
+        np.concatenate(out_row) if out_row else z,
+        np.concatenate(crossing) if crossing else z,
+    )
+
+
+def skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
+    """SPMD skew-aware NEAREST over the ('part','probe') mesh.
+
+    Hot contigs are range-split exactly as for counts; correctness rests
+    on the engine's canonical tie-breaking (nearest_from_bounds):
+
+    - overlap pick = lexmin (start, end, row): every build overlapping a
+      contained probe also overlaps the probe's sub-range [lo, hi)
+      (start <= qe < hi, end >= qs >= lo), so all overlap candidates are
+      replicated into the shard;
+    - upstream pick = lexmax (end, start, row): a candidate with
+      end in [lo, qs) is in the shard; when the global maximum has
+      end < lo it IS the upstream fringe row (assign_build_nearest);
+    - downstream pick = lexmin (start, end, row): symmetric via the
+      downstream fringe (start >= hi).
+
+    Probes straddling a cut are answered on the host against a whole-key
+    index — bit-for-bit identical by the host/device parity invariant.
+    Returns the global build row per probe row (-1 = no candidate)."""
+    from sequila_tpu.ops.host_join import make_host_index
+    from sequila_tpu.parallel.partitioned_join import (
+        build_partitioned_index,
+        fetch_global,
+        partition_probe,
+        partitioned_nearest_fn,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    npart = mesh.shape["part"]
+    nprobe = mesh.shape["probe"]
+    plan = plan_partitions(lk, rk, rs, npart)
+    b_sid, b_row = assign_build_nearest(plan, lk, ls, le)
+    q_sid, q_row, crossing = assign_probe_nearest(plan, rk, rs, re)
+    out = np.full(len(rk), -1, np.int64)
+
+    if len(q_sid) and len(b_sid):
+        b_sid32 = b_sid.astype(np.int32)
+        arrays, meta = build_partitioned_index(
+            b_sid32, ls[b_row], le[b_row], npart,
+            part_of=plan.shard_part[b_sid], keys=b_sid32,
+        )
+        K, S, E, IDX = partition_probe(
+            q_sid.astype(np.int32), rs[q_row], re[q_row], npart, nprobe,
+            part_of=plan.shard_part[q_sid], keys=q_sid.astype(np.int32),
+        )
+        dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        didx = [
+            dev(arrays[n], P("part", None))
+            for n in ("levels", "keys", "starts", "ends")
+        ]
+        dpos = dev(arrays["pos"], P("part", None))
+        fn = partitioned_nearest_fn(
+            mesh, meta["num_levels"], meta["level_offsets"], meta["layout"]
+        )
+        res = fetch_global(fn(
+            *didx, dpos,
+            dev(K, P("part", "probe", None)),
+            dev(S, P("part", "probe", None)),
+            dev(E, P("part", "probe", None)),
+        ))
+        # res holds picks as REPLICA indices (build_partitioned_index pos
+        # remaps into the replica row space) -> original rows via b_row
+        slot_rows = IDX.reshape(-1)
+        slot_res = res.reshape(-1).astype(np.int64)
+        real = slot_rows >= 0
+        picks = slot_res[real]
+        out[q_row[slot_rows[real]]] = np.where(
+            picks >= 0, b_row[np.clip(picks, 0, None)], -1
+        )
+
+    if len(crossing):
+        hot = np.asarray(sorted(plan.splits.keys()))
+        hrows = np.nonzero(np.isin(lk, hot))[0]
+        if len(hrows):
+            hidx = make_host_index(lk[hrows], ls[hrows], le[hrows])
+            res2 = np.asarray(
+                hidx.nearest(rk[crossing], rs[crossing], re[crossing])
+            ).astype(np.int64)
+            out[crossing] = np.where(res2 >= 0, hrows[np.clip(res2, 0, None)], -1)
+    return out
+
+
 def skew_partitioned_count(lk, ls, le, rk, rs, re, npart: int) -> int:
     """End-to-end exact count with skew-aware range splitting (host-driven
     single-device version; the SPMD variant shards the same arrays)."""

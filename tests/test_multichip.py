@@ -240,6 +240,139 @@ class TestSkewAware:
         )
 
 
+class TestSkewNearest:
+    """Skew range-split NEAREST (VERDICT r3 item 7): hot contigs no longer
+    serialize nearest queries.  Exactness rests on canonical tie-breaking
+    plus per-boundary fringe replication (parallel/skew.py)."""
+
+    @staticmethod
+    def _skewed(rng, n, m, span=50_000, maxlen=800, hot=0.9, keys=6):
+        lk = np.where(rng.random(n) < hot, 0, rng.integers(1, keys, n)).astype(np.int32)
+        ls = rng.integers(0, span, n).astype(np.int32)
+        le = ls + rng.integers(0, maxlen, n).astype(np.int32)
+        rk = np.where(rng.random(m) < hot, 0, rng.integers(1, keys + 2, m)).astype(np.int32)
+        rs = rng.integers(0, span, m).astype(np.int32)
+        re = rs + rng.integers(0, maxlen, m).astype(np.int32)
+        return lk, ls, le, rk, rs, re
+
+    def test_skew_nearest_matches_canonical_oracle(self, rng):
+        from sequila_tpu.ops.oracle import oracle_nearest_canonical
+        from sequila_tpu.parallel.skew import (
+            plan_partitions,
+            skew_partitioned_nearest,
+        )
+
+        mesh = make_mesh(8, part=4)
+        lk, ls, le, rk, rs, re = self._skewed(rng, 400, 700)
+        plan = plan_partitions(lk, rk, rs, npart=4)
+        assert 0 in plan.splits, "hot contig must be range-split"
+        want = oracle_nearest_canonical(lk, ls, le, rk, rs, re)
+        got = skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re)
+        np.testing.assert_array_equal(got, want)
+
+    def test_skew_nearest_matches_hash_partitioned(self, rng):
+        """Skew and hash distributions must agree bit-for-bit (the
+        canonical-pick guarantee, not just distance equality)."""
+        from sequila_tpu.parallel.partitioned_join import partitioned_nearest
+        from sequila_tpu.parallel.skew import skew_partitioned_nearest
+
+        mesh = make_mesh(8, part=4)
+        lk, ls, le, rk, rs, re = self._skewed(rng, 350, 600, maxlen=2_000)
+        np.testing.assert_array_equal(
+            skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re),
+            partitioned_nearest(mesh, lk, ls, le, rk, rs, re),
+        )
+
+    def test_skew_nearest_ties_across_boundaries(self, rng):
+        """Duplicate (start,end) intervals + sparse gaps: the canonical
+        row pick must survive replication and fringe rows."""
+        from sequila_tpu.ops.oracle import oracle_nearest_canonical
+        from sequila_tpu.parallel.skew import skew_partitioned_nearest
+
+        mesh = make_mesh(8, part=4)
+        n, m = 300, 800
+        lk = np.zeros(n, np.int32)
+        # few distinct coordinates -> lots of exact duplicates and ties
+        ls = rng.integers(0, 40, n).astype(np.int32) * 1_000
+        le = ls + rng.integers(0, 4, n).astype(np.int32) * 250
+        rk = np.zeros(m, np.int32)
+        rs = rng.integers(0, 40_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 300, m).astype(np.int32)
+        want = oracle_nearest_canonical(lk, ls, le, rk, rs, re)
+        got = skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re)
+        np.testing.assert_array_equal(got, want)
+
+    def test_skew_nearest_crossing_probes(self, rng):
+        """Probes spanning several sub-range cuts (host-answered) and
+        gap-heavy build layout: still exactly canonical."""
+        from sequila_tpu.ops.oracle import oracle_nearest_canonical
+        from sequila_tpu.parallel.skew import (
+            assign_probe_nearest,
+            plan_partitions,
+            skew_partitioned_nearest,
+        )
+
+        mesh = make_mesh(8, part=4)
+        n, m = 200, 900
+        lk = np.zeros(n, np.int32)
+        ls = rng.integers(0, 100_000, n).astype(np.int32)
+        le = ls + rng.integers(0, 500, n).astype(np.int32)
+        rk = np.zeros(m, np.int32)
+        rs = rng.integers(0, 100_000, m).astype(np.int32)
+        # half the probes are LONG (span multiple probe-start quantiles)
+        long = rng.random(m) < 0.5
+        re = rs + np.where(long, rng.integers(20_000, 80_000, m), rng.integers(0, 200, m)).astype(np.int32)
+        plan = plan_partitions(lk, rk, rs, npart=4)
+        assert 0 in plan.splits
+        _, _, crossing = assign_probe_nearest(plan, rk, rs, re)
+        assert len(crossing) > 0, "test must exercise the crossing path"
+        want = oracle_nearest_canonical(lk, ls, le, rk, rs, re)
+        got = skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re)
+        np.testing.assert_array_equal(got, want)
+
+    def test_skew_nearest_fringe_only_shards(self):
+        """Sub-ranges with NO native builds must fall back to the fringe
+        rows (upstream below lo / downstream at hi)."""
+        from sequila_tpu.ops.oracle import oracle_nearest_canonical
+        from sequila_tpu.parallel.skew import skew_partitioned_nearest
+
+        mesh = make_mesh(8, part=4)
+        # builds clustered at the far left and far right only
+        ls = np.concatenate([
+            np.arange(5, dtype=np.int32),
+            np.arange(90_000, 90_005, dtype=np.int32),
+        ])
+        le = ls + 3
+        lk = np.zeros(len(ls), np.int32)
+        # probes spread across the whole (build-empty) middle
+        m = 600
+        rs = np.linspace(100, 89_000, m).astype(np.int32)
+        re = rs + 7
+        rk = np.zeros(m, np.int32)
+        want = oracle_nearest_canonical(lk, ls, le, rk, rs, re)
+        got = skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re)
+        np.testing.assert_array_equal(got, want)
+
+    def test_skew_nearest_absent_and_build_free_keys(self, rng):
+        """Probe keys with no builds anywhere -> -1, even when hot."""
+        from sequila_tpu.ops.oracle import oracle_nearest_canonical
+        from sequila_tpu.parallel.skew import skew_partitioned_nearest
+
+        mesh = make_mesh(8, part=4)
+        n, m = 100, 500
+        lk = rng.integers(0, 2, n).astype(np.int32)  # builds on keys 0-1
+        ls = rng.integers(0, 10_000, n).astype(np.int32)
+        le = ls + rng.integers(0, 300, n).astype(np.int32)
+        # probes 90% on key 7 (hot AND build-free), rest on 0-3
+        rk = np.where(rng.random(m) < 0.9, 7, rng.integers(0, 4, m)).astype(np.int32)
+        rs = rng.integers(0, 10_000, m).astype(np.int32)
+        re = rs + rng.integers(0, 300, m).astype(np.int32)
+        want = oracle_nearest_canonical(lk, ls, le, rk, rs, re)
+        got = skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re)
+        np.testing.assert_array_equal(got, want)
+        assert (got[rk == 7] == -1).all()
+
+
 class TestDeviceShuffle:
     def test_all_to_all_count_matches_oracle(self, rng):
         """REAL device-side all_to_all shuffle + shard-local count."""

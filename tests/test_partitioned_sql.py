@@ -366,6 +366,43 @@ def test_auto_routes_skewed_to_skew():
     assert got == want
 
 
+def test_nearest_skew_distribution_parity():
+    """NEAREST through skew range splitting (VERDICT r3 item 7): a
+    90%-hot-key dataset forced through distribution=skew must match the
+    single-chip result row-for-row, and auto must actually route it to
+    skew (distribution_skew in EXPLAIN ANALYZE)."""
+    def one(rows, seed):
+        rr = np.random.default_rng(seed)
+        k = np.where(rr.random(rows) < 0.9, 0, rr.integers(1, 4, rows))
+        st = rr.integers(0, 8_000, rows)
+        return pa.table({
+            "contig": [f"chr{i}" for i in k],
+            "pos_start": st,
+            "pos_end": st + rr.integers(0, 150, rows),
+        })
+
+    q = (
+        f"SELECT s1.pos_start, s1.pos_end, s2.pos_start, s2.pos_end "
+        f"FROM s1 JOIN s2 {OVERLAP_ON} "
+        "ORDER BY s2.pos_start, s2.pos_end, s1.pos_start NULLS FIRST, "
+        "s1.pos_end NULLS FIRST"
+    )
+    outs = []
+    for parts, dist in ((1, "auto"), (8, "skew"), (8, "hash")):
+        ctx = SessionContext()
+        ctx.register_table("s1", one(250, 11))
+        ctx.register_table("s2", one(700, 12))
+        ctx.sql(f"SET datafusion.execution.target_partitions = {parts}")
+        ctx.sql(f"SET sequila.partitioned_distribution = {dist}")
+        ctx.sql("SET sequila.interval_join_algorithm = coitreesnearest")
+        outs.append(ctx.sql(q).to_pylist())
+        if parts == 8 and dist == "skew":
+            ana = ctx.sql(f"EXPLAIN ANALYZE {q}").column_np(1)[0]
+            assert "distribution_skew=1" in ana
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 700  # one row per probe row
+
+
 def test_auto_degenerate_probes_fall_back_exact():
     """Degenerate (qs > qe) probe rows break the BITS shuffle/skew counts;
     auto must route them to an exact path (CLAUDE.md invariant)."""
