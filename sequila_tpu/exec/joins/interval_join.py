@@ -378,14 +378,11 @@ class IntervalJoinExec(ExecPlan):
             return expr.left.index, (-d if expr.op == "-" else d)
         return None
 
-    def _stream_sorted_count(self, ctx, left: Table, right: Table):
-        """Sort-free count over cached sorted views + the streaming DMA
-        kernel; None when the plan shape doesn't qualify."""
+    def _sorted_count_inputs(self, left: Table, right: Table):
+        """Shared preconditions + cached inputs for the sorted-view count
+        backends (merge_count / stream_rank); None when the plan shape
+        doesn't qualify for BITS over cached sorted views."""
         from sequila_tpu.models.table import merge_dictionaries
-        from sequila_tpu.ops.pallas.stream_rank import (
-            host_windows,
-            stream_count_partials,
-        )
         from sequila_tpu.planner.expr import Column
 
         if len(self.on) != 1:
@@ -419,6 +416,102 @@ class IntervalJoinExec(ExecPlan):
             # remap the cached sorted views depend on -> co-sort path
             return None
         remap_b, remap_q = merge_dictionaries(lvals, rvals)
+        return l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd, remap_b, remap_q
+
+    def _merge_sorted_count(self, ctx, left: Table, right: Table):
+        """Packed-u32 Pallas merge count over cached sorted views — the
+        whole-genome count(*) fast path (no device sort at all; see
+        ops/pallas/merge_count.py).  None when the plan shape, the key
+        dtypes, or the 32-bit span budget disqualify it."""
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        inputs = self._sorted_count_inputs(left, right)
+        if inputs is None:
+            return None
+        l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd, remap_b, remap_q = inputs
+
+        # device C tables + chunk windows are deterministic per (table
+        # pair, bound columns, deltas): cache like device_remaps
+        import weakref
+
+        cache_key = (
+            "mcount", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
+            id(right),
+        )
+        entry = left._codes.get(cache_key)
+        if entry is not None and entry[0]() is right:
+            plan = entry[1]
+        else:
+            plan = self._merge_count_plan(
+                left, right, l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd,
+                remap_b, remap_q,
+            )
+            left._codes[cache_key] = (weakref.ref(right), plan)
+        if plan is None:
+            return None
+        dev_args = plan
+        with ctx.timer(self.op_id(), "join_time"):
+            limbs = np.asarray(mc.merge_count_passes(*dev_args)).astype(np.int64)
+            total = mc.limbs_to_total(limbs[:4]) - mc.limbs_to_total(limbs[4:])
+        ctx.metrics.add(self.op_id(), "output_rows", total)
+        return total
+
+    def _merge_count_plan(
+        self, left, right, l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd,
+        remap_b, remap_q,
+    ):
+        """Device argument tuple for merge_count_passes, or None if the
+        packing is infeasible (span > 32 bits, probe too large)."""
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        views = (
+            left.per_key_minmax(l_on.index, bs_cd[0]),
+            left.per_key_minmax(l_on.index, be_cd[0]),
+            right.per_key_minmax(r_on.index, qs_cd[0]),
+            right.per_key_minmax(r_on.index, qe_cd[0]),
+        )
+        deltas = (bs_cd[1], be_cd[1], qs_cd[1], qe_cd[1])
+        ctabs = mc.plan_packing(remap_b, remap_q, views, deltas)
+        if ctabs is None:
+            return None
+        c_be, c_qs, c_bs, c_qe = ctabs
+        # cached sorted views: pass 1 ranks build(k,end) in probe(k,qs);
+        # pass 2 ranks build(k,start) in probe(k,qe)
+        bl_k, bl_v, bl_kh, bl_vh, _ = left.sorted_interval_view(l_on.index, be_cd[0])
+        pq_k, pq_v, _, _, _ = right.sorted_interval_view(r_on.index, qs_cd[0])
+        bu_k, bu_v, bu_kh, bu_vh, _ = left.sorted_interval_view(l_on.index, bs_cd[0])
+        pe_k, pe_v, _, _, _ = right.sorted_interval_view(r_on.index, qe_cd[0])
+        if pq_k.shape[0] >= mc._M_LIMIT:
+            return None  # limb partials would overflow int32
+        comp_qs = right.sorted_view_composite(r_on.index, qs_cd[0])
+        comp_qe = right.sorted_view_composite(r_on.index, qe_cd[0])
+        c_lo1, n_ch1 = mc.host_windows_joint(
+            bl_kh, bl_vh, remap_b, remap_q, be_cd[1], qs_cd[1], comp_qs,
+        )
+        c_lo2, n_ch2 = mc.host_windows_joint(
+            bu_kh, bu_vh, remap_b, remap_q, bs_cd[1], qe_cd[1], comp_qe,
+        )
+        return (
+            bl_k, bl_v, jnp.asarray(c_be),
+            pq_k, pq_v, jnp.asarray(c_qs),
+            bu_k, bu_v, jnp.asarray(c_bs),
+            pe_k, pe_v, jnp.asarray(c_qe),
+            jnp.asarray(c_lo1), jnp.asarray(n_ch1),
+            jnp.asarray(c_lo2), jnp.asarray(n_ch2),
+        )
+
+    def _stream_sorted_count(self, ctx, left: Table, right: Table):
+        """Sort-free count over cached sorted views + the streaming DMA
+        kernel; None when the plan shape doesn't qualify."""
+        from sequila_tpu.ops.pallas.stream_rank import (
+            host_windows,
+            stream_count_partials,
+        )
+
+        inputs = self._sorted_count_inputs(left, right)
+        if inputs is None:
+            return None
+        l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd, remap_b, remap_q = inputs
         # cached sorted views: build by start / by end; probe by end / start
         bu_k, bu_v, bu_kh, bu_vh, _ = left.sorted_interval_view(l_on.index, bs_cd[0])
         bl_k, bl_v, bl_kh, bl_vh, _ = left.sorted_interval_view(l_on.index, be_cd[0])
@@ -1040,12 +1133,21 @@ class IntervalJoinExec(ExecPlan):
             total = int(hidx.counts(rcodes, rs, re).sum())
             ctx.metrics.add(self.op_id(), "output_rows", total)
             return total
-        if _os.environ.get("SEQUILA_COUNT_BACKEND") == "stream":
+        backend = _os.environ.get("SEQUILA_COUNT_BACKEND", "merge")
+        if backend == "stream":
             # experimental sort-free backend (ops/pallas/stream_rank.py);
             # measured SLOWER than the co-sort at every scale tried (host
             # window prep + per-block overheads dominate), kept selectable
             # for future hardware where the tradeoff may flip.
             total = self._stream_sorted_count(ctx, left, right)
+            if total is not None:
+                return total
+        if backend == "merge":
+            # default: packed-u32 pallas merge over cached sorted views —
+            # no device sort; falls through to the co-sort when the plan
+            # shape or the 32-bit span budget disqualifies it
+            # (SEQUILA_COUNT_BACKEND=cosort forces the fallback).
+            total = self._merge_sorted_count(ctx, left, right)
             if total is not None:
                 return total
         total = self._device_resident_count(ctx, left, right)

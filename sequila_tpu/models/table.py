@@ -279,6 +279,24 @@ class Table:
             )
         return self._dev_i32[cache_key]
 
+    def sorted_view_composite(self, key_col, val_col) -> np.ndarray:
+        """Cached int64 composite of a sorted view (merge_count windows).
+
+        One monotone scalar per (code, value) row of ``sorted_interval_view``
+        — the host-side np.searchsorted target for per-block chunk-window
+        computation.  PAD rows land above every real code by construction
+        (see ops/pallas/merge_count.view_composite)."""
+        cache_key = ("svc", key_col, val_col)
+        cached = self._i32.get(cache_key)
+        if cached is None:
+            from sequila_tpu.ops.pallas.merge_count import view_composite
+
+            _, _, k_h, v_h, _ = self.sorted_interval_view(key_col, val_col)
+            cached = view_composite(k_h, v_h)
+            cached.flags.writeable = False
+            self._i32[cache_key] = cached
+        return cached
+
     # -- constructors -------------------------------------------------------
     @classmethod
     def from_arrow(cls, t: pa.Table) -> "Table":
@@ -413,6 +431,44 @@ class Table:
             cached = int((hi - lo).min()) if len(hi) else 0
             self._i32[key] = cached
         return cached
+
+    def per_key_minmax(self, key_col, val_col):
+        """Per-dictionary-code (min, max) int64 arrays of an i32 value
+        column, cached.
+
+        The packed-uint32 count kernel compacts each key segment's value
+        range into a shared 32-bit domain; the per-key extrema (merged
+        with the other side's, shifted by the planner's ±lit deltas) size
+        the segment bases.  Computed once per (key, value) column pair
+        via the native radix argsort over (code << 32 | biased value)
+        composites — O(n) boundary reads after the sort."""
+        key = ("pkmm", key_col, val_col)
+        cached = self._i32.get(key)
+        if cached is not None:
+            return cached
+        codes, values, _ = self.dict_codes(key_col)
+        vals = self.column_as_i32(val_col)
+        k = len(values)
+        n = len(codes)
+        mins = np.full(k, np.iinfo(np.int64).max, np.int64)
+        maxs = np.full(k, np.iinfo(np.int64).min, np.int64)
+        if n:
+            comp = (codes.astype(np.int64) << 32) | (
+                vals.astype(np.int64) + (1 << 31)
+            )
+            comp.sort()
+            scodes = (comp >> 32).astype(np.int32)
+            svals = (comp & 0xFFFFFFFF) - (1 << 31)
+            # first/last occurrence of each present code
+            firsts = np.searchsorted(scodes, np.arange(k, dtype=np.int32), "left")
+            lasts = np.searchsorted(scodes, np.arange(k, dtype=np.int32), "right")
+            present = lasts > firsts
+            mins[present] = svals[firsts[present]]
+            maxs[present] = svals[lasts[present] - 1]
+        mins.flags.writeable = False
+        maxs.flags.writeable = False
+        self._i32[key] = (mins, maxs)
+        return self._i32[key]
 
     def _column_as_i32_uncached(self, name_or_idx) -> np.ndarray:
         col = self._t.column(name_or_idx)
