@@ -118,6 +118,8 @@ def load():
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int64, i32p, i64p,
         ]
+        lib.si_layout.restype = ctypes.c_int64
+        lib.si_layout.argtypes = [ctypes.c_void_p]
         lib.si_expand_runs.argtypes = [i32p, i32p, ctypes.c_int64, i32p, i32p]
         lib.si_repeat_counts.argtypes = [i32p, ctypes.c_int64, i32p]
         lib.si_argsort64.argtypes = [i64p, ctypes.c_int64, i32p]
@@ -205,6 +207,15 @@ class NativeIntervalIndex:
         if h:
             self._lib.si_free(h)
             self._h = None
+
+    @property
+    def layout(self) -> str:
+        """Search layout this index was built with: 'eytzinger' (default —
+        per-segment BFS layout of the three search arrays, the reference's
+        experimental SuperIntervalsEytz variant made production-default,
+        superintervals/src/variants/superintervals_var.hpp:770-816) or
+        'segment' (SEQUILA_NATIVE_LAYOUT=segment at build time)."""
+        return "eytzinger" if self._lib.si_layout(self._h) else "segment"
 
     @staticmethod
     def _q(qk, qs, qe):

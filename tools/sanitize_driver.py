@@ -43,7 +43,19 @@ def main() -> int:
 
     counts = idx.counts(qk, qs, qe)
     np.testing.assert_array_equal(counts, ref.counts(qk, qs, qe))
-    print(f"counts OK (total={int(counts.sum()):,})")
+    print(f"counts OK (total={int(counts.sum()):,}, layout={idx.layout})")
+
+    # the non-default layout must get sanitizer coverage too (the default
+    # build above exercises the other one throughout this driver)
+    other = "segment" if idx.layout == "eytzinger" else "eytzinger"
+    os.environ["SEQUILA_NATIVE_LAYOUT"] = other
+    try:
+        idx_other = loader.NativeIntervalIndex(bk, bs, be)
+    finally:
+        del os.environ["SEQUILA_NATIVE_LAYOUT"]
+    np.testing.assert_array_equal(idx_other.counts(qk, qs, qe), counts)
+    print(f"counts OK (layout={idx_other.layout})")
+    del idx_other
 
     b, p = idx.pairs(qk[:50_000], qs[:50_000], qe[:50_000])
     rb, rp = ref.pairs(qk[:50_000], qs[:50_000], qe[:50_000])
