@@ -111,6 +111,93 @@ void parallel_chunks(int64_t m, int64_t grain, F f) {
   for (auto& th : ts) th.join();
 }
 
+// Stable parallel LSD radix permutation over multiple int32 key arrays,
+// least-significant array first (the build-time engine behind both index
+// orders; same histogram/scan/scatter scheme as si_argsort64 below).
+// Carries (current 16-bit-digit source, index) pairs and re-gathers when
+// switching key arrays; digit passes where all elements share one bucket
+// are skipped (common for high halves of small key spaces).  Returns the
+// permutation that sorts lexicographically by (keys.back(), ...,
+// keys.front(), original index) — i.e. ties are deterministic, original
+// order.  Comparator std::sort measured 3.1 s for the 7.7M-row build;
+// this runs the same order in ~6 digit passes, each bandwidth-bound.
+void radix_perm32(int64_t n, const std::vector<const int32_t*>& keys,
+                  int32_t* out_perm) {
+  struct KV {
+    uint32_t key;
+    int32_t idx;
+  };
+  std::vector<KV> a(n), b(n);
+  parallel_chunks(n, 1 << 16, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) a[i].idx = int32_t(i);
+  });
+  const int nt = num_threads(n, 1 << 16);
+  const int64_t per = (n + nt - 1) / nt;
+  std::vector<std::vector<int64_t>> hist(nt);
+  KV* src = a.data();
+  KV* dst = b.data();
+  constexpr uint32_t BIAS = uint32_t(1) << 31;  // int32 -> order-preserving
+  for (const int32_t* karr : keys) {
+    // refill the carried key from this array (gather via current perm)
+    parallel_chunks(n, 1 << 16, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i)
+        src[i].key = uint32_t(karr[src[i].idx]) + BIAS;
+    });
+    for (int pass = 0; pass < 2; ++pass) {
+      const int shift = pass * 16;
+      {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t) {
+          const int64_t lo = int64_t(t) * per, hi = std::min(n, lo + per);
+          if (lo >= hi) {
+            hist[t].assign(65536, 0);
+            continue;
+          }
+          ts.emplace_back([=, &hist] {
+            auto& h = hist[t];
+            h.assign(65536, 0);
+            for (int64_t i = lo; i < hi; ++i)
+              ++h[(src[i].key >> shift) & 0xFFFF];
+          });
+        }
+        for (auto& th : ts) th.join();
+      }
+      int nonzero = 0;
+      for (int d = 0; d < 65536 && nonzero < 2; ++d) {
+        int64_t s = 0;
+        for (int t = 0; t < nt; ++t) s += hist[t][d];
+        if (s) ++nonzero;
+      }
+      if (nonzero < 2) continue;
+      int64_t run = 0;
+      for (int d = 0; d < 65536; ++d) {
+        for (int t = 0; t < nt; ++t) {
+          const int64_t c = hist[t][d];
+          hist[t][d] = run;
+          run += c;
+        }
+      }
+      {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t) {
+          const int64_t lo = int64_t(t) * per, hi = std::min(n, lo + per);
+          if (lo >= hi) break;
+          ts.emplace_back([=, &hist] {
+            auto& h = hist[t];
+            for (int64_t i = lo; i < hi; ++i)
+              dst[h[(src[i].key >> shift) & 0xFFFF]++] = src[i];
+          });
+        }
+        for (auto& th : ts) th.join();
+      }
+      std::swap(src, dst);
+    }
+  }
+  parallel_chunks(n, 1 << 16, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) out_perm[i] = src[i].idx;
+  });
+}
+
 // In-order fill of one segment's Eytzinger block: BFS slot k gets the
 // i-th smallest value (and records i as its rank).  Recursion depth is
 // the tree height (<= 31 for int32-indexed segments).
@@ -203,13 +290,22 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
                int64_t n) {
   auto* idx = new Index();
   idx->n = n;
-  std::vector<int64_t> order(n);
-  for (int64_t i = 0; i < n; ++i) order[i] = i;
-  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    if (k[a] != k[b]) return k[a] < k[b];
-    if (s[a] != s[b]) return s[a] < s[b];
-    return e[a] < e[b];
-  });
+  // (key, start, end, row)-order via the parallel radix: LSD over
+  // end -> start -> key, starting from identity, so full-duplicate ties
+  // land in ascending original row (deterministic, matching the device
+  // kernels' canonical tie handling)
+  std::vector<int32_t> order(n);
+  if (n >= 4096) {
+    radix_perm32(n, {e, s, k}, order.data());
+  } else {
+    for (int64_t i = 0; i < n; ++i) order[i] = int32_t(i);
+    std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+      if (k[a] != k[b]) return k[a] < k[b];
+      if (s[a] != s[b]) return s[a] < s[b];
+      if (e[a] != e[b]) return e[a] < e[b];
+      return a < b;
+    });
+  }
   idx->keys.resize(n);
   idx->starts.resize(n);
   idx->ends.resize(n);
@@ -248,25 +344,34 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
   // is the canonical upstream pick max(end, start, row), matching the
   // device kernel (ops/interval_join.py nearest_from_bounds) and the
   // NumPy host index bit-for-bit.
-  std::vector<int64_t> eorder(n);
-  for (int64_t i = 0; i < n; ++i) eorder[i] = i;
+  // Global stable radix by (key, end, start) over the sorted view: the
+  // per-segment ranges are contiguous equal-key runs, so this yields each
+  // segment's (end asc, start asc, pos asc) order in one pass set —
+  // identity start keeps full-duplicate ties pos-ascending because the
+  // main order above already placed them that way.
+  std::vector<int32_t> eorder(n);
   idx->ends_sorted.resize(n);
   idx->end_pos.resize(n);
-  for (size_t sgi = 0; sgi + 1 < idx->seg_off.size(); ++sgi) {
-    const int64_t lo = idx->seg_off[sgi], hi = idx->seg_off[sgi + 1];
-    std::sort(eorder.begin() + lo, eorder.begin() + hi,
-              [&](int64_t a, int64_t b) {
-                if (idx->ends[a] != idx->ends[b])
-                  return idx->ends[a] < idx->ends[b];
-                if (idx->starts[a] != idx->starts[b])
-                  return idx->starts[a] < idx->starts[b];
-                return idx->pos[a] < idx->pos[b];
-              });
+  if (n >= 4096) {
+    radix_perm32(
+        n, {idx->starts.data(), idx->ends.data(), idx->keys.data()},
+        eorder.data());
+  } else {
+    for (int64_t i = 0; i < n; ++i) eorder[i] = int32_t(i);
+    std::sort(eorder.begin(), eorder.end(), [&](int32_t a, int32_t b) {
+      if (idx->keys[a] != idx->keys[b]) return idx->keys[a] < idx->keys[b];
+      if (idx->ends[a] != idx->ends[b]) return idx->ends[a] < idx->ends[b];
+      if (idx->starts[a] != idx->starts[b])
+        return idx->starts[a] < idx->starts[b];
+      return idx->pos[a] < idx->pos[b];
+    });
+  }
+  parallel_chunks(n, 1 << 16, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       idx->ends_sorted[i] = idx->ends[eorder[i]];
       idx->end_pos[i] = idx->pos[eorder[i]];
     }
-  }
+  });
   // Eytzinger layout (default; see Index comment for the measurements)
   const char* layout = std::getenv("SEQUILA_NATIVE_LAYOUT");
   const bool want_eytz =

@@ -5,7 +5,11 @@
 3. 1M-probe count timing anchor (previous runs: ~118 ms co-sort, ~27 ms merge)
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
