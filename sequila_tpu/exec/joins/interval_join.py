@@ -500,6 +500,94 @@ class IntervalJoinExec(ExecPlan):
             jnp.asarray(c_lo2), jnp.asarray(n_ch2),
         )
 
+    def _merge_probe_counts(self, ctx, left: Table, right: Table):
+        """Per-probe CountOverlaps via the packed-u32 Pallas merge backend
+        (ops/pallas/merge_count.merge_probe_count_passes): ranks the cached
+        sorted PROBE views inside the cached sorted BUILD views — the
+        mirror of _merge_sorted_count, reusing the same four packings —
+        then scatters the two rank passes back to probe row order on
+        device.  No device sort at all.  None when the plan shape or the
+        32-bit span budget disqualifies packing."""
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        inputs = self._sorted_count_inputs(left, right)
+        if inputs is None:
+            return None
+        l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd, remap_b, remap_q = inputs
+
+        import weakref
+
+        cache_key = (
+            "mpcount", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
+            id(right),
+        )
+        entry = left._codes.get(cache_key)
+        if entry is not None and entry[0]() is right:
+            plan = entry[1]
+        else:
+            plan = self._merge_probe_plan(
+                left, right, l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd,
+                remap_b, remap_q,
+            )
+            left._codes[cache_key] = (weakref.ref(right), plan)
+        if plan is None:
+            return None
+        with ctx.timer(self.op_id(), "join_time"):
+            counts = np.asarray(mc.merge_probe_count_passes(*plan))
+        return counts[: right.num_rows]
+
+    def _merge_probe_plan(
+        self, left, right, l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd,
+        remap_b, remap_q,
+    ):
+        """Device argument tuple for merge_probe_count_passes, or None if
+        the packing is infeasible (span > 32 bits)."""
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        views = (
+            left.per_key_minmax(l_on.index, bs_cd[0]),
+            left.per_key_minmax(l_on.index, be_cd[0]),
+            right.per_key_minmax(r_on.index, qs_cd[0]),
+            right.per_key_minmax(r_on.index, qe_cd[0]),
+        )
+        deltas = (bs_cd[1], be_cd[1], qs_cd[1], qe_cd[1])
+        ctabs = mc.plan_packing(remap_b, remap_q, views, deltas)
+        if ctabs is None:
+            return None
+        c_be, c_qs, c_bs, c_qe = ctabs
+        # pass A ranks probe(k,qe) in build(k,start); pass B ranks
+        # probe(k,qs) in build(k,end) — queries are the PROBE views here
+        pe_k, pe_v, pe_kh, pe_vh, _ = right.sorted_interval_view(r_on.index, qe_cd[0])
+        bs_k, bs_v, _, _, _ = left.sorted_interval_view(l_on.index, bs_cd[0])
+        pq_k, pq_v, pq_kh, pq_vh, _ = right.sorted_interval_view(r_on.index, qs_cd[0])
+        be_k, be_v, _, _, _ = left.sorted_interval_view(l_on.index, be_cd[0])
+        comp_bs = left.sorted_view_composite(l_on.index, bs_cd[0])
+        comp_be = left.sorted_view_composite(l_on.index, be_cd[0])
+        c_loA, n_chA = mc.host_windows_joint(
+            pe_kh, pe_vh, remap_q, remap_b, qe_cd[1], bs_cd[1], comp_bs,
+        )
+        c_loB, n_chB = mc.host_windows_joint(
+            pq_kh, pq_vh, remap_q, remap_b, qs_cd[1], be_cd[1], comp_be,
+        )
+        cap = int(pe_k.shape[0])
+
+        def pad_order(order):
+            out = np.full(cap, cap, np.int32)  # PAD slots scatter-drop
+            out[: len(order)] = order
+            return out
+
+        ord_qe = pad_order(right.sorted_interval_order(r_on.index, qe_cd[0]))
+        ord_qs = pad_order(right.sorted_interval_order(r_on.index, qs_cd[0]))
+        return (
+            pe_k, pe_v, jnp.asarray(c_qe),
+            bs_k, bs_v, jnp.asarray(c_bs),
+            pq_k, pq_v, jnp.asarray(c_qs),
+            be_k, be_v, jnp.asarray(c_be),
+            jnp.asarray(ord_qe), jnp.asarray(ord_qs),
+            jnp.asarray(c_loA), jnp.asarray(n_chA),
+            jnp.asarray(c_loB), jnp.asarray(n_chB),
+        )
+
     def _stream_sorted_count(self, ctx, left: Table, right: Table):
         """Sort-free count over cached sorted views + the streaming DMA
         kernel; None when the plan shape doesn't qualify."""
@@ -1199,6 +1287,12 @@ class IntervalJoinExec(ExecPlan):
             hidx, rcodes, rs, re = self._host_index(ctx, left, right)
             counts = hidx.counts(rcodes, rs, re).astype(np.int32)
             return (counts, right) if with_table else counts
+        if _os.environ.get("SEQUILA_COUNT_BACKEND", "merge") == "merge":
+            # sort-free merge backend (mirror of the count(*) fast path);
+            # None -> co-sort fallback below
+            counts = self._merge_probe_counts(ctx, left, right)
+            if counts is not None:
+                return (counts, right) if with_table else counts
         index, rcodes, rs, re = self._prepare(ctx, left, right)
         method = _ALG_METHOD[self.algorithm]
         build_inverted = bool((np.asarray(index._he) < np.asarray(index._hs)).any())

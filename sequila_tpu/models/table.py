@@ -274,10 +274,23 @@ class Table:
             V = np.full(pad, PADV, np.int32)
             K[:n] = k_s
             V[:n] = v_s
+            order = order.astype(np.int32)
+            order.flags.writeable = False
+            self._i32[("sivo", key_col, val_col)] = order
             self._dev_i32[cache_key] = (
                 jnp.asarray(K), jnp.asarray(V), K, V, n
             )
         return self._dev_i32[cache_key]
+
+    def sorted_interval_order(self, key_col, val_col) -> np.ndarray:
+        """Permutation behind ``sorted_interval_view``: slot i of the sorted
+        view holds original row ``order[i]`` (real rows only, length
+        num_rows).  The per-probe merge-count backend scatters sorted-view
+        ranks back to probe row order through this."""
+        key = ("sivo", key_col, val_col)
+        if key not in self._i32:
+            self.sorted_interval_view(key_col, val_col)
+        return self._i32[key]
 
     def sorted_view_composite(self, key_col, val_col) -> np.ndarray:
         """Cached int64 composite of a sorted view (merge_count windows).

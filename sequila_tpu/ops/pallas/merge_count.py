@@ -193,6 +193,51 @@ def merge_count_passes(
     return jnp.concatenate([_limb_partials(r1), _limb_partials(r2)])
 
 
+@jax.jit
+def merge_probe_count_passes(
+    pqe_k, pqe_v, c_qe,  # probe sorted by (k, qe):    queries of pass A
+    bst_k, bst_v, c_bs,  # build sorted by (k, start): table of pass A
+    pqs_k, pqs_v, c_qs,  # probe sorted by (k, qs):    queries of pass B
+    ben_k, ben_v, c_be,  # build sorted by (k, end):   table of pass B
+    ord_qe, ord_qs,      # sorted-view orders, PAD slots = m_pad (dropped)
+    c_loA, n_chA, c_loB, n_chB,
+):
+    """Per-probe BITS counts over cached sorted views (CountOverlaps).
+
+    The count(*) passes above rank *build* tuples in the sorted probe
+    arrays (summing over build); the per-probe direction ranks *probe*
+    tuples in the sorted build arrays with the SAME four packings:
+
+        count_q = #{b: start_b <= qe_q} - #{b: end_b < qs_q}
+
+    Build rows of smaller joint keys land in both terms (their packed
+    start AND end sit in strictly lower u32 segments) and cancel; larger
+    keys land in neither; same-key rows reduce to exact BITS.  Probe PAD
+    queries rank the whole table in both passes and are sliced away; the
+    build side's PAD rows pack to the table sentinel, above every real
+    query, so they count in neither term.  Per-pass ranks scatter back to
+    original probe row order through the views' permutations (disjoint
+    slots — each real probe row appears exactly once per view; PAD slots
+    carry the out-of-bounds index m_pad and drop).  Returns the padded
+    vector — the caller slices [:num_rows] — so the compiled program is
+    shared per capacity bucket, not per exact table size.
+    """
+    qA = _pack_view(pqe_k, pqe_v, c_qe, _BUILD_PAD)
+    aA = _pack_view(bst_k, bst_v, c_bs, _PROBE_PAD)
+    qB = _pack_view(pqs_k, pqs_v, c_qs, _BUILD_PAD)
+    aB = _pack_view(ben_k, ben_v, c_be, _PROBE_PAD)
+    rA = _merge_rank_sorted(aA, qA, c_loA, n_chA, strict=False)
+    rB = _merge_rank_sorted(aB, qB, c_loB, n_chB, strict=True)
+    m_pad = pqe_k.shape[0]
+    cA = jnp.zeros((m_pad,), jnp.int32).at[ord_qe].set(
+        rA, mode="drop", unique_indices=True
+    )
+    cB = jnp.zeros((m_pad,), jnp.int32).at[ord_qs].set(
+        rB, mode="drop", unique_indices=True
+    )
+    return cA - cB
+
+
 def plan_packing(remap_b, remap_q, views, deltas):
     """Per-key u32 segment bases for both passes, or None if infeasible.
 

@@ -150,6 +150,101 @@ class TestMergeCountBackend:
         assert got == _brute(lt, rt, (0, 0, 0, 0))
 
 
+def _brute_per_probe(lt, rt, deltas):
+    d_bs, d_be, d_qs, d_qe = deltas
+    lk = lt.column_np("contig")
+    ls = lt.column_np("s").astype(np.int64) + d_bs
+    le = lt.column_np("e").astype(np.int64) + d_be
+    rk = rt.column_np("contig")
+    rs = rt.column_np("s").astype(np.int64) + d_qs
+    re = rt.column_np("e").astype(np.int64) + d_qe
+    return np.array(
+        [
+            int(((lk == rk[i]) & (ls <= re[i]) & (le >= rs[i])).sum())
+            for i in range(rt.num_rows)
+        ],
+        np.int64,
+    )
+
+
+class TestMergeProbeCounts:
+    """Per-probe direction of the merge backend (CountOverlaps)."""
+
+    @pytest.mark.parametrize("deltas", [(0, 0, 0, 0), (0, -1, 0, -1), (1, 0, 0, -1)])
+    def test_matches_oracle_with_deltas(self, rng, deltas):
+        lt, rt = _tables(rng, 400, 600)
+        join = _join(lt, rt, deltas)
+        got = join._merge_probe_counts(ExecContext(SequilaConfig()), lt, rt)
+        assert got is not None, "merge probe backend must engage"
+        np.testing.assert_array_equal(
+            got.astype(np.int64), _brute_per_probe(lt, rt, deltas)
+        )
+
+    def test_negative_coords_and_missing_keys(self, rng):
+        # rkeys > lkeys: probe rows whose key is absent from the build
+        # must count 0 (their two ranks are equal)
+        lt, rt = _tables(rng, 700, 300, lkeys=3, rkeys=9, neg=True)
+        join = _join(lt, rt)
+        got = join._merge_probe_counts(ExecContext(SequilaConfig()), lt, rt)
+        assert got is not None
+        np.testing.assert_array_equal(
+            got.astype(np.int64), _brute_per_probe(lt, rt, (0, 0, 0, 0))
+        )
+
+    def test_single_key_dense_ties(self, rng):
+        def dup(nn, seed):
+            r = np.random.default_rng(seed)
+            s = r.integers(0, 40, nn).astype(np.int64)
+            return Table(pa.table({
+                "contig": ["k"] * nn,
+                "s": s,
+                "e": s + r.integers(1, 5, nn),
+            }))
+
+        lt, rt = dup(3000, 3), dup(4000, 4)
+        join = _join(lt, rt)
+        got = join._merge_probe_counts(ExecContext(SequilaConfig()), lt, rt)
+        assert got is not None
+        np.testing.assert_array_equal(
+            got.astype(np.int64), _brute_per_probe(lt, rt, (0, 0, 0, 0))
+        )
+
+    def test_degenerate_probes_decline(self, rng):
+        lt, _ = _tables(rng, 200, 10)
+        rt = Table(pa.table({
+            "contig": ["c1"] * 50,
+            "s": np.arange(50, dtype=np.int64) + 100,
+            "e": np.arange(50, dtype=np.int64),
+        }))
+        join = _join(lt, rt)
+        assert (
+            join._merge_probe_counts(ExecContext(SequilaConfig()), lt, rt)
+            is None
+        )
+
+    def test_per_probe_counts_device_route(self, rng, monkeypatch):
+        """per_probe_counts with the host route disabled goes through the
+        merge backend and must equal the host index bit-for-bit."""
+        lt, rt = _tables(rng, 1200, 1500)
+        join = _join(lt, rt)
+        monkeypatch.setattr(IntervalJoinExec, "_use_host", lambda *a, **k: False)
+        ctx = ExecContext(SequilaConfig())
+        got = join.per_probe_counts(ctx)
+        np.testing.assert_array_equal(
+            np.asarray(got, np.int64), _brute_per_probe(lt, rt, (0, 0, 0, 0))
+        )
+
+    def test_sorted_interval_order_roundtrip(self, rng):
+        lt, _ = _tables(rng, 512, 8)
+        order = lt.sorted_interval_order(0, 1)
+        _, _, kh, vh, n = lt.sorted_interval_view(0, 1)
+        codes, _, _ = lt.dict_codes(0)
+        vals = lt.column_as_i32(1)
+        np.testing.assert_array_equal(kh[:n], codes[order])
+        np.testing.assert_array_equal(vh[:n], vals[order])
+        assert len(order) == lt.num_rows
+
+
 class TestMergeCountPieces:
     def test_per_key_minmax(self, rng):
         n = 1000
