@@ -15,6 +15,7 @@ end-inclusive i32, as everywhere in the engine.
 
 from __future__ import annotations
 
+import os
 import weakref
 
 import numpy as np
@@ -230,6 +231,26 @@ def overlap(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     return _pairs_to_table(a, b, p_rows, b_rows)
 
 
+def _merge_verb_plan(entry: dict, b: Table, a: Table, cols_b, cols_a,
+                     want4: bool):
+    """Cached merge-backend plan for a verb pair (build=b, probe=a), or
+    None when the preconditions/packing budget disqualify it.  Strand
+    folding rewrites the key column, so callers only come here with
+    strand=None (the cached sorted views key on the raw contig column)."""
+    key = "merge_plan_cov" if want4 else "merge_plan_cnt"
+    if key not in entry:
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        try:
+            ib = tuple(b.column_names.index(c) for c in cols_b)
+            ia = tuple(a.column_names.index(c) for c in cols_a)
+        except ValueError:
+            entry[key] = None
+            return None
+        entry[key] = mc.plan_verb_ranks(b, a, ib, ia, want4=want4)
+    return entry[key]
+
+
 def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
                    out_col: str = "count", partitions: int = 1,
                    strand=None, strand_col: str = "strand") -> Table:
@@ -253,15 +274,27 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     elif _route_perprobe_host(a, b):
         counts = np.asarray(_pair_host_index(entry).counts(ca, sa, ea))
     else:
-        index = _pair_index(entry)
-        deg = bool((sa > ea).any())
-        b_inv = bool((np.asarray(eb) < np.asarray(sb)).any())
-        counts = np.asarray(
-            count_matches(
-                index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea),
-                "sort" if deg or b_inv else "bits",
+        counts = None
+        if strand is None and os.environ.get("SEQUILA_COUNT_BACKEND", "merge") == "merge":
+            # sort-free merge rank passes over cached sorted views (the
+            # same backend as the SQL operator's CountOverlaps path)
+            plan = _merge_verb_plan(entry, b, a, cols_b, cols, want4=False)
+            if plan is not None:
+                from sequila_tpu.ops.pallas import merge_count as mc
+
+                counts = np.asarray(mc.merge_probe_count_passes(*plan))[
+                    : a.num_rows
+                ]
+        if counts is None:
+            index = _pair_index(entry)
+            deg = bool((sa > ea).any())
+            b_inv = bool((np.asarray(eb) < np.asarray(sb)).any())
+            counts = np.asarray(
+                count_matches(
+                    index, jnp.asarray(ca), jnp.asarray(sa), jnp.asarray(ea),
+                    "sort" if deg or b_inv else "bits",
+                )
             )
-        )
     return Table(a.arrow.append_column(out_col, pa.array(counts.astype(np.int64))))
 
 
@@ -383,8 +416,27 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
         else:  # NumPy fallback host index has no coverage; use kernels
             counts, bases = genomic.coverage(build_interval_index(cb, sb, eb), ca, sa, ea)
     else:
-        index = _pair_index(entry)
-        counts, bases = genomic.coverage(index, ca, sa, ea)
+        counts = None
+        if strand is None and os.environ.get("SEQUILA_COUNT_BACKEND", "merge") == "merge":
+            plan = _merge_verb_plan(entry, b, a, cols_b, cols, want4=True)
+            if plan is not None:
+                from sequila_tpu.ops.pallas import merge_count as mc
+
+                ranks = np.asarray(mc.merge_verb_rank4(*plan))[:, : a.num_rows]
+                prefix = entry.get("merge_cov_prefix")
+                if prefix is None:
+                    ib = tuple(b.column_names.index(c) for c in cols_b)
+                    _, _, _, bst_vh, _ = b.sorted_interval_view(ib[0], ib[1])
+                    _, _, _, ben_vh, _ = b.sorted_interval_view(ib[0], ib[2])
+                    psum = np.zeros(len(bst_vh) + 1, np.int64)
+                    np.cumsum(bst_vh.astype(np.int64), out=psum[1:])
+                    esum = np.zeros(len(ben_vh) + 1, np.int64)
+                    np.cumsum(ben_vh.astype(np.int64), out=esum[1:])
+                    prefix = entry["merge_cov_prefix"] = (psum, esum)
+                counts, bases = mc.coverage_from_ranks(ranks, sa, ea, *prefix)
+        if counts is None:
+            index = _pair_index(entry)
+            counts, bases = genomic.coverage(index, ca, sa, ea)
     t = a.arrow.append_column("count", pa.array(counts))
     t = t.append_column("bases", pa.array(bases))
     return Table(t)

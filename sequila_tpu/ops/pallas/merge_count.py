@@ -238,6 +238,32 @@ def merge_probe_count_passes(
     return cA - cB
 
 
+def _joint_domain(remap_b, remap_q, nkeys, mn_b, mx_b, d_b, mn_q, mx_q, d_q):
+    """Per-joint-key (lo, base) of one packed u32 domain spanning both
+    sides' (shifted) value ranges, or None when the summed spans exceed
+    the 32-bit budget."""
+    lo = np.full(nkeys, np.iinfo(np.int64).max, np.int64)
+    hi = np.full(nkeys, np.iinfo(np.int64).min, np.int64)
+    np.minimum.at(lo, remap_b, mn_b + d_b)
+    np.maximum.at(hi, remap_b, mx_b + d_b)
+    np.minimum.at(lo, remap_q, mn_q + d_q)
+    np.maximum.at(hi, remap_q, mx_q + d_q)
+    span = np.maximum(hi - lo + 1, 0)  # keys absent from both -> 0
+    total = int(span.sum())
+    if total > _SPAN_LIMIT:
+        return None
+    base = np.zeros(nkeys, np.int64)
+    np.cumsum(span[:-1], out=base[1:])
+    return lo, base
+
+
+def _c_tab(remap, lo, base, d):
+    """Per-row u32 add table folding segment base, per-key minimum and the
+    planner delta into one gather (mod-2^32 exact; see _pack_view)."""
+    j = remap.astype(np.int64)
+    return ((base[j] - lo[j] + d) & 0xFFFFFFFF).astype(np.uint32)
+
+
 def plan_packing(remap_b, remap_q, views, deltas):
     """Per-key u32 segment bases for both passes, or None if infeasible.
 
@@ -251,40 +277,199 @@ def plan_packing(remap_b, remap_q, views, deltas):
     d_bs, d_be, d_qs, d_qe = deltas
     nkeys = int(max(remap_b.max(initial=-1), remap_q.max(initial=-1))) + 1
 
-    def joint(mn_b, mx_b, d_b, mn_q, mx_q, d_q):
-        lo = np.full(nkeys, np.iinfo(np.int64).max, np.int64)
-        hi = np.full(nkeys, np.iinfo(np.int64).min, np.int64)
-        np.minimum.at(lo, remap_b, mn_b + d_b)
-        np.maximum.at(hi, remap_b, mx_b + d_b)
-        np.minimum.at(lo, remap_q, mn_q + d_q)
-        np.maximum.at(hi, remap_q, mx_q + d_q)
-        span = np.maximum(hi - lo + 1, 0)  # keys absent from both -> 0
-        total = int(span.sum())
-        if total > _SPAN_LIMIT:
-            return None
-        base = np.zeros(nkeys, np.int64)
-        np.cumsum(span[:-1], out=base[1:])
-        return lo, base
-
     # pass 1 packs (end_b + d_be) against (qs + d_qs)
-    p1 = joint(be_mn, be_mx, d_be, qs_mn, qs_mx, d_qs)
+    p1 = _joint_domain(remap_b, remap_q, nkeys, be_mn, be_mx, d_be, qs_mn, qs_mx, d_qs)
     # pass 2 packs (start_b + d_bs) against (qe + d_qe)
-    p2 = joint(bs_mn, bs_mx, d_bs, qe_mn, qe_mx, d_qe)
+    p2 = _joint_domain(remap_b, remap_q, nkeys, bs_mn, bs_mx, d_bs, qe_mn, qe_mx, d_qe)
     if p1 is None or p2 is None:
         return None
     lo1, base1 = p1
     lo2, base2 = p2
 
-    def c_tab(remap, lo, base, d):
-        j = remap.astype(np.int64)
-        return ((base[j] - lo[j] + d) & 0xFFFFFFFF).astype(np.uint32)
-
     return (
-        c_tab(remap_b, lo1, base1, d_be),  # build (k, end)
-        c_tab(remap_q, lo1, base1, d_qs),  # probe (k, qs)
-        c_tab(remap_b, lo2, base2, d_bs),  # build (k, start)
-        c_tab(remap_q, lo2, base2, d_qe),  # probe (k, qe)
+        _c_tab(remap_b, lo1, base1, d_be),  # build (k, end)
+        _c_tab(remap_q, lo1, base1, d_qs),  # probe (k, qs)
+        _c_tab(remap_b, lo2, base2, d_bs),  # build (k, start)
+        _c_tab(remap_q, lo2, base2, d_qe),  # probe (k, qe)
     )
+
+
+@jax.jit
+def merge_verb_rank4(
+    pqe_k, pqe_v, pqs_k, pqs_v,  # probe views: (k, qe) and (k, qs)
+    bst_k, bst_v, ben_k, ben_v,  # build views: (k, start) and (k, end)
+    c_qe2, c_bs2,  # domain 2 (bs, qe):  ub_s = #{start_b <= qe}
+    c_qs1, c_be1,  # domain 1 (be, qs):  lb_e = #{end_b  <  qs}
+    c_qe3, c_be3,  # domain 3 (be, qe):  ub_e = #{end_b  <= qe}
+    c_qs4, c_bs4,  # domain 4 (bs, qs):  lb_s = #{start_b <  qs}
+    ord_qe, ord_qs,
+    w_ubs_lo, w_ubs_n, w_lbe_lo, w_lbe_n,
+    w_ube_lo, w_ube_n, w_lbs_lo, w_lbs_n,
+):
+    """Four per-probe rank passes for the coverage decomposition
+    (ops/genomic.py::coverage's level-free algebra) over cached sorted
+    views — no device sort.  Cross-key rows land in matched pass pairs
+    and cancel in every consumer expression (total = ub_s - lb_e,
+    nA = ub_e - lb_e, nB = ub_s - lb_s, and the prefix-sum differences
+    esum[ub_e]-esum[lb_e] / psum[ub_s]-psum[lb_s] read same-key rank
+    ranges by construction).  Returns (4, m_pad) int32 in probe row
+    order: [ub_s, lb_e, ub_e, lb_s]; the caller slices [:, :num_rows].
+    """
+    ub_s = _merge_rank_sorted(
+        _pack_view(bst_k, bst_v, c_bs2, _PROBE_PAD),
+        _pack_view(pqe_k, pqe_v, c_qe2, _BUILD_PAD),
+        w_ubs_lo, w_ubs_n, strict=False,
+    )
+    lb_e = _merge_rank_sorted(
+        _pack_view(ben_k, ben_v, c_be1, _PROBE_PAD),
+        _pack_view(pqs_k, pqs_v, c_qs1, _BUILD_PAD),
+        w_lbe_lo, w_lbe_n, strict=True,
+    )
+    ub_e = _merge_rank_sorted(
+        _pack_view(ben_k, ben_v, c_be3, _PROBE_PAD),
+        _pack_view(pqe_k, pqe_v, c_qe3, _BUILD_PAD),
+        w_ube_lo, w_ube_n, strict=False,
+    )
+    lb_s = _merge_rank_sorted(
+        _pack_view(bst_k, bst_v, c_bs4, _PROBE_PAD),
+        _pack_view(pqs_k, pqs_v, c_qs4, _BUILD_PAD),
+        w_lbs_lo, w_lbs_n, strict=True,
+    )
+    m_pad = pqe_k.shape[0]
+
+    def scat(r, o):
+        return jnp.zeros((m_pad,), jnp.int32).at[o].set(
+            r, mode="drop", unique_indices=True
+        )
+
+    return jnp.stack([
+        scat(ub_s, ord_qe), scat(lb_e, ord_qs),
+        scat(ub_e, ord_qe), scat(lb_s, ord_qs),
+    ])
+
+
+def plan_verb_ranks(build, probe, cols_b, cols_q, *, want4: bool):
+    """Device argument tuple for the verb-layer merge rank passes.
+
+    ``cols_*`` are (key, start, end) column INDICES of registered Tables
+    (build = the counted side, probe = the enriched side; no ±deltas at
+    the verb layer).  want4=False returns ``merge_probe_count_passes``
+    args (count_overlaps); want4=True returns ``merge_verb_rank4`` args
+    (coverage).  None when the preconditions or the 32-bit span budget
+    disqualify the packing — callers fall back to the co-sort kernels.
+    """
+    from sequila_tpu.models.table import merge_dictionaries
+
+    kb, s_b, e_b = cols_b
+    kq, s_q, e_q = cols_q
+    if build.num_rows == 0 or probe.num_rows == 0:
+        return None
+    if build.column(kb).null_count or probe.column(kq).null_count:
+        return None
+    # degenerate probes / inverted builds break the BITS rank algebra
+    if probe.min_i32_diff(e_q, s_q) < 0 or build.min_i32_diff(e_b, s_b) < 0:
+        return None
+    _, bvals, _ = build.dict_codes(kb)
+    _, qvals, _ = probe.dict_codes(kq)
+    if len(bvals) and len(qvals) and type(bvals[0]) is not type(qvals[0]):
+        return None
+    remap_b, remap_q = merge_dictionaries(bvals, qvals)
+    nkeys = int(max(remap_b.max(initial=-1), remap_q.max(initial=-1))) + 1
+    bs_mm = build.per_key_minmax(kb, s_b)
+    be_mm = build.per_key_minmax(kb, e_b)
+    qs_mm = probe.per_key_minmax(kq, s_q)
+    qe_mm = probe.per_key_minmax(kq, e_q)
+
+    def dom(b_mm, q_mm):
+        return _joint_domain(
+            remap_b, remap_q, nkeys, b_mm[0], b_mm[1], 0, q_mm[0], q_mm[1], 0
+        )
+
+    d2 = dom(bs_mm, qe_mm)
+    d1 = dom(be_mm, qs_mm)
+    if d1 is None or d2 is None:
+        return None
+    c_qe2 = _c_tab(remap_q, *d2, 0)
+    c_bs2 = _c_tab(remap_b, *d2, 0)
+    c_qs1 = _c_tab(remap_q, *d1, 0)
+    c_be1 = _c_tab(remap_b, *d1, 0)
+
+    pqe_k, pqe_v, pqe_kh, pqe_vh, _ = probe.sorted_interval_view(kq, e_q)
+    pqs_k, pqs_v, pqs_kh, pqs_vh, _ = probe.sorted_interval_view(kq, s_q)
+    bst_k, bst_v, _, _, _ = build.sorted_interval_view(kb, s_b)
+    ben_k, ben_v, _, _, _ = build.sorted_interval_view(kb, e_b)
+    comp_bs = build.sorted_view_composite(kb, s_b)
+    comp_be = build.sorted_view_composite(kb, e_b)
+    w_ubs = host_windows_joint(pqe_kh, pqe_vh, remap_q, remap_b, 0, 0, comp_bs)
+    w_lbe = host_windows_joint(pqs_kh, pqs_vh, remap_q, remap_b, 0, 0, comp_be)
+
+    cap = int(pqe_k.shape[0])
+
+    def pad_order(order):
+        out = np.full(cap, cap, np.int32)
+        out[: len(order)] = order
+        return out
+
+    ord_qe = jnp.asarray(pad_order(probe.sorted_interval_order(kq, e_q)))
+    ord_qs = jnp.asarray(pad_order(probe.sorted_interval_order(kq, s_q)))
+
+    if not want4:
+        return (
+            pqe_k, pqe_v, jnp.asarray(c_qe2),
+            bst_k, bst_v, jnp.asarray(c_bs2),
+            pqs_k, pqs_v, jnp.asarray(c_qs1),
+            ben_k, ben_v, jnp.asarray(c_be1),
+            ord_qe, ord_qs,
+            jnp.asarray(w_ubs[0]), jnp.asarray(w_ubs[1]),
+            jnp.asarray(w_lbe[0]), jnp.asarray(w_lbe[1]),
+        )
+
+    d3 = dom(be_mm, qe_mm)
+    d4 = dom(bs_mm, qs_mm)
+    if d3 is None or d4 is None:
+        return None
+    c_qe3 = _c_tab(remap_q, *d3, 0)
+    c_be3 = _c_tab(remap_b, *d3, 0)
+    c_qs4 = _c_tab(remap_q, *d4, 0)
+    c_bs4 = _c_tab(remap_b, *d4, 0)
+    w_ube = host_windows_joint(pqe_kh, pqe_vh, remap_q, remap_b, 0, 0, comp_be)
+    w_lbs = host_windows_joint(pqs_kh, pqs_vh, remap_q, remap_b, 0, 0, comp_bs)
+    return (
+        pqe_k, pqe_v, pqs_k, pqs_v,
+        bst_k, bst_v, ben_k, ben_v,
+        jnp.asarray(c_qe2), jnp.asarray(c_bs2),
+        jnp.asarray(c_qs1), jnp.asarray(c_be1),
+        jnp.asarray(c_qe3), jnp.asarray(c_be3),
+        jnp.asarray(c_qs4), jnp.asarray(c_bs4),
+        ord_qe, ord_qs,
+        jnp.asarray(w_ubs[0]), jnp.asarray(w_ubs[1]),
+        jnp.asarray(w_lbe[0]), jnp.asarray(w_lbe[1]),
+        jnp.asarray(w_ube[0]), jnp.asarray(w_ube[1]),
+        jnp.asarray(w_lbs[0]), jnp.asarray(w_lbs[1]),
+    )
+
+
+def coverage_from_ranks(ranks, qs, qe, psum, esum):
+    """Host int64 finish of the coverage decomposition over merge ranks.
+
+    ``ranks`` = (4, m) int32 [ub_s, lb_e, ub_e, lb_s] in probe row order
+    (merge_verb_rank4); ``psum``/``esum`` = int64 exclusive prefix sums of
+    the build's (k,start)-view starts / (k,end)-view ends.  Same algebra
+    as ops/genomic.py::coverage's level-free branch."""
+    ub_s = ranks[0].astype(np.int64)
+    lb_e = ranks[1].astype(np.int64)
+    ub_e = ranks[2].astype(np.int64)
+    lb_s = ranks[3].astype(np.int64)
+    total = ub_s - lb_e
+    nA = ub_e - lb_e
+    nB = ub_s - lb_s
+    sumA_end = esum[ub_e] - esum[lb_e]
+    sumB_start = psum[ub_s] - psum[lb_s]
+    qe64 = np.asarray(qe).astype(np.int64)
+    qs64 = np.asarray(qs).astype(np.int64)
+    sum_min_end = sumA_end + qe64 * (total - nA)
+    sum_max_start = sumB_start + qs64 * (total - nB)
+    return total, sum_min_end - sum_max_start
 
 
 def host_windows_joint(bk_h, bv_h, remap_b, remap_q, d_b, d_q, probe_comp):

@@ -245,6 +245,113 @@ class TestMergeProbeCounts:
         assert len(order) == lt.num_rows
 
 
+class TestMergeVerbBackend:
+    """Verb-layer merge rank passes: count_overlaps + coverage."""
+
+    @staticmethod
+    def _rename(t):
+        return Table(t.arrow.rename_columns(["contig", "pos_start", "pos_end"]))
+
+    def _brute_cov(self, lt, rt):
+        lk = lt.column_np("contig")
+        ls = lt.column_np("pos_start").astype(np.int64)
+        le = lt.column_np("pos_end").astype(np.int64)
+        rk = rt.column_np("contig")
+        rs = rt.column_np("pos_start").astype(np.int64)
+        re = rt.column_np("pos_end").astype(np.int64)
+        counts = np.zeros(rt.num_rows, np.int64)
+        bases = np.zeros(rt.num_rows, np.int64)
+        for i in range(rt.num_rows):
+            sel = (lk == rk[i]) & (ls <= re[i]) & (le >= rs[i])
+            counts[i] = int(sel.sum())
+            bases[i] = int(
+                (np.minimum(le[sel], re[i]) - np.maximum(ls[sel], rs[i])).sum()
+            )
+        return counts, bases
+
+    def test_count_overlaps_device_merge(self, rng, monkeypatch):
+        from sequila_tpu import dataframe as gdf
+
+        lt, rt = _tables(rng, 900, 1100)
+        a, b = self._rename(rt), self._rename(lt)  # enrich a with b-counts
+        monkeypatch.setattr(gdf, "_route_perprobe_host", lambda *x: False)
+        out = gdf.count_overlaps(a, b)
+        expect, _ = self._brute_cov(b, a)
+        np.testing.assert_array_equal(out.column_np("count"), expect)
+
+    def test_coverage_device_merge(self, rng, monkeypatch):
+        from sequila_tpu import dataframe as gdf
+
+        lt, rt = _tables(rng, 900, 1100, lkeys=4, rkeys=7)
+        a, b = self._rename(rt), self._rename(lt)
+        monkeypatch.setattr(gdf, "_route_perprobe_host", lambda *x: False)
+        # assert the merge plan actually engages for this shape
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        ib = (0, 1, 2)
+        assert mc.plan_verb_ranks(b, a, ib, ib, want4=True) is not None
+        out = gdf.coverage(a, b)
+        expect_c, expect_b = self._brute_cov(b, a)
+        np.testing.assert_array_equal(out.column_np("count"), expect_c)
+        np.testing.assert_array_equal(out.column_np("bases"), expect_b)
+
+    def test_coverage_negative_coords(self, rng, monkeypatch):
+        from sequila_tpu import dataframe as gdf
+
+        lt, rt = _tables(rng, 700, 500, neg=True)
+        a, b = self._rename(rt), self._rename(lt)
+        monkeypatch.setattr(gdf, "_route_perprobe_host", lambda *x: False)
+        out = gdf.coverage(a, b)
+        expect_c, expect_b = self._brute_cov(b, a)
+        np.testing.assert_array_equal(out.column_np("count"), expect_c)
+        np.testing.assert_array_equal(out.column_np("bases"), expect_b)
+
+    def test_degenerate_declines_and_fallback_correct(self, rng, monkeypatch):
+        """Degenerate probe rows must decline the merge plan; the verb
+        falls back to the exact kernels with the right answer."""
+        from sequila_tpu import dataframe as gdf
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        lt, _ = _tables(rng, 300, 10)
+        b = self._rename(lt)
+        a = Table(pa.table({
+            "contig": ["c1"] * 40,
+            "pos_start": np.arange(40, dtype=np.int64) + 50,
+            "pos_end": np.arange(40, dtype=np.int64),  # qs > qe
+        }))
+        assert mc.plan_verb_ranks(b, a, (0, 1, 2), (0, 1, 2), want4=True) is None
+        monkeypatch.setattr(gdf, "_route_perprobe_host", lambda *x: False)
+        out = gdf.coverage(a, b)
+        expect_c, expect_b = self._brute_cov(b, a)
+        np.testing.assert_array_equal(out.column_np("count"), expect_c)
+        np.testing.assert_array_equal(out.column_np("bases"), expect_b)
+
+    def test_strand_folding_bypasses_merge(self, rng, monkeypatch):
+        """strand='same' rewrites the key column — the merge plan must not
+        engage, and the folded result must stay correct."""
+        from sequila_tpu import dataframe as gdf
+
+        lt, rt = _tables(rng, 400, 300, lkeys=2, rkeys=2)
+        a, b = self._rename(rt), self._rename(lt)
+        sa = np.where(np.arange(a.num_rows) % 2 == 0, "+", "-")
+        sb = np.where(np.arange(b.num_rows) % 3 == 0, "+", "-")
+        a = Table(a.arrow.append_column("strand", pa.array(sa)))
+        b = Table(b.arrow.append_column("strand", pa.array(sb)))
+        monkeypatch.setattr(gdf, "_route_perprobe_host", lambda *x: False)
+        out = gdf.count_overlaps(a, b, strand="same")
+        lk = np.char.add(b.column_np("contig").astype("U8"), sb)
+        rk = np.char.add(a.column_np("contig").astype("U8"), sa)
+        ls = b.column_np("pos_start").astype(np.int64)
+        le = b.column_np("pos_end").astype(np.int64)
+        rs = a.column_np("pos_start").astype(np.int64)
+        re = a.column_np("pos_end").astype(np.int64)
+        expect = np.array([
+            int(((lk == rk[i]) & (ls <= re[i]) & (le >= rs[i])).sum())
+            for i in range(a.num_rows)
+        ])
+        np.testing.assert_array_equal(out.column_np("count"), expect)
+
+
 class TestMergeCountPieces:
     def test_per_key_minmax(self, rng):
         n = 1000
