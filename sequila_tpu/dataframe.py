@@ -613,7 +613,16 @@ def _code_decoder(table: Table, key_col, codes: np.ndarray):
 
     Vectorized: unique codes -> first-occurrence rows (one small arrow
     take), then each decode is a dense-LUT gather + one arrow take —
-    no per-row Python."""
+    no per-row Python.  The unique pass is memoized per (table, column,
+    codes identity): verbs hand in the pair-cache's encoded keys, so
+    repeated calls (subtract then complement then depth over the same
+    tables) skip the 500k-row sort entirely."""
+    memo = table._codes.setdefault("_decoders", {})
+    mkey = (key_col, id(codes))
+    hit = memo.get(mkey)
+    if hit is not None and hit[0] is codes:
+        return hit[1]
+    codes_arr = codes
     codes = np.asarray(codes, dtype=np.int64)
     uniq, first = np.unique(codes, return_index=True)
     col = table.column(key_col)
@@ -625,6 +634,9 @@ def _code_decoder(table: Table, key_col, codes: np.ndarray):
         idx = lut[np.asarray(code_arr, dtype=np.int64)]
         return vals.take(pa.array(idx))
 
+    if len(memo) >= 8:
+        memo.pop(next(iter(memo)))
+    memo[mkey] = (codes_arr, decode)
     return decode
 
 
@@ -633,8 +645,13 @@ def subtract(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
     """Sub-ranges of a not covered by any b interval (bedtools subtract;
     ``strand='same'|'opposite'`` subtracts only matching-strand b)."""
     cols_b = cols_b or cols
-    ca, sa, ea, cb, sb, eb = _encode_pair(a, b, cols, cols_b, strand, strand_col)
-    ok, os_, oe = genomic.subtract_intervals(ca, sa, ea, cb, sb, eb)
+    entry = _pair_cache_entry(a, b, cols, cols_b, strand, strand_col)
+    ca, sa, ea = entry["ca"], entry["sa"], entry["ea"]
+    cb, sb, eb = entry["cb"], entry["sb"], entry["eb"]
+    merged = entry.get("sub_merged")
+    if merged is None:
+        merged = entry["sub_merged"] = genomic.merged_subtrahend(cb, sb, eb)
+    ok, os_, oe = genomic.subtract_intervals(ca, sa, ea, cb, sb, eb, merged=merged)
     decode = _code_decoder(a, cols[0], ca)
     return Table(
         pa.Table.from_arrays(

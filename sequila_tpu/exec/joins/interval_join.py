@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import jax
 import jax.numpy as jnp
 
 from sequila_tpu.config import Algorithm
@@ -588,6 +589,94 @@ class IntervalJoinExec(ExecPlan):
             jnp.asarray(c_loB), jnp.asarray(n_chB),
         )
 
+    def _merge_bounds_plan(self, left: Table, right: Table, index):
+        """Sort-free merge-rank plan for EMISSION bounds
+        (ops/pallas/merge_count.plan_level_bounds), or None.
+
+        Preconditions are the count path's minus the degenerate-probe /
+        inverted-build data checks: the level-run identity is exact for
+        every query and row shape, so this route is wider than BITS.
+        SEQUILA_EMIT_BACKEND=cosort forces the co-sort bounds."""
+        from sequila_tpu.models.table import merge_dictionaries
+        from sequila_tpu.ops.pallas import merge_count as mc
+        from sequila_tpu.planner.expr import Column
+
+        if _os.environ.get("SEQUILA_EMIT_BACKEND", "merge") != "merge":
+            return None
+        if len(self.on) != 1 or left.num_rows == 0 or right.num_rows == 0:
+            return None
+        l_on, r_on = self.on[0]
+        if not (isinstance(l_on, Column) and isinstance(r_on, Column)):
+            return None
+        if left.column(l_on.index).null_count or right.column(r_on.index).null_count:
+            return None
+        bs_cd = self._bound_col_delta(self.intervals.left_interval.start, left)
+        be_cd = self._bound_col_delta(self.intervals.left_interval.end, left)
+        qs_cd = self._bound_col_delta(self.intervals.right_interval.start, right)
+        qe_cd = self._bound_col_delta(self.intervals.right_interval.end, right)
+        if None in (bs_cd, be_cd, qs_cd, qe_cd):
+            return None
+        _, lvals, _ = left.dict_codes(l_on.index)
+        _, rvals, _ = right.dict_codes(r_on.index)
+        if len(lvals) and len(rvals) and type(lvals[0]) is not type(rvals[0]):
+            return None  # str-coercing merge would break monotone remaps
+        remap_b, remap_q = merge_dictionaries(lvals, rvals)
+        views = (
+            left.per_key_minmax(l_on.index, bs_cd[0]),
+            left.per_key_minmax(l_on.index, be_cd[0]),
+            right.per_key_minmax(r_on.index, qs_cd[0]),
+            right.per_key_minmax(r_on.index, qe_cd[0]),
+        )
+        return mc.plan_level_bounds(
+            index, right, r_on.index, qs_cd, qe_cd, bs_cd, be_cd,
+            remap_b, remap_q, views,
+        )
+
+    def _merge_pair_chunks(self, index, plan, cap: int | None):
+        """Yield (probe_lo, build_rows, probe_rows_local) pair chunks from
+        the merge-rank bounds — the sort-free twin of _device_pair_chunks.
+
+        Bounds for the WHOLE probe are computed once (2L merge kernels,
+        no device sort); ``cap`` then slices them into emission chunks by
+        the exact per-probe counts, so the capped continuation never
+        recomputes ranks the way the co-sort path re-counts per chunk."""
+        from sequila_tpu.ops.interval_join import (
+            _counts_and_nnz,
+            materialize_pairs_from_bounds,
+        )
+        from sequila_tpu.ops.pallas import merge_count as mc
+
+        lb, ub = mc.merge_level_bounds(plan)
+        if cap is None:
+            b, p, total = materialize_pairs_from_bounds(index, lb, ub)
+            if total:
+                yield 0, b, p
+            return
+        packed = np.asarray(_counts_and_nnz(lb, ub))
+        counts = packed[:-2]
+        cum = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+        m = len(counts)
+        L = lb.shape[0]
+        lo = 0
+        while lo < m:
+            # widest probe range whose pair total fits the cap (always
+            # advance by at least one probe row); all-zero stretches of
+            # `cum` advance in one step
+            hi = max(
+                int(np.searchsorted(cum, cum[lo] + cap, side="right")) - 1,
+                lo + 1,
+            )
+            if cum[hi] > cum[lo]:
+                rows = hi - lo
+                cap_rows = _bucket(rows, minimum=1024)
+                pad = ((0, 0), (0, cap_rows - rows))
+                lb_c = jnp.pad(jax.lax.slice(lb, (0, lo), (L, hi)), pad)
+                ub_c = jnp.pad(jax.lax.slice(ub, (0, lo), (L, hi)), pad)
+                b, p, total = materialize_pairs_from_bounds(index, lb_c, ub_c)
+                if total:
+                    yield lo, b, p
+            lo = hi
+
     def _stream_sorted_count(self, ctx, left: Table, right: Table):
         """Sort-free count over cached sorted views + the streaming DMA
         kernel; None when the plan shape doesn't qualify."""
@@ -985,9 +1074,19 @@ class IntervalJoinExec(ExecPlan):
         all_b, all_p = [], []
 
         with ctx.timer(self.op_id(), "join_time"):
-            for lo, b_rows, p_rows in self._device_pair_chunks(
-                index, rcodes, rs, re, method, chunk, out_cap
-            ):
+            gen = None
+            if method == "sort":
+                # sort-free merge-rank bounds (default emission backend):
+                # the whole probe's [lb, ub) in 2L merge kernels over the
+                # cached sorted views — no device co-sort at all
+                plan = self._merge_bounds_plan(left, right, index)
+                if plan is not None:
+                    gen = self._merge_pair_chunks(index, plan, out_cap)
+            if gen is None:
+                gen = self._device_pair_chunks(
+                    index, rcodes, rs, re, method, chunk, out_cap
+                )
+            for lo, b_rows, p_rows in gen:
                 if inner:
                     # stream one output batch per probe chunk (the
                     # reference's batch-at-a-time emission); int32 row
@@ -1062,19 +1161,31 @@ class IntervalJoinExec(ExecPlan):
             if method == "window":
                 # bounded emission needs exact-count buffers (level path)
                 method = "sort"
-            # probe chunk sized from the cardinality estimate (statistics
-            # feed execution, not just EXPLAIN): chunk ~ cap / E[matches
-            # per probe row] hits the output cap in one try — each
-            # halving iteration costs a device round trip (25-33 ms on
-            # the tunnel).  Estimate absent -> assume ~4 matches/row; the
-            # halving loop still bounds dense regions either way.
-            est = self.statistics().num_rows
-            if not est.is_absent and est.value and m:
-                avg = max(float(est.value) / m, 0.25)
-                chunk = int(min(max(cap / avg, 1), _FULL_MODE_CHUNK))
-            else:
-                chunk = max(1, cap // 4)
-            gen = self._device_pair_chunks(index, rcodes, rs, re, method, chunk, cap)
+            gen = None
+            if method == "sort":
+                # sort-free merge-rank bounds: ranks computed ONCE for the
+                # whole probe, then sliced into capped emission chunks by
+                # the exact counts — no per-chunk re-counting round trips
+                plan = self._merge_bounds_plan(left, right, index)
+                if plan is not None:
+                    gen = self._merge_pair_chunks(index, plan, cap)
+            if gen is None:
+                # probe chunk sized from the cardinality estimate
+                # (statistics feed execution, not just EXPLAIN): chunk ~
+                # cap / E[matches per probe row] hits the output cap in
+                # one try — each halving iteration costs a device round
+                # trip (25-33 ms on the tunnel).  Estimate absent ->
+                # assume ~4 matches/row; the halving loop still bounds
+                # dense regions either way.
+                est = self.statistics().num_rows
+                if not est.is_absent and est.value and m:
+                    avg = max(float(est.value) / m, 0.25)
+                    chunk = int(min(max(cap / avg, 1), _FULL_MODE_CHUNK))
+                else:
+                    chunk = max(1, cap // 4)
+                gen = self._device_pair_chunks(
+                    index, rcodes, rs, re, method, chunk, cap
+                )
             for out in self._timed_assembled(ctx, left, right, gen):
                 n_out += out.num_rows
                 yield out

@@ -679,9 +679,9 @@ class AggregateExec(ExecPlan):
         else:
             # NULL-filled group columns are typed null; permissive
             # promotion unifies them with the typed pieces
-            out = Table(
-                pa.concat_tables(pieces, promote_options="permissive")
-            )
+            from sequila_tpu.models.table import concat_tables_unify
+
+            out = Table(concat_tables_unify(pieces))
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         return out
 

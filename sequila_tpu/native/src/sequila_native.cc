@@ -66,7 +66,69 @@ struct Index {
   std::vector<int32_t> eytz_ends, eytz_ends_rank;
   std::vector<int32_t> eytz_cummax, eytz_cummax_rank;
   std::vector<int64_t> eytz_off;  // per-segment block offsets (len+1 each)
+  // AIList-style level decomposition (emission): within one (segment,
+  // level) run, starts AND ends both ascend, so the overlap set of any
+  // query — including degenerate stabbing (qs > qe) and inverted build
+  // rows — is the contiguous run [lower_bound(ends, qs),
+  // upper_bound(starts, qe)).  Emission copies exactly the matches; the
+  // cummax-window scan it replaces touched ~20x more candidates than
+  // matches on long-tailed genomic tracks (measured on the databio-like
+  // chain tables).  Levels are assigned greedily first-fit in (start,
+  // end, row) order — the patience-sorting argument keeps the per-level
+  // tail ends non-increasing across levels, so placement is a binary
+  // search and the level count is the MINIMUM possible (the length of
+  // the longest strictly-decreasing end subsequence per segment).
+  std::vector<int32_t> lvl_starts, lvl_ends, lvl_pos;
+  // flat per-(segment, level) bounds: segment s's level l spans
+  // [lvl_bounds[lvl_dir[s]+l], lvl_bounds[lvl_dir[s]+l+1]); lvl_dir has
+  // nseg+1 entries so a segment's level count is dir[s+1]-dir[s]-1.
+  std::vector<int64_t> lvl_bounds;
+  std::vector<int64_t> lvl_dir;
+  // Bucketed search hints per (segment, level), one grid over starts and
+  // one over ends: hint[b] = lower_bound(values, base + (b << g)), so a
+  // query's bound is a hint load plus a short gallop — genomic
+  // coordinates are near-uniform within a contig, so the expected gallop
+  // is O(1) where a cold per-level binary search costs ~12 cache-missing
+  // steps.  Grids are sized to ~2 rows per bucket (<= 8 bytes/row).
+  // Indexed by the same flat slot `d` as lvl_bounds.
+  std::vector<int32_t> lvl_hints;          // shared hint pool
+  std::vector<int64_t> hint_s_off, hint_e_off;  // slot -> pool offset
+  std::vector<int32_t> hint_s_nb, hint_e_nb;    // slot -> bucket count
+  std::vector<int32_t> hint_s_base, hint_e_base;  // slot -> grid origin
+  std::vector<int8_t> hint_s_g, hint_e_g;         // slot -> log2 bucket
 };
+
+// first index in [0,len) with v[i] > x, seeded by the bucket grid
+inline int64_t hint_ub32(const int32_t* v, int64_t len, const int32_t* hints,
+                         int64_t nb, int32_t base, int32_t g, int32_t x) {
+  if (x < base) return 0;
+  int64_t b = (int64_t(x) - base) >> g;
+  if (b >= nb) b = nb - 1;
+  int64_t i = hints[b];  // v[i-1] < bucket base <= x
+  int64_t step = 1;
+  while (i + step <= len && v[i + step - 1] <= x) {
+    i += step;
+    step <<= 1;
+  }
+  const int64_t hi = std::min(i + step - 1, len);
+  return i + (std::upper_bound(v + i, v + hi, x) - (v + i));
+}
+
+// first index in [0,len) with v[i] >= x, seeded by the bucket grid
+inline int64_t hint_lb32(const int32_t* v, int64_t len, const int32_t* hints,
+                         int64_t nb, int32_t base, int32_t g, int32_t x) {
+  if (x <= base) return 0;  // base == v[0], so v[0] >= x
+  int64_t b = (int64_t(x) - base) >> g;
+  if (b >= nb) b = nb - 1;
+  int64_t i = hints[b];  // v[i-1] < bucket base <= x  ->  v[i-1] < x
+  int64_t step = 1;
+  while (i + step <= len && v[i + step - 1] < x) {
+    i += step;
+    step <<= 1;
+  }
+  const int64_t hi = std::min(i + step - 1, len);
+  return i + (std::lower_bound(v + i, v + hi, x) - (v + i));
+}
 
 // first index in [0,len) with v[i] >= x
 inline int64_t lb32(const int32_t* v, int64_t len, int32_t x) {
@@ -372,6 +434,133 @@ void* si_build(const int32_t* k, const int32_t* s, const int32_t* e,
       idx->end_pos[i] = idx->pos[eorder[i]];
     }
   });
+  // Level decomposition for emission (see Index comment).  Per segment:
+  // greedy first-fit over the (start, end, row)-sorted rows, then a
+  // stable counting sort into (level, start) order — appending in start
+  // order keeps starts ascending per level, and the first-fit condition
+  // (tail end <= this end) keeps ends ascending per level.
+  {
+    const int64_t nseg = int64_t(idx->seg_keys.size());
+    std::vector<int32_t> level(size_t(n), 0);
+    std::vector<int32_t> seg_nlvl(size_t(nseg), 0);
+    parallel_chunks(nseg, 1, [&](int64_t s0, int64_t s1) {
+      std::vector<int32_t> tails;  // non-increasing across levels
+      for (int64_t sg = s0; sg < s1; ++sg) {
+        tails.clear();
+        for (int64_t i = idx->seg_off[sg]; i < idx->seg_off[sg + 1]; ++i) {
+          const int32_t e_i = idx->ends[i];
+          // first level whose tail is <= e_i
+          auto it = std::partition_point(
+              tails.begin(), tails.end(),
+              [&](int32_t t) { return t > e_i; });
+          if (it == tails.end()) {
+            tails.push_back(e_i);
+            level[i] = int32_t(tails.size()) - 1;
+          } else {
+            level[i] = int32_t(it - tails.begin());
+            *it = e_i;
+          }
+        }
+        seg_nlvl[sg] = int32_t(tails.size());
+      }
+    });
+    idx->lvl_dir.resize(size_t(nseg) + 1);
+    int64_t acc = 0;
+    for (int64_t sg = 0; sg < nseg; ++sg) {
+      idx->lvl_dir[sg] = acc;
+      acc += seg_nlvl[sg] + 1;
+    }
+    idx->lvl_dir[nseg] = acc;
+    idx->lvl_bounds.resize(size_t(acc));
+    idx->lvl_starts.resize(size_t(n));
+    idx->lvl_ends.resize(size_t(n));
+    idx->lvl_pos.resize(size_t(n));
+    parallel_chunks(nseg, 1, [&](int64_t s0, int64_t s1) {
+      std::vector<int64_t> cnt, cursor;
+      for (int64_t sg = s0; sg < s1; ++sg) {
+        const int64_t lo = idx->seg_off[sg], hi = idx->seg_off[sg + 1];
+        const int32_t nl = seg_nlvl[sg];
+        cnt.assign(size_t(nl), 0);
+        for (int64_t i = lo; i < hi; ++i) ++cnt[size_t(level[i])];
+        int64_t* bounds = idx->lvl_bounds.data() + idx->lvl_dir[sg];
+        bounds[0] = lo;
+        for (int32_t l = 0; l < nl; ++l) bounds[l + 1] = bounds[l] + cnt[l];
+        cursor.assign(bounds, bounds + nl);
+        for (int64_t i = lo; i < hi; ++i) {
+          const int64_t d = cursor[size_t(level[i])]++;
+          idx->lvl_starts[size_t(d)] = idx->starts[i];
+          idx->lvl_ends[size_t(d)] = idx->ends[i];
+          idx->lvl_pos[size_t(d)] = idx->pos[i];
+        }
+      }
+    });
+    // bucketed search hints per (segment, level) over starts and ends
+    const int64_t nslot = int64_t(idx->lvl_bounds.size());
+    idx->hint_s_off.assign(size_t(nslot), 0);
+    idx->hint_e_off.assign(size_t(nslot), 0);
+    idx->hint_s_nb.assign(size_t(nslot), 0);
+    idx->hint_e_nb.assign(size_t(nslot), 0);
+    idx->hint_s_base.assign(size_t(nslot), 0);
+    idx->hint_e_base.assign(size_t(nslot), 0);
+    idx->hint_s_g.assign(size_t(nslot), 0);
+    idx->hint_e_g.assign(size_t(nslot), 0);
+    auto grid_shape = [](int64_t span, int64_t len, int32_t* g_out) {
+      int32_t g = 0;
+      while ((span >> g) > 2 * len) ++g;
+      *g_out = g;
+      return (span >> g) + 1;  // bucket count
+    };
+    int64_t pool = 0;
+    for (int64_t sg = 0; sg < nseg; ++sg) {
+      const int64_t d0 = idx->lvl_dir[sg], d1 = idx->lvl_dir[sg + 1];
+      for (int64_t d = d0; d + 1 < d1; ++d) {
+        const int64_t llo = idx->lvl_bounds[d];
+        const int64_t llen = idx->lvl_bounds[d + 1] - llo;
+        int32_t g;
+        idx->hint_s_off[d] = pool;
+        idx->hint_s_base[d] = idx->lvl_starts[llo];
+        int64_t nb = grid_shape(
+            int64_t(idx->lvl_starts[llo + llen - 1]) - idx->hint_s_base[d],
+            llen, &g);
+        idx->hint_s_g[d] = int8_t(g);
+        idx->hint_s_nb[d] = int32_t(nb);
+        pool += nb;
+        idx->hint_e_off[d] = pool;
+        idx->hint_e_base[d] = idx->lvl_ends[llo];
+        nb = grid_shape(
+            int64_t(idx->lvl_ends[llo + llen - 1]) - idx->hint_e_base[d],
+            llen, &g);
+        idx->hint_e_g[d] = int8_t(g);
+        idx->hint_e_nb[d] = int32_t(nb);
+        pool += nb;
+      }
+    }
+    idx->lvl_hints.resize(size_t(pool));
+    parallel_chunks(nseg, 1, [&](int64_t s0, int64_t s1) {
+      auto fill = [&](const int32_t* v, int64_t len, int32_t* hints,
+                      int64_t nb, int32_t base, int32_t g) {
+        int64_t i = 0;
+        for (int64_t b = 0; b < nb; ++b) {
+          const int64_t thresh = int64_t(base) + (int64_t(b) << g);
+          while (i < len && v[i] < thresh) ++i;
+          hints[b] = int32_t(i);
+        }
+      };
+      for (int64_t sg = s0; sg < s1; ++sg) {
+        const int64_t d0 = idx->lvl_dir[sg], d1 = idx->lvl_dir[sg + 1];
+        for (int64_t d = d0; d + 1 < d1; ++d) {
+          const int64_t llo = idx->lvl_bounds[d];
+          const int64_t llen = idx->lvl_bounds[d + 1] - llo;
+          fill(idx->lvl_starts.data() + llo, llen,
+               idx->lvl_hints.data() + idx->hint_s_off[d],
+               idx->hint_s_nb[d], idx->hint_s_base[d], idx->hint_s_g[d]);
+          fill(idx->lvl_ends.data() + llo, llen,
+               idx->lvl_hints.data() + idx->hint_e_off[d],
+               idx->hint_e_nb[d], idx->hint_e_base[d], idx->hint_e_g[d]);
+        }
+      }
+    });
+  }
   // Eytzinger layout (default; see Index comment for the measurements)
   const char* layout = std::getenv("SEQUILA_NATIVE_LAYOUT");
   const bool want_eytz =
@@ -430,12 +619,27 @@ void si_count(void* h, const int32_t* qk, const int32_t* qs,
         const int64_t lb = rank_ends_ge(idx, sgi, lo, len, qs[i]);
         out[i] = ub - lb;
       } else {
-        // exact scan: stabbing probes (qs > qe) or inverted build
-        // intervals (end < start), where the BITS subset argument fails
-        const int64_t ub = lo + rank_start_gt(idx, sgi, lo, len, qe[i]);
-        const int64_t w = lo + rank_cummax_ge(idx, sgi, lo, len, qs[i]);
+        // exact level-run count: stabbing probes (qs > qe) or inverted
+        // build intervals (end < start), where the BITS subset argument
+        // fails — the per-level contiguous-run identity holds for every
+        // query and row shape (see the Index level comment)
+        (void)lo;
+        (void)len;
+        const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
         int64_t c = 0;
-        for (int64_t j = w; j < ub; ++j) c += (idx->ends[j] >= qs[i]);
+        for (int64_t d = d0; d + 1 < d1; ++d) {
+          const int64_t llo = idx->lvl_bounds[d];
+          const int64_t llen = idx->lvl_bounds[d + 1] - llo;
+          const int64_t ub = hint_ub32(
+              idx->lvl_starts.data() + llo, llen,
+              idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
+              idx->hint_s_base[d], idx->hint_s_g[d], qe[i]);
+          const int64_t lb = hint_lb32(
+              idx->lvl_ends.data() + llo, llen,
+              idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
+              idx->hint_e_base[d], idx->hint_e_g[d], qs[i]);
+          if (ub > lb) c += ub - lb;
+        }
         out[i] = c;
       }
     }
@@ -443,12 +647,15 @@ void si_count(void* h, const int32_t* qk, const int32_t* qs,
 }
 
 // Parallel exact pair emission at caller-provided offsets: probe row i's
-// matches land at out[offs[i] .. offs[i+1]), probe-major, ascending in
-// (key,start) order — the same order as the device emit kernels.  The
-// offsets come from an exclusive scan of si_count's results; the window
-// scan is capped by offs[i+1] as a belt-and-braces bound.  Returns the
-// number of pairs written (== offs[m] when counts and scan agree, which
-// the BITS identity guarantees; the caller asserts).
+// matches land at out[offs[i] .. offs[i+1]), probe-major, (level, start)-
+// ascending — deterministic, level-minor like the device emit kernels
+// (intra-probe order is not a contract; parity suites sort before
+// comparing, as the reference's tests do).  The offsets come from an
+// exclusive scan of si_count's results.  Each (segment, level) run is
+// contiguous, so emission is two binary searches plus one memcpy per
+// occupied level — it writes exactly the matches, where the previous
+// cummax-window scan walked ~20x more candidates on long-tailed tracks.
+// Returns the number of pairs written (== offs[m]; the caller asserts).
 int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
                    const int32_t* qe, int64_t m, const int64_t* offs,
                    int32_t* out_b, int32_t* out_p) {
@@ -463,18 +670,26 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
       if (w >= w_end) continue;
       const int64_t sgi = find_seg(idx, qk[i], &last);
       if (sgi < 0) continue;
-      const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
-      const int64_t ub = lo + rank_start_gt(idx, sgi, lo, len, qe[i]);
-      const int64_t wlo = lo + rank_cummax_ge(idx, sgi, lo, len, qs[i]);
-      const int32_t qsi = qs[i];
-      const int32_t* ends = idx->ends.data();
-      const int32_t* pos = idx->pos.data();
-      // branchless compaction: always store, advance only on a match —
-      // the window's non-matches are sparse and mispredict badly
-      for (int64_t j = wlo; j < ub && w < w_end; ++j) {
-        out_b[w] = pos[j];
-        out_p[w] = int32_t(i);
-        w += (ends[j] >= qsi);
+      const int32_t qsi = qs[i], qei = qe[i];
+      const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
+      for (int64_t d = d0; d + 1 < d1 && w < w_end; ++d) {
+        const int64_t llo = idx->lvl_bounds[d];
+        const int64_t llen = idx->lvl_bounds[d + 1] - llo;
+        const int64_t ub = hint_ub32(
+            idx->lvl_starts.data() + llo, llen,
+            idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
+            idx->hint_s_base[d], idx->hint_s_g[d], qei);
+        const int64_t lb = hint_lb32(
+            idx->lvl_ends.data() + llo, llen,
+            idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
+            idx->hint_e_base[d], idx->hint_e_g[d], qsi);
+        int64_t run = ub - lb;
+        if (run <= 0) continue;
+        if (run > w_end - w) run = w_end - w;  // belt-and-braces cap
+        std::memcpy(out_b + w, idx->lvl_pos.data() + llo + lb,
+                    size_t(run) * sizeof(int32_t));
+        std::fill(out_p + w, out_p + w + run, int32_t(i));
+        w += run;
       }
       local += w - offs[i];
     }
@@ -496,18 +711,27 @@ int64_t si_pairs(void* h, const int32_t* qk, const int32_t* qs,
   for (int64_t i = 0; i < m; ++i) {
     const int64_t sgi = find_seg(idx, qk[i], &last);
     if (sgi < 0) continue;
-    const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
-    const int64_t ub = lo + rank_start_gt(idx, sgi, lo, len, qe[i]);
-    const int64_t wlo = lo + rank_cummax_ge(idx, sgi, lo, len, qs[i]);
-    for (int64_t j = wlo; j < ub; ++j) {
-      if (idx->ends[j] >= qs[i]) {
-        if (out_b != nullptr) {
-          if (written >= cap) return -1;  // caller must grow and retry
-          out_b[written] = idx->pos[j];
-          out_p[written] = int32_t(i);
-        }
-        ++written;
+    const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
+    for (int64_t d = d0; d + 1 < d1; ++d) {
+      const int64_t llo = idx->lvl_bounds[d];
+      const int64_t llen = idx->lvl_bounds[d + 1] - llo;
+      const int64_t ub = hint_ub32(
+          idx->lvl_starts.data() + llo, llen,
+          idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
+          idx->hint_s_base[d], idx->hint_s_g[d], qe[i]);
+      const int64_t lb = hint_lb32(
+          idx->lvl_ends.data() + llo, llen,
+          idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
+          idx->hint_e_base[d], idx->hint_e_g[d], qs[i]);
+      const int64_t run = ub - lb;
+      if (run <= 0) continue;
+      if (out_b != nullptr) {
+        if (written + run > cap) return -1;  // caller must grow and retry
+        std::memcpy(out_b + written, idx->lvl_pos.data() + llo + lb,
+                    size_t(run) * sizeof(int32_t));
+        std::fill(out_p + written, out_p + written + run, int32_t(i));
       }
+      written += run;
     }
   }
   return written;
@@ -952,6 +1176,59 @@ void si_argsort64(const int64_t* v, int64_t n, int32_t* out_order) {
 // 500k queries x 1M keys); this splits queries across cores.
 void si_searchsorted64(const int64_t* sorted, int64_t n, const int64_t* q,
                        int64_t m, int32_t side, int64_t* out) {
+  // Query-heavy calls (the composite-key searches behind the genomic
+  // verbs) amortize a bucket-hint grid over the sorted array: hint[b] =
+  // lower_bound(v, base + (b << g)), built in one O(n + buckets) sweep,
+  // turns each search into a hint load + short gallop instead of ~17
+  // cache-missing bisection steps (measured 56 -> ~10 ms for 1M searches
+  // over 125k merged runs).  Small query counts keep plain bisection.
+  if (m >= 4096 && n >= 2 && n <= INT32_MAX && sorted[n - 1] > sorted[0]) {
+    const int64_t base = sorted[0];
+    const uint64_t span = uint64_t(sorted[n - 1] - base);
+    int32_t g = 0;
+    while ((span >> g) > uint64_t(2 * n)) ++g;
+    const int64_t nb = int64_t(span >> g) + 1;
+    std::vector<int32_t> hints(size_t(nb), 0);
+    {
+      int64_t i = 0;
+      for (int64_t b = 0; b < nb; ++b) {
+        const int64_t thresh = base + (int64_t(b) << g);
+        while (i < n && sorted[i] < thresh) ++i;
+        hints[b] = int32_t(std::min<int64_t>(i, INT32_MAX));
+      }
+    }
+    parallel_chunks(m, 16384, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t x = q[i];
+        if (x < base) {
+          out[i] = 0;  // base == sorted[0], so x precedes everything
+          continue;
+        }
+        int64_t b = int64_t(uint64_t(x - base) >> g);
+        if (b >= nb) b = nb - 1;
+        int64_t j = hints[b];
+        int64_t step = 1;
+        if (side == 0) {
+          while (j + step <= n && sorted[j + step - 1] < x) {
+            j += step;
+            step <<= 1;
+          }
+          const int64_t wh = std::min(j + step - 1, n);
+          out[i] = j + (std::lower_bound(sorted + j, sorted + wh, x) -
+                        (sorted + j));
+        } else {
+          while (j + step <= n && sorted[j + step - 1] <= x) {
+            j += step;
+            step <<= 1;
+          }
+          const int64_t wh = std::min(j + step - 1, n);
+          out[i] = j + (std::upper_bound(sorted + j, sorted + wh, x) -
+                        (sorted + j));
+        }
+      }
+    });
+    return;
+  }
   parallel_chunks(m, 16384, [&](int64_t lo, int64_t hi) {
     if (side == 0) {
       for (int64_t i = lo; i < hi; ++i)
@@ -963,13 +1240,14 @@ void si_searchsorted64(const int64_t* sorted, int64_t n, const int64_t* q,
   });
 }
 
-// Layout variant actually built into an index handle: 0 = segment-local
-// binary search (default), 1 = Eytzinger (SEQUILA_NATIVE_LAYOUT=eytzinger
-// at si_build time).  Lets tests assert the variant engaged.
+// Layout variant actually built into an index handle: 1 = Eytzinger
+// (the default), 0 = segment-local binary search (the
+// SEQUILA_NATIVE_LAYOUT=segment opt-out at si_build time).  Lets tests
+// assert the variant engaged.
 int64_t si_layout(void* h) {
   return static_cast<const Index*>(h)->eytz ? 1 : 0;
 }
 
-int64_t si_version() { return 6; }
+int64_t si_version() { return 7; }
 
 }  // extern "C"

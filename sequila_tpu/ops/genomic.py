@@ -255,7 +255,23 @@ def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int
 # ---------------------------------------------------------------------------
 
 
-def subtract_intervals(ak, as_, ae, bk, bs, be):
+def merged_subtrahend(bk, bs, be):
+    """(key,start)-sorted merged runs of the b side + their composites —
+    the b-only half of ``subtract_intervals``, split out so repeated
+    subtracts against the same b table (the dataframe pair cache) skip
+    the merge + sort + composite construction."""
+    mk, ms, me = merge_intervals(np.asarray(bk), np.asarray(bs), np.asarray(be))
+    if len(mk) == 0:
+        return mk, ms, me, None, None
+    order = _argsort_comp(_comp_kv(mk, ms))
+    mk, ms, me = mk[order], ms[order], me[order]
+    B = np.int64(2**31)
+    comp_ms = (mk.astype(np.int64) << 32) | (ms.astype(np.int64) + B)
+    comp_me = (mk.astype(np.int64) << 32) | (me.astype(np.int64) + B)
+    return mk, ms, me, comp_ms, comp_me
+
+
+def subtract_intervals(ak, as_, ae, bk, bs, be, merged=None):
     """Per a-interval: the sub-ranges not covered by any b interval
     (bedtools subtract).  Merge b, then cut each a against the merged
     runs overlapping it.
@@ -265,18 +281,17 @@ def subtract_intervals(ak, as_, ae, bk, bs, be):
     ``[as, ae]`` are one contiguous window found with two composite
     searches; every gap is then one of (a) the stretch before each
     window run, computed pairwise over the expanded (a-row, run) pairs,
-    or (b) the tail after a row's last run — no per-row Python."""
+    or (b) the tail after a row's last run — no per-row Python.
+    ``merged`` optionally passes a precomputed ``merged_subtrahend``."""
     ak = np.asarray(ak, np.int32)
     as_ = np.asarray(as_, np.int32)
     ae = np.asarray(ae, np.int32)
-    mk, ms, me = merge_intervals(np.asarray(bk), np.asarray(bs), np.asarray(be))
+    mk, ms, me, comp_ms, comp_me = (
+        merged if merged is not None else merged_subtrahend(bk, bs, be)
+    )
     if len(mk) == 0:  # nothing to subtract: every a row survives whole
         return ak.copy(), as_.copy(), ae.copy()
-    order = _argsort_comp(_comp_kv(mk, ms))
-    mk, ms, me = mk[order], ms[order], me[order]
     B = np.int64(2**31)
-    comp_ms = (mk.astype(np.int64) << 32) | (ms.astype(np.int64) + B)
-    comp_me = (mk.astype(np.int64) << 32) | (me.astype(np.int64) + B)
     ak64 = ak.astype(np.int64)
     lo_all = _searchsorted_comp(comp_me, (ak64 << 32) | (as_.astype(np.int64) + B), side="left")
     hi_all = _searchsorted_comp(comp_ms, (ak64 << 32) | (ae.astype(np.int64) + B), side="right")

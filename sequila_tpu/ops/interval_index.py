@@ -173,17 +173,22 @@ class IntervalIndex:
             for lv, (o, p) in enumerate(zip(offs, level_pad)):
                 L[o : o + p] = lv
             d = self._to_device
+            K0 = np.full(total, PAD_KEY, np.int32)
+            V0 = np.full(total, PAD_VAL, np.int32)
             self._lvl = dict(
                 level_sizes=tuple(0 for _ in level_pad),
                 level_pad=tuple(level_pad),
                 level_offsets=offs,
                 max_lens=tuple(0 for _ in level_pad),
                 levels=d(L),
-                keys=d(np.full(total, PAD_KEY, np.int32)),
-                starts=d(np.full(total, PAD_VAL, np.int32)),
-                ends=d(np.full(total, PAD_VAL, np.int32)),
+                keys=d(K0),
+                starts=d(V0),
+                ends=d(V0),
                 pos=d(np.full(total, -1, np.int32)),
                 pos_host=np.full(total, -1, np.int32),
+                keys_host=K0,
+                starts_host=V0,
+                ends_host=V0,
             )
             return
 
@@ -244,6 +249,7 @@ class IntervalIndex:
             max_lens=tuple(max_lens),
             levels=d(L), keys=d(K), starts=d(S), ends=d(E), pos=d(P),
             pos_host=P,
+            keys_host=K, starts_host=S, ends_host=E,
         )
 
     def _lvl_get(self, name):
@@ -259,10 +265,15 @@ class IntervalIndex:
     starts = property(lambda self: self._lvl_get("starts"))
     ends = property(lambda self: self._lvl_get("ends"))
     pos = property(lambda self: self._lvl_get("pos"))
-    # host copy of the level-view position map (built anyway during index
-    # construction) — lets emission expand device bounds host-side without
-    # transferring the full pair list over the slow device link
+    # host copies of the level-view arrays (built anyway during index
+    # construction): pos_host lets emission expand device bounds host-side
+    # without transferring the full pair list over the slow device link;
+    # keys/starts/ends feed the merge-bounds planner's packed slices and
+    # block windows (ops/pallas/merge_count.plan_level_bounds)
     pos_host = property(lambda self: self._lvl_get("pos_host"))
+    keys_host = property(lambda self: self._lvl_get("keys_host"))
+    starts_host = property(lambda self: self._lvl_get("starts_host"))
+    ends_host = property(lambda self: self._lvl_get("ends_host"))
 
     @property
     def num_levels(self) -> int:

@@ -85,6 +85,65 @@ def _bounds_sort(
     return lb, ub
 
 
+def _level_bsearch_one(keys, vals, qk, q, *, off, pad, strict_less):
+    """Level-local rank of (qk, q) in one level's (key, val) slice via
+    vectorized binary search — the shared primitive of _bounds_bsearch
+    and level_ranks_bsearch."""
+    m = qk.shape[0]
+    steps = max(1, int(np.ceil(np.log2(pad + 1))))
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.full((m,), pad, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        km = keys[off + jnp.minimum(mid, pad - 1)]
+        vm = vals[off + jnp.minimum(mid, pad - 1)]
+        if strict_less:  # count entries with (key, val) < (qk, q)
+            less = (km < qk) | ((km == qk) & (vm < q))
+        else:  # count entries with (key, val) <= (qk, q)
+            less = (km < qk) | ((km == qk) & (vm <= q))
+        # once lo == hi the search has converged: stop updating
+        # (the fixed-step loop would otherwise probe index == pad,
+        # reading the next level and overcounting)
+        active = lo < hi
+        return (
+            jnp.where(active & less, mid + 1, lo),
+            jnp.where(active & ~less, mid, hi),
+        )
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("side", "num_levels", "level_pad", "level_offsets")
+)
+def level_ranks_bsearch(
+    levels, keys, vals, qk, qv, *, side: str, num_levels: int, level_pad,
+    level_offsets,
+):
+    """level_ranks without the co-sort: per-level vectorized binary
+    search, O(m log n) gathers instead of an O((n + L*m) log) sort.
+
+    Same [num_levels, m] level-local ranks as ``level_ranks`` — the
+    sort-free strategy for the per-shard mesh kernels, where each shard's
+    co-sort would redo work the single-chip merge backend already
+    eliminated (VERDICT r4 #4).  ``levels`` is accepted (and ignored) for
+    signature parity: the level structure is implied by the offsets."""
+    del levels
+    out = []
+    for lv in range(num_levels):
+        out.append(
+            _level_bsearch_one(
+                keys, vals, qk, qv,
+                off=level_offsets[lv], pad=level_pad[lv],
+                strict_less=side == "left",
+            )
+        )
+    return jnp.stack(out)
+
+
 @functools.partial(jax.jit, static_argnames=("num_levels", "level_pad", "level_offsets"))
 def _bounds_bsearch(
     levels, keys, starts, ends, qk, qs, qe, *, num_levels: int, level_pad, level_offsets
@@ -94,40 +153,18 @@ def _bounds_bsearch(
     O(m log n) gathers instead of an O((n+m) log(n+m)) sort; wins when the
     probe batch is small relative to the index.
     """
-    m = qk.shape[0]
     lbs, ubs = [], []
     for lv in range(num_levels):
         off = level_offsets[lv]
         pad = level_pad[lv]
-        steps = max(1, int(np.ceil(np.log2(pad + 1))))
-
-        def bsearch(vals, q, strict_less):
-            lo = jnp.zeros((m,), jnp.int32)
-            hi = jnp.full((m,), pad, jnp.int32)
-
-            def body(_, lohi):
-                lo, hi = lohi
-                mid = (lo + hi) // 2
-                km = keys[off + jnp.minimum(mid, pad - 1)]
-                vm = vals[off + jnp.minimum(mid, pad - 1)]
-                if strict_less:  # count entries with (key, val) < (qk, q)
-                    less = (km < qk) | ((km == qk) & (vm < q))
-                else:  # count entries with (key, val) <= (qk, q)
-                    less = (km < qk) | ((km == qk) & (vm <= q))
-                # once lo == hi the search has converged: stop updating
-                # (the fixed-step loop would otherwise probe index == pad,
-                # reading the next level and overcounting)
-                active = lo < hi
-                return (
-                    jnp.where(active & less, mid + 1, lo),
-                    jnp.where(active & ~less, mid, hi),
-                )
-
-            lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
-            return lo
-
-        ubs.append(bsearch(starts, qe, strict_less=False))
-        lbs.append(bsearch(ends, qs, strict_less=True))
+        ubs.append(
+            _level_bsearch_one(keys, starts, qk, qe, off=off, pad=pad,
+                               strict_less=False)
+        )
+        lbs.append(
+            _level_bsearch_one(keys, ends, qk, qs, off=off, pad=pad,
+                               strict_less=True)
+        )
     return jnp.stack(lbs), jnp.stack(ubs)
 
 
@@ -482,6 +519,16 @@ def materialize_pairs(index: IntervalIndex, qk, qs, qe, method: str = "sort"):
     if method == "window":
         return materialize_pairs_window(index, qk, qs, qe)
     lb, ub = overlap_bounds(index, qk, qs, qe, method)
+    return materialize_pairs_from_bounds(index, lb, ub)
+
+
+def materialize_pairs_from_bounds(index: IntervalIndex, lb, ub):
+    """Exact join from precomputed per-(probe,level) device bounds.
+
+    The post-bounds half of ``materialize_pairs``: callers that computed
+    [lb, ub) another way (the sort-free merge backend,
+    ops/pallas/merge_count.merge_level_bounds) share the counts fetch,
+    run compaction, link transfer and host expansion bit-for-bit."""
     packed = np.asarray(_counts_and_nnz(lb, ub))
     counts, nnz, maxrun = packed[:-2], int(packed[-2]), int(packed[-1])
     total64 = int(counts.astype(np.int64).sum())

@@ -229,6 +229,11 @@ def merge_probe_count_passes(
     rA = _merge_rank_sorted(aA, qA, c_loA, n_chA, strict=False)
     rB = _merge_rank_sorted(aB, qB, c_loB, n_chB, strict=True)
     m_pad = pqe_k.shape[0]
+    # unique_indices is safe despite every PAD slot carrying the same
+    # out-of-bounds index m_pad: mode='drop' discards those updates
+    # BEFORE the scatter executes (XLA clamps/drops out-of-range indices
+    # at lowering), so the promise only has to hold for the in-range
+    # indices — the views' permutations, each real row exactly once.
     cA = jnp.zeros((m_pad,), jnp.int32).at[ord_qe].set(
         rA, mode="drop", unique_indices=True
     )
@@ -338,6 +343,9 @@ def merge_verb_rank4(
     m_pad = pqe_k.shape[0]
 
     def scat(r, o):
+        # PAD slots share index m_pad but mode='drop' discards them before
+        # the scatter, so unique_indices holds for what actually lands
+        # (see merge_probe_count_passes)
         return jnp.zeros((m_pad,), jnp.int32).at[o].set(
             r, mode="drop", unique_indices=True
         )
@@ -501,6 +509,156 @@ def host_windows_joint(bk_h, bv_h, remap_b, remap_q, d_b, d_q, probe_comp):
     c_lo = (lo // CHUNK).astype(np.int32)
     c_hi = (-((-hi) // CHUNK)).astype(np.int32)
     return c_lo, np.maximum(c_hi - c_lo, 0).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Merge-based level bounds: pair emission without device sorts
+# ---------------------------------------------------------------------------
+
+
+def plan_level_bounds(index, probe, r_key, qs_cd, qe_cd, bs_cd, be_cd,
+                      remap_b, remap_q, views):
+    """Per-level merge-rank plan for emission bounds, or None.
+
+    Replaces the co-sort bounds pass of the device materialize path
+    (ops/interval_join._bounds_sort — two (n + L*m)-row multi-operand
+    device sorts) with 2L sort-free merge-rank kernels: each level slice
+    of the build index is sorted by (key, start) AND — by the monotone-
+    end level invariant — simultaneously by (key, end), so both bounds of
+    every level rank the cached sorted probe views in an already-sorted
+    packed-u32 array.  Exact for every query shape (degenerate stabbing
+    probes, inverted build rows): the level-run identity needs no BITS
+    subset argument, so this route is WIDER than the merge count path.
+
+    ``index``: IntervalIndex over JOINT key codes, with the planner's
+    ±lit bound deltas already applied to its stored starts/ends (the
+    exec layer builds it that way) — so the index-side C tables carry
+    delta 0 while the domains span the raw extrema + delta.  ``views`` =
+    per-LOCAL-code extrema of the four raw columns (Table.per_key_minmax
+    order: bs, be, qs, qe); ``*_cd`` = (column index, delta).  Returns an
+    opaque plan consumed by ``merge_level_bounds``; None when the 32-bit
+    span budget or the plan shape disqualifies packing.
+    """
+    nkeys = int(max(remap_b.max(initial=-1), remap_q.max(initial=-1))) + 1
+    if nkeys <= 0 or index.n_rows == 0:
+        return None
+    bs_mm, be_mm, qs_mm, qe_mm = views
+    d_bs, d_be, d_qs, d_qe = bs_cd[1], be_cd[1], qs_cd[1], qe_cd[1]
+    # domain 2 packs build starts against probe ends; domain 1 packs
+    # build ends against probe starts — same pairing as the count path
+    d2 = _joint_domain(
+        remap_b, remap_q, nkeys, bs_mm[0], bs_mm[1], d_bs, qe_mm[0], qe_mm[1], d_qe
+    )
+    d1 = _joint_domain(
+        remap_b, remap_q, nkeys, be_mm[0], be_mm[1], d_be, qs_mm[0], qs_mm[1], d_qs
+    )
+    if d1 is None or d2 is None:
+        return None
+    ident = np.arange(nkeys, dtype=np.int32)
+    # index level arrays store raw+delta values -> joint-key C tables with
+    # delta 0; probe views store raw values -> local-code C tables with
+    # the planner delta folded in
+    c_bj2 = jnp.asarray(_c_tab(ident, *d2, 0))
+    c_bj1 = jnp.asarray(_c_tab(ident, *d1, 0))
+    c_qe = jnp.asarray(_c_tab(remap_q, *d2, d_qe))
+    c_qs = jnp.asarray(_c_tab(remap_q, *d1, d_qs))
+
+    pqe_k, pqe_v, pqe_kh, pqe_vh, _ = probe.sorted_interval_view(r_key, qe_cd[0])
+    pqs_k, pqs_v, pqs_kh, pqs_vh, _ = probe.sorted_interval_view(r_key, qs_cd[0])
+    m_pad = int(pqe_k.shape[0])
+    if m_pad != int(pqs_k.shape[0]):
+        return None
+
+    def pad_order(order):
+        out = np.full(m_pad, m_pad, np.int32)  # PAD slots scatter-drop
+        out[: len(order)] = order
+        return out
+
+    ord_qe = jnp.asarray(pad_order(probe.sorted_interval_order(r_key, qe_cd[0])))
+    ord_qs = jnp.asarray(pad_order(probe.sorted_interval_order(r_key, qs_cd[0])))
+
+    levels = []
+    for lv in range(index.num_levels):
+        off = index.level_offsets[lv]
+        pad = index.level_pad[lv]
+        if index.level_sizes[lv] == 0:
+            levels.append(None)
+            continue
+        cap = -(-pad // CHUNK) * CHUNK
+        kh = np.full(cap, PADV, np.int32)
+        sh = np.full(cap, PADV, np.int32)
+        eh = np.full(cap, PADV, np.int32)
+        kh[:pad] = index.keys_host[off : off + pad]
+        sh[:pad] = index.starts_host[off : off + pad]
+        eh[:pad] = index.ends_host[off : off + pad]
+        # stored values are pre-shifted: table delta 0 in the windows
+        w_ub = host_windows_joint(
+            pqe_kh, pqe_vh, remap_q, ident, d_qe, 0, view_composite(kh, sh)
+        )
+        w_lb = host_windows_joint(
+            pqs_kh, pqs_vh, remap_q, ident, d_qs, 0, view_composite(kh, eh)
+        )
+        levels.append((
+            jnp.asarray(kh), jnp.asarray(sh), jnp.asarray(eh),
+            jnp.asarray(w_ub[0]), jnp.asarray(w_ub[1]),
+            jnp.asarray(w_lb[0]), jnp.asarray(w_lb[1]),
+        ))
+    return (
+        levels, pqe_k, pqe_v, pqs_k, pqs_v, c_bj2, c_bj1, c_qe, c_qs,
+        ord_qe, ord_qs, m_pad,
+    )
+
+
+@jax.jit
+def _level_rank_pair(k_l, s_l, e_l, pqe_k, pqe_v, pqs_k, pqs_v,
+                     c_bj2, c_bj1, c_qe, c_qs,
+                     w_ub_lo, w_ub_n, w_lb_lo, w_lb_n):
+    """One level's (ub, lb) rank pair over the packed domains."""
+    a_s = _pack_view(k_l, s_l, c_bj2, _PROBE_PAD)
+    q_e = _pack_view(pqe_k, pqe_v, c_qe, _BUILD_PAD)
+    a_e = _pack_view(k_l, e_l, c_bj1, _PROBE_PAD)
+    q_s = _pack_view(pqs_k, pqs_v, c_qs, _BUILD_PAD)
+    ub = _merge_rank_sorted(a_s, q_e, w_ub_lo, w_ub_n, strict=False)
+    lb = _merge_rank_sorted(a_e, q_s, w_lb_lo, w_lb_n, strict=True)
+    return ub, lb
+
+
+@jax.jit
+def _scatter_bounds(ub_stack, lb_stack, ord_qe, ord_qs):
+    """Scatter per-pass sorted-order ranks back to probe row order.
+
+    PAD slots of the orders carry the out-of-bounds index m_pad and drop;
+    every real probe row appears exactly once per view, so the scatter
+    indices are disjoint (mode='drop' discards only the PAD slots)."""
+    L, m_pad = ub_stack.shape
+    z = jnp.zeros((m_pad, L), jnp.int32)
+    ub = z.at[ord_qe].set(ub_stack.T, mode="drop", unique_indices=True)
+    lb = z.at[ord_qs].set(lb_stack.T, mode="drop", unique_indices=True)
+    return lb.T, ub.T
+
+
+def merge_level_bounds(plan):
+    """Run the plan: per-level [lb, ub) emission bounds, [L, m_pad] int32
+    in PROBE ROW order — drop-in for ops/interval_join.overlap_bounds."""
+    (levels, pqe_k, pqe_v, pqs_k, pqs_v, c_bj2, c_bj1, c_qe, c_qs,
+     ord_qe, ord_qs, m_pad) = plan
+    ubs, lbs = [], []
+    zero = None
+    for lv in levels:
+        if lv is None:
+            if zero is None:
+                zero = jnp.zeros((m_pad,), jnp.int32)
+            ubs.append(zero)
+            lbs.append(zero)
+            continue
+        k_l, s_l, e_l, w_ub_lo, w_ub_n, w_lb_lo, w_lb_n = lv
+        ub, lb = _level_rank_pair(
+            k_l, s_l, e_l, pqe_k, pqe_v, pqs_k, pqs_v,
+            c_bj2, c_bj1, c_qe, c_qs, w_ub_lo, w_ub_n, w_lb_lo, w_lb_n,
+        )
+        ubs.append(ub)
+        lbs.append(lb)
+    return _scatter_bounds(jnp.stack(ubs), jnp.stack(lbs), ord_qe, ord_qs)
 
 
 def view_composite(k_h: np.ndarray, v_h: np.ndarray) -> np.ndarray:

@@ -278,7 +278,9 @@ class SessionContext:
                 break
             pieces.append(step.arrow)
             working = step
-        return Table(pa.concat_tables(pieces, promote_options="permissive"))
+        from sequila_tpu.models.table import concat_tables_unify
+
+        return Table(concat_tables_unify(pieces))
 
     def _validate_query(self, stmt) -> None:
         """Bind a query statement now to surface errors early (results
@@ -832,10 +834,11 @@ def _set_op(a: Table, b: Table, op: str, names) -> Table:
     from the LEFT input in its original order."""
     from sequila_tpu.exec.plan import _row_group_codes
 
+    from sequila_tpu.models.table import concat_tables_unify
+
     combined = Table(
-        pa.concat_tables(
-            [a.arrow.rename_columns(names), b.arrow.rename_columns(names)],
-            promote_options="permissive",
+        concat_tables_unify(
+            [a.arrow.rename_columns(names), b.arrow.rename_columns(names)]
         )
     )
     if op == "union all":

@@ -133,14 +133,42 @@ def test_native_table_take_matches_arrow(lib_available, rng):
     })
     idx = rng.integers(0, n_src, _TAKE_NATIVE_MIN + 123).astype(np.int64)
     T = Table(t)
+
+    def decoded(tab):
+        # low-cardinality string columns gather as dictionary codes
+        # (Table._take_source) — compare VALUES against plain arrow take
+        cols = [
+            c.cast(c.type.value_type) if pa.types.is_dictionary(c.type) else c
+            for c in tab.columns
+        ]
+        return pa.Table.from_arrays(cols, names=tab.column_names)
+
     got = T.take(idx)
+    assert pa.types.is_dictionary(got.arrow.schema.types[0])
     want = t.take(pa.array(idx))
-    assert got.arrow.equals(want)
+    assert decoded(got.arrow).equals(want)
     # with a null mask (nearest-style NULL-padded side)
     mask = rng.random(len(idx)) < 0.1
     got = T.take(idx, null_mask=mask)
     want = t.take(pa.array(np.where(mask, 0, idx), mask=mask))
-    assert got.arrow.equals(want)
+    assert decoded(got.arrow).equals(want)
+    # column_np must decode dictionary NULLs to None, not dictionary[0]
+    s_np = got.column_np("s")
+    assert all(v is None for v in s_np[mask])
+
+
+def test_dict_take_disabled_env(lib_available, rng, monkeypatch):
+    """SEQUILA_DICT_TAKE=0 keeps string outputs plain (escape hatch)."""
+    import pyarrow as pa
+
+    from sequila_tpu.models.table import _TAKE_NATIVE_MIN, Table
+
+    monkeypatch.setenv("SEQUILA_DICT_TAKE", "0")
+    t = pa.table({"s": pa.array(["a", "b"] * 500)})
+    idx = rng.integers(0, 1000, _TAKE_NATIVE_MIN + 5).astype(np.int64)
+    got = Table(t).take(idx)
+    assert got.arrow.schema.types[0] == pa.string()
+    assert got.arrow.equals(t.take(pa.array(idx)))
 
 
 def test_materialize_route_cost_model(monkeypatch):

@@ -175,6 +175,9 @@ def test_estimate_feeds_streaming_chunk(ctx, monkeypatch):
     m = 30_000
     avg = est.num_rows.value / m
     monkeypatch.setenv("SEQUILA_HOST_THRESHOLD", "0")
+    # pin the co-sort emission backend: the merge-rank route computes
+    # bounds whole-probe and never consults the estimate-driven chunking
+    monkeypatch.setenv("SEQUILA_EMIT_BACKEND", "cosort")
     ctx.sql("SET sequila.max_output_batch_size = 1000")
     captured = {}
     orig = type(node)._device_pair_chunks

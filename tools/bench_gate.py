@@ -51,8 +51,20 @@ def check_scaling_floor(path: str) -> list[str]:
     return failures
 
 
-def flatten(result: dict, full: dict | None) -> dict[str, tuple[float, bool]]:
-    """metric -> (value, higher_is_better)."""
+# sections the full artifact MUST carry: a missing section is a gate
+# FAILURE, not a silent skip — "section absent" and "section fine" must
+# never be indistinguishable (the silent-truncation trap VERDICT r4
+# flagged: the gate passed while validating none of the round's work)
+REQUIRED_FULL_SECTIONS = (
+    "algorithms", "pairings", "genomic_ops", "copy_stream",
+)
+
+
+def flatten(
+    result: dict, full: dict | None, failures: list[str]
+) -> dict[str, tuple[float, bool]]:
+    """metric -> (value, higher_is_better); missing required sections of
+    the full artifact are appended to ``failures``."""
     out = {
         "headline_rows_per_sec": (float(result["value"]), True),
     }
@@ -62,6 +74,9 @@ def flatten(result: dict, full: dict | None) -> dict[str, tuple[float, bool]]:
             float(det["materialize_rows_per_sec"]), True
         )
     if full:
+        for section in REQUIRED_FULL_SECTIONS:
+            if not full.get(section):
+                failures.append(f"full-artifact section missing: {section}")
         for name, row in full.get("pairings", {}).items():
             if "rows_per_sec" in row:
                 out[f"pairing:{name}"] = (float(row["rows_per_sec"]), True)
@@ -83,7 +98,8 @@ def main() -> int:
     scaling_failures = (
         check_scaling_floor(scaling_path) if os.path.exists(scaling_path) else []
     )
-    current = flatten(result, full)
+    failures: list[str] = []
+    current = flatten(result, full, failures)
 
     prev = None
     for path in (PREV, COMMITTED):
@@ -91,7 +107,6 @@ def main() -> int:
             prev = json.load(open(path))
             print(f"baseline: {path}")
             break
-    failures = []
     if prev:
         for name, (val, hib) in current.items():
             if name not in prev or not val:

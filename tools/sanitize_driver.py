@@ -48,11 +48,17 @@ def main() -> int:
     # the non-default layout must get sanitizer coverage too (the default
     # build above exercises the other one throughout this driver)
     other = "segment" if idx.layout == "eytzinger" else "eytzinger"
+    prev_layout = os.environ.get("SEQUILA_NATIVE_LAYOUT")
     os.environ["SEQUILA_NATIVE_LAYOUT"] = other
     try:
         idx_other = loader.NativeIntervalIndex(bk, bs, be)
     finally:
-        del os.environ["SEQUILA_NATIVE_LAYOUT"]
+        # restore (not clear): a user-forced layout must keep applying to
+        # everything built later in this driver run
+        if prev_layout is None:
+            del os.environ["SEQUILA_NATIVE_LAYOUT"]
+        else:
+            os.environ["SEQUILA_NATIVE_LAYOUT"] = prev_layout
     np.testing.assert_array_equal(idx_other.counts(qk, qs, qe), counts)
     print(f"counts OK (layout={idx_other.layout})")
     del idx_other
