@@ -117,16 +117,30 @@ def write_table(table: Table, path: str, fmt: str | None = None) -> None:
 
 def _open_writer(path: str, lower: str, schema: pa.Schema):
     """One incremental sink.  Parquet defaults are tuned for the genomic
-    SELECT * shape: plain encoding without per-page statistics writes
-    2-3x faster than pyarrow's defaults AND smaller (dictionary pages
-    don't pay off on coordinate columns); env-overridable."""
+    SELECT * shape (measured per 4-vCPU writer on the 154M-row COPY):
+    plain-encoded coordinate columns without compression or per-page
+    statistics (snappy costs 3.5x encode throughput — 8.5 vs 30 M
+    rows/s/writer — to shave random-coordinate pages that barely
+    compress), but parquet dictionary pages for columns that arrive
+    dictionary-typed (the join's contig/strand outputs): they encode as
+    int32 codes instead of repeated strings, both faster AND smaller.
+    Env-overridable: SEQUILA_PARQUET_COMPRESSION (snappy/lz4/zstd),
+    SEQUILA_PARQUET_DICT=1 (all columns) / 0 (none), SEQUILA_PARQUET_STATS=1."""
     import os
 
     if lower.endswith(".parquet"):
+        dict_env = os.environ.get("SEQUILA_PARQUET_DICT", "auto")
+        if dict_env == "auto":
+            dict_cols = [
+                f.name for f in schema if pa.types.is_dictionary(f.type)
+            ]
+            use_dictionary = dict_cols if dict_cols else False
+        else:
+            use_dictionary = dict_env == "1"
         return pq.ParquetWriter(
             path, schema,
-            compression=os.environ.get("SEQUILA_PARQUET_COMPRESSION", "snappy"),
-            use_dictionary=os.environ.get("SEQUILA_PARQUET_DICT", "0") == "1",
+            compression=os.environ.get("SEQUILA_PARQUET_COMPRESSION", "none"),
+            use_dictionary=use_dictionary,
             write_statistics=os.environ.get("SEQUILA_PARQUET_STATS", "0") == "1",
         )
     if lower.endswith((".bed", ".tsv")):
@@ -150,11 +164,13 @@ def write_table_batches(batches, path: str, fmt: str | None = None) -> int:
       production (the join) with encoding;
     - a DIRECTORY path (trailing '/' or an existing directory; format
       from STORED AS, default parquet): ``part-N.<ext>`` files written by
-      a pool of writer threads round-robin — parquet encoding is
-      single-threaded per file, so partitioned output is how the sink
-      keeps up with the join (measured 31M rows/s at 4 writers vs 6M at
-      one on the 4-vCPU bench host).  Readers open the directory as a
-      dataset (``pq.read_table(dir)``).
+      a pool of writer threads pulling from one shared queue — parquet
+      encoding is single-threaded per file, so partitioned output is how
+      the sink keeps up with the join (the 154M-row COPY measured ~50M
+      rows/s at 4 writers vs 6M at one on the 4-vCPU bench host; the
+      producer alone sustains ~170M rows/s, so the sink is encoder +
+      page-cache bound).  Readers open the directory as a dataset
+      (``pq.read_table(dir)``).
     In both shapes a bounded queue keeps RSS at a few batches.
     """
     import os
@@ -178,7 +194,12 @@ def write_table_batches(batches, path: str, fmt: str | None = None) -> int:
 
     names: list[str] | None = None
     total = 0
-    qs = [queue.Queue(maxsize=4) for _ in range(nwriters)]
+    # ONE shared bounded queue, all writers pulling: round-robin delivery
+    # head-of-line blocks the producer whenever a single writer lags (a
+    # big row group, a writeback stall), idling the other writers; work
+    # stealing keeps every encoder busy.  Each writer still owns its own
+    # part file, so no ordering or locking is needed inside a file.
+    q: "queue.Queue" = queue.Queue(maxsize=max(2 * nwriters, 4))
     errors: list[BaseException] = []
     started: list[threading.Thread] = []
 
@@ -190,19 +211,18 @@ def write_table_batches(batches, path: str, fmt: str | None = None) -> int:
         w = _open_writer(target, lower, schema)
         try:
             while True:
-                b = qs[i].get()
+                b = q.get()
                 if b is None:
                     return
                 w.write_table(b)
         except BaseException as e:  # surfaced to the producer
             errors.append(e)
-            while qs[i].get() is not None:  # drain so the producer can't block
+            while q.get() is not None:  # drain so the producer can't block
                 pass
         finally:
             w.close()
 
     try:
-        j = 0
         for t in batches:
             arrow = t.arrow if isinstance(t, Table) else t
             if names is None:
@@ -220,12 +240,11 @@ def write_table_batches(batches, path: str, fmt: str | None = None) -> int:
                 arrow = arrow.rename_columns(names)
             if errors:
                 break
-            qs[j % nwriters].put(arrow)
-            j += 1
+            q.put(arrow)
             total += arrow.num_rows
     finally:
-        for q in qs:
-            q.put(None)
+        for _ in started:
+            q.put(None)  # one sentinel per writer; each consumes exactly one
         for th in started:
             th.join()
     if errors:

@@ -89,10 +89,12 @@ def _level_bsearch_one(keys, vals, qk, q, *, off, pad, strict_less):
     """Level-local rank of (qk, q) in one level's (key, val) slice via
     vectorized binary search — the shared primitive of _bounds_bsearch
     and level_ranks_bsearch."""
-    m = qk.shape[0]
     steps = max(1, int(np.ceil(np.log2(pad + 1))))
-    lo = jnp.zeros((m,), jnp.int32)
-    hi = jnp.full((m,), pad, jnp.int32)
+    # derive the carries from qk (not fresh constants) so they inherit
+    # qk's varying manual axes under shard_map — a constant initial carry
+    # would type-mismatch the varying carry the body produces
+    lo = qk * 0
+    hi = lo + pad
 
     def body(_, lohi):
         lo, hi = lohi

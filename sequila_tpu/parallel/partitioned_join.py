@@ -40,13 +40,48 @@ from sequila_tpu.ops.interval_index import (
     build_interval_index,
 )
 from sequila_tpu.ops.interval_join import (
+    _bounds_bsearch,
     _bounds_sort,
     counts_from_bounds,
     emit_pairs,
     level_ranks,
+    level_ranks_bsearch,
     nearest_from_bounds,
     pair_offsets,
 )
+
+
+def mesh_bounds_strategy() -> str:
+    """Per-shard rank strategy for the mesh kernels: 'sort' (lexicographic
+    co-sort) or 'bsearch' (vectorized per-level binary search, no sort).
+
+    auto routes by backend: per-shard co-sorts dominate mesh wall time on
+    CPU backends (virtual test mesh / multi-host Gloo), where bsearch
+    measured 21x faster per genome shard (172 ms vs 3.6 s); on TPU the
+    hardware sorter wins by orders of magnitude over gather-bound binary
+    search (0.1 ms vs 1.6 s per shard on v5e), so TPU keeps the co-sort.
+    SEQUILA_MESH_BOUNDS=sort|bsearch overrides."""
+    import os
+
+    env = os.environ.get("SEQUILA_MESH_BOUNDS", "auto")
+    if env in ("sort", "bsearch"):
+        return env
+    return "sort" if jax.default_backend() == "tpu" else "bsearch"
+
+
+def _shard_bounds(lv, ky, st, en, k, s, e, *, num_levels, level_offsets,
+                  layout, strategy):
+    """Strategy-routed per-shard [lb, ub) bounds (see mesh_bounds_strategy)."""
+    if strategy == "bsearch":
+        return _bounds_bsearch(
+            lv, ky, st, en, k, s, e,
+            num_levels=num_levels, level_pad=layout,
+            level_offsets=level_offsets,
+        )
+    return _bounds_sort(
+        lv, ky, st, en, k, s, e,
+        num_levels=num_levels, level_offsets=level_offsets,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +203,8 @@ def partition_probe(rk, rs, re, npart: int, nprobe: int, part_of=None, keys=None
 
 
 @functools.lru_cache(maxsize=64)
-def partitioned_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+def partitioned_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple,
+                         layout: tuple, strategy: str):
     """jit-able SPMD count over a ('part','probe') mesh.
 
     Inputs: stacked index arrays [npart, N] sharded over 'part'; probe
@@ -188,9 +224,10 @@ def partitioned_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
     def step(levels, keys, starts, ends, qk, qs, qe):
         lv, ky, st, en = levels[0], keys[0], starts[0], ends[0]
         k, s, e = qk[0, 0], qs[0, 0], qe[0, 0]
-        lb, ub = _bounds_sort(
+        lb, ub = _shard_bounds(
             lv, ky, st, en, k, s, e,
             num_levels=num_levels, level_offsets=level_offsets,
+            layout=layout, strategy=strategy,
         )
         # 8-row bucket partials psum'd as a vector: int32-safe well past
         # 2^31 total pairs (host finishes the reduction in int64)
@@ -201,7 +238,8 @@ def partitioned_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
 
 
 @functools.lru_cache(maxsize=64)
-def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple,
+                          layout: tuple, strategy: str):
     """CollectLeft analog: replicated index, fully sharded probe rows."""
 
     @functools.partial(
@@ -214,9 +252,10 @@ def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
         out_specs=P(),
     )
     def step(levels, keys, starts, ends, qk, qs, qe):
-        lb, ub = _bounds_sort(
+        lb, ub = _shard_bounds(
             levels, keys, starts, ends, qk, qs, qe,
             num_levels=num_levels, level_offsets=level_offsets,
+            layout=layout, strategy=strategy,
         )
         local = counts_from_bounds(lb, ub).reshape(-1, 8).sum(axis=1)
         return jax.lax.psum(local, ("part", "probe"))
@@ -225,7 +264,8 @@ def collect_left_count_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
 
 
 @functools.lru_cache(maxsize=64)
-def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple,
+                    layout: tuple, strategy: str):
     """Per-shard 8-row-bucket match partials [npart, nprobe, M/8] (emit
     capacity sizing).  Partials stay int32-safe (a bucket is at most
     8 x build-part rows); the host finishes the per-shard sum in int64 —
@@ -241,9 +281,10 @@ def shard_totals_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
         out_specs=P("part", "probe", None),
     )
     def step(levels, keys, starts, ends, qk, qs, qe):
-        lb, ub = _bounds_sort(
+        lb, ub = _shard_bounds(
             levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
             num_levels=num_levels, level_offsets=level_offsets,
+            layout=layout, strategy=strategy,
         )
         return counts_from_bounds(lb, ub).reshape(-1, 8).sum(axis=1)[None, None]
 
@@ -259,9 +300,10 @@ def shard_totals(mesh: Mesh, meta, didx, dK, dS, dE) -> np.ndarray:
     from sequila_tpu.ops.interval_join import _EMIT_LIMIT
 
     partials = fetch_global(
-        shard_totals_fn(mesh, meta["num_levels"], meta["level_offsets"])(
-            *didx, dK, dS, dE
-        )
+        shard_totals_fn(
+            mesh, meta["num_levels"], meta["level_offsets"], meta["layout"],
+            mesh_bounds_strategy(),
+        )(*didx, dK, dS, dE)
     ).astype(np.int64)
     totals = partials.sum(axis=-1)
     if totals.size and int(totals.max()) >= _EMIT_LIMIT:
@@ -275,7 +317,8 @@ def shard_totals(mesh: Mesh, meta, didx, dK, dS, dE) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def partitioned_emit_fn(
-    mesh: Mesh, num_levels: int, level_offsets: tuple, capacity: int
+    mesh: Mesh, num_levels: int, level_offsets: tuple, capacity: int,
+    layout: tuple, strategy: str,
 ):
     """SPMD exact pair emission: every (part, probe) chip materializes its
     shard's (build_row, probe_row) pairs into a static-capacity buffer —
@@ -299,9 +342,10 @@ def partitioned_emit_fn(
         out_specs=(P("part", "probe", None), P("part", "probe", None)),
     )
     def step(levels, keys, starts, ends, pos, qk, qs, qe, base):
-        lb, ub = _bounds_sort(
+        lb, ub = _shard_bounds(
             levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
             num_levels=num_levels, level_offsets=level_offsets,
+            layout=layout, strategy=strategy,
         )
         offsets, lb_pm = pair_offsets(lb, ub)
         b, p, _valid = emit_pairs(
@@ -326,7 +370,10 @@ def emit_all_shards(mesh: Mesh, meta, didx, dpos, dK, dS, dE, totals,
     max_total = int(totals.max())
     cap = _bucket(max(1, min(max_total, chunk_limit) if chunk_limit else max_total),
                   minimum=1024)
-    emit = partitioned_emit_fn(mesh, meta["num_levels"], meta["level_offsets"], cap)
+    emit = partitioned_emit_fn(
+        mesh, meta["num_levels"], meta["level_offsets"], cap,
+        meta["layout"], mesh_bounds_strategy(),
+    )
     # int64 on host; always < 2^31 when passed to the kernel (shard_totals
     # guarantees totals < _EMIT_LIMIT and the loop exits before base >= total)
     base = np.zeros((npart, nprobe), np.int64)
@@ -386,7 +433,8 @@ def partitioned_pairs(mesh: Mesh, lk, ls, le, rk, rs, re,
 
 @functools.lru_cache(maxsize=64)
 def partitioned_nearest_fn(
-    mesh: Mesh, num_levels: int, level_offsets: tuple, layout: tuple
+    mesh: Mesh, num_levels: int, level_offsets: tuple, layout: tuple,
+    strategy: str,
 ):
     """SPMD nearest: per-shard nearest (first overlap, else min genomic
     distance, else -1) — the mesh analog of the reference's
@@ -409,9 +457,10 @@ def partitioned_nearest_fn(
     def step(levels, keys, starts, ends, pos, qk, qs, qe):
         lv, ky, st, en = levels[0], keys[0], starts[0], ends[0]
         k, s, e = qk[0, 0], qs[0, 0], qe[0, 0]
-        lb, ub = _bounds_sort(
+        lb, ub = _shard_bounds(
             lv, ky, st, en, k, s, e,
             num_levels=num_levels, level_offsets=level_offsets,
+            layout=layout, strategy=strategy,
         )
         res = nearest_from_bounds(
             lb, ub, lv, ky, st, en, pos[0], k, s, e,
@@ -436,7 +485,8 @@ def partitioned_nearest(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
     ]
     dpos = dev(arrays["pos"], P("part", None))
     fn = partitioned_nearest_fn(
-        mesh, meta["num_levels"], meta["level_offsets"], meta["layout"]
+        mesh, meta["num_levels"], meta["level_offsets"], meta["layout"],
+        mesh_bounds_strategy(),
     )
     res = fetch_global(fn(
         *didx, dpos,
@@ -453,7 +503,9 @@ def partitioned_nearest(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def partitioned_probe_counts_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+def partitioned_probe_counts_fn(mesh: Mesh, num_levels: int,
+                                level_offsets: tuple, layout: tuple,
+                                strategy: str):
     """Per-probe-slot overlap counts [npart, nprobe, M] (CountOverlaps /
     grouped-count semantics on the mesh; exact for degenerate probes and
     inverted builds — the level path, not BITS)."""
@@ -468,9 +520,10 @@ def partitioned_probe_counts_fn(mesh: Mesh, num_levels: int, level_offsets: tupl
         out_specs=P("part", "probe", None),
     )
     def step(levels, keys, starts, ends, qk, qs, qe):
-        lb, ub = _bounds_sort(
+        lb, ub = _shard_bounds(
             levels[0], keys[0], starts[0], ends[0], qk[0, 0], qs[0, 0], qe[0, 0],
             num_levels=num_levels, level_offsets=level_offsets,
+            layout=layout, strategy=strategy,
         )
         return counts_from_bounds(lb, ub)[None, None, :]
 
@@ -488,7 +541,10 @@ def partitioned_probe_counts(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
         dev(arrays[n], P("part", None))
         for n in ("levels", "keys", "starts", "ends")
     ]
-    fn = partitioned_probe_counts_fn(mesh, meta["num_levels"], meta["level_offsets"])
+    fn = partitioned_probe_counts_fn(
+        mesh, meta["num_levels"], meta["level_offsets"], meta["layout"],
+        mesh_bounds_strategy(),
+    )
     res = fetch_global(fn(
         *didx,
         dev(K, P("part", "probe", None)),
@@ -504,7 +560,9 @@ def partitioned_probe_counts(mesh: Mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def partitioned_coverage_ranks_fn(mesh: Mesh, num_levels: int, level_offsets: tuple):
+def partitioned_coverage_ranks_fn(mesh: Mesh, num_levels: int,
+                                  level_offsets: tuple, layout: tuple,
+                                  strategy: str):
     """Per-shard level-rank matrices for coverage: the device does the
     O((n+m) log) ranking work; the host finishes with int64 prefix-sum
     arithmetic (device int64 is unavailable — x64 stays off)."""
@@ -523,12 +581,16 @@ def partitioned_coverage_ranks_fn(mesh: Mesh, num_levels: int, level_offsets: tu
     )
     def step(levels, keys, starts, ends, qk, qs, qe):
         kw = dict(num_levels=num_levels, level_offsets=level_offsets)
+        if strategy == "bsearch":
+            rank = functools.partial(level_ranks_bsearch, level_pad=layout, **kw)
+        else:
+            rank = functools.partial(level_ranks, **kw)
         lv, ky, st, en = levels[0], keys[0], starts[0], ends[0]
         k, s, e = qk[0, 0], qs[0, 0], qe[0, 0]
-        lb = level_ranks(lv, ky, en, k, s, side="left", **kw)
-        ub = level_ranks(lv, ky, st, k, e, side="right", **kw)
-        t = level_ranks(lv, ky, en, k, e, side="right", **kw)
-        r = level_ranks(lv, ky, st, k, s, side="left", **kw)
+        lb = rank(lv, ky, en, k, s, side="left")
+        ub = rank(lv, ky, st, k, e, side="right")
+        t = rank(lv, ky, en, k, e, side="right")
+        r = rank(lv, ky, st, k, s, side="left")
         return lb[None, None], ub[None, None], t[None, None], r[None, None]
 
     return jax.jit(step)
@@ -547,7 +609,10 @@ def partitioned_coverage(mesh: Mesh, lk, ls, le, rk, rs, re):
         dev(arrays[n], P("part", None))
         for n in ("levels", "keys", "starts", "ends")
     ]
-    fn = partitioned_coverage_ranks_fn(mesh, meta["num_levels"], meta["level_offsets"])
+    fn = partitioned_coverage_ranks_fn(
+        mesh, meta["num_levels"], meta["level_offsets"], meta["layout"],
+        mesh_bounds_strategy(),
+    )
     LB, UB, T, R = (fetch_global(x).astype(np.int64) for x in fn(
         *didx,
         dev(K, P("part", "probe", None)),
@@ -591,7 +656,10 @@ def partitioned_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
     nprobe = mesh.shape["probe"]
     arrays, meta = build_partitioned_index(lk, ls, le, npart)
     K, S, E, _ = partition_probe(rk, rs, re, npart, nprobe)
-    fn = partitioned_count_fn(mesh, meta["num_levels"], meta["level_offsets"])
+    fn = partitioned_count_fn(
+        mesh, meta["num_levels"], meta["level_offsets"], meta["layout"],
+        mesh_bounds_strategy(),
+    )
     dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     partials = fn(
         dev(arrays["levels"], P("part", None)),
@@ -610,7 +678,10 @@ def collect_left_count(mesh: Mesh, lk, ls, le, rk, rs, re) -> int:
     index = build_interval_index(lk, ls, le, to_device=np.asarray)
     cap = _bucket(max(1, -(-len(rk) // n_chips)), minimum=8) * n_chips
     K, S, E = _pad_probe(rk, rs, re, cap)
-    fn = collect_left_count_fn(mesh, index.num_levels, index.level_offsets)
+    fn = collect_left_count_fn(
+        mesh, index.num_levels, index.level_offsets, index.level_pad,
+        mesh_bounds_strategy(),
+    )
     dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     partials = fn(
         dev(np.asarray(index.levels), P()),

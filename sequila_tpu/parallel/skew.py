@@ -462,8 +462,11 @@ def skew_partitioned_nearest(mesh, lk, ls, le, rk, rs, re) -> np.ndarray:
             for n in ("levels", "keys", "starts", "ends")
         ]
         dpos = dev(arrays["pos"], P("part", None))
+        from sequila_tpu.parallel.partitioned_join import mesh_bounds_strategy
+
         fn = partitioned_nearest_fn(
-            mesh, meta["num_levels"], meta["level_offsets"], meta["layout"]
+            mesh, meta["num_levels"], meta["level_offsets"], meta["layout"],
+            mesh_bounds_strategy(),
         )
         res = fetch_global(fn(
             *didx, dpos,
