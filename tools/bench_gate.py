@@ -56,7 +56,8 @@ def check_scaling_floor(path: str) -> list[str]:
 # never be indistinguishable (the silent-truncation trap VERDICT r4
 # flagged: the gate passed while validating none of the round's work)
 REQUIRED_FULL_SECTIONS = (
-    "algorithms", "pairings", "genomic_ops", "copy_stream",
+    "algorithms", "pairings", "databio_pairings", "genomic_ops",
+    "genomic_ops_genome", "copy_stream",
 )
 
 
@@ -80,7 +81,12 @@ def flatten(
         for name, row in full.get("pairings", {}).items():
             if "rows_per_sec" in row:
                 out[f"pairing:{name}"] = (float(row["rows_per_sec"]), True)
+        for name, row in full.get("databio_pairings", {}).items():
+            if "rows_per_sec" in row:
+                out[f"databio:{name}"] = (float(row["rows_per_sec"]), True)
         for name, row in full.get("genomic_ops", {}).items():
+            out[f"genomic:{name}"] = (float(row["seconds"]), False)
+        for name, row in full.get("genomic_ops_genome", {}).items():
             out[f"genomic:{name}"] = (float(row["seconds"]), False)
         for name, row in full.get("algorithms", {}).items():
             out[f"algorithm:{name}"] = (float(row["rows_per_sec"]), True)
