@@ -199,7 +199,11 @@ def write_table_batches(batches, path: str, fmt: str | None = None) -> int:
     # big row group, a writeback stall), idling the other writers; work
     # stealing keeps every encoder busy.  Each writer still owns its own
     # part file, so no ordering or locking is needed inside a file.
-    q: "queue.Queue" = queue.Queue(maxsize=max(2 * nwriters, 4))
+    # maxsize=nwriters bounds in-flight batches (queue + one per writer +
+    # producer) to ~2x the writer count; a deeper queue only grows RSS
+    # once the producer outruns the encoders (measured ~5 GB peak at the
+    # 154M-row COPY with 2x, ~2.5 GB with 1x, same throughput)
+    q: "queue.Queue" = queue.Queue(maxsize=max(nwriters, 2))
     errors: list[BaseException] = []
     started: list[threading.Thread] = []
 
