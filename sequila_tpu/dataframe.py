@@ -44,20 +44,40 @@ def _use_host(*tables) -> bool:
     return sum(t.num_rows for t in tables) <= _host_threshold()
 
 
-def _route_perprobe_host(a, b) -> bool:
+def _route_perprobe_host(a, b, entry=None) -> bool:
     """Routing for verbs whose device path ships an O(probe)-sized payload
     over the link (coverage: 4 rank matrices, 16L bytes/probe;
     count_overlaps: a 4-byte count per probe).  The link traffic makes the
     materializing cost model the right router (measured at 500k x 500k on
     the tunnelled TPU: device count fetch ~220 ms vs threaded native host
     counts ~50 ms); counting JOINs that reduce to a scalar keep the plain
-    small-input threshold."""
-    from sequila_tpu.exec.joins.interval_join import materialize_route_host
+    small-input threshold.  A pair-cache ``entry`` that already holds the
+    host index zeroes the model's build term: the marginal host cost is
+    then just the probe searches, which beat the device's link payload at
+    every genome-scale shape measured (coverage 2.35M probes over 7.7M:
+    host 0.67 s warm vs device 2.6 s — the 37 MB rank fetch alone costs
+    ~1 s on the ~38 MB/s tunnel)."""
+    import math
+
+    from sequila_tpu.exec.joins.interval_join import _host_threshold
     from sequila_tpu.native.loader import available
 
     if not available():
         return _use_host(a, b)
-    return materialize_route_host(b.num_rows, a.num_rows)
+    if _host_threshold() == 0:
+        return False  # kernel-test override: force the device path
+    if entry is not None and entry.get("hidx") is not None:
+        return True
+    n, m = b.num_rows, a.num_rows
+    rtt = float(os.environ.get("SEQUILA_LINK_RTT", 0.030))
+    bw = float(os.environ.get("SEQUILA_LINK_BW", 38e6))
+    # host: radix index build (~6 ns x n log2 n, measured 1.03 s at
+    # 7.7M) + threaded segment searches (~140 ns/probe); device: round
+    # trips + the per-probe payload (coverage's 4 rank vectors dominate)
+    # + the rank/scatter compute (~100 ns/row measured at genome scale)
+    host = 6e-9 * n * math.log2(max(n, 2)) + 140e-9 * m
+    dev = 2 * rtt + 20.0 * m / bw + 100e-9 * (n + m)
+    return host <= dev
 
 
 def _prep(table: Table, cols):
@@ -271,7 +291,7 @@ def count_overlaps(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
             mesh, cb, np.asarray(sb), np.asarray(eb),
             ca, np.asarray(sa), np.asarray(ea),
         )
-    elif _route_perprobe_host(a, b):
+    elif _route_perprobe_host(a, b, entry):
         counts = np.asarray(_pair_host_index(entry).counts(ca, sa, ea))
     else:
         counts = None
@@ -336,11 +356,9 @@ def closest(a: Table, b: Table, k: int = 1, cols: tuple = DEFAULT_COLS,
     if k == 1:
         # vectorized: the nearest kernel (device) / host nearest — exactly
         # one candidate per a-row, rows with no same-contig b drop out
-        from sequila_tpu.exec.joins.interval_join import (
-            materialize_route_host,
-        )
+        from sequila_tpu.exec.joins.interval_join import nearest_route_host
 
-        if materialize_route_host(b.num_rows, a.num_rows):
+        if nearest_route_host(b.num_rows, a.num_rows):
             rows1 = _pair_host_index(entry).nearest(ca, sa, ea)
         else:
             index = _pair_index(entry)
@@ -409,7 +427,7 @@ def coverage(a: Table, b: Table, cols: tuple = DEFAULT_COLS, cols_b=None,
             mesh, cb, np.asarray(sb), np.asarray(eb),
             ca, np.asarray(sa), np.asarray(ea),
         )
-    elif _route_perprobe_host(a, b):
+    elif _route_perprobe_host(a, b, entry):
         hidx = _pair_host_index(entry)
         if hasattr(hidx, "coverage"):
             counts, bases = hidx.coverage(ca, sa, ea)

@@ -69,6 +69,22 @@ def _host_threshold() -> int:
     queries.  SEQUILA_HOST_THRESHOLD=0 forces the device path everywhere."""
     return int(_os.environ.get("SEQUILA_HOST_THRESHOLD", 65536))
 
+def nearest_route_host(n: int, m: int) -> bool:
+    """Host-vs-device routing for NEAREST (one output row per probe row).
+
+    The pair cost model doesn't fit nearest: the device ships only 8
+    bytes/probe, but its bounds pass co-sorts (n + L*m) rows AND the
+    device index build pays a host np.lexsort over n rows, while the
+    native host index answers nearest with two segment searches per
+    probe off a radix-built index.  Measured at genome scale (7.7M
+    build x 2.35M probes, tunnelled v5e): host 1.4 s cold / 0.33 s warm
+    vs device 9.5 s — host wins at every scale tried, on any link
+    profile, so nearest routes host unless SEQUILA_HOST_THRESHOLD=0
+    forces the device path (the kernel-test override)."""
+    del n, m
+    return _host_threshold() != 0
+
+
 def materialize_route_host(n: int, m: int) -> bool:
     """Host-vs-device routing for MATERIALIZING interval work (cost model).
 
@@ -1051,7 +1067,11 @@ class IntervalJoinExec(ExecPlan):
         mesh = self._partitioned_mesh(ctx)
         if mesh is not None:
             return self._execute_partitioned(ctx, mesh, left, right)
-        if self._route_materialize_host(left, right):
+        if self.algorithm.is_nearest:
+            # nearest has its own routing (see nearest_route_host)
+            if nearest_route_host(left.num_rows, right.num_rows):
+                return self._execute_host(ctx, left, right)
+        elif self._route_materialize_host(left, right):
             return self._execute_host(ctx, left, right)
 
         index, rcodes, rs, re = self._prepare(ctx, left, right)
