@@ -411,7 +411,17 @@ class Table:
         return Table(self._t.rename_columns(names))
 
     def select(self, names_or_idxs) -> "Table":
-        return Table(self._t.select(names_or_idxs))
+        """Column-pruned zero-copy view; cached per id-tuple so chunked
+        emission reuses one wrapper (and therefore its dict-take /
+        sorted-view caches) across output batches."""
+        try:
+            key = ("select", tuple(names_or_idxs))
+        except TypeError:
+            return Table(self._t.select(names_or_idxs))
+        hit = self._codes.get(key)
+        if hit is None:
+            hit = self._codes[key] = Table(self._t.select(names_or_idxs))
+        return hit
 
     def slice(self, offset: int, length: int | None = None) -> "Table":
         return Table(self._t.slice(offset, length))
