@@ -397,3 +397,33 @@ def test_fast_lexsort_uint64_ordering():
 
     codes, _ = _row_group_codes([v])
     np.testing.assert_array_equal(codes, np.unique(v, return_inverse=True)[1])
+
+
+def test_native_extreme_coordinate_emission(lib_available, rng):
+    """int32-extreme coordinates exercise the level hint grids' widest
+    span (2^32-1) and the searchsorted hint path's clamping; counts and
+    pairs must match the oracle exactly."""
+    n, m = 600, 400
+    lo, hi = -(2**31), 2**31 - 1
+    bs = rng.integers(lo, hi - 1000, n).astype(np.int64)
+    bk = rng.integers(0, 3, n).astype(np.int32)
+    be = (bs + rng.integers(0, 2**31, n)).clip(lo, hi - 1).astype(np.int32)
+    bs = bs.astype(np.int32)
+    qs = rng.integers(lo, hi - 1000, m).astype(np.int64)
+    qk = rng.integers(0, 4, m).astype(np.int32)
+    qe = (qs + rng.integers(0, 2**31, m)).clip(lo, hi - 1).astype(np.int32)
+    qs = qs.astype(np.int32)
+    # a few exact-extreme rows
+    bs[:3] = [lo, lo, hi - 1]
+    be[:3] = [lo, hi - 1, hi - 1]
+    qs[:3] = [lo, hi - 1, lo]
+    qe[:3] = [hi - 1, hi - 1, lo]
+    idx = native.NativeIntervalIndex(bk, bs, be)
+    got = idx.counts(qk, qs, qe)
+    want = oracle_counts(bk, bs, be, qk, qs, qe)
+    np.testing.assert_array_equal(got, want)
+    nb, npr = idx.pairs(qk, qs, qe)
+    ob, op = oracle_pairs(bk, bs, be, qk, qs, qe)
+    assert sorted(zip(npr.tolist(), nb.tolist())) == sorted(
+        zip(op.tolist(), ob.tolist())
+    )
