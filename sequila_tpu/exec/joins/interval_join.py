@@ -80,9 +80,19 @@ def nearest_route_host(n: int, m: int) -> bool:
     build x 2.35M probes, tunnelled v5e): host 1.4 s cold / 0.33 s warm
     vs device 9.5 s — host wins at every scale tried, on any link
     profile, so nearest routes host unless SEQUILA_HOST_THRESHOLD=0
-    forces the device path (the kernel-test override)."""
-    del n, m
-    return _host_threshold() != 0
+    forces the device path (the kernel-test override).
+
+    Those constants assume the threaded C++ index; without it
+    (SEQUILA_NATIVE=0) the NumPy fallback's no-overlap finisher is a
+    per-probe Python loop, so large inputs keep the old cost-model
+    routing to the device kernel."""
+    from sequila_tpu.native.loader import available
+
+    if _host_threshold() == 0:
+        return False
+    if not available():
+        return n + m <= _host_threshold() or materialize_route_host(n, m)
+    return True
 
 
 def materialize_route_host(n: int, m: int) -> bool:
@@ -636,6 +646,19 @@ class IntervalJoinExec(ExecPlan):
         _, rvals, _ = right.dict_codes(r_on.index)
         if len(lvals) and len(rvals) and type(lvals[0]) is not type(rvals[0]):
             return None  # str-coercing merge would break monotone remaps
+        # plan cache (mirror of the count path's 'mcount' memo): the plan
+        # holds packed level slices + windows — rebuilding it re-uploads
+        # every level over the slow link.  Keyed on the index identity so
+        # a cache miss in _prepare invalidates the plan too.
+        import weakref
+
+        cache_key = (
+            "mbplan", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
+            id(right),
+        )
+        hit = left._codes.get(cache_key)
+        if hit is not None and hit[0]() is right and hit[1] is index:
+            return hit[2]
         remap_b, remap_q = merge_dictionaries(lvals, rvals)
         views = (
             left.per_key_minmax(l_on.index, bs_cd[0]),
@@ -643,10 +666,12 @@ class IntervalJoinExec(ExecPlan):
             right.per_key_minmax(r_on.index, qs_cd[0]),
             right.per_key_minmax(r_on.index, qe_cd[0]),
         )
-        return mc.plan_level_bounds(
+        plan = mc.plan_level_bounds(
             index, right, r_on.index, qs_cd, qe_cd, bs_cd, be_cd,
             remap_b, remap_q, views,
         )
+        left._codes[cache_key] = (weakref.ref(right), index, plan)
+        return plan
 
     def _merge_pair_chunks(self, index, plan, cap: int | None):
         """Yield (probe_lo, build_rows, probe_rows_local) pair chunks from
@@ -654,8 +679,10 @@ class IntervalJoinExec(ExecPlan):
 
         Bounds for the WHOLE probe are computed once (2L merge kernels,
         no device sort); ``cap`` then slices them into emission chunks by
-        the exact per-probe counts, so the capped continuation never
-        recomputes ranks the way the co-sort path re-counts per chunk."""
+        the exact per-probe counts — the RANKS are never recomputed (the
+        co-sort path re-sorts per chunk), though each chunk still pays
+        one counts fetch inside materialize_pairs_from_bounds for its
+        nnz/maxrun compaction decision."""
         from sequila_tpu.ops.interval_join import (
             _counts_and_nnz,
             materialize_pairs_from_bounds,
@@ -840,9 +867,41 @@ class IntervalJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "build_mem_used", build_bytes)
         if not build_index:
             return (lcodes, ls, le), rcodes, rs, re
+        # Cache the device index per (key column, bound columns+deltas,
+        # right-table identity): the joint key codes depend on BOTH
+        # dictionaries, and the build (host level assignment + device
+        # upload) dominates repeated materializing queries.  Plain-Column
+        # shapes only — complex exprs rebuild each time.
+        cache_key = self._index_cache_key(left, right)
+        if cache_key is not None:
+            hit = left._codes.get(cache_key)
+            if hit is not None and hit[0]() is right:
+                return hit[1], rcodes, rs, re
         with ctx.timer(self.op_id(), "build_time"):
             index = build_interval_index(lcodes, ls, le)
+        if cache_key is not None:
+            import weakref
+
+            left._codes[cache_key] = (weakref.ref(right), index)
         return index, rcodes, rs, re
+
+    def _index_cache_key(self, left: Table, right: Table):
+        """Cache key for the device IntervalIndex, or None when the plan
+        shape (multi-key, complex exprs, nullable keys) precludes it."""
+        from sequila_tpu.planner.expr import Column
+
+        if len(self.on) != 1:
+            return None
+        l_on, r_on = self.on[0]
+        if not (isinstance(l_on, Column) and isinstance(r_on, Column)):
+            return None
+        if left.column(l_on.index).null_count or right.column(r_on.index).null_count:
+            return None
+        bs_cd = self._bound_col_delta(self.intervals.left_interval.start, left)
+        be_cd = self._bound_col_delta(self.intervals.left_interval.end, left)
+        if bs_cd is None or be_cd is None:
+            return None
+        return ("devindex", l_on.index, r_on.index, bs_cd, be_cd, id(right))
 
     @staticmethod
     def _pad_chunk(rcodes, rs, re, lo, rows):

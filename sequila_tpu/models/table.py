@@ -413,7 +413,11 @@ class Table:
     def select(self, names_or_idxs) -> "Table":
         """Column-pruned zero-copy view; cached per id-tuple so chunked
         emission reuses one wrapper (and therefore its dict-take /
-        sorted-view caches) across output batches."""
+        sorted-view caches) across output batches.  Iterator arguments
+        are materialized FIRST — tuple() would otherwise exhaust a
+        generator before pa.Table.select saw it."""
+        if not isinstance(names_or_idxs, (list, tuple)):
+            names_or_idxs = list(names_or_idxs)
         try:
             key = ("select", tuple(names_or_idxs))
         except TypeError:

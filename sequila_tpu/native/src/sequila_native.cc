@@ -1182,7 +1182,11 @@ void si_searchsorted64(const int64_t* sorted, int64_t n, const int64_t* q,
   // turns each search into a hint load + short gallop instead of ~17
   // cache-missing bisection steps (measured 56 -> ~10 ms for 1M searches
   // over 125k merged runs).  Small query counts keep plain bisection.
-  if (m >= 4096 && n >= 2 && n <= INT32_MAX && sorted[n - 1] > sorted[0]) {
+  // grid only when the O(n) build sweep amortizes over the queries: a
+  // small probe batch against a huge sorted array (hash-join lookups)
+  // keeps the plain threaded bisections
+  if (m >= 4096 && n >= 2 && n <= 32 * m && n <= INT32_MAX &&
+      sorted[n - 1] > sorted[0]) {
     const int64_t base = sorted[0];
     const uint64_t span = uint64_t(sorted[n - 1] - base);
     int32_t g = 0;

@@ -64,3 +64,14 @@ def test_regression_past_threshold_fails(tmp_path):
     r = _run(tmp_path, worse, _full())
     assert r.returncode == 1
     assert "headline_rows_per_sec" in r.stderr
+
+
+def test_named_but_absent_full_artifact_fails(tmp_path):
+    """A crashed --full run (file never written) must not gate-pass."""
+    json.dump(RESULT, open(tmp_path / "r.json", "w"))
+    r = subprocess.run(
+        [sys.executable, str(GATE), "r.json", "BENCH_full.json"],
+        cwd=tmp_path, capture_output=True, text=True,
+    )
+    assert r.returncode == 1
+    assert "full artifact missing" in r.stderr

@@ -98,13 +98,22 @@ def flatten(
 def main() -> int:
     result = json.load(open(sys.argv[1]))
     full = None
-    if len(sys.argv) > 2 and os.path.exists(sys.argv[2]):
-        full = json.load(open(sys.argv[2]))
+    full_missing = None
+    if len(sys.argv) > 2:
+        if os.path.exists(sys.argv[2]):
+            full = json.load(open(sys.argv[2]))
+        else:
+            # a named-but-absent artifact is a FAILURE (a crashed --full
+            # run must not look like a passing one), same rule as a
+            # missing section
+            full_missing = f"full artifact missing: {sys.argv[2]}"
     scaling_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scaling.json"
     scaling_failures = (
         check_scaling_floor(scaling_path) if os.path.exists(scaling_path) else []
     )
     failures: list[str] = []
+    if full_missing:
+        failures.append(full_missing)
     current = flatten(result, full, failures)
 
     prev = None
