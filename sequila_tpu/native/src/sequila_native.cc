@@ -660,11 +660,30 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
                    const int32_t* qe, int64_t m, const int64_t* offs,
                    int32_t* out_b, int32_t* out_p) {
   const auto* idx = static_cast<const Index*>(h);
+  // Large indexes (level arrays beyond cache) traverse the queries in
+  // (key, qs)-sorted order: consecutive queries touch neighboring level
+  // positions, so the hint/gallop loads hit cache instead of DRAM, and
+  // each level's lower bound advances monotonically within a segment
+  // (forward gallop from a per-level cursor, amortized O(1)).  Each
+  // query still writes at its caller offset offs[i] — output identical
+  // to the original-order walk.  Cache-resident indexes skip the sort:
+  // the radix pass and scattered output writes cost more than the
+  // locality buys (measured 33 vs 40 ms on the 20k-build chain shape;
+  // 1.08 s -> 0.35 s on the 10M-build genome shape).
+  std::vector<int32_t> order;
+  const bool sorted_walk = m >= 4096 && idx->n >= (int64_t(1) << 21);
+  if (sorted_walk) {
+    order.resize(size_t(m));
+    radix_perm32(m, {qs, qk}, order.data());
+  }
   std::atomic<int64_t> written{0};
   parallel_chunks(m, 4096, [&](int64_t i0, int64_t i1) {
     int64_t local = 0;
     int64_t last = -1;
-    for (int64_t i = i0; i < i1; ++i) {
+    int64_t cur_seg = -1;
+    std::vector<int64_t> lb_cur;  // per-level monotone cursors (sorted walk)
+    for (int64_t j = i0; j < i1; ++j) {
+      const int64_t i = sorted_walk ? order[j] : j;
       int64_t w = offs[i];
       const int64_t w_end = offs[i + 1];
       if (w >= w_end) continue;
@@ -672,6 +691,10 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
       if (sgi < 0) continue;
       const int32_t qsi = qs[i], qei = qe[i];
       const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
+      if (sorted_walk && sgi != cur_seg) {
+        cur_seg = sgi;
+        lb_cur.assign(size_t(d1 - d0), -1);
+      }
       for (int64_t d = d0; d + 1 < d1 && w < w_end; ++d) {
         const int64_t llo = idx->lvl_bounds[d];
         const int64_t llen = idx->lvl_bounds[d + 1] - llo;
@@ -679,10 +702,34 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
             idx->lvl_starts.data() + llo, llen,
             idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
             idx->hint_s_base[d], idx->hint_s_g[d], qei);
-        const int64_t lb = hint_lb32(
-            idx->lvl_ends.data() + llo, llen,
-            idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
-            idx->hint_e_base[d], idx->hint_e_g[d], qsi);
+        int64_t lb;
+        if (sorted_walk) {
+          // qs ascends within the segment: gallop forward from the
+          // cursor (the level's first query seeds it from the grid)
+          const int32_t* ends = idx->lvl_ends.data() + llo;
+          int64_t c = lb_cur[size_t(d - d0)];
+          if (c < 0) {
+            c = hint_lb32(ends, llen,
+                          idx->lvl_hints.data() + idx->hint_e_off[d],
+                          idx->hint_e_nb[d], idx->hint_e_base[d],
+                          idx->hint_e_g[d], qsi);
+          } else {
+            int64_t step = 1;
+            while (c + step <= llen && ends[c + step - 1] < qsi) {
+              c += step;
+              step <<= 1;
+            }
+            const int64_t wh = std::min(c + step - 1, llen);
+            c += std::lower_bound(ends + c, ends + wh, qsi) - (ends + c);
+          }
+          lb_cur[size_t(d - d0)] = c;
+          lb = c;
+        } else {
+          lb = hint_lb32(
+              idx->lvl_ends.data() + llo, llen,
+              idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
+              idx->hint_e_base[d], idx->hint_e_g[d], qsi);
+        }
         int64_t run = ub - lb;
         if (run <= 0) continue;
         if (run > w_end - w) run = w_end - w;  // belt-and-braces cap
