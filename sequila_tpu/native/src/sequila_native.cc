@@ -66,7 +66,10 @@ struct Index {
   std::vector<int32_t> eytz_ends, eytz_ends_rank;
   std::vector<int32_t> eytz_cummax, eytz_cummax_rank;
   std::vector<int64_t> eytz_off;  // per-segment block offsets (len+1 each)
-  // AIList-style level decomposition (emission): within one (segment,
+  // AIList-style level decomposition (emission; the published AIList
+  // technique, Feng/Ratan/Sheffield 2019 — no counterpart in the
+  // reference, whose emit walks per-row tree queries,
+  // joins/interval_join.rs:1580-1640): within one (segment,
   // level) run, starts AND ends both ascend, so the overlap set of any
   // query — including degenerate stabbing (qs > qe) and inverted build
   // rows — is the contiguous run [lower_bound(ends, qs),

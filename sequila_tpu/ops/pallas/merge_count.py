@@ -522,7 +522,9 @@ def plan_level_bounds(index, probe, r_key, qs_cd, qe_cd, bs_cd, be_cd,
 
     Replaces the co-sort bounds pass of the device materialize path
     (ops/interval_join._bounds_sort — two (n + L*m)-row multi-operand
-    device sorts) with 2L sort-free merge-rank kernels: each level slice
+    device sorts; role-equivalent of the reference's per-row emission hot
+    loop, reference joins/interval_join.rs:1580-1640) with 2L sort-free
+    merge-rank kernels: each level slice
     of the build index is sorted by (key, start) AND — by the monotone-
     end level invariant — simultaneously by (key, end), so both bounds of
     every level rank the cached sorted probe views in an already-sorted
