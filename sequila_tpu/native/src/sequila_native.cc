@@ -672,9 +672,9 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
   // to the original-order walk.  Cache-resident indexes skip the sort:
   // the radix pass and scattered output writes cost more than the
   // locality buys (measured 33 vs 40 ms on the 20k-build chain shape;
-  // 1.08 s -> 0.35 s on the 10M-build genome shape).
+  // 81 -> 60 ms at 1M build, 1.08 s -> 0.35 s at 10M build).
   std::vector<int32_t> order;
-  const bool sorted_walk = m >= 4096 && idx->n >= (int64_t(1) << 21);
+  const bool sorted_walk = m >= 4096 && idx->n >= (int64_t(1) << 19);
   if (sorted_walk) {
     order.resize(size_t(m));
     radix_perm32(m, {qs, qk}, order.data());
