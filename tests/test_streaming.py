@@ -206,3 +206,37 @@ def test_streaming_metrics_output_rows(join_ctx):
     ]
     assert ops
     assert join_ctx.last_metrics.counters[ops[0]]["output_rows"] == total
+
+
+def test_copy_query_to_parquet_directory_pool(join_ctx, tmp_path):
+    """Directory sink: the shared-queue writer pool fans part files out,
+    dictionary-typed string outputs ride parquet dictionary pages, and
+    the dataset read-back equals the whole result."""
+    import os
+
+    whole = join_ctx.sql(Q_JOIN).arrow
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    out = str(tmp_path / "parts") + "/"
+    res = join_ctx.sql(f"COPY ({Q_JOIN}) TO '{out}' STORED AS PARQUET")
+    assert int(res.column_np(0)[0]) == whole.num_rows
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert parts, "no part files written"
+    back = pq.read_table(out)
+    assert back.num_rows == whole.num_rows
+    assert _rows_sorted(back) == _rows_sorted(whole)
+
+
+def test_copy_join_output_to_csv_decodes_dictionary(join_ctx, tmp_path):
+    """CSV sink writes dictionary-typed join outputs as plain values."""
+    q = ("SELECT s1.contig, s2.pos_start FROM s1 JOIN s2 "
+         "ON s1.contig = s2.contig AND s1.pos_end >= s2.pos_start "
+         "AND s1.pos_start <= s2.pos_end")
+    whole = join_ctx.sql(q)
+    assert pa.types.is_dictionary(whole.arrow.schema.types[0])
+    out = tmp_path / "j.csv"
+    join_ctx.sql(f"COPY ({q}) TO '{out}'")
+    back = pacsv.read_csv(out)
+    assert back.num_rows == whole.num_rows
+    # contig values decoded to plain strings in the file
+    col = back.column(0).to_pylist()
+    assert set(col) <= set(join_ctx.table("s1").column_np("contig").tolist())
