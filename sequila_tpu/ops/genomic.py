@@ -172,11 +172,14 @@ def cluster_intervals(keys, starts, ends, min_dist: int = 0):
     return out
 
 
-def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int]]):
+def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int]], merged=None):
     """Gaps of the merged intervals per key within [lo, hi] bounds.
 
     ``key_sizes[k] = (lo, hi)`` gives each key's domain (chromosome span,
-    end-inclusive).  Keys present in key_sizes but absent from the data
+    end-inclusive); ``merged`` optionally passes precomputed
+    merge_intervals(keys, starts, ends) runs (the dataframe verb caches
+    them per table — chrom_sizes change between calls, the merge does
+    not).  Keys present in key_sizes but absent from the data
     yield their full span.  Direct gap scan over the merged runs (they
     are disjoint and (key, start)-sorted): each gap is the stretch
     between consecutive same-key runs, plus the head/tail pieces against
@@ -190,9 +193,12 @@ def complement_intervals(keys, starts, ends, key_sizes: dict[int, tuple[int, int
     if len(dk) == 0:
         z = np.empty(0, np.int32)
         return z, z, z
-    mk, ms, me = merge_intervals(
-        np.asarray(keys), np.asarray(starts), np.asarray(ends)
-    )
+    if merged is not None:
+        mk, ms, me = merged
+    else:
+        mk, ms, me = merge_intervals(
+            np.asarray(keys), np.asarray(starts), np.asarray(ends)
+        )
     # restrict runs to keys with a domain, clipped to the domain span
     pos = np.searchsorted(dk, mk.astype(np.int64))
     in_dom = (pos < len(dk)) & (dk[np.minimum(pos, len(dk) - 1)] == mk)
