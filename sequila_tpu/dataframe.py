@@ -597,13 +597,13 @@ def complement(a: Table, chrom_sizes: dict, cols: tuple = DEFAULT_COLS) -> Table
     # code <-> name maps via unique-codes + one small arrow take (no
     # per-row Python); memoized with the merged runs — chrom_sizes vary
     # between calls, the table-derived pieces do not
-    memo = a._codes.get(("complement", cols))
+    memo = a._codes.get(("complement", tuple(cols)))
     if memo is None:
         uniq, first = np.unique(codes64, return_index=True)
         merged = genomic.merge_intervals(
             np.asarray(codes), np.asarray(starts), np.asarray(ends)
         )
-        memo = a._codes[("complement", cols)] = (uniq, first, merged)
+        memo = a._codes[("complement", tuple(cols))] = (uniq, first, merged)
     uniq, first, merged = memo
     kcol = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
     uniq_names = kcol.take(pa.array(first)).to_pylist() if len(uniq) else []

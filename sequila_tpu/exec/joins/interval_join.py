@@ -84,14 +84,15 @@ def nearest_route_host(n: int, m: int) -> bool:
 
     Those constants assume the threaded C++ index; without it
     (SEQUILA_NATIVE=0) the NumPy fallback's no-overlap finisher is a
-    per-probe Python loop, so large inputs keep the old cost-model
-    routing to the device kernel."""
+    per-probe Python loop, so only small inputs stay host (the pair
+    cost model's host constants would mis-route — they model the
+    threaded native searches, not a Python loop)."""
     from sequila_tpu.native.loader import available
 
     if _host_threshold() == 0:
         return False
     if not available():
-        return n + m <= _host_threshold() or materialize_route_host(n, m)
+        return n + m <= _host_threshold()
     return True
 
 
@@ -360,10 +361,17 @@ class IntervalJoinExec(ExecPlan):
             return None  # null keys need the sentinel-code path
         from sequila_tpu.models.table import merge_dictionaries
 
-        lcodes, lvals, _ = left.dict_codes(l_on.index)
-        rcodes, rvals, _ = right.dict_codes(r_on.index)
-        remap_l, remap_r = merge_dictionaries(lvals, rvals)
-        return remap_l[lcodes], remap_r[rcodes]
+        def build():
+            lcodes, lvals, _ = left.dict_codes(l_on.index)
+            rcodes, rvals, _ = right.dict_codes(r_on.index)
+            remap_l, remap_r = merge_dictionaries(lvals, rvals)
+            return remap_l[lcodes], remap_r[rcodes]
+
+        # the O(n + m) remap gathers are pair-deterministic: memoize so a
+        # repeated query against a cached index skips them too
+        return left.paired_memo(
+            ("jointcodes", l_on.index, r_on.index, id(right)), right, build
+        )
 
     # -- device-resident fast path -----------------------------------------
     @staticmethod
@@ -458,22 +466,16 @@ class IntervalJoinExec(ExecPlan):
         l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd, remap_b, remap_q = inputs
 
         # device C tables + chunk windows are deterministic per (table
-        # pair, bound columns, deltas): cache like device_remaps
-        import weakref
-
-        cache_key = (
-            "mcount", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
-            id(right),
-        )
-        entry = left._codes.get(cache_key)
-        if entry is not None and entry[0]() is right:
-            plan = entry[1]
-        else:
-            plan = self._merge_count_plan(
+        # pair, bound columns, deltas): bounded paired memo on the table
+        plan = left.paired_memo(
+            ("mcount", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
+             id(right)),
+            right,
+            lambda: self._merge_count_plan(
                 left, right, l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd,
                 remap_b, remap_q,
-            )
-            left._codes[cache_key] = (weakref.ref(right), plan)
+            ),
+        )
         if plan is None:
             return None
         dev_args = plan
@@ -542,21 +544,15 @@ class IntervalJoinExec(ExecPlan):
             return None
         l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd, remap_b, remap_q = inputs
 
-        import weakref
-
-        cache_key = (
-            "mpcount", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
-            id(right),
-        )
-        entry = left._codes.get(cache_key)
-        if entry is not None and entry[0]() is right:
-            plan = entry[1]
-        else:
-            plan = self._merge_probe_plan(
+        plan = left.paired_memo(
+            ("mpcount", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
+             id(right)),
+            right,
+            lambda: self._merge_probe_plan(
                 left, right, l_on, r_on, bs_cd, be_cd, qs_cd, qe_cd,
                 remap_b, remap_q,
-            )
-            left._codes[cache_key] = (weakref.ref(right), plan)
+            ),
+        )
         if plan is None:
             return None
         with ctx.timer(self.op_id(), "join_time"):
@@ -646,31 +642,30 @@ class IntervalJoinExec(ExecPlan):
         _, rvals, _ = right.dict_codes(r_on.index)
         if len(lvals) and len(rvals) and type(lvals[0]) is not type(rvals[0]):
             return None  # str-coercing merge would break monotone remaps
-        # plan cache (mirror of the count path's 'mcount' memo): the plan
+        # plan memo (mirror of the count path's 'mcount' memo): the plan
         # holds packed level slices + windows — rebuilding it re-uploads
-        # every level over the slow link.  Keyed on the index identity so
-        # a cache miss in _prepare invalidates the plan too.
-        import weakref
+        # every level over the slow link.  valid() pins the index
+        # identity so a cache miss in _prepare invalidates the plan too.
+        def build():
+            remap_b, remap_q = merge_dictionaries(lvals, rvals)
+            views = (
+                left.per_key_minmax(l_on.index, bs_cd[0]),
+                left.per_key_minmax(l_on.index, be_cd[0]),
+                right.per_key_minmax(r_on.index, qs_cd[0]),
+                right.per_key_minmax(r_on.index, qe_cd[0]),
+            )
+            return index, mc.plan_level_bounds(
+                index, right, r_on.index, qs_cd, qe_cd, bs_cd, be_cd,
+                remap_b, remap_q, views,
+            )
 
-        cache_key = (
-            "mbplan", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
-            id(right),
+        _, plan = left.paired_memo(
+            ("mbplan", l_on.index, r_on.index, bs_cd, be_cd, qs_cd, qe_cd,
+             id(right)),
+            right,
+            build,
+            valid=lambda v: v[0] is index,
         )
-        hit = left._codes.get(cache_key)
-        if hit is not None and hit[0]() is right and hit[1] is index:
-            return hit[2]
-        remap_b, remap_q = merge_dictionaries(lvals, rvals)
-        views = (
-            left.per_key_minmax(l_on.index, bs_cd[0]),
-            left.per_key_minmax(l_on.index, be_cd[0]),
-            right.per_key_minmax(r_on.index, qs_cd[0]),
-            right.per_key_minmax(r_on.index, qe_cd[0]),
-        )
-        plan = mc.plan_level_bounds(
-            index, right, r_on.index, qs_cd, qe_cd, bs_cd, be_cd,
-            remap_b, remap_q, views,
-        )
-        left._codes[cache_key] = (weakref.ref(right), index, plan)
         return plan
 
     def _merge_pair_chunks(self, index, plan, cap: int | None):
@@ -874,15 +869,13 @@ class IntervalJoinExec(ExecPlan):
         # shapes only — complex exprs rebuild each time.
         cache_key = self._index_cache_key(left, right)
         if cache_key is not None:
-            hit = left._codes.get(cache_key)
-            if hit is not None and hit[0]() is right:
-                return hit[1], rcodes, rs, re
+            def build():
+                with ctx.timer(self.op_id(), "build_time"):
+                    return build_interval_index(lcodes, ls, le)
+
+            return left.paired_memo(cache_key, right, build), rcodes, rs, re
         with ctx.timer(self.op_id(), "build_time"):
             index = build_interval_index(lcodes, ls, le)
-        if cache_key is not None:
-            import weakref
-
-            left._codes[cache_key] = (weakref.ref(right), index)
         return index, rcodes, rs, re
 
     def _index_cache_key(self, left: Table, right: Table):

@@ -438,6 +438,43 @@ class Table:
             return pa.array(np.where(null_mask, 0, idx), mask=np.asarray(null_mask))
         return pa.array(idx)
 
+    # pair-scoped memos: at most this many live entries per (table, tag)
+    _PAIRED_MEMO_MAX = 4
+
+    def paired_memo(self, key: tuple, other: "Table", build, valid=None):
+        """Memo scoped to (this table, ``key``, the identity of ``other``).
+
+        The shared pattern behind the merge-count/probe-count plans, the
+        device index, and the merge-bounds plan: ``key`` must already
+        embed ``id(other)``; the entry stores a weakref to ``other`` so a
+        recycled id can never alias, and per (table, key-tag) at most
+        _PAIRED_MEMO_MAX entries are kept (oldest evicted) so a stream of
+        transient probe tables cannot pin dead indexes/plans forever.
+        ``build()`` computes the value on miss (None results are cached
+        too — a disqualified plan shouldn't be re-planned every call);
+        ``valid(value)`` optionally re-checks a hit (e.g. a plan whose
+        underlying index identity must still match)."""
+        import weakref
+
+        hit = self._codes.get(key)
+        if hit is not None and hit[0]() is other and (
+            valid is None or valid(hit[1])
+        ):
+            return hit[1]
+        value = build()
+        tag = key[0]
+        live = [
+            k for k in self._codes
+            if isinstance(k, tuple) and k and k[0] == tag
+        ]
+        if len(live) >= self._PAIRED_MEMO_MAX:
+            # evict entries whose partner died first, else the oldest
+            dead = [k for k in live if self._codes[k][0]() is None]
+            for k in (dead or live[: len(live) - self._PAIRED_MEMO_MAX + 1]):
+                del self._codes[k]
+        self._codes[key] = (weakref.ref(other), value)
+        return value
+
     def _dict_take_plan(self, i: int):
         """(int32 code np array, dictionary pa.Array) for a low-cardinality
         non-null string column, or None.  Cached per column — the encode

@@ -674,7 +674,12 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
   // locality buys (measured 33 vs 40 ms on the 20k-build chain shape;
   // 81 -> 60 ms at 1M build, 1.08 s -> 0.35 s at 10M build).
   std::vector<int32_t> order;
-  const bool sorted_walk = m >= 4096 && idx->n >= (int64_t(1) << 19);
+  // SEQUILA_EMIT_SORTED_WALK=1|0 forces the branch (test override)
+  const char* sw_env = std::getenv("SEQUILA_EMIT_SORTED_WALK");
+  const bool sorted_walk =
+      sw_env != nullptr
+          ? (sw_env[0] == '1' && m >= 2)
+          : (m >= 4096 && idx->n >= (int64_t(1) << 19));
   if (sorted_walk) {
     order.resize(size_t(m));
     radix_perm32(m, {qs, qk}, order.data());

@@ -75,3 +75,14 @@ def test_named_but_absent_full_artifact_fails(tmp_path):
     )
     assert r.returncode == 1
     assert "full artifact missing" in r.stderr
+
+
+def test_named_but_absent_scaling_artifact_fails(tmp_path):
+    json.dump(RESULT, open(tmp_path / "r.json", "w"))
+    json.dump(_full(), open(tmp_path / "f.json", "w"))
+    r = subprocess.run(
+        [sys.executable, str(GATE), "r.json", "f.json", "BENCH_scaling.json"],
+        cwd=tmp_path, capture_output=True, text=True,
+    )
+    assert r.returncode == 1
+    assert "scaling artifact missing" in r.stderr

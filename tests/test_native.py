@@ -427,3 +427,24 @@ def test_native_extreme_coordinate_emission(lib_available, rng):
     assert sorted(zip(npr.tolist(), nb.tolist())) == sorted(
         zip(op.tolist(), ob.tolist())
     )
+
+
+def test_sorted_walk_emission_parity(lib_available, rng, monkeypatch):
+    """SEQUILA_EMIT_SORTED_WALK forces the beyond-cache emission branch
+    (radix query order + per-level monotone gallop cursors) at test
+    sizes; its output must be identical to the plain walk, including
+    inverted builds and degenerate stabbing probes."""
+    bk, bs, be, qk, qs, qe = _tables(rng, 800, 600)
+    be = np.where(rng.random(800) < 0.1, bs - 50, be)  # inverted rows
+    qe = np.where(rng.random(600) < 0.1, qs - 30, qe)  # stabbing probes
+    idx = native.NativeIntervalIndex(bk, bs, be)
+    monkeypatch.setenv("SEQUILA_EMIT_SORTED_WALK", "0")
+    pb, pp = idx.pairs(qk, qs, qe)
+    monkeypatch.setenv("SEQUILA_EMIT_SORTED_WALK", "1")
+    sb, sp = idx.pairs(qk, qs, qe)
+    np.testing.assert_array_equal(pb, sb)
+    np.testing.assert_array_equal(pp, sp)
+    ob, op = oracle_pairs(bk, bs, be, qk, qs, qe)
+    assert sorted(zip(sp.tolist(), sb.tolist())) == sorted(
+        zip(op.tolist(), ob.tolist())
+    )

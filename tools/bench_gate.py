@@ -107,10 +107,22 @@ def main() -> int:
             # run must not look like a passing one), same rule as a
             # missing section
             full_missing = f"full artifact missing: {sys.argv[2]}"
-    scaling_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_scaling.json"
-    scaling_failures = (
-        check_scaling_floor(scaling_path) if os.path.exists(scaling_path) else []
-    )
+    scaling_path = sys.argv[3] if len(sys.argv) > 3 else None
+    if scaling_path is not None:
+        # explicitly named: absence is a failure, same rule as the full
+        # artifact (a crashed --scaling run must not look like a pass)
+        scaling_failures = (
+            check_scaling_floor(scaling_path)
+            if os.path.exists(scaling_path)
+            else [f"scaling artifact missing: {scaling_path}"]
+        )
+    else:
+        scaling_path = "BENCH_scaling.json"
+        scaling_failures = (
+            check_scaling_floor(scaling_path)
+            if os.path.exists(scaling_path)
+            else []
+        )
     failures: list[str] = []
     if full_missing:
         failures.append(full_missing)
