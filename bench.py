@@ -266,6 +266,7 @@ def run_full(iters, platform=None):
     ]
     for name, t1, t2 in pairs:
         run_pair(name, t1, t2, iters, results=artifact["pairings"])
+    del pairs
 
     # the reference's 5-pairing databio matrix (databio_benchmark.rs:
     # 148-246: chainRn4 x {fBrain, chainOrnAna1, ex-anno, ex-rna} and
@@ -293,6 +294,14 @@ def run_full(iters, platform=None):
     for name, t1, t2 in databio:
         run_pair(name, t1, t2, max(3, iters // 2),
                  results=artifact["databio_pairings"])
+    # drop the ~2 GB of generated tables: holding them through the rest
+    # of the suite fragments the retained heap and the later
+    # materialization sections measure page-fault churn instead of the
+    # engine (mat15 regressed 192 -> 43 M rows/s in one run from this)
+    del databio, chainRn4, t1, t2
+    import gc as _gc
+
+    _gc.collect()
 
     print("== chromosome-subset + filter pushdown (q1-lapper config) ==", file=sys.stderr)
     run_pair(
