@@ -988,7 +988,9 @@ def main():
         "materialize-15M (headline)",
         gen_chain_table(20_000, 13),
         gen_chain_table(300_000, 14),
-        max(3, args.iters // 2),
+        max(5, args.iters),  # min-of-5+: first-allocation churn swings
+                             # single runs ~2x (page faults into the
+                             # retained heap); later runs recycle
         query=(
             "SELECT * FROM s1 a JOIN s2 b ON a.contig = b.contig "
             "AND a.pos_end >= b.pos_start AND a.pos_start <= b.pos_end"
