@@ -75,6 +75,22 @@ def main() -> int:
     np.testing.assert_array_equal(p2, p)
     print("pairs_at OK")
 
+    # the sorted-walk emission branch (size-gated off at this build
+    # size) must run under the sanitizers too: force it and require
+    # byte-identical output
+    prev_walk = os.environ.get("SEQUILA_EMIT_SORTED_WALK")
+    os.environ["SEQUILA_EMIT_SORTED_WALK"] = "1"
+    try:
+        b3, p3 = idx.pairs_at(qk[:50_000], qs[:50_000], qe[:50_000], offs)
+    finally:
+        if prev_walk is None:
+            del os.environ["SEQUILA_EMIT_SORTED_WALK"]
+        else:
+            os.environ["SEQUILA_EMIT_SORTED_WALK"] = prev_walk
+    np.testing.assert_array_equal(b3, b2)
+    np.testing.assert_array_equal(p3, p2)
+    print("pairs_at (forced sorted walk) OK")
+
     nearest = idx.nearest(qk[:20_000], qs[:20_000], qe[:20_000])
     assert len(nearest) == 20_000
     cov_c, cov_b = idx.coverage(qk[:20_000], qs[:20_000], qe[:20_000])
