@@ -285,8 +285,12 @@ class IntervalJoinExec(ExecPlan):
                         ctx, hidx, left, right, rcodes, rs, re
                     )
                 else:
-                    b_rows, p_rows = hidx.pairs(rcodes, rs, re)
-                    out = self._assemble(left, right, b_rows, p_rows)
+                    out = self._fused_host_inner(
+                        hidx, left, right, rcodes, rs, re
+                    )
+                    if out is None:
+                        b_rows, p_rows = hidx.pairs(rcodes, rs, re)
+                        out = self._assemble(left, right, b_rows, p_rows)
             else:
                 b_rows, p_rows = hidx.pairs(rcodes, rs, re)
                 out = finish_join(
@@ -296,6 +300,117 @@ class IntervalJoinExec(ExecPlan):
         ctx.metrics.add(self.op_id(), "output_rows", out.num_rows)
         ctx.metrics.add(self.op_id(), "input_rows", m)
         return out
+
+    def _fused_host_inner(self, hidx, left: Table, right: Table,
+                          rcodes, rs, re, offs=None, probe_slice=None):
+        """Inner-join output assembled by the fused native emission
+        (si_emit_gather): the level runs gather every build column and
+        broadcast every probe column DIRECTLY into the output buffers —
+        the (build_row, probe_row) index arrays and the per-column take
+        never exist (the reference's emit materializes index vectors and
+        take-gathers per column, interval_join.rs:1593-1632).  Returns a
+        Table, or None when a column shape disqualifies (the pair + take
+        path then runs).  Chunked callers pass ``offs`` (exclusive-scan
+        offsets for THIS probe slice), already-sliced
+        ``rcodes``/``rs``/``re``, and ``probe_slice=(lo, hi)`` so the
+        probe SOURCE columns are sliced to match the chunk-local query
+        indices."""
+        if _os.environ.get("SEQUILA_FUSED_EMIT", "1") == "0":
+            return None
+        if not hasattr(hidx, "emit_gather"):
+            return None  # NumPy fallback index
+        lv, rv, order = self._gather_views(left, right)
+        lsrc = lv.fused_take_sources()
+        rsrc = rv.fused_take_sources()
+        if lsrc is None or rsrc is None:
+            return None
+        (l_cols, l_plans), (r_cols, r_plans) = lsrc, rsrc
+        if offs is None:
+            _, offs = hidx.counts_offsets(rcodes, rs, re)
+        total = int(offs[-1])
+        if total == 0:
+            return None  # plain path assembles schema-correct empties
+        b_cols, out_specs = [], []
+        for ty, src in l_cols:
+            out = np.empty(total, src.dtype)
+            b_cols.append((src, out))
+            out_specs.append((ty, out))
+        q_cols = []
+        for ty, src in r_cols:
+            if probe_slice is not None:
+                src = src[probe_slice[0] : probe_slice[1]]
+            out = np.empty(total, src.dtype)
+            q_cols.append((src, out))
+            out_specs.append((ty, out))
+        wrote = hidx.emit_gather(rcodes, rs, re, offs, b_cols, q_cols)
+        assert wrote == total, f"fused emit wrote {wrote} of {total}"
+        arrays = [
+            pa.Array.from_buffers(ty, total, [None, pa.py_buffer(out)])
+            for ty, out in out_specs
+        ]
+        names = lv.column_names + rv.column_names
+        t = pa.Table.from_arrays(arrays, names=names)
+        plans = dict(l_plans)
+        for i, d in r_plans.items():
+            plans[len(l_cols) + i] = d
+        if plans:
+            from sequila_tpu.models.table import _rewrap_dict_columns
+
+            t = _rewrap_dict_columns(t, plans)
+        if order is not None:
+            t = t.select(order)
+            if self.projection_names:
+                t = t.rename_columns(self.projection_names)
+        return Table(t)
+
+    def _fused_host_batches(self, hidx, left, right, rcodes, rs, re, cap):
+        """Generator of assembled output Tables via the fused emission
+        (capped chunks), or None when the shape disqualifies — the
+        streaming twin of _fused_host_inner, sharing one counts pass for
+        both chunk sizing and emission offsets."""
+        if _os.environ.get("SEQUILA_FUSED_EMIT", "1") == "0":
+            return None
+        if not hasattr(hidx, "emit_gather"):
+            return None
+        lv, rv, _ = self._gather_views(left, right)
+        if lv.fused_take_sources() is None or rv.fused_take_sources() is None:
+            return None
+        _, cum = hidx.counts_offsets(rcodes, rs, re)
+
+        def gen():
+            m = len(rcodes)
+            lo = 0
+            while lo < m:
+                hi = max(
+                    int(np.searchsorted(cum, cum[lo] + cap, side="right")) - 1,
+                    lo + 1,
+                )
+                offs_c = cum[lo : hi + 1] - cum[lo]
+                if offs_c[-1] > 0:
+                    out = self._fused_host_inner(
+                        hidx, left, right,
+                        rcodes[lo:hi], rs[lo:hi], re[lo:hi], offs=offs_c,
+                        probe_slice=(lo, hi),
+                    )
+                    if out is None:  # safety net; qualification was checked
+                        b, p = hidx.pairs_at(
+                            rcodes[lo:hi], rs[lo:hi], re[lo:hi], offs_c
+                        )
+                        out = self._assemble(left, right, b, p + lo)
+                    yield out
+                lo = hi
+
+        return gen()
+
+    def _timed_tables(self, ctx, gen):
+        """Accrue join_time around table production only (the fused
+        generator's analog of _timed_assembled)."""
+        while True:
+            with ctx.timer(self.op_id(), "join_time"):
+                out = next(gen, None)
+            if out is None:
+                return
+            yield out
 
     @staticmethod
     def _host_pair_chunks(hidx, rcodes, rs, re, cap: int):
@@ -329,12 +444,16 @@ class IntervalJoinExec(ExecPlan):
     def _host_inner_chunked(self, ctx, hidx, left, right, rcodes, rs, re):
         """Low-memory host emission: concatenation of the capped chunks."""
         cap = max(4 * ctx.config.max_output_batch_size, 1)
-        parts: list[Table] = [
-            self._assemble(left, right, b_rows, p_rows + lo)
-            for lo, b_rows, p_rows in self._host_pair_chunks(
-                hidx, rcodes, rs, re, cap
-            )
-        ]
+        fused = self._fused_host_batches(hidx, left, right, rcodes, rs, re, cap)
+        if fused is not None:
+            parts = list(fused)
+        else:
+            parts = [
+                self._assemble(left, right, b_rows, p_rows + lo)
+                for lo, b_rows, p_rows in self._host_pair_chunks(
+                    hidx, rcodes, rs, re, cap
+                )
+            ]
         if parts:
             return Table(pa.concat_tables([p.arrow for p in parts]))
         return self._assemble(
@@ -1223,10 +1342,18 @@ class IntervalJoinExec(ExecPlan):
                 yield out
         elif self._route_materialize_host(left, right):
             hidx, rcodes, rs, re = self._host_index(ctx, left, right)
-            gen = self._host_pair_chunks(hidx, rcodes, rs, re, cap)
-            for out in self._timed_assembled(ctx, left, right, gen):
-                n_out += out.num_rows
-                yield out
+            fused = self._fused_host_batches(
+                hidx, left, right, rcodes, rs, re, cap
+            )
+            if fused is not None:
+                for out in self._timed_tables(ctx, fused):
+                    n_out += out.num_rows
+                    yield out
+            else:
+                gen = self._host_pair_chunks(hidx, rcodes, rs, re, cap)
+                for out in self._timed_assembled(ctx, left, right, gen):
+                    n_out += out.num_rows
+                    yield out
         else:
             index, rcodes, rs, re = self._prepare(ctx, left, right)
             method = _ALG_METHOD[self.algorithm]

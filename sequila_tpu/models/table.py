@@ -475,6 +475,43 @@ class Table:
         self._codes[key] = (weakref.ref(other), value)
         return value
 
+    def fused_take_sources(self):
+        """[(arrow type, contiguous src np array)] per take-source column
+        plus the dict rewrap plans, or None when any column doesn't
+        qualify for the fused width-4/8 gather (si_emit_gather): nulls,
+        strings that didn't dict-swap, bools, nested types, chunked or
+        sliced buffers all fall back to the pair + take path."""
+        t, plans = self._take_source()
+        if t.num_rows == 0:
+            return None
+        srcs = []
+        for col in t.columns:
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if isinstance(arr, pa.ChunkedArray):
+                if arr.num_chunks != 1:
+                    return None
+                arr = arr.chunk(0)
+            if arr.null_count or arr.offset != 0 or len(arr) == 0:
+                return None
+            ty = arr.type
+            if (
+                pa.types.is_boolean(ty)
+                or pa.types.is_string(ty)
+                or pa.types.is_large_string(ty)
+                or pa.types.is_dictionary(ty)
+            ):
+                return None
+            try:
+                width = ty.bit_width
+            except ValueError:
+                return None
+            if width not in (32, 64):
+                return None
+            buf = arr.buffers()[1]
+            np_dtype = np.int32 if width == 32 else np.int64
+            srcs.append((ty, np.frombuffer(buf, np_dtype, count=len(arr))))
+        return srcs, plans
+
     def _dict_take_plan(self, i: int):
         """(int32 code np array, dictionary pa.Array) for a low-cardinality
         non-null string column, or None.  Cached per column — the encode

@@ -100,6 +100,13 @@ def load():
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p,
             i32p, i32p,
         ]
+        vpp = ctypes.POINTER(ctypes.c_void_p)
+        lib.si_emit_gather.restype = ctypes.c_int64
+        lib.si_emit_gather.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64, i64p,
+            ctypes.c_int64, vpp, i32p, vpp,
+            ctypes.c_int64, vpp, i32p, vpp,
+        ]
         lib.si_gather32.argtypes = [i32p, i32p, ctypes.c_int64, i32p]
         lib.si_gather64.argtypes = [i64p, i32p, ctypes.c_int64, i64p]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -269,6 +276,37 @@ class NativeIntervalIndex:
             )
             assert n == total, f"emit wrote {n} of {total} pairs"
         return out_b, out_p
+
+    def emit_gather(self, qk, qs, qe, offs, b_cols, q_cols):
+        """Fused emission + per-column output gather (si_emit_gather).
+
+        ``b_cols``/``q_cols`` are lists of (src_np, out_np) pairs of equal
+        dtype itemsize 4 or 8 (contiguous, pre-sized to offs[-1]); build
+        columns gather through the match rows, probe columns broadcast
+        each query's value over its run.  Never materializes the pair
+        index arrays.  Returns rows written (== offs[-1])."""
+        qk, qs, qe = self._q(qk, qs, qe)
+        offs = np.ascontiguousarray(offs, np.int64)
+
+        def pack(cols):
+            n = len(cols)
+            srcs = (ctypes.c_void_p * max(n, 1))()
+            outs = (ctypes.c_void_p * max(n, 1))()
+            widths = np.empty(max(n, 1), np.int32)
+            for i, (src, out) in enumerate(cols):
+                assert src.flags["C_CONTIGUOUS"] and out.flags["C_CONTIGUOUS"]
+                assert src.dtype.itemsize == out.dtype.itemsize
+                srcs[i] = src.ctypes.data
+                outs[i] = out.ctypes.data
+                widths[i] = src.dtype.itemsize
+            return n, srcs, widths, outs
+
+        nb, b_srcs, b_w, b_outs = pack(b_cols)
+        nq, q_srcs, q_w, q_outs = pack(q_cols)
+        return self._lib.si_emit_gather(
+            self._h, qk, qs, qe, len(qk), offs,
+            nb, b_srcs, b_w, b_outs, nq, q_srcs, q_w, q_outs,
+        )
 
     def counts_offsets(self, qk, qs, qe):
         """(counts int64[m], exclusive-scan offsets int64[m+1])."""

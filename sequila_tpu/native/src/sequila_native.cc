@@ -753,6 +753,128 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
   return written.load();
 }
 
+// Fused emission + output gather: materializes the join's OUTPUT COLUMNS
+// directly from the level runs, never writing the (build_row, probe_row)
+// index pair arrays at all (the reference emits index vectors and then
+// take-gathers per column, interval_join.rs:1593-1632; the pair path
+// here did the same).  Per match: build columns gather through the
+// level-view position map (cache-resident for typical build sides);
+// probe columns broadcast-fill the row's value across its whole run.
+// Skipping the pair indices removes ~16 bytes/match of intermediate
+// write+read traffic plus the per-column index reads of the take —
+// the output writes (the unavoidable ~48 B/row of a 6-column SELECT *)
+// become the only large stream.  Column widths are 4 or 8 bytes
+// (int32/float32/int64/float64/dictionary codes); the caller routes
+// anything else through the pair path.
+int64_t si_emit_gather(void* h, const int32_t* qk, const int32_t* qs,
+                       const int32_t* qe, int64_t m, const int64_t* offs,
+                       int64_t nb_cols, void* const* b_srcs,
+                       const int32_t* b_widths, void* const* b_outs,
+                       int64_t nq_cols, void* const* q_srcs,
+                       const int32_t* q_widths, void* const* q_outs) {
+  const auto* idx = static_cast<const Index*>(h);
+  std::vector<int32_t> order;
+  const char* sw_env = std::getenv("SEQUILA_EMIT_SORTED_WALK");
+  const bool sorted_walk =
+      sw_env != nullptr
+          ? (sw_env[0] == '1' && m >= 2)
+          : (m >= 4096 && idx->n >= (int64_t(1) << 19));
+  if (sorted_walk) {
+    order.resize(size_t(m));
+    radix_perm32(m, {qs, qk}, order.data());
+  }
+  std::atomic<int64_t> written{0};
+  parallel_chunks(m, 2048, [&](int64_t j0, int64_t j1) {
+    int64_t local = 0;
+    int64_t last = -1;
+    int64_t cur_seg = -1;
+    std::vector<int64_t> lb_cur;
+    const int32_t* pos = idx->lvl_pos.data();
+    for (int64_t j = j0; j < j1; ++j) {
+      const int64_t i = sorted_walk ? order[j] : j;
+      const int64_t w0 = offs[i];
+      int64_t w = w0;
+      const int64_t w_end = offs[i + 1];
+      if (w >= w_end) continue;
+      const int64_t sgi = find_seg(idx, qk[i], &last);
+      if (sgi < 0) continue;
+      const int32_t qsi = qs[i], qei = qe[i];
+      const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
+      if (sorted_walk && sgi != cur_seg) {
+        cur_seg = sgi;
+        lb_cur.assign(size_t(d1 - d0), -1);
+      }
+      for (int64_t d = d0; d + 1 < d1 && w < w_end; ++d) {
+        const int64_t llo = idx->lvl_bounds[d];
+        const int64_t llen = idx->lvl_bounds[d + 1] - llo;
+        const int64_t ub = hint_ub32(
+            idx->lvl_starts.data() + llo, llen,
+            idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
+            idx->hint_s_base[d], idx->hint_s_g[d], qei);
+        int64_t lb;
+        if (sorted_walk) {
+          const int32_t* ends = idx->lvl_ends.data() + llo;
+          int64_t c = lb_cur[size_t(d - d0)];
+          if (c < 0) {
+            c = hint_lb32(ends, llen,
+                          idx->lvl_hints.data() + idx->hint_e_off[d],
+                          idx->hint_e_nb[d], idx->hint_e_base[d],
+                          idx->hint_e_g[d], qsi);
+          } else {
+            int64_t step = 1;
+            while (c + step <= llen && ends[c + step - 1] < qsi) {
+              c += step;
+              step <<= 1;
+            }
+            const int64_t wh = std::min(c + step - 1, llen);
+            c += std::lower_bound(ends + c, ends + wh, qsi) - (ends + c);
+          }
+          lb_cur[size_t(d - d0)] = c;
+          lb = c;
+        } else {
+          lb = hint_lb32(
+              idx->lvl_ends.data() + llo, llen,
+              idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
+              idx->hint_e_base[d], idx->hint_e_g[d], qsi);
+        }
+        int64_t run = ub - lb;
+        if (run <= 0) continue;
+        if (run > w_end - w) run = w_end - w;
+        const int32_t* rows = pos + llo + lb;
+        for (int64_t c = 0; c < nb_cols; ++c) {
+          if (b_widths[c] == 4) {
+            const int32_t* src = static_cast<const int32_t*>(b_srcs[c]);
+            int32_t* out = static_cast<int32_t*>(b_outs[c]) + w;
+            for (int64_t r = 0; r < run; ++r) out[r] = src[rows[r]];
+          } else {
+            const int64_t* src = static_cast<const int64_t*>(b_srcs[c]);
+            int64_t* out = static_cast<int64_t*>(b_outs[c]) + w;
+            for (int64_t r = 0; r < run; ++r) out[r] = src[rows[r]];
+          }
+        }
+        w += run;
+      }
+      // probe columns: one value broadcast across the query's whole span
+      if (w > w0) {
+        for (int64_t c = 0; c < nq_cols; ++c) {
+          if (q_widths[c] == 4) {
+            const int32_t v = static_cast<const int32_t*>(q_srcs[c])[i];
+            int32_t* out = static_cast<int32_t*>(q_outs[c]);
+            std::fill(out + w0, out + w, v);
+          } else {
+            const int64_t v = static_cast<const int64_t*>(q_srcs[c])[i];
+            int64_t* out = static_cast<int64_t*>(q_outs[c]);
+            std::fill(out + w0, out + w, v);
+          }
+        }
+      }
+      local += w - w0;
+    }
+    written.fetch_add(local, std::memory_order_relaxed);
+  });
+  return written.load();
+}
+
 // Two-mode pair emission kept for API stability: if out_b == nullptr,
 // only count (returns total); otherwise fill up to cap pairs
 // (build_row, probe_row), probe-major.  New callers should use

@@ -240,3 +240,17 @@ def test_copy_join_output_to_csv_decodes_dictionary(join_ctx, tmp_path):
     # contig values decoded to plain strings in the file
     col = back.column(0).to_pylist()
     assert set(col) <= set(join_ctx.table("s1").column_np("contig").tolist())
+
+
+def test_fused_emission_parity(join_ctx, monkeypatch):
+    """The fused native emission (si_emit_gather: output columns
+    materialized straight from the level runs, no pair indices) must be
+    bit-identical to the pair + take path, whole-result AND streamed."""
+    monkeypatch.setenv("SEQUILA_FUSED_EMIT", "0")
+    whole_plain = join_ctx.sql(Q_JOIN).arrow
+    monkeypatch.setenv("SEQUILA_FUSED_EMIT", "1")
+    whole_fused = join_ctx.sql(Q_JOIN).arrow
+    assert whole_fused.equals(whole_plain)
+    join_ctx.sql("SET sequila.max_output_batch_size = 500")
+    streamed = _concat(list(join_ctx.sql_batches(Q_JOIN)))
+    assert streamed.equals(whole_plain)
