@@ -328,8 +328,9 @@ class IntervalJoinExec(ExecPlan):
         if offs is None:
             _, offs = hidx.counts_offsets(rcodes, rs, re)
         total = int(offs[-1])
-        if total == 0:
-            return None  # plain path assembles schema-correct empties
+        # total == 0 falls through: empty buffers wrap into a schema-
+        # correct empty table (returning None would make the fallback
+        # re-run the whole counts pass just to emit nothing)
         b_cols, out_specs = [], []
         for ty, src in l_cols:
             out = np.empty(total, src.dtype)
@@ -342,8 +343,9 @@ class IntervalJoinExec(ExecPlan):
             out = np.empty(total, src.dtype)
             q_cols.append((src, out))
             out_specs.append((ty, out))
-        wrote = hidx.emit_gather(rcodes, rs, re, offs, b_cols, q_cols)
-        assert wrote == total, f"fused emit wrote {wrote} of {total}"
+        if total:
+            wrote = hidx.emit_gather(rcodes, rs, re, offs, b_cols, q_cols)
+            assert wrote == total, f"fused emit wrote {wrote} of {total}"
         arrays = [
             pa.Array.from_buffers(ty, total, [None, pa.py_buffer(out)])
             for ty, out in out_specs
@@ -1342,9 +1344,12 @@ class IntervalJoinExec(ExecPlan):
                 yield out
         elif self._route_materialize_host(left, right):
             hidx, rcodes, rs, re = self._host_index(ctx, left, right)
-            fused = self._fused_host_batches(
-                hidx, left, right, rcodes, rs, re, cap
-            )
+            with ctx.timer(self.op_id(), "join_time"):
+                # generator CONSTRUCTION runs the qualification + counts
+                # pass — time it like the pair path times its counts
+                fused = self._fused_host_batches(
+                    hidx, left, right, rcodes, rs, re, cap
+                )
             if fused is not None:
                 for out in self._timed_tables(ctx, fused):
                     n_out += out.num_rows

@@ -479,18 +479,31 @@ class Table:
         """[(arrow type, contiguous src np array)] per take-source column
         plus the dict rewrap plans, or None when any column doesn't
         qualify for the fused width-4/8 gather (si_emit_gather): nulls,
-        strings that didn't dict-swap, bools, nested types, chunked or
-        sliced buffers all fall back to the pair + take path."""
+        strings that didn't dict-swap, bools, nested types, multi-chunk
+        or sliced buffers all fall back to the pair + take path.
+
+        Memoized: the result is buffer views over the (immutable) take
+        source, and streamed emission asks once per output batch —
+        without the memo each call would copy every source column."""
+        hit = self._codes.get("_fused_srcs")
+        if hit is not None:
+            return hit if hit != "disqualified" else None
+        out = self._fused_take_sources_build()
+        self._codes["_fused_srcs"] = out if out is not None else "disqualified"
+        return out
+
+    def _fused_take_sources_build(self):
         t, plans = self._take_source()
         if t.num_rows == 0:
             return None
         srcs = []
         for col in t.columns:
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if isinstance(arr, pa.ChunkedArray):
-                if arr.num_chunks != 1:
-                    return None
-                arr = arr.chunk(0)
+            if isinstance(col, pa.ChunkedArray):
+                if col.num_chunks != 1:
+                    return None  # multi-chunk: pair + take path
+                arr = col.chunk(0)  # zero-copy, unlike combine_chunks()
+            else:
+                arr = col
             if arr.null_count or arr.offset != 0 or len(arr) == 0:
                 return None
             ty = arr.type

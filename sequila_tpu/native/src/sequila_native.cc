@@ -347,6 +347,97 @@ inline int64_t find_seg(const Index* idx, int32_t k, int64_t* last) {
   return *last;
 }
 
+// Shared emission walk: level-run enumeration with the size-gated
+// (key, qs)-sorted traversal and per-level monotone gallop cursors (see
+// si_emit_at's doc).  ``per_run(i, w, rows, run)`` handles one match run
+// (rows = level-view position slice); ``per_span(i, w0, w)`` runs once
+// per query after its runs (w0..w = the query's whole output span).
+// The pair emitter and the fused column emitter instantiate it — one
+// copy of the walk, two innermost writers.
+template <class PerRun, class PerSpan>
+int64_t emit_walk(const Index* idx, const int32_t* qk, const int32_t* qs,
+                  const int32_t* qe, int64_t m, const int64_t* offs,
+                  int64_t grain, PerRun per_run, PerSpan per_span) {
+  std::vector<int32_t> order;
+  const char* sw_env = std::getenv("SEQUILA_EMIT_SORTED_WALK");
+  const bool sorted_walk =
+      sw_env != nullptr
+          ? (sw_env[0] == '1' && m >= 2)
+          : (m >= 4096 && idx->n >= (int64_t(1) << 19));
+  if (sorted_walk) {
+    order.resize(size_t(m));
+    radix_perm32(m, {qs, qk}, order.data());
+  }
+  std::atomic<int64_t> written{0};
+  parallel_chunks(m, grain, [&](int64_t j0, int64_t j1) {
+    int64_t local = 0;
+    int64_t last = -1;
+    int64_t cur_seg = -1;
+    std::vector<int64_t> lb_cur;  // per-level monotone cursors (sorted walk)
+    const int32_t* pos = idx->lvl_pos.data();
+    for (int64_t j = j0; j < j1; ++j) {
+      const int64_t i = sorted_walk ? order[j] : j;
+      const int64_t w0 = offs[i];
+      int64_t w = w0;
+      const int64_t w_end = offs[i + 1];
+      if (w >= w_end) continue;
+      const int64_t sgi = find_seg(idx, qk[i], &last);
+      if (sgi < 0) continue;
+      const int32_t qsi = qs[i], qei = qe[i];
+      const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
+      if (sorted_walk && sgi != cur_seg) {
+        cur_seg = sgi;
+        lb_cur.assign(size_t(d1 - d0), -1);
+      }
+      for (int64_t d = d0; d + 1 < d1 && w < w_end; ++d) {
+        const int64_t llo = idx->lvl_bounds[d];
+        const int64_t llen = idx->lvl_bounds[d + 1] - llo;
+        const int64_t ub = hint_ub32(
+            idx->lvl_starts.data() + llo, llen,
+            idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
+            idx->hint_s_base[d], idx->hint_s_g[d], qei);
+        int64_t lb;
+        if (sorted_walk) {
+          // qs ascends within the segment: gallop forward from the
+          // cursor (the level's first query seeds it from the grid)
+          const int32_t* ends = idx->lvl_ends.data() + llo;
+          int64_t c = lb_cur[size_t(d - d0)];
+          if (c < 0) {
+            c = hint_lb32(ends, llen,
+                          idx->lvl_hints.data() + idx->hint_e_off[d],
+                          idx->hint_e_nb[d], idx->hint_e_base[d],
+                          idx->hint_e_g[d], qsi);
+          } else {
+            int64_t step = 1;
+            while (c + step <= llen && ends[c + step - 1] < qsi) {
+              c += step;
+              step <<= 1;
+            }
+            const int64_t wh = std::min(c + step - 1, llen);
+            c += std::lower_bound(ends + c, ends + wh, qsi) - (ends + c);
+          }
+          lb_cur[size_t(d - d0)] = c;
+          lb = c;
+        } else {
+          lb = hint_lb32(
+              idx->lvl_ends.data() + llo, llen,
+              idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
+              idx->hint_e_base[d], idx->hint_e_g[d], qsi);
+        }
+        int64_t run = ub - lb;
+        if (run <= 0) continue;
+        if (run > w_end - w) run = w_end - w;  // belt-and-braces cap
+        per_run(i, w, pos + llo + lb, run);
+        w += run;
+      }
+      if (w > w0) per_span(i, w0, w);
+      local += w - w0;
+    }
+    written.fetch_add(local, std::memory_order_relaxed);
+  });
+  return written.load();
+}
+
 }  // namespace
 
 extern "C" {
@@ -663,94 +754,14 @@ int64_t si_emit_at(void* h, const int32_t* qk, const int32_t* qs,
                    const int32_t* qe, int64_t m, const int64_t* offs,
                    int32_t* out_b, int32_t* out_p) {
   const auto* idx = static_cast<const Index*>(h);
-  // Large indexes (level arrays beyond cache) traverse the queries in
-  // (key, qs)-sorted order: consecutive queries touch neighboring level
-  // positions, so the hint/gallop loads hit cache instead of DRAM, and
-  // each level's lower bound advances monotonically within a segment
-  // (forward gallop from a per-level cursor, amortized O(1)).  Each
-  // query still writes at its caller offset offs[i] — output identical
-  // to the original-order walk.  Cache-resident indexes skip the sort:
-  // the radix pass and scattered output writes cost more than the
-  // locality buys (measured 33 vs 40 ms on the 20k-build chain shape;
-  // 81 -> 60 ms at 1M build, 1.08 s -> 0.35 s at 10M build).
-  std::vector<int32_t> order;
-  // SEQUILA_EMIT_SORTED_WALK=1|0 forces the branch (test override)
-  const char* sw_env = std::getenv("SEQUILA_EMIT_SORTED_WALK");
-  const bool sorted_walk =
-      sw_env != nullptr
-          ? (sw_env[0] == '1' && m >= 2)
-          : (m >= 4096 && idx->n >= (int64_t(1) << 19));
-  if (sorted_walk) {
-    order.resize(size_t(m));
-    radix_perm32(m, {qs, qk}, order.data());
-  }
-  std::atomic<int64_t> written{0};
-  parallel_chunks(m, 4096, [&](int64_t i0, int64_t i1) {
-    int64_t local = 0;
-    int64_t last = -1;
-    int64_t cur_seg = -1;
-    std::vector<int64_t> lb_cur;  // per-level monotone cursors (sorted walk)
-    for (int64_t j = i0; j < i1; ++j) {
-      const int64_t i = sorted_walk ? order[j] : j;
-      int64_t w = offs[i];
-      const int64_t w_end = offs[i + 1];
-      if (w >= w_end) continue;
-      const int64_t sgi = find_seg(idx, qk[i], &last);
-      if (sgi < 0) continue;
-      const int32_t qsi = qs[i], qei = qe[i];
-      const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
-      if (sorted_walk && sgi != cur_seg) {
-        cur_seg = sgi;
-        lb_cur.assign(size_t(d1 - d0), -1);
-      }
-      for (int64_t d = d0; d + 1 < d1 && w < w_end; ++d) {
-        const int64_t llo = idx->lvl_bounds[d];
-        const int64_t llen = idx->lvl_bounds[d + 1] - llo;
-        const int64_t ub = hint_ub32(
-            idx->lvl_starts.data() + llo, llen,
-            idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
-            idx->hint_s_base[d], idx->hint_s_g[d], qei);
-        int64_t lb;
-        if (sorted_walk) {
-          // qs ascends within the segment: gallop forward from the
-          // cursor (the level's first query seeds it from the grid)
-          const int32_t* ends = idx->lvl_ends.data() + llo;
-          int64_t c = lb_cur[size_t(d - d0)];
-          if (c < 0) {
-            c = hint_lb32(ends, llen,
-                          idx->lvl_hints.data() + idx->hint_e_off[d],
-                          idx->hint_e_nb[d], idx->hint_e_base[d],
-                          idx->hint_e_g[d], qsi);
-          } else {
-            int64_t step = 1;
-            while (c + step <= llen && ends[c + step - 1] < qsi) {
-              c += step;
-              step <<= 1;
-            }
-            const int64_t wh = std::min(c + step - 1, llen);
-            c += std::lower_bound(ends + c, ends + wh, qsi) - (ends + c);
-          }
-          lb_cur[size_t(d - d0)] = c;
-          lb = c;
-        } else {
-          lb = hint_lb32(
-              idx->lvl_ends.data() + llo, llen,
-              idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
-              idx->hint_e_base[d], idx->hint_e_g[d], qsi);
-        }
-        int64_t run = ub - lb;
-        if (run <= 0) continue;
-        if (run > w_end - w) run = w_end - w;  // belt-and-braces cap
-        std::memcpy(out_b + w, idx->lvl_pos.data() + llo + lb,
-                    size_t(run) * sizeof(int32_t));
-        std::fill(out_p + w, out_p + w + run, int32_t(i));
-        w += run;
-      }
-      local += w - offs[i];
-    }
-    written.fetch_add(local, std::memory_order_relaxed);
-  });
-  return written.load();
+  return emit_walk(
+      idx, qk, qs, qe, m, offs, 4096,
+      [&](int64_t, int64_t w, const int32_t* rows, int64_t run) {
+        std::memcpy(out_b + w, rows, size_t(run) * sizeof(int32_t));
+      },
+      [&](int64_t i, int64_t w0, int64_t w) {
+        std::fill(out_p + w0, out_p + w, int32_t(i));
+      });
 }
 
 // Fused emission + output gather: materializes the join's OUTPUT COLUMNS
@@ -773,74 +784,9 @@ int64_t si_emit_gather(void* h, const int32_t* qk, const int32_t* qs,
                        int64_t nq_cols, void* const* q_srcs,
                        const int32_t* q_widths, void* const* q_outs) {
   const auto* idx = static_cast<const Index*>(h);
-  std::vector<int32_t> order;
-  const char* sw_env = std::getenv("SEQUILA_EMIT_SORTED_WALK");
-  const bool sorted_walk =
-      sw_env != nullptr
-          ? (sw_env[0] == '1' && m >= 2)
-          : (m >= 4096 && idx->n >= (int64_t(1) << 19));
-  if (sorted_walk) {
-    order.resize(size_t(m));
-    radix_perm32(m, {qs, qk}, order.data());
-  }
-  std::atomic<int64_t> written{0};
-  parallel_chunks(m, 2048, [&](int64_t j0, int64_t j1) {
-    int64_t local = 0;
-    int64_t last = -1;
-    int64_t cur_seg = -1;
-    std::vector<int64_t> lb_cur;
-    const int32_t* pos = idx->lvl_pos.data();
-    for (int64_t j = j0; j < j1; ++j) {
-      const int64_t i = sorted_walk ? order[j] : j;
-      const int64_t w0 = offs[i];
-      int64_t w = w0;
-      const int64_t w_end = offs[i + 1];
-      if (w >= w_end) continue;
-      const int64_t sgi = find_seg(idx, qk[i], &last);
-      if (sgi < 0) continue;
-      const int32_t qsi = qs[i], qei = qe[i];
-      const int64_t d0 = idx->lvl_dir[sgi], d1 = idx->lvl_dir[sgi + 1];
-      if (sorted_walk && sgi != cur_seg) {
-        cur_seg = sgi;
-        lb_cur.assign(size_t(d1 - d0), -1);
-      }
-      for (int64_t d = d0; d + 1 < d1 && w < w_end; ++d) {
-        const int64_t llo = idx->lvl_bounds[d];
-        const int64_t llen = idx->lvl_bounds[d + 1] - llo;
-        const int64_t ub = hint_ub32(
-            idx->lvl_starts.data() + llo, llen,
-            idx->lvl_hints.data() + idx->hint_s_off[d], idx->hint_s_nb[d],
-            idx->hint_s_base[d], idx->hint_s_g[d], qei);
-        int64_t lb;
-        if (sorted_walk) {
-          const int32_t* ends = idx->lvl_ends.data() + llo;
-          int64_t c = lb_cur[size_t(d - d0)];
-          if (c < 0) {
-            c = hint_lb32(ends, llen,
-                          idx->lvl_hints.data() + idx->hint_e_off[d],
-                          idx->hint_e_nb[d], idx->hint_e_base[d],
-                          idx->hint_e_g[d], qsi);
-          } else {
-            int64_t step = 1;
-            while (c + step <= llen && ends[c + step - 1] < qsi) {
-              c += step;
-              step <<= 1;
-            }
-            const int64_t wh = std::min(c + step - 1, llen);
-            c += std::lower_bound(ends + c, ends + wh, qsi) - (ends + c);
-          }
-          lb_cur[size_t(d - d0)] = c;
-          lb = c;
-        } else {
-          lb = hint_lb32(
-              idx->lvl_ends.data() + llo, llen,
-              idx->lvl_hints.data() + idx->hint_e_off[d], idx->hint_e_nb[d],
-              idx->hint_e_base[d], idx->hint_e_g[d], qsi);
-        }
-        int64_t run = ub - lb;
-        if (run <= 0) continue;
-        if (run > w_end - w) run = w_end - w;
-        const int32_t* rows = pos + llo + lb;
+  return emit_walk(
+      idx, qk, qs, qe, m, offs, 2048,
+      [&](int64_t, int64_t w, const int32_t* rows, int64_t run) {
         for (int64_t c = 0; c < nb_cols; ++c) {
           if (b_widths[c] == 4) {
             const int32_t* src = static_cast<const int32_t*>(b_srcs[c]);
@@ -852,10 +798,9 @@ int64_t si_emit_gather(void* h, const int32_t* qk, const int32_t* qs,
             for (int64_t r = 0; r < run; ++r) out[r] = src[rows[r]];
           }
         }
-        w += run;
-      }
-      // probe columns: one value broadcast across the query's whole span
-      if (w > w0) {
+      },
+      [&](int64_t i, int64_t w0, int64_t w) {
+        // probe columns: one value broadcast across the query's span
         for (int64_t c = 0; c < nq_cols; ++c) {
           if (q_widths[c] == 4) {
             const int32_t v = static_cast<const int32_t*>(q_srcs[c])[i];
@@ -867,12 +812,7 @@ int64_t si_emit_gather(void* h, const int32_t* qk, const int32_t* qs,
             std::fill(out + w0, out + w, v);
           }
         }
-      }
-      local += w - w0;
-    }
-    written.fetch_add(local, std::memory_order_relaxed);
-  });
-  return written.load();
+      });
 }
 
 // Two-mode pair emission kept for API stability: if out_b == nullptr,

@@ -245,12 +245,25 @@ def test_copy_join_output_to_csv_decodes_dictionary(join_ctx, tmp_path):
 def test_fused_emission_parity(join_ctx, monkeypatch):
     """The fused native emission (si_emit_gather: output columns
     materialized straight from the level runs, no pair indices) must be
-    bit-identical to the pair + take path, whole-result AND streamed."""
-    monkeypatch.setenv("SEQUILA_FUSED_EMIT", "0")
-    whole_plain = join_ctx.sql(Q_JOIN).arrow
-    monkeypatch.setenv("SEQUILA_FUSED_EMIT", "1")
-    whole_fused = join_ctx.sql(Q_JOIN).arrow
-    assert whole_fused.equals(whole_plain)
-    join_ctx.sql("SET sequila.max_output_batch_size = 500")
-    streamed = _concat(list(join_ctx.sql_batches(Q_JOIN)))
-    assert streamed.equals(whole_plain)
+    bit-identical to the pair + take path, whole-result AND streamed —
+    including SELECT * so the dictionary-rewrap index offsetting and the
+    width-4 (dict code) gather branch are exercised, not just int64."""
+    q_star = Q_JOIN.replace(
+        "SELECT s2.pos_start, s2.pos_end, s1.pos_start, s1.pos_end",
+        "SELECT *",
+    )
+    for q in (Q_JOIN, q_star):
+        monkeypatch.setenv("SEQUILA_FUSED_EMIT", "0")
+        whole_plain = join_ctx.sql(q).arrow
+        monkeypatch.setenv("SEQUILA_FUSED_EMIT", "1")
+        whole_fused = join_ctx.sql(q).arrow
+        assert whole_fused.equals(whole_plain)
+        join_ctx.sql("SET sequila.max_output_batch_size = 500")
+        streamed = _concat(list(join_ctx.sql_batches(q)))
+        assert streamed.equals(whole_plain)
+        join_ctx.sql("SET sequila.max_output_batch_size = 100000")
+    import pyarrow as _pa
+
+    assert any(
+        _pa.types.is_dictionary(t) for t in whole_plain.schema.types
+    ), "SELECT * must carry dictionary contig columns for this test"
