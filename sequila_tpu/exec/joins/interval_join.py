@@ -1228,6 +1228,18 @@ class IntervalJoinExec(ExecPlan):
         index, rcodes, rs, re = self._prepare(
             ctx, left, right, build_index=False
         )
+        # same memo discipline as the device index: the host index build
+        # (native radix sort + level decomposition + hint grids) is
+        # pair-deterministic and dominated small repeated queries
+        # (~6 ms/query at 20k build rows before caching)
+        cache_key = self._index_cache_key(left, right)
+        if cache_key is not None:
+            def build():
+                with ctx.timer(self.op_id(), "build_time"):
+                    return make_host_index(*index)
+
+            hidx = left.paired_memo(("hostidx",) + cache_key[1:], right, build)
+            return hidx, rcodes, rs, re
         with ctx.timer(self.op_id(), "build_time"):
             hidx = make_host_index(*index)
         return hidx, rcodes, rs, re
