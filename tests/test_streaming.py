@@ -267,3 +267,47 @@ def test_fused_emission_parity(join_ctx, monkeypatch):
     assert any(
         _pa.types.is_dictionary(t) for t in whole_plain.schema.types
     ), "SELECT * must carry dictionary contig columns for this test"
+
+
+def test_fused_emission_random_schemas(monkeypatch):
+    """Randomized schema fuzz of the fused emission: mixed float64/int32/
+    int64/string payloads, occasional NULLs (which must disqualify the
+    column and fall back), equal results vs the pair path every time."""
+    import numpy as np
+
+    from sequila_tpu.session import SessionContext
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n, m = 800, 1200
+        def mk(rows, seed):
+            r = np.random.default_rng(seed)
+            s = r.integers(0, 8000, rows)
+            payload = r.random(rows)
+            cols = {
+                "contig": pa.array([f"c{i}" for i in r.integers(0, 4, rows)]),
+                "pos_start": pa.array(s),
+                "pos_end": pa.array(s + r.integers(1, 300, rows)),
+                "score": pa.array(payload),
+                "flag32": pa.array(r.integers(0, 100, rows).astype(np.int32)),
+            }
+            if trial == 2:  # nullable payload -> fused must fall back
+                vals = payload.copy()
+                mask = r.random(rows) < 0.2
+                cols["score"] = pa.array(vals, mask=mask)
+            if trial == 3:  # high-cardinality string -> no dict swap
+                cols["name"] = pa.array(
+                    [f"id_{int(x)}" for x in r.integers(0, 10**9, rows)]
+                )
+            return pa.table(cols)
+
+        ctx = SessionContext()
+        ctx.register_table("s1", mk(n, 100 + trial))
+        ctx.register_table("s2", mk(m, 200 + trial))
+        q = ("SELECT * FROM s1 JOIN s2 ON s1.contig = s2.contig "
+             "AND s1.pos_end >= s2.pos_start AND s1.pos_start <= s2.pos_end")
+        monkeypatch.setenv("SEQUILA_FUSED_EMIT", "0")
+        plain = ctx.sql(q).arrow
+        monkeypatch.setenv("SEQUILA_FUSED_EMIT", "1")
+        fused = ctx.sql(q).arrow
+        assert fused.equals(plain), f"trial {trial}"
