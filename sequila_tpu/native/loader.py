@@ -133,6 +133,15 @@ def load():
         lib.si_searchsorted64.argtypes = [
             i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32, i64p,
         ]
+        lib.si_subtract_count.argtypes = [
+            i64p, i64p, i32p, i32p, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_int64, i32p, i64p,
+        ]
+        lib.si_subtract_emit.argtypes = [
+            i64p, i32p, i32p, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_int64, i32p, i64p,
+            i32p, i32p, i32p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -179,6 +188,44 @@ def searchsorted64(sorted_v: np.ndarray, q: np.ndarray, side: str = "left"):
         sorted_v, len(sorted_v), q, len(q), 0 if side == "left" else 1, out
     )
     return out
+
+
+def subtract_runs(comp_ms, comp_me, run_s, run_e, ak, as_, ae):
+    """Threaded bedtools-subtract gap emission against merged subtrahend
+    runs (si_subtract_count/emit): two passes over caller arrays, output
+    a-row-major with gaps ascending — bit-identical, same order, as the
+    NumPy pair-expansion path in ops/genomic.subtract_intervals.  Returns
+    (out_key, out_start, out_end) int32 arrays, or None when the native
+    lib is unavailable or sizes exceed int32 indexing."""
+    lib = load()
+    if lib is None or len(comp_ms) >= 2**31:
+        return None
+    comp_ms = np.ascontiguousarray(comp_ms, np.int64)
+    comp_me = np.ascontiguousarray(comp_me, np.int64)
+    run_s = np.ascontiguousarray(run_s, np.int32)
+    run_e = np.ascontiguousarray(run_e, np.int32)
+    ak = np.ascontiguousarray(ak, np.int32)
+    as_ = np.ascontiguousarray(as_, np.int32)
+    ae = np.ascontiguousarray(ae, np.int32)
+    m = len(ak)
+    lo = np.empty(m, np.int32)
+    cnt = np.empty(m, np.int64)
+    lib.si_subtract_count(
+        comp_ms, comp_me, run_s, run_e, len(comp_ms), ak, as_, ae, m, lo, cnt
+    )
+    offs = np.empty(m + 1, np.int64)
+    offs[0] = 0
+    np.cumsum(cnt, out=offs[1:])
+    total = int(offs[-1])
+    out_k = np.empty(total, np.int32)
+    out_s = np.empty(total, np.int32)
+    out_e = np.empty(total, np.int32)
+    if total:
+        lib.si_subtract_emit(
+            comp_ms, run_s, run_e, len(comp_ms), ak, as_, ae, m, lo, offs,
+            out_k, out_s, out_e,
+        )
+    return out_k, out_s, out_e
 
 
 def repeat_counts(counts, total: int):

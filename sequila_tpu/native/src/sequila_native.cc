@@ -438,6 +438,54 @@ int64_t emit_walk(const Index* idx, const int32_t* qk, const int32_t* qs,
   return written.load();
 }
 
+// Bucket-hint grid over a sorted int64 array: hint[b] = lower_bound(v,
+// base + (b << g)).  Shared by the subtract kernel below; same scheme as
+// the inline grid in si_searchsorted64 (one O(n + buckets) build sweep
+// turns each search into a hint load + short gallop).
+struct HintGrid64 {
+  std::vector<int32_t> hints;
+  int64_t base = 0, nb = 0;
+  int32_t g = 0;
+  bool ok = false;
+};
+
+HintGrid64 build_grid64(const int64_t* v, int64_t n, int64_t nqueries) {
+  HintGrid64 hg;
+  if (nqueries >= 4096 && n >= 2 && n <= 32 * nqueries && n <= INT32_MAX &&
+      v[n - 1] > v[0]) {
+    hg.base = v[0];
+    const uint64_t span = uint64_t(v[n - 1] - hg.base);
+    while ((span >> hg.g) > uint64_t(2 * n)) ++hg.g;
+    hg.nb = int64_t(span >> hg.g) + 1;
+    hg.hints.assign(size_t(hg.nb), 0);
+    int64_t i = 0;
+    for (int64_t b = 0; b < hg.nb; ++b) {
+      const int64_t thresh = hg.base + (int64_t(b) << hg.g);
+      while (i < n && v[i] < thresh) ++i;
+      hg.hints[b] = int32_t(i);
+    }
+    hg.ok = true;
+  }
+  return hg;
+}
+
+// first index in [0,n) with v[i] >= x, seeded by the grid when built
+inline int64_t grid_lb64(const HintGrid64& hg, const int64_t* v, int64_t n,
+                         int64_t x) {
+  if (!hg.ok) return std::lower_bound(v, v + n, x) - v;
+  if (x <= hg.base) return 0;  // base == v[0]
+  int64_t b = int64_t(uint64_t(x - hg.base) >> hg.g);
+  if (b >= hg.nb) b = hg.nb - 1;
+  int64_t i = hg.hints[b];  // v[i-1] < bucket base <= x
+  int64_t step = 1;
+  while (i + step <= n && v[i + step - 1] < x) {
+    i += step;
+    step <<= 1;
+  }
+  const int64_t hi = std::min(i + step - 1, n);
+  return i + (std::lower_bound(v + i, v + hi, x) - (v + i));
+}
+
 }  // namespace
 
 extern "C" {
@@ -1361,6 +1409,84 @@ void si_searchsorted64(const int64_t* sorted, int64_t n, const int64_t* q,
   });
 }
 
+// bedtools-subtract gap kernel: per a-row, the sub-ranges not covered by
+// the merged subtrahend runs.  Runs are disjoint and (key,start)-sorted;
+// comp_ms/comp_me pack (key << 32) | (coord + 2^31) so one sorted int64
+// array serves both the window lower bound (first run with end >= a.start
+// on the key) and the in-window test (run.start <= a.end on the key) —
+// the same composites ops/genomic.merged_subtrahend memoizes per table
+// pair.  Two passes over caller-scanned offsets, like si_count/si_emit_at:
+// pass 1 records each row's window start and gap count, pass 2 writes
+// (key, gap_start, gap_end) triples a-row-major with gaps ascending —
+// bit-identical values AND order vs the NumPy pair-expansion path it
+// replaces (ops/genomic.py subtract_intervals), which pays a total-pairs
+// expansion + concatenate + composite argsort this kernel never builds.
+void si_subtract_count(const int64_t* comp_ms, const int64_t* comp_me,
+                       const int32_t* run_s, const int32_t* run_e,
+                       int64_t nruns, const int32_t* ak, const int32_t* as_,
+                       const int32_t* ae, int64_t m, int32_t* lo_out,
+                       int64_t* cnt_out) {
+  constexpr int64_t B = int64_t(1) << 31;
+  const HintGrid64 hg = build_grid64(comp_me, nruns, m);
+  parallel_chunks(m, 8192, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t key = int64_t(ak[i]) << 32;
+      const int64_t qlo = key | (int64_t(as_[i]) + B);
+      const int64_t qhi = key | (int64_t(ae[i]) + B);
+      int64_t j = grid_lb64(hg, comp_me, nruns, qlo);
+      lo_out[i] = int32_t(j);
+      const int64_t j0 = j;
+      int64_t cnt = 0;
+      int64_t prev_end = int64_t(as_[i]) - 1;
+      for (; j < nruns && comp_ms[j] <= qhi; ++j) {
+        cnt += (int64_t(run_s[j]) - 1 >= prev_end + 1);
+        prev_end = run_e[j];
+      }
+      const int64_t ts = (j > j0) ? int64_t(run_e[j - 1]) + 1
+                                  : int64_t(as_[i]);
+      cnt += (ts <= int64_t(ae[i]));
+      cnt_out[i] = cnt;
+    }
+  });
+}
+
+void si_subtract_emit(const int64_t* comp_ms, const int32_t* run_s,
+                      const int32_t* run_e, int64_t nruns, const int32_t* ak,
+                      const int32_t* as_, const int32_t* ae, int64_t m,
+                      const int32_t* lo_arr, const int64_t* offs,
+                      int32_t* out_k, int32_t* out_s, int32_t* out_e) {
+  constexpr int64_t B = int64_t(1) << 31;
+  parallel_chunks(m, 8192, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t qhi =
+          (int64_t(ak[i]) << 32) | (int64_t(ae[i]) + B);
+      int64_t j = lo_arr[i];
+      const int64_t j0 = j;
+      int64_t o = offs[i];
+      int64_t prev_end = int64_t(as_[i]) - 1;
+      for (; j < nruns && comp_ms[j] <= qhi; ++j) {
+        const int64_t gs = prev_end + 1;
+        const int64_t ge = int64_t(run_s[j]) - 1;
+        if (ge >= gs) {
+          out_k[o] = ak[i];
+          out_s[o] = int32_t(gs);
+          out_e[o] = int32_t(ge);
+          ++o;
+        }
+        prev_end = run_e[j];
+      }
+      const int64_t ts = (j > j0) ? int64_t(run_e[j - 1]) + 1
+                                  : int64_t(as_[i]);
+      if (ts <= int64_t(ae[i])) {
+        out_k[o] = ak[i];
+        out_s[o] = int32_t(ts);
+        out_e[o] = ae[i];
+        ++o;
+      }
+    }
+  });
+}
+
 // Layout variant actually built into an index handle: 1 = Eytzinger
 // (the default), 0 = segment-local binary search (the
 // SEQUILA_NATIVE_LAYOUT=segment opt-out at si_build time).  Lets tests
@@ -1369,6 +1495,6 @@ int64_t si_layout(void* h) {
   return static_cast<const Index*>(h)->eytz ? 1 : 0;
 }
 
-int64_t si_version() { return 7; }
+int64_t si_version() { return 8; }
 
 }  // extern "C"

@@ -297,6 +297,14 @@ def subtract_intervals(ak, as_, ae, bk, bs, be, merged=None):
     )
     if len(mk) == 0:  # nothing to subtract: every a row survives whole
         return ak.copy(), as_.copy(), ae.copy()
+    if comp_ms is not None:
+        # threaded native gap emission — no pair expansion, no final sort
+        # (bit-identical values and order vs the NumPy path below)
+        from sequila_tpu.native.loader import subtract_runs
+
+        res = subtract_runs(comp_ms, comp_me, ms, me, ak, as_, ae)
+        if res is not None:
+            return res
     B = np.int64(2**31)
     ak64 = ak.astype(np.int64)
     lo_all = _searchsorted_comp(comp_me, (ak64 << 32) | (as_.astype(np.int64) + B), side="left")

@@ -448,3 +448,47 @@ def test_sorted_walk_emission_parity(lib_available, rng, monkeypatch):
     assert sorted(zip(sp.tolist(), sb.tolist())) == sorted(
         zip(op.tolist(), ob.tolist())
     )
+
+
+def test_native_subtract_runs_parity(lib_available, rng, monkeypatch):
+    """si_subtract_count/emit must be bit-identical — values AND order —
+    to the NumPy pair-expansion path in ops/genomic.subtract_intervals,
+    across degenerate a-rows, multi-key data, negative coordinates and
+    int32-extreme spans."""
+    from sequila_tpu.native import loader
+    from sequila_tpu.ops import genomic
+
+    def numpy_path(ak, as_, ae, bk, bs, be):
+        monkeypatch.setattr(loader, "subtract_runs", lambda *a, **k: None)
+        try:
+            return genomic.subtract_intervals(ak, as_, ae, bk, bs, be)
+        finally:
+            monkeypatch.undo()
+
+    for trial in range(12):
+        n = int(rng.integers(0, 1500))
+        m = int(rng.integers(0, 1500))
+        span = int(rng.integers(10, 100_000))
+        ak = rng.integers(0, 5, m).astype(np.int32)
+        as_ = rng.integers(-span // 2, span, m).astype(np.int32)
+        # includes degenerate (start > end) a-rows on purpose
+        ae = (as_ + rng.integers(-5, span // 3, m)).astype(np.int32)
+        bk = rng.integers(0, 5, n).astype(np.int32)
+        bs = rng.integers(-span // 2, span, n).astype(np.int32)
+        be = (bs + rng.integers(0, span // 3, n)).astype(np.int32)
+        got = genomic.subtract_intervals(ak, as_, ae, bk, bs, be)
+        exp = numpy_path(ak, as_, ae, bk, bs, be)
+        for g, e in zip(got, exp):
+            np.testing.assert_array_equal(g, e, err_msg=f"trial {trial}")
+
+    # int32 extremes: spans touching both ends of the coordinate range
+    ak = np.array([0, 0, 1], np.int32)
+    as_ = np.array([-(2**31), 2**31 - 10, 0], np.int32)
+    ae = np.array([-(2**31) + 100, 2**31 - 1, 2**31 - 1], np.int32)
+    bk = np.array([0, 0, 1], np.int32)
+    bs = np.array([-(2**31) + 5, 2**31 - 8, 100], np.int32)
+    be = np.array([-(2**31) + 50, 2**31 - 2, 2**31 - 5], np.int32)
+    got = genomic.subtract_intervals(ak, as_, ae, bk, bs, be)
+    exp = numpy_path(ak, as_, ae, bk, bs, be)
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(g, e)

@@ -150,6 +150,30 @@ def main() -> int:
     np.testing.assert_array_equal(got.column_np("l"), long_strs[rows])
     print("gather32/64 + take_str OK")
 
+    # subtract gap kernel (threaded two-pass, hint-grid binary search)
+    from sequila_tpu.ops import genomic
+
+    sak = rng.integers(0, 24, 200_000).astype(np.int32)
+    sas = rng.integers(0, 3_000_000, 200_000).astype(np.int32)
+    sae = (sas + rng.integers(-5, 5_000, 200_000)).astype(np.int32)
+    # sparse subtrahend (40k of the 400k rows) so real gaps emit; the
+    # full-density build would merge to near-total coverage (few gaps)
+    merged = genomic.merged_subtrahend(bk[:40_000], bs[:40_000], be[:40_000])
+    mk_, ms_, me_, comp_ms, comp_me = merged
+    got_sub = loader.subtract_runs(comp_ms, comp_me, ms_, me_, sak, sas, sae)
+    assert got_sub is not None
+    prev_sub = loader.subtract_runs
+    loader.subtract_runs = lambda *a, **k: None
+    try:
+        want_sub = genomic.subtract_intervals(
+            sak, sas, sae, bk[:40_000], bs[:40_000], be[:40_000], merged=merged
+        )
+    finally:
+        loader.subtract_runs = prev_sub
+    for g, w in zip(got_sub, want_sub):
+        np.testing.assert_array_equal(g, w)
+    print(f"subtract_runs OK ({len(got_sub[0]):,} gaps)")
+
     print("SANITIZE DRIVER PASSED")
     return 0
 
