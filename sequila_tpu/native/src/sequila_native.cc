@@ -26,6 +26,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -99,6 +100,12 @@ struct Index {
   std::vector<int32_t> hint_s_nb, hint_e_nb;    // slot -> bucket count
   std::vector<int32_t> hint_s_base, hint_e_base;  // slot -> grid origin
   std::vector<int8_t> hint_s_g, hint_e_g;         // slot -> log2 bucket
+  // Lazily-built exclusive prefix sums of `starts` (in (key,start)
+  // order) and `ends_sorted` (per-segment end order), both n+1 int64 —
+  // the coverage rank decomposition's lookup tables (si_coverage).
+  // call_once so concurrent first coverage calls build them once.
+  mutable std::vector<int64_t> pfx_start, pfx_end;
+  mutable std::once_flag pfx_once;
 };
 
 // first index in [0,len) with v[i] > x, seeded by the bucket grid
@@ -324,6 +331,26 @@ inline int64_t rank_ends_ge(const Index* idx, int64_t sgi, int64_t lo,
                         idx->eytz_ends_rank.data() + eo, len, x);
   }
   return lb32(idx->ends_sorted.data() + lo, len, x);
+}
+
+inline int64_t rank_start_ge(const Index* idx, int64_t sgi, int64_t lo,
+                             int64_t len, int32_t x) {
+  if (idx->eytz) {
+    const int64_t eo = idx->eytz_off[sgi];
+    return eytz_rank_ge(idx->eytz_starts.data() + eo,
+                        idx->eytz_starts_rank.data() + eo, len, x);
+  }
+  return lb32(idx->starts.data() + lo, len, x);
+}
+
+inline int64_t rank_ends_gt(const Index* idx, int64_t sgi, int64_t lo,
+                            int64_t len, int32_t x) {
+  if (idx->eytz) {
+    const int64_t eo = idx->eytz_off[sgi];
+    return eytz_rank_gt(idx->eytz_ends.data() + eo,
+                        idx->eytz_ends_rank.data() + eo, len, x);
+  }
+  return ub32(idx->ends_sorted.data() + lo, len, x);
 }
 
 inline int64_t rank_cummax_ge(const Index* idx, int64_t sgi, int64_t lo,
@@ -1021,10 +1048,38 @@ void si_closest_k(void* h, const int32_t* qk, const int32_t* qs,
 
 // Coverage: (count, sum(min(end,qe) - max(start,qs))) per query —
 // superintervals coverage semantics.  Parallel over probe chunks.
+//
+// Fast path: the sum decomposes into rank windows over the two sorted
+// views, so each probe costs four binary searches + two prefix-sum
+// lookups instead of a candidate scan (the same 4-rank decomposition the
+// device merge backend uses).  Over overlapping build rows
+// (si <= qe AND ei >= qs, valid only for non-inverted builds and
+// qs <= qe):
+//   sum max(si,qs) = sum{si in [qs,qe]} si + qs * (C - #{si in [qs,qe]})
+//     (si >= qs implies ei >= si >= qs, so those rows all overlap)
+//   sum min(ei,qe) = sum{ei in [qs,qe]} ei + qe * (C - #{ei in [qs,qe]})
+//     (ei <= qe implies si <= ei <= qe)
+//   C = #{si <= qe} - #{ei < qs}  (the BITS count)
+// Degenerate probes (qs > qe) and inverted-build indexes take the exact
+// candidate scan — the same routing contract as every count entry point.
 void si_coverage(void* h, const int32_t* qk, const int32_t* qs,
                  const int32_t* qe, int64_t m, int64_t* out_count,
                  int64_t* out_bases) {
   const auto* idx = static_cast<const Index*>(h);
+  const bool ranks_ok = !idx->has_inverted;
+  if (ranks_ok) {
+    std::call_once(idx->pfx_once, [&] {
+      idx->pfx_start.resize(size_t(idx->n) + 1);
+      idx->pfx_end.resize(size_t(idx->n) + 1);
+      idx->pfx_start[0] = idx->pfx_end[0] = 0;
+      for (int64_t i = 0; i < idx->n; ++i) {
+        idx->pfx_start[i + 1] = idx->pfx_start[i] + idx->starts[i];
+        idx->pfx_end[i + 1] = idx->pfx_end[i] + idx->ends_sorted[i];
+      }
+    });
+  }
+  const int64_t* ps = ranks_ok ? idx->pfx_start.data() : nullptr;
+  const int64_t* pe = ranks_ok ? idx->pfx_end.data() : nullptr;
   parallel_chunks(m, 8192, [&](int64_t i0, int64_t i1) {
     int64_t last = -1;
     for (int64_t i = i0; i < i1; ++i) {
@@ -1033,6 +1088,20 @@ void si_coverage(void* h, const int32_t* qk, const int32_t* qs,
       const int64_t sgi = find_seg(idx, qk[i], &last);
       if (sgi < 0) continue;
       const int64_t lo = idx->seg_off[sgi], len = idx->seg_off[sgi + 1] - lo;
+      if (ranks_ok && qs[i] <= qe[i]) {
+        const int64_t ub_s = rank_start_gt(idx, sgi, lo, len, qe[i]);
+        const int64_t lb_e = rank_ends_ge(idx, sgi, lo, len, qs[i]);
+        const int64_t c = ub_s - lb_e;
+        if (c <= 0) continue;
+        const int64_t lb_s = rank_start_ge(idx, sgi, lo, len, qs[i]);
+        const int64_t ub_e = rank_ends_gt(idx, sgi, lo, len, qe[i]);
+        const int64_t sum_s = ps[lo + ub_s] - ps[lo + lb_s];
+        const int64_t sum_e = pe[lo + ub_e] - pe[lo + lb_e];
+        out_count[i] = c;
+        out_bases[i] = (sum_e + int64_t(qe[i]) * (c - (ub_e - lb_e))) -
+                       (sum_s + int64_t(qs[i]) * (c - (ub_s - lb_s)));
+        continue;
+      }
       const int64_t ub = lo + rank_start_gt(idx, sgi, lo, len, qe[i]);
       const int64_t wlo = lo + rank_cummax_ge(idx, sgi, lo, len, qs[i]);
       int64_t c = 0, bases = 0;

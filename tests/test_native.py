@@ -492,3 +492,36 @@ def test_native_subtract_runs_parity(lib_available, rng, monkeypatch):
     exp = numpy_path(ak, as_, ae, bk, bs, be)
     for g, e in zip(got, exp):
         np.testing.assert_array_equal(g, e)
+
+
+def test_native_coverage_rank_decomposition(lib_available, rng):
+    """si_coverage's 4-rank fast path (prefix sums over the two sorted
+    views) must equal the brute-force predicate start<=qe AND end>=qs —
+    including degenerate probes (qs > qe, per-probe scan fallback) and
+    inverted-build indexes (whole-call scan fallback)."""
+    for trial in range(8):
+        n = int(rng.integers(1, 3000))
+        m = int(rng.integers(1, 1500))
+        K = int(rng.integers(1, 5))
+        bk = rng.integers(0, K, n).astype(np.int32)
+        bs = rng.integers(-1000, 50_000, n).astype(np.int32)
+        be = (bs + rng.integers(0, 3000, n)).astype(np.int32)
+        if trial % 3 == 0:  # inverted rows force the scan path
+            be = np.where(rng.random(n) < 0.1, bs - 100, be).astype(np.int32)
+        qk = rng.integers(0, K + 1, m).astype(np.int32)
+        qs = rng.integers(-1000, 50_000, m).astype(np.int32)
+        qe = (qs + rng.integers(-50, 3000, m)).astype(np.int32)
+        idx = native.NativeIntervalIndex(bk, bs, be)
+        c, b = idx.coverage(qk, qs, qe)
+        ec = np.zeros(m, np.int64)
+        eb = np.zeros(m, np.int64)
+        for i in range(m):
+            sel = (bk == qk[i]) & (bs <= qe[i]) & (be >= qs[i])
+            ec[i] = sel.sum()
+            if ec[i]:
+                eb[i] = (
+                    np.minimum(be[sel].astype(np.int64), qe[i])
+                    - np.maximum(bs[sel].astype(np.int64), qs[i])
+                ).sum()
+        np.testing.assert_array_equal(c, ec, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(b, eb, err_msg=f"trial {trial}")
